@@ -1,0 +1,94 @@
+"""Batch event sources (text / avro / parquet / BigQuery-style).
+
+Reference: lib/src/klio/transforms/io.py
+  - KlioReadFromText     (:148-189) each line → fresh V2 message
+  - KlioReadFromAvro     (:428-535) element field, else JSON of record
+  - KlioReadFromBigQuery (:256-352) single column, else JSON of selected cols
+
+Each returns an envelope DataFrame (see klio_spark.envelope). Reads are
+plain spark.read calls so Catalyst gets pushdown/pruning on every format
+that supports it.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from klio_spark.config import EventIOConfig
+from klio_spark.envelope import with_envelope
+
+
+def read_text(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
+    """Newline-delimited element ids → envelope (io.py:148-189)."""
+    df = spark.read.options(**{k: str(v) for k, v in cfg.options.items()}).text(
+        cfg.location
+    )
+    return with_envelope(df, "value").drop("value")
+
+
+def read_parquet(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
+    """Parquet with an `element` column, else JSON-encode the row.
+
+    Parquet is our native interchange format (not in the reference, which
+    predates lakehouse column stores); same element-or-JSON convention as
+    the Avro source.
+    """
+    df = spark.read.options(**{k: str(v) for k, v in cfg.options.items()}).parquet(
+        cfg.location
+    )
+    return _element_or_json(df)
+
+
+def read_avro(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
+    """Avro records: element field if present else JSON (io.py:428-446).
+
+    Requires the spark-avro package on the cluster; tests use parquet.
+    """
+    df = (
+        spark.read.format("avro")
+        .options(**{k: str(v) for k, v in cfg.options.items()})
+        .load(cfg.location)
+    )
+    return _element_or_json(df)
+
+
+def read_bq_style(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
+    """BigQuery-style rows → element = single column or JSON of columns.
+
+    Mirrors _KlioReadFromBigQueryMapper (io.py:219-246): with one
+    klio_message_column the element is that column's value; with several,
+    a JSON object of them. On a real cluster the read would be
+    spark.read.format("bigquery"); locally any tabular format stands in
+    (cfg.options["format"], default parquet).
+    """
+    fmt = cfg.options.pop("format", "parquet")
+    cols = cfg.options.pop("klio_message_columns", None)
+    df = (
+        spark.read.format(fmt)
+        .options(**{k: str(v) for k, v in cfg.options.items()})
+        .load(cfg.location)
+    )
+    if cols:
+        cols = cols if isinstance(cols, list) else json.loads(cols)
+        if len(cols) == 1:
+            el = F.col(cols[0]).cast("string")
+        else:
+            el = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    else:
+        el = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return with_envelope(df.withColumn("_el", el), "_el").drop("_el")
+
+
+def _element_or_json(df: DataFrame) -> DataFrame:
+    if "element" in df.columns:
+        other = [c for c in df.columns if c != "element"]
+        el = F.coalesce(
+            F.col("element").cast("string"),
+            F.to_json(F.struct(*[F.col(c) for c in other])) if other else F.lit(None),
+        )
+    else:
+        el = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return with_envelope(df.withColumn("_el", el), "_el").drop("_el")

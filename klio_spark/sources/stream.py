@@ -1,0 +1,47 @@
+"""Streaming event sources (Pub/Sub stand-ins).
+
+Reference: KlioReadFromPubSub (lib/src/klio/transforms/io.py:660-702).
+No Pub/Sub connector exists for Spark; the idiomatic stand-ins are Kafka
+(production) and the file source (tests/local). Both get checkpointed
+exactly-once-per-sink semantics from Structured Streaming — which already
+covers the reference's ack-deadline machinery
+(lib/src/klio/message/pubsub_message_manager.py:47-314) for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from klio_spark.config import EventIOConfig
+from klio_spark.envelope import with_envelope
+
+
+def read_stream(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
+    """readStream → envelope DataFrame.
+
+    cfg.topic set   → Kafka source (value bytes = element utf-8).
+    cfg.location set→ file source watching a directory of text files
+                      (one element per line), the local Pub/Sub stand-in.
+    Dedup-by-id (`id_label` in the reference) becomes dropDuplicates on
+    element under a watermark (set by the job, not here, since the
+    watermark column is event-time-specific).
+    """
+    if cfg.topic:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("subscribe", cfg.topic)
+            .options(**{k: str(v) for k, v in cfg.options.items()})
+            .load()
+        )
+        df = raw.select(F.col("value").cast("string").alias("_el"))
+    elif cfg.location:
+        df = (
+            spark.readStream.format("text")
+            .options(**{k: str(v) for k, v in cfg.options.items()})
+            .load(cfg.location)
+            .select(F.col("value").alias("_el"))
+        )
+    else:
+        raise ValueError("stream source needs topic (kafka) or location (file)")
+    return with_envelope(df, "_el").drop("_el")

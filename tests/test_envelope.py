@@ -1,0 +1,100 @@
+from pyspark.sql import functions as F
+
+from klio_spark import envelope as env
+from klio_spark.operators import filters
+
+
+def test_from_elements_schema(spark):
+    df = env.from_elements(spark, ["a", "b", "c"])
+    assert set(env.ENVELOPE_COLS) <= set(df.columns)
+    rows = df.collect()
+    assert sorted(r.element for r in rows) == ["a", "b", "c"]
+    assert all(r.version == 2 and not r.force and not r.ping for r in rows)
+    assert all(r.recipients_mode == env.ANYONE for r in rows)
+
+
+def test_pack_unpack_payload(spark):
+    df = env.from_elements(spark, ["x"]).withColumn("n", F.lit(7))
+    packed = env.pack_payload(df, "n")
+    out = env.unpack_payload(packed.drop("n"), "n int").collect()[0]
+    assert out.n == 7
+
+
+def test_clear_payload_if_unchanged(spark):
+    df = env.from_elements(spark, ["x"])
+    df = df.withColumn("payload", F.lit(b"same"))
+    cleared = env.clear_payload_if_unchanged(df, F.lit(b"same"))
+    assert cleared.collect()[0].payload is None
+    kept = env.clear_payload_if_unchanged(df, F.lit(b"other"))
+    assert bytes(kept.collect()[0].payload) == b"same"
+
+
+def test_ping_filter(spark):
+    df = env.from_elements(spark, ["a", "b"]).withColumn(
+        "ping", F.col("element") == "a"
+    )
+    split = filters.filter_ping(df)
+    assert [r.element for r in split.process.collect()] == ["b"]
+    assert [r.element for r in split.pass_thru.collect()] == ["a"]
+
+
+def test_force_filter(spark):
+    df = env.from_elements(spark, ["a", "b"]).withColumn(
+        "force", F.col("element") == "a"
+    )
+    split = filters.filter_force(df)
+    assert [r.element for r in split.process.collect()] == ["a"]
+    # config-level force overrides
+    split_all = filters.filter_force(df, data_output_force=True)
+    assert split_all.process.count() == 2
+
+
+def test_recipients_anyone_and_limited(spark):
+    df = env.from_elements(spark, ["any", "mine", "other"])
+    df = df.withColumn(
+        "recipients_mode",
+        F.when(F.col("element") == "any", F.lit(env.ANYONE)).otherwise(
+            F.lit(env.LIMITED)
+        ),
+    ).withColumn(
+        "recipients",
+        F.when(
+            F.col("element") == "mine",
+            F.array(env.job_lit("job1", "proj")),
+        ).otherwise(F.array(env.job_lit("job2", "proj"))),
+    )
+    kept = filters.check_recipients(df, "job1", "proj")
+    assert sorted(r.element for r in kept.collect()) == ["any", "mine"]
+
+
+def test_recipients_bottom_up_flip(spark):
+    df = env.from_elements(spark, ["m"]).withColumn(
+        "recipients_mode", F.lit(env.LIMITED)
+    ).withColumn(
+        "recipients", F.array(env.job_lit("job1", "proj"))
+    ).withColumn(
+        "trigger_children_of", env.job_lit("job1", "proj")
+    )
+    out = filters.check_recipients(df, "job1", "proj").collect()[0]
+    assert out.recipients_mode == env.ANYONE
+    assert out.recipients is None and out.trigger_children_of is None
+
+
+def test_version_tag_and_coerce(spark):
+    df = env.from_elements(spark, ["v1", "v2"]).withColumn(
+        "version", F.when(F.col("element") == "v1", 1).otherwise(2)
+    )
+    split = filters.tag_message_version(df)
+    assert [r.element for r in split.process.collect()] == ["v2"]
+    coerced = env.coerce_v1(split.pass_thru).collect()[0]
+    assert coerced.version == 2
+
+
+def test_audit_log_append(spark):
+    from klio_spark.operators.audit import update_audit_log
+
+    df = env.from_elements(spark, ["a"])
+    df = update_audit_log(df, "job1", "proj")
+    df = update_audit_log(df, "job2", "proj")
+    log = df.collect()[0].job_audit_log
+    assert [i.job_name for i in log] == ["job1", "job2"]

@@ -1,0 +1,110 @@
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from klio_spark import envelope as env
+from klio_spark.udf import handle_klio, map_elements, split_errors
+
+
+def test_handle_klio_basic(spark):
+    df = env.from_elements(spark, ["ab", "abc", "a"])
+
+    @handle_klio("element string, n int")
+    def measure(element, payload, **_):
+        return {"element": element, "n": len(element)}
+
+    out = {r.element: r.n for r in split_errors(measure(df))[0].collect()}
+    assert out == {"ab": 2, "abc": 3, "a": 1}
+
+
+def test_drop_dont_fail_routes_errors(spark):
+    df = env.from_elements(spark, ["ok", "boom", "ok2"])
+
+    @handle_klio("element string, n int")
+    def fragile(element, payload, **_):
+        if element == "boom":
+            raise ValueError("bad element")
+        return {"element": element, "n": 1}
+
+    ok, quarantine = split_errors(fragile(df))
+    assert sorted(r.element for r in ok.collect()) == ["ok", "ok2"]
+    bad = quarantine.collect()
+    assert len(bad) == 1 and bad[0].element == "boom"
+    assert "ValueError" in bad[0]._klio_error
+
+
+def test_silent_drop_on_none(spark):
+    df = env.from_elements(spark, ["keep", "skip"])
+
+    @handle_klio("element string")
+    def maybe(element, payload, **_):
+        if element == "skip":
+            return None
+        return {"element": element}
+
+    ok, quarantine = split_errors(maybe(df))
+    assert [r.element for r in ok.collect()] == ["keep"]
+    assert quarantine.count() == 0
+
+
+def test_retry_succeeds_eventually(spark):
+    df = env.from_elements(spark, ["x"])
+    # retry state must live worker-side; use module-level mutable via time
+    # instead: fail if called within the first call (attempt counting via
+    # exception on fresh state is process-local, so emulate with a file)
+    import tempfile, os, json, pathlib
+
+    marker = tempfile.mkdtemp() + "/attempts"
+
+    @handle_klio("element string, attempts int", tries=3)
+    def flaky(element, payload, **_):
+        p = pathlib.Path(marker)
+        n = int(p.read_text()) if p.exists() else 0
+        p.write_text(str(n + 1))
+        if n < 2:
+            raise RuntimeError("transient")
+        return {"element": element, "attempts": n + 1}
+
+    ok, quarantine = split_errors(flaky(df))
+    rows = ok.collect()
+    assert len(rows) == 1 and rows[0].attempts == 3
+    assert quarantine.count() == 0
+
+
+def test_retry_exhausted_goes_to_quarantine(spark):
+    df = env.from_elements(spark, ["x"])
+
+    @handle_klio("element string", tries=2)
+    def always_fails(element, payload, **_):
+        raise RuntimeError("permanent")
+
+    ok, quarantine = split_errors(always_fails(df))
+    assert ok.count() == 0
+    assert quarantine.count() == 1
+
+
+@pytest.mark.slow
+def test_timeout_kills_hung_element(spark):
+    df = env.from_elements(spark, ["fast", "hang"])
+
+    @handle_klio("element string", timeout=2)
+    def sometimes_hangs(element, payload, **_):
+        if element == "hang":
+            time.sleep(60)
+        return {"element": element}
+
+    ok, quarantine = split_errors(sometimes_hangs(df))
+    assert [r.element for r in ok.collect()] == ["fast"]
+    bad = quarantine.collect()
+    assert len(bad) == 1 and "Timeout" in bad[0]._klio_error
+
+
+def test_map_elements_with_extra_columns(spark):
+    df = env.from_elements(spark, ["a", "b"]).withColumn("val", F.length("element") + 5)
+
+    def combine(element, payload, val=None, **_):
+        return {"element": element, "out": f"{element}:{val}"}
+
+    ok, _ = split_errors(map_elements(df, combine, "element string, out string"))
+    assert sorted(r.out for r in ok.collect()) == ["a:6", "b:6"]
