@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop write (full computation, no driver
+collect cost). A -1 value means the query errored.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from klio_spark.queries import all_queries
+    from klio_spark.session import get_spark
+
+    spark = get_spark("klio-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_queries()
+    only = set(sys.argv[1:])
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"# ERROR {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -307,15 +307,13 @@ def embedding_near_dups(
     use_lsh: bool = True,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. LSH-bucketed by default (scale path);
-    use_lsh=False does the exact quadratic join (small corpora / oracle)."""
-    from klio_spark.functions.similarity import lsh_candidates
+    use_lsh=False does the exact blocked-matmul sweep (broadcastable
+    corpora / oracle twin)."""
+    from klio_spark.functions.similarity import exact_pairs_blocked, lsh_candidates
 
-    if use_lsh:
-        cand = lsh_candidates(df, vec_col, id_col)
-    else:
-        l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-        cand = l.join(r, F.col("id_a") < F.col("id_b"))
+    if not use_lsh:
+        return exact_pairs_blocked(df, vec_col, id_col, threshold=threshold)
+    cand = lsh_candidates(df, vec_col, id_col)
     return (
         cand.withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)

@@ -60,22 +60,80 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray
     return rng.standard_normal((tables, bits, dim))
 
 
-def srp_signature(vec_col, planes: np.ndarray):
-    """Sign-random-projection signature for one table: int bucket id from
-    `bits` sign bits. Dot products via zip_with/aggregate (JVM-side)."""
-    bits = []
-    for i, plane in enumerate(planes):
-        lits = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(
-            F.zip_with(vec_col, lits, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+def srp_signatures(vec_col, planes: np.ndarray):
+    """All-tables sign-random-projection signatures in one shot.
+
+    One Arrow-batched pandas_udf doing a single (batch × dim) @ (dim ×
+    tables·bits) matmul — the expression-tree alternative (tables·bits
+    fold expressions) spends more time in codegen than compute and scales
+    badly past ~32 planes. Returns ARRAY<INT>, one bucket id per table.
+    Planes ride the closure as literals — deterministic everywhere.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tables, bits, dim = planes.shape
+    flat = planes.reshape(tables * bits, dim).T.astype(np.float64)  # (dim, T*B)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def _sig(v):
+        m = np.stack(v.to_numpy())  # (n, dim)
+        proj = (m.astype(np.float64) @ flat) > 0  # (n, T*B)
+        b = proj.reshape(len(v), tables, bits) @ weights  # (n, T)
+        return pd.Series(list(b.astype(np.int32)))
+
+    # set hints explicitly: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf's signature inspection rejects
+    _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "array<int>")(vec_col)
+
+
+def exact_pairs_blocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matmul.
+
+    The corpus (id, L2-normalized vector) is broadcast to executors once;
+    each partition multiplies its block against the full matrix in BLAS
+    (float64) and emits only pairs (id_a < id_b) whose ROUNDED cosine
+    clears the threshold. Work distributes linearly over blocks; the
+    broadcast is O(corpus) memory — the *exact* variant's inherent floor.
+    Beyond broadcastable corpora, use lsh_candidates (sub-quadratic).
+    """
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    b = df.sparkSession.sparkContext.broadcast((ids, mn))
+
+    def run(batches):
+        all_ids, corpus = b.value
+        lookup = {int(i): k for k, i in enumerate(all_ids)}
+        for pdf in batches:
+            rows_out = {"id_a": [], "id_b": [], "cosine": []}
+            idx = np.array([lookup[int(i)] for i in pdf[id_col]], dtype=np.int64)
+            block = corpus[idx]  # (nb, dim) — already normalized
+            sims = np.round(block @ corpus.T, round_digits)  # (nb, N)
+            my_ids = all_ids[idx]
+            mask = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            rows_out["id_a"] = my_ids[ai]
+            rows_out["id_b"] = all_ids[bj]
+            rows_out["cosine"] = sims[ai, bj]
+            yield pd.DataFrame(rows_out)
+
+    return df.select(id_col).mapInPandas(
+        run, schema="id_a long, id_b long, cosine double"
+    )
 
 
 def lsh_candidates(
@@ -93,9 +151,7 @@ def lsh_candidates(
     sigs = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.posexplode(
-            F.array(*[srp_signature(F.col(vec_col), planes[t]) for t in range(tables)])
-        ).alias("_table", "_sig"),
+        F.posexplode(srp_signatures(F.col(vec_col), planes)).alias("_table", "_sig"),
     )
     l = sigs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_table", "_sig"
@@ -135,11 +191,9 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(v_alias),
-            F.posexplode(
-                F.array(
-                    *[srp_signature(F.col(vec_col), planes[t]) for t in range(tables)]
-                )
-            ).alias("_table", "_sig"),
+            F.posexplode(srp_signatures(F.col(vec_col), planes)).alias(
+                "_table", "_sig"
+            ),
         )
 
     q = F.broadcast(signed(queries, "query_id", "_qv"))

@@ -34,3 +34,14 @@ def cosine_sim(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def normalized(a: Column) -> Column:
+    """a/|a| (zero vector stays zero). Pre-normalize BEFORE pair joins so
+    per-pair cosine is a single dot fold — in an all-pairs join this cuts
+    the inner-loop flops 3× and turns norm computation from O(pairs) into
+    O(rows)."""
+    n = l2_norm(a)
+    return F.when(
+        n > 0, F.transform(a, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(a, lambda x: F.lit(0.0)))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from klio_spark.functions.similarity import lsh_topk
+from klio_spark.functions.similarity import exact_pairs_blocked, lsh_topk
 from klio_spark.functions.vectors import cosine_sim, l2_norm
 from klio_spark.queries import load, register
 
@@ -90,17 +90,11 @@ def q71_ann_lsh_topk(spark: SparkSession, sf_dir: str):
 )
 def q72_embedding_near_dups(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "embeddings")
-    l = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    r = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    return (
-        l.join(r, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
-    )
+    # blocked BLAS matmul: a catalyst pair-join with higher-order-function
+    # dots evaluates interpreted (~100M fold steps here); the broadcast
+    # matrix + per-partition matmul is ~3 orders faster and still
+    # distributes over blocks
+    return exact_pairs_blocked(e, "embedding", "vec_id", threshold=0.35)
 
 
 @register(
