@@ -62,7 +62,7 @@ def q70_ann_bruteforce_topk(spark: SparkSession, sf_dir: str):
     "q71_ann_lsh_topk",
     None,  # approximate (recall < 1) → rows-only check; recall vs q70 is
            # asserted in tests/test_similarity.py
-    doc="scale-path ANN: random-hyperplane LSH (10 bits × 8 tables), bucket "
+    doc="scale-path ANN: random-hyperplane LSH (6 bits × 16 tables), bucket "
     "join + exact re-rank; probes buckets instead of scanning the corpus.",
 )
 def q71_ann_lsh_topk(spark: SparkSession, sf_dir: str):
@@ -71,8 +71,8 @@ def q71_ann_lsh_topk(spark: SparkSession, sf_dir: str):
         e.filter(F.col("vec_id") < 10),
         e.filter(F.col("vec_id") >= 10),
         k=5,
-        bits=10,
-        tables=8,
+        bits=6,
+        tables=16,
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 

@@ -1,0 +1,96 @@
+import pytest
+from pyspark.sql import functions as F
+
+from klio_spark.functions import dedup as dd
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup of 1
+    (4, "completely different content about spark query engines and shuffles"),
+    (5, "spark query engines and shuffles are completely different content about"),  # shuffled 4
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dd.exact_dedup(docs, "text", "doc_id")
+    counts = {r.doc_id: r.dup_count for r in out.collect()}
+    # docs 1+2 share a hash; only the min-id representative survives
+    assert counts[1] == 2 and 2 not in counts
+    assert counts[3] == 1 and counts[4] == 1
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame([("one two",), ("a",), ("",)], "text string")
+    rows = df.select(dd.shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0].s == ["one two"]
+    assert rows[1].s == ["a"]
+    assert rows[2].s == [""]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dd.minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always caught
+    assert (1, 3) in got or (2, 3) in got  # near dup (1 token differs)
+    # unrelated docs never pass verification
+    assert not any({a, b} == {1, 4} for a, b in got)
+
+
+def test_minhash_jaccard_estimates_match_exact(spark, docs):
+    lsh = dd.minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.1)
+    exact = dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1)
+    lsh_pairs = {(r.id_a, r.id_b): r.jaccard for r in lsh.collect()}
+    exact_pairs = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    # verification step computes EXACT jaccard, so values agree where found
+    for k in set(lsh_pairs) & set(exact_pairs):
+        assert abs(lsh_pairs[k] - exact_pairs[k]) < 1e-9
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    h1 = dd.simhash(docs, "text").select("doc_id", "simhash").collect()
+    h2 = dd.simhash(docs, "text").select("doc_id", "simhash").collect()
+    assert {r.doc_id: r.simhash for r in h1} == {r.doc_id: r.simhash for r in h2}
+    sh = {r.doc_id: r.simhash for r in h1}
+    assert sh[1] == sh[2]  # identical text -> identical simhash
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = dd.simhash_near_dups(docs, "text", "doc_id", max_hamming=10)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_ngram_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           dd.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out  # no shared shingles -> not even a candidate
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    vecs = [
+        (1, (base + 0.01 * rng.standard_normal(16)).tolist()),
+        (2, (base + 0.01 * rng.standard_normal(16)).tolist()),
+        (3, rng.standard_normal(16).tolist()),
+        (4, (-base).tolist()),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    exact = dd.embedding_near_dups(df, "embedding", "vec_id", 0.9, use_lsh=False)
+    got = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert got == {(1, 2)}
+    lsh = dd.embedding_near_dups(df, "embedding", "vec_id", 0.9, use_lsh=True)
+    assert {(r.id_a, r.id_b) for r in lsh.collect()} == {(1, 2)}

@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from klio_spark.functions import similarity as sim
+from klio_spark.functions.vectors import cosine_sim, dot, l2_norm, normalized
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(32).tolist()) for i in range(100)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_vector_ops_match_numpy(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        l2_norm(F.col("a")).alias("na"),
+        cosine_sim(F.col("a"), F.col("b")).alias("c"),
+        normalized(F.col("a")).alias("an"),
+    ).collect()[0]
+    assert row.d == np.dot(a, b)
+    assert abs(row.na - np.linalg.norm(a)) < 1e-12
+    expected_c = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert abs(row.c - expected_c) < 1e-12
+    np.testing.assert_allclose(row.an, np.array(a) / np.linalg.norm(a))
+
+
+def test_cosine_zero_vector_is_zero(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(cosine_sim(F.col("a"), F.col("b")).alias("c")).collect()[0].c == 0.0
+
+
+def test_brute_force_topk_matches_numpy(spark, vec_df):
+    rows = vec_df.collect()
+    m = np.stack([np.array(r.embedding) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    queries = vec_df.filter(F.col("vec_id") < 3)
+    corpus = vec_df.filter(F.col("vec_id") >= 3)
+    out = sim.brute_force_topk(queries, corpus, vec_col="embedding", id_col="vec_id", k=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(3):
+        sims = mn[ids >= 3] @ mn[q]
+        cids = ids[ids >= 3]
+        order = sorted(zip(sims, -cids), key=lambda t: (-t[0], t[1]))
+        for rank in range(1, 5):
+            expect = -order[rank - 1][1]
+            assert got[(q, rank)] == expect
+
+
+def test_lsh_topk_recall_against_exact(spark, vec_df):
+    queries = vec_df.filter(F.col("vec_id") < 5)
+    corpus = vec_df.filter(F.col("vec_id") >= 5)
+    exact = sim.brute_force_topk(queries, corpus, k=3)
+    # random gaussian corpus -> top neighbors sit near cos~0.4, so per-bit
+    # collision p≈0.63; keep signatures short and tables many for recall
+    approx = sim.lsh_topk(queries, corpus, k=3, bits=4, tables=16)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_deterministic(spark, vec_df):
+    q = vec_df.filter(F.col("vec_id") < 2)
+    c = vec_df.filter(F.col("vec_id") >= 2)
+    r1 = sorted(map(tuple, sim.lsh_topk(q, c, k=3).collect()))
+    r2 = sorted(map(tuple, sim.lsh_topk(q, c, k=3).collect()))
+    assert r1 == r2
+
+
+def test_exact_pairs_blocked_matches_bruteforce(spark, vec_df):
+    out = sim.exact_pairs_blocked(
+        vec_df, "embedding", "vec_id", threshold=0.3
+    ).collect()
+    rows = vec_df.collect()
+    m = np.stack([np.array(r.embedding) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(mn @ mn.T, 6)
+    expect = {
+        (int(ids[i]), int(ids[j])): sims[i, j]
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.3
+    }
+    got = {(r.id_a, r.id_b): r.cosine for r in out}
+    assert got.keys() == expect.keys()
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-9

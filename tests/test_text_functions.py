@@ -1,0 +1,53 @@
+from pyspark.sql import functions as F
+
+from klio_spark.functions import text as tx
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", tx.token_count(F.col("text"))) == 3
+    assert _one(spark, "  leading and trailing  ", tx.token_count(F.col("text"))) == 3
+    assert _one(spark, "", tx.token_count(F.col("text"))) == 0
+
+
+def test_tokens_drops_empties(spark):
+    toks = _one(spark, "  x  y ", tx.tokens(F.col("text")))
+    assert toks == ["x", "y"]
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, "der hund und die katze", tx.lang_id(F.col("text"))) == "de"
+    assert _one(spark, "le chat et les chiens des", tx.lang_id(F.col("text"))) == "fr"
+    assert _one(spark, "the value of the table", tx.lang_id(F.col("text"))) == "en"
+    # no markers at all -> 'en' default
+    assert _one(spark, "xyzzy qwerty", tx.lang_id(F.col("text"))) == "en"
+
+
+def test_quality_features_ratios(spark):
+    f = tx.quality_features(F.col("text"))
+    text = "the cat!! 123"
+    n_chars = _one(spark, text, f["n_chars"])
+    assert n_chars == len(text)
+    assert _one(spark, text, f["n_tokens"]) == 3
+    assert abs(_one(spark, text, f["punct_ratio"]) - 2 / len(text)) < 1e-12
+    assert abs(_one(spark, text, f["digit_ratio"]) - 3 / len(text)) < 1e-12
+    # 'the' is 1 of 3 tokens
+    assert abs(_one(spark, text, f["stopword_ratio"]) - 1 / 3) < 1e-12
+
+
+def test_quality_score_bounds(spark):
+    s_good = _one(spark, "the quick brown fox is in the yard", tx.quality_score(F.col("text")))
+    s_bad = _one(spark, "!!! ### 111 222 @@@", tx.quality_score(F.col("text")))
+    assert 0.0 <= s_bad <= s_good <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = _one(spark, "alpha beta gamma", tx.fingerprint(F.col("text")))
+    b = _one(spark, "gamma alpha beta, alpha!", tx.fingerprint(F.col("text")))
+    c = _one(spark, "alpha beta delta", tx.fingerprint(F.col("text")))
+    assert a == b  # same token set (punct stripped, dups dropped)
+    assert a != c
