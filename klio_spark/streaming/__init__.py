@@ -1,0 +1,167 @@
+"""Structured Streaming: the reference's streaming mode, Spark-first.
+
+Reference semantics covered:
+  * Pub/Sub in/out            → file/kafka streams (sources/stream.py) with
+                                checkpointed exactly-once sinks; Spark's WAL
+                                + offsets replace klio's ack-deadline
+                                machinery (pubsub_message_manager.py:47-314)
+  * id_label dedup            → dedup_elements (dropDuplicates+watermark)
+  * KlioTriggerUpstream       → trigger_upstream: not_found branch rewrites
+                                recipients bottom-up and publishes to the
+                                upstream job's input (helpers.py:536-753)
+  * per-element streaming     → the SAME prologue operators work on
+                                streaming DataFrames (stream-static joins
+                                for existence checks)
+
+Extension ops (klio has no windowing — SURVEY §2.5): tumbling/sliding/
+session windows with watermarks for late data, for the events-style
+tables.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from klio_spark.config import EventIOConfig, KlioJobConfig
+from klio_spark.envelope import LIMITED, job_lit
+
+
+def dedup_elements(df: DataFrame, watermark_col: str, delay: str = "10 minutes") -> DataFrame:
+    """At-most-once per element within the watermark horizon (the
+    `id_label` contract of KlioReadFromPubSub, io.py:660-702). State is
+    bounded by the watermark — without it, dedup state grows forever."""
+    return df.withWatermark(watermark_col, delay).dropDuplicates(["element"])
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    *extra_keys: str,
+) -> DataFrame:
+    """Windowed counts with late-data handling (extension op)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *extra_keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *extra_keys,
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    *keys: str,
+) -> DataFrame:
+    """Session windows (gap-based) — the streaming twin of
+    q51_sessionization's gaps-and-islands batch query."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def write_stream_text(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Checkpointed element-per-line sink (KlioWriteToText streaming twin).
+
+    availableNow processes the backlog then stops — the batch-over-stream
+    trigger used by tests and replay jobs."""
+    writer = (
+        df.select(F.col("element").cast("string").alias("value"))
+        .writeStream.format("text")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch with checkpointing: the general sink adapter (used for
+    bq-style/custom writers). batch_fn(batch_df, batch_id) must be
+    idempotent on batch_id for exactly-once."""
+    writer = df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def rewrite_for_upstream(
+    df: DataFrame, upstream_job: tuple[str, str], current_job: tuple[str, str]
+) -> DataFrame:
+    """KlioTriggerUpstream metadata rewrite (helpers.py:703-734): limited
+    recipients = [upstream, self], trigger_children_of = self — so the
+    upstream reprocesses the element bottom-up and then execution resumes
+    top-down at this job."""
+    up = job_lit(*upstream_job)
+    me = job_lit(*current_job)
+    return (
+        df.withColumn("recipients_mode", F.lit(LIMITED))
+        .withColumn("recipients", F.array(up, me))
+        .withColumn("trigger_children_of", me)
+        .withColumn("force", F.lit(False))
+        .withColumn("ping", F.lit(False))
+    )
+
+
+def trigger_upstream(
+    not_found: DataFrame,
+    upstream_topic_dir: str,
+    checkpoint: str,
+    upstream_job: tuple[str, str],
+    current_job: tuple[str, str],
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Publish missing-input elements to the upstream job's input channel
+    (file-dir stand-in for its Pub/Sub topic). Envelope rides as JSON so
+    the upstream's reader can parse routing columns; publish is
+    idempotent per (element, batchId) via deterministic file naming in
+    foreachBatch."""
+    rewritten = rewrite_for_upstream(not_found, upstream_job, current_job)
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.select(
+            F.to_json(
+                F.struct(
+                    "element", "recipients_mode", "recipients", "trigger_children_of"
+                )
+            ).alias("value")
+        )
+        # one deterministic subdir per batch -> replays overwrite, not dup
+        out.write.mode("overwrite").text(f"{upstream_topic_dir}/batch-{batch_id}")
+
+    return foreach_batch_sink(
+        rewritten, publish, checkpoint, trigger_available_now
+    )

@@ -1,0 +1,143 @@
+"""Streaming tests: file-source Pub/Sub stand-in, availableNow triggers,
+prologue-on-stream, windowed aggs, trigger-upstream."""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from klio_spark import envelope as env
+from klio_spark import streaming as st
+from klio_spark.config import DataIOConfig, EventIOConfig, KlioJobConfig
+from klio_spark.operators import setup_prologue
+from klio_spark.sources import read_event_input
+
+
+@pytest.fixture()
+def stream_in(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "batch1.txt").write_text("e1\ne2\ne3\n")
+    (d / "batch2.txt").write_text("e3\ne4\n")
+    return d
+
+
+def _read_stream(spark, d):
+    return read_event_input(
+        spark, EventIOConfig(type="stream", location=str(d))
+    )
+
+
+def test_stream_source_to_text_sink(spark, stream_in, tmp_path):
+    df = _read_stream(spark, stream_in)
+    assert df.isStreaming
+    q = st.write_stream_text(
+        df, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    lines = sorted(
+        line
+        for f in (tmp_path / "out").glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == ["e1", "e2", "e3", "e3", "e4"]
+
+
+def test_streaming_prologue_with_existence(spark, stream_in, tmp_path):
+    """The batch prologue operators work unchanged on a stream
+    (stream-static join for the existence check)."""
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    for e in ["e1", "e2", "e4"]:
+        (blob_dir / f"{e}.ogg").write_bytes(b"x")
+
+    df = _read_stream(spark, stream_in)
+    cfg = KlioJobConfig(
+        job_name="sjob",
+        data_inputs=[DataIOConfig(location=str(blob_dir), file_suffix=".ogg")],
+    )
+    res = setup_prologue(df, cfg, spark)
+    q = st.write_stream_text(
+        res.process, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    lines = sorted(
+        line
+        for f in (tmp_path / "out").glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == ["e1", "e2", "e4"]  # e3 input missing -> dropped
+
+
+def test_trigger_upstream_publishes_rewritten_envelope(spark, stream_in, tmp_path):
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    (blob_dir / "e1.ogg").write_bytes(b"x")
+
+    df = _read_stream(spark, stream_in)
+    cfg = KlioJobConfig(
+        job_name="child",
+        data_inputs=[DataIOConfig(location=str(blob_dir), file_suffix=".ogg")],
+    )
+    res = setup_prologue(df, cfg, spark)
+    q = st.trigger_upstream(
+        res.not_found,
+        str(tmp_path / "upstream-topic"),
+        str(tmp_path / "ckpt2"),
+        upstream_job=("parent", "proj"),
+        current_job=("child", "proj"),
+    )
+    q.awaitTermination(60)
+    msgs = [
+        json.loads(line)
+        for f in pathlib.Path(tmp_path / "upstream-topic").rglob("part-*")
+        for line in f.read_text().splitlines()
+    ]
+    elements = sorted(m["element"] for m in msgs)
+    assert elements == ["e2", "e3", "e3", "e4"]
+    m = msgs[0]
+    assert m["recipients_mode"] == "limited"
+    assert [r["job_name"] for r in m["recipients"]] == ["parent", "child"]
+    assert m["trigger_children_of"]["job_name"] == "child"
+
+
+def test_dedup_elements(spark, stream_in, tmp_path):
+    df = _read_stream(spark, stream_in).withColumn("ts", F.current_timestamp())
+    q = st.write_stream_text(
+        st.dedup_elements(df, "ts"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    lines = sorted(
+        line
+        for f in (tmp_path / "out").glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == ["e1", "e2", "e3", "e4"]  # e3 deduped
+
+
+def test_tumbling_and_session_windows_on_events(spark, sf_dir, tmp_path):
+    """Batch-mode check of the streaming aggregation shapes (same code
+    path; window()/session_window() work identically on static frames)."""
+    from klio_spark.queries import load
+
+    (e,) = load(spark, sf_dir, "events")
+    tumb = st.tumbling_counts(e, "ts", "1 hour", "30 minutes", "event_type")
+    assert tumb.filter(F.col("n_events") <= 0).count() == 0
+    total = tumb.agg(F.sum("n_events")).collect()[0][0]
+    assert total == e.count()
+
+    sess = st.session_windows(e, "ts", "30 minutes", "30 minutes", "user_id")
+    assert sess.agg(F.sum("n_events")).collect()[0][0] == e.count()
+    # session semantics match the batch gaps-and-islands query (q51)
+    from klio_spark.queries import all_queries
+
+    q51 = all_queries()["q51_sessionization"].fn(spark, sf_dir)
+    batch_sessions = {r.user_id: r.n_sessions for r in q51.collect()}
+    stream_sessions = {
+        r.user_id: r.n
+        for r in sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert batch_sessions == stream_sessions
