@@ -1,0 +1,98 @@
+"""Physical-plan property tests: the scale story, locked in as assertions.
+
+Each test pins a plan property a 1000-executor run depends on — pushdown,
+pruning, broadcast choice, shuffle count. If a refactor regresses one of
+these, the suite fails even though results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from klio_spark import plans
+from klio_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_queries()
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir, specs):
+    df = specs["q01_pricing_summary"].fn(spark, sf_dir)
+    plans.assert_filter_pushed(df, "l_shipdate")
+
+
+def test_q01_column_pruning(spark, sf_dir, specs):
+    df = specs["q01_pricing_summary"].fn(spark, sf_dir)
+    needed = {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    plans.assert_columns_pruned(df, needed)
+    # 7 of 11 lineitem columns read, no more
+    scans = plans.scan_columns(df)
+    assert all(len(s) <= len(needed) for s in scans), scans
+
+
+def test_q02_dims_broadcast_fact_not_shuffled_twice(spark, sf_dir, specs):
+    df = specs["q02_revenue_by_nation"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 3  # customer, nation, region
+    # the only hash exchanges allowed: lineitem⋈orders keys + final agg
+    assert plans.num_shuffles(df) <= 3, plans.plan_str(df)[:3000]
+
+
+def test_q41_timestamp_predicate_pushed(spark, sf_dir, specs):
+    df = specs["q41_date_funcs"].fn(spark, sf_dir)
+    plans.assert_filter_pushed(df, "o_orderdate")
+
+
+def test_q23_global_topk_avoids_full_sort(spark, sf_dir, specs):
+    df = specs["q23_top_items_global"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "TakeOrderedAndProject" in s, s[:2000]
+
+
+def test_q20_topn_uses_window_group_limit(spark, sf_dir, specs):
+    df = specs["q20_window_topn_per_group"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    # Spark 3.5+ rewrites rank<=k into WindowGroupLimit (per-partition top-k)
+    assert "WindowGroupLimit" in s, s[:2000]
+
+
+def test_q64_dedup_shuffles_digests_not_documents(spark, sf_dir, specs):
+    df = specs["q64_exact_dedup"].fn(spark, sf_dir)
+    scans = plans.scan_columns(df)
+    # only doc_id+text are read...
+    assert any(set(s) <= {"doc_id", "text"} for s in scans)
+    # ...partial agg runs before the single exchange, and the exchange key
+    # is the 32-byte digest (documents never cross the wire)
+    s = plans.plan_str(df)
+    assert plans.num_shuffles(df) == 1
+    assert "partial_min" in s and "hashpartitioning(chash" in s
+
+
+def test_q70_query_side_broadcast(spark, sf_dir, specs):
+    df = specs["q70_ann_bruteforce_topk"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1  # corpus never shuffled
+
+
+def test_prologue_is_single_codegen_scan(spark, sf_dir, specs):
+    """The whole routing prologue (q80) stays in narrow, shuffle-free
+    stages — klio's semantic filters at zero shuffle cost."""
+    df = specs["q80_prologue_routing"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 0, plans.plan_str(df)[:3000]
+
+
+def test_envelope_filters_are_codegen(spark):
+    from klio_spark import envelope as env
+    from klio_spark.operators import filters
+
+    df = env.from_elements(spark, [f"e{i}" for i in range(100)]).withColumn(
+        "ping", F.length("element") > 2
+    )
+    split = filters.filter_ping(df)
+    # a plain Filter over the source — no exchange, no UDF node
+    # (with a LITERAL ping, catalyst constant-folds the filter away entirely)
+    s = plans.plan_str(split.process)
+    assert plans.num_shuffles(split.process) == 0
+    assert "Filter" in s and "BatchEvalPython" not in s and "ArrowEvalPython" not in s
