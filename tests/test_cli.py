@@ -1,0 +1,100 @@
+"""CLI tests: a real job dir (klio-job.yaml + run.py), driven end-to-end
+through `job run`, `job profile`, `job config`, `message publish` —
+mirrors integration/read-file-write-file's golden-output check."""
+
+import json
+import pathlib
+
+import pytest
+
+from klio_spark import cli
+
+
+@pytest.fixture()
+def job_dir(tmp_path):
+    d = tmp_path / "myjob"
+    d.mkdir()
+    (d / "elements.txt").write_text("a1\na2\na3\n")
+    blob = d / "blobs"
+    blob.mkdir()
+    for e in ["a1", "a2"]:
+        (blob / f"{e}.bin").write_bytes(b"x")
+    (d / "klio-job.yaml").write_text(
+        f"""
+job_name: myjob
+project: testproj
+pipeline_options:
+  spark.sql.shuffle.partitions: "8"
+job_config:
+  events:
+    inputs:
+      - type: file
+        location: {d}/elements.txt
+    outputs:
+      - type: file
+        location: {d}/out
+  data:
+    inputs:
+      - type: file
+        location: {blob}
+        file_suffix: .bin
+  my_custom_key: custom_value
+"""
+    )
+    (d / "run.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "def run(df, config):\n"
+        "    assert config.user['my_custom_key'] == 'custom_value'\n"
+        "    return df.withColumn('payload', F.upper('element').cast('binary'))\n"
+    )
+    return d
+
+
+def test_job_run_end_to_end(spark, job_dir):
+    rc = cli.main(["job", "run", "--config", str(job_dir / "klio-job.yaml")])
+    assert rc == 0
+    lines = sorted(
+        line
+        for f in (job_dir / "out").glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == ["a1", "a2"]  # a3 input missing -> dropped
+
+
+def test_job_config_show(job_dir, capsys):
+    rc = cli.main(["job", "config", "--config", str(job_dir / "klio-job.yaml")])
+    assert rc == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["job_name"] == "myjob"
+    assert cfg["user"] == {"my_custom_key": "custom_value"}
+    assert cfg["data_inputs"][0]["file_suffix"] == ".bin"
+
+
+def test_job_profile(spark, job_dir, capsys):
+    rc = cli.main(
+        ["job", "profile", "--config", str(job_dir / "klio-job.yaml"), "x1", "x2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["elements"] == 2 and payload["output_rows"] == 2
+    assert "cumulative" in out  # cProfile table printed
+
+
+def test_message_publish(job_dir, tmp_path):
+    # point the event input at a directory (stream-style) for publishing
+    cfg = (job_dir / "klio-job.yaml").read_text().replace(
+        f"location: {job_dir}/elements.txt", f"location: {tmp_path}/topic"
+    )
+    (job_dir / "klio-job.yaml").write_text(cfg)
+    rc = cli.main(
+        ["message", "publish", "--config", str(job_dir / "klio-job.yaml"),
+         "--bottom-up", "t1", "t2"]
+    )
+    assert rc == 0
+    published = [
+        line
+        for f in pathlib.Path(f"{tmp_path}/topic").glob("publish-*.txt")
+        for line in f.read_text().splitlines()
+    ]
+    assert sorted(published) == ["t1", "t2"]
