@@ -1,0 +1,67 @@
+"""Partitioning strategies for the 100 TB path: salted joins for skew,
+bucketed tables for shuffle-free co-located joins, UDF-stage repartition.
+
+These complement AQE (session.py enables skew-join splitting + partition
+coalescing): salting handles the pathological single-hot-key case AQE's
+split can't fully fix (one key > executor memory), bucketing removes the
+shuffle from repeated joins on a stable key (the `element` key of the
+envelope model is exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a skewed build side.
+
+    left (big, skewed) rows get a deterministic salt from xxhash64 of the
+    whole row (stable across retries — F.rand would break task replays);
+    right (smaller) is exploded ×salts so every (key, salt) bucket finds
+    its match. The shuffle key becomes (key, salt): a hot key spreads
+    over `salts` reducers instead of melting one.
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    l = left.withColumn("_salt", salt_col)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    out = l.join(r, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
+) -> None:
+    """Persist bucketed+sorted by key: subsequent equi-joins/aggs on `key`
+    between tables bucketed the same way need NO exchange and NO sort
+    (co-located, pre-sorted merge join). The write pays the shuffle once;
+    every downstream join reads it back for free — the right trade for
+    fact tables joined repeatedly on `element`/order keys."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def repartition_for_udf(df: DataFrame, n: int | None = None, *cols: str) -> DataFrame:
+    """Explicit repartition in front of a heavy UDF stage.
+
+    Arrow UDF stages inherit upstream partitioning; after a selective
+    filter that can mean 3 fat partitions on 1000 executors. Spreading by
+    key (or round-robin when no key) right before the expensive stage is
+    the klio thread-limiter's moral equivalent (SURVEY §4)."""
+    if cols:
+        return df.repartition(n, *[F.col(c) for c in cols]) if n else df.repartition(
+            *[F.col(c) for c in cols]
+        )
+    return df.repartition(n) if n else df
