@@ -64,6 +64,12 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect populates the registry
-    from klio_spark.queries import envelope_ops, relational, textops, vector_ops  # noqa: F401
+    from klio_spark.queries import (  # noqa: F401
+        advanced,
+        envelope_ops,
+        relational,
+        textops,
+        vector_ops,
+    )
 
     return dict(_REGISTRY)

@@ -1,0 +1,229 @@
+"""Advanced relational shapes: non-equi self-join, as-of join, analytic
+windows (ntile/percent_rank), pivot, correlated-subquery rewrite, batch
+twin of the streaming tumbling window.
+
+The as-of join is the canonical "operator Spark lacks" (SURVEY §2 note):
+implemented as union+tag+forward-fill window — ONE shuffle on the key,
+no range-explosion — and oracle-checked against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from klio_spark.queries import load, register
+
+
+@register(
+    "q14_nonequi_self_join",
+    """
+    SELECT a.l_orderkey AS orderkey,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(FLOOR(ABS(a.l_extendedprice - b.l_extendedprice) * 10000.0)
+               AS BIGINT)) AS DOUBLE) / 10000.0 AS price_spread
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY a.l_orderkey
+    """,
+    doc="non-equi self-join (pairs within an order): the equi part of the "
+    "predicate drives the shuffle; the < condition filters inside each "
+    "co-partition — no cross-join blowup.",
+)
+def q14_nonequi_self_join(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    a = l.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_extendedprice").alias("p_a"),
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_extendedprice").alias("p_b"),
+    )
+    return (
+        a.join(b, ["orderkey"])
+        .filter(F.col("ln_a") < F.col("ln_b"))
+        .groupBy("orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(
+                    F.floor(F.abs(F.col("p_a") - F.col("p_b")) * 10000.0)
+                ).cast("double")
+                / 10000.0
+            ).alias("price_spread"),
+        )
+    )
+
+
+@register(
+    "q15_asof_join",
+    """
+    WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, c.ts AS last_click_ts
+    FROM errors e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="as-of join (most recent click at/before each error): union+tag+"
+    "forward-fill window — one shuffle on user_id, cost O(n log n) per "
+    "key, vs DuckDB's native ASOF JOIN as the oracle.",
+)
+def q15_asof_join(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("_is_err")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("_is_err"),
+    )
+    # clicks sort before errors at equal ts (tag order) => e.ts >= c.ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_is_err")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = errors.unionByName(clicks).withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("_is_err") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return filled.filter(F.col("_is_err") == 1).select(
+        "event_id", "user_id", "last_click_ts"
+    )
+
+
+@register(
+    "q24_ntile_percent_rank",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="analytic windows: ntile + percent_rank share one window sort.",
+)
+def q24_ntile_percent_rank(spark: SparkSession, sf_dir: str):
+    (o,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "q43_null_scalars",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment,
+           GREATEST(c_acctbal, 0.0) AS pos_bal,
+           LEAST(c_acctbal, 1000.0) AS capped_bal,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS status
+    FROM customer
+    """,
+    doc="null-handling scalar surface: coalesce/nullif/greatest/least/case.",
+)
+def q43_null_scalars(spark: SparkSession, sf_dir: str):
+    (c,) = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("segment"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("pos_bal"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("capped_bal"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn").otherwise("ok").alias("status"),
+    )
+
+
+@register(
+    "q53_tumbling_window_batch",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="batch twin of streaming.tumbling_counts: window('1 hour') on a "
+    "static frame equals epoch-aligned date_trunc buckets.",
+)
+def q53_tumbling_window_batch(spark: SparkSession, sf_dir: str):
+    from klio_spark.streaming import tumbling_counts
+
+    (e,) = load(spark, sf_dir, "events")
+    # watermark is a no-op on batch frames; drop it by calling window() here
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q54_pivot",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="pivot on a bounded category set — compiles to one conditional "
+    "aggregation pass (never pivot on unbounded cardinality).",
+)
+def q54_pivot(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).alias("click"),
+        F.coalesce("view", F.lit(0)).alias("view"),
+        F.coalesce("purchase", F.lit(0)).alias("purchase"),
+    )
+
+
+@register(
+    "q55_above_group_avg",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM (SELECT p_partkey, p_brand, p_retailprice,
+                 AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+          FROM part)
+    WHERE p_retailprice > brand_avg
+    """,
+    doc="correlated-subquery shape (price above brand average) rewritten "
+    "as a window — one pass instead of subquery-per-row.",
+)
+def q55_above_group_avg(spark: SparkSession, sf_dir: str):
+    (p,) = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )

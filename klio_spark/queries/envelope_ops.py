@@ -138,6 +138,44 @@ def q82_audit_log(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q84_udf_quarantine",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS element,
+           CASE WHEN doc_id % 97 = 0 THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                ELSE LEN(regexp_extract_all(text, '\\S+')) END AS n_tokens
+    FROM documents
+    """,
+    doc="drop-don't-fail through the handle_klio UDF adapter: a "
+    "deterministically-poisoned element lands in the quarantine branch "
+    "with its error recorded; healthy elements flow through "
+    "(decorators.py:226-337 semantics, oracle-checked).",
+)
+def q84_udf_quarantine(spark: SparkSession, sf_dir: str):
+    from klio_spark.udf import handle_klio, split_errors
+
+    (d,) = load(spark, sf_dir, "documents")
+    df = env.with_envelope(
+        d.select("doc_id", "text"), F.col("doc_id").cast("string")
+    )
+
+    @handle_klio("element string, n_tokens int")
+    def tokenize(element, payload, text=None, **_):
+        if int(element) % 97 == 0:
+            raise ValueError(f"poisoned element {element}")
+        return {"element": element, "n_tokens": len(text.split())}
+
+    ok, quarantine = split_errors(tokenize(df))
+    return ok.withColumn("status", F.lit("ok")).unionByName(
+        quarantine.select(
+            "element",
+            F.lit(None).cast("int").alias("n_tokens"),
+            F.lit("error").alias("status"),
+        )
+    ).select("element", "status", "n_tokens")
+
+
+@register(
     "q83_payload_roundtrip",
     """
     SELECT CAST(doc_id AS VARCHAR) AS element, n_chars, lang
