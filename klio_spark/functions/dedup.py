@@ -71,21 +71,47 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed h, min over shingles of xxhash64(s, h).
+def _base_hashes(shingle_col: Column) -> Column:
+    """One xxhash64 per shingle (JVM-side) — the only string hashing pass."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
 
-    xxhash64 with a distinct seed column per hash function ≈ an independent
-    hash family; min-of-hashes is the standard MinHash estimator
-    (Broder '97). Array of BIGINT, computed in one codegen stage.
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # odd multipliers -> bijective multiply-shift permutations mod 2^64
+    a = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (Broder '97): min over shingles of h_i(s).
+
+    Hash family = one JVM xxhash64 per shingle, then `num_hashes`
+    multiply-shift permutations applied in ONE vectorized numpy outer
+    product per Arrow batch. (The all-expression alternative — num_hashes
+    array_min/transform trees — evaluates interpreted: ~30M lambda calls
+    per 5k docs.) Array of BIGINT.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
-            )
-            for seed in range(num_hashes)
-        ]
-    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _minhash_params(num_hashes)
+
+    def _sig(h):
+        out = []
+        with np.errstate(over="ignore"):
+            for row in h:
+                hv = np.asarray(row, dtype=np.int64).astype(np.uint64)
+                perm = hv[:, None] * a[None, :] + b[None, :]  # wraps mod 2^64
+                out.append(perm.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    _sig.__annotations__ = {"h": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "array<long>")(_base_hashes(shingle_col))
 
 
 def band_hashes(sig_col: Column, bands: int, rows: int) -> Column:
@@ -93,13 +119,15 @@ def band_hashes(sig_col: Column, bands: int, rows: int) -> Column:
 
     Two docs share a band hash iff their signature slices agree exactly →
     P(candidate) = 1-(1-j^r)^b for Jaccard j (the standard S-curve).
+    One multi-arg xxhash64 per band over fixed signature slots — JVM-side,
+    and overflow-free (Spark 4 runs ANSI mode: a hand-rolled multiply-mix
+    fold would throw ARITHMETIC_OVERFLOW).
     """
     return F.array(
         *[
             F.xxhash64(
-                F.concat_ws(",", F.transform(F.slice(sig_col, b * rows + 1, rows),
-                                             lambda x: x.cast("string"))),
                 F.lit(b),
+                *[F.element_at(sig_col, b * rows + i + 1) for i in range(rows)],
             )
             for b in range(bands)
         ]
@@ -131,9 +159,12 @@ def minhash_lsh_dedup(
     just for the verify step, keyed by id.
     """
     rows = num_hashes // bands
+    # persist: the shingle arrays feed BOTH candidate generation and the
+    # verify rejoin — without it the tokenize+shingle pass runs twice.
+    # (At 100 TB this materialization is a bucketed table, not a cache.)
     base = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
-    )
+    ).persist()
     sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
     banded = sig.select(
         id_col,
@@ -171,31 +202,34 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash (Charikar '02) per row, all JVM-side.
+    """64-bit SimHash (Charikar '02) per row.
 
-    Token hashes are materialized once into an array column; each output
-    bit is one integer fold over that array (64 folds, zero Python).
-    """
-    hashed = df.withColumn(
-        "_th", F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
-    )
-    bit_cols = []
-    for b in range(64):
-        vote = F.aggregate(
-            F.col("_th"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        bit_cols.append(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total.bitwiseOR(c)
-    return hashed.withColumn(out_col, total).drop("_th")
+    One JVM xxhash64 pass per token, then all 64 bit-votes in a single
+    vectorized numpy pass per Arrow batch (the 64-fold expression tree
+    evaluates interpreted — ~30M lambda calls per 5k docs)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bits = np.arange(64, dtype=np.uint64)
+
+    def _sim(h):
+        out = []
+        for row in h:
+            hv = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            if len(hv) == 0:
+                out.append(0)
+                continue
+            votes = (((hv[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(axis=0)
+            packed = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                packed |= np.uint64(1) << np.uint64(b)
+            out.append(int(packed.astype(np.int64)))
+        return pd.Series(out)
+
+    _sim.__annotations__ = {"h": pd.Series, "return": pd.Series}
+    base = F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
+    return df.withColumn(out_col, pandas_udf(_sim, "long")(base))
 
 
 def simhash_near_dups(
@@ -267,7 +301,12 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
     ).withColumn("_size", F.size("_sh"))
-    inv = base.select(id_col, "_size", F.explode("_sh").alias("_s"))
+    # shuffle 8-byte shingle hashes, not strings (xxhash64 collisions over
+    # distinct shingles are ~2^-64 per pair — far below any data noise);
+    # persist: both sides of the self-join read this exploded index
+    inv = base.select(
+        id_col, "_size", F.explode(_base_hashes(F.col("_sh"))).alias("_s")
+    ).persist()
     l, r = inv.alias("l"), inv.alias("r")
     pair_counts = (
         l.join(
