@@ -211,6 +211,38 @@ def handle_klio(
     return decorate
 
 
+ACTIVE_PROFILER = None  # set by `job profile` (decorators.py:1050-1106 hook)
+
+
+def profile(fn):
+    """No-op unless a profiler is active (reference @profile semantics):
+    `klio_spark.udf.ACTIVE_PROFILER` is installed by the profiling harness
+    and wraps the callable; production paths pay nothing."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        if ACTIVE_PROFILER is not None:
+            return ACTIVE_PROFILER(fn, *a, **kw)
+        return fn(*a, **kw)
+
+    return wrapper
+
+
+def inject_klio_context(fn):
+    """Prepend the KlioContext as first arg (reference @inject_klio_context,
+    decorators.py:744-800) — context plumbing without envelope handling."""
+    import functools
+
+    from klio_spark.context import KlioContext
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        return fn(KlioContext.current(), *a, **kw)
+
+    return wrapper
+
+
 def split_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(ok, quarantine): the tagged `drop` output as real DataFrames."""
     ok = df.filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL)

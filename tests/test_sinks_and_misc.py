@@ -1,0 +1,99 @@
+"""Sinks (parquet/bq-style dispositions), counters, debug pass-through,
+profile/context decorators — the remaining SURVEY §2 rows."""
+
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+from klio_spark import envelope as env
+from klio_spark import udf as kudf
+from klio_spark.config import EventIOConfig
+from klio_spark.operators.counters import count_messages, get_count
+from klio_spark.operators.debug import debug_message
+from klio_spark.sinks import write_event_output
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    df = env.from_elements(spark, ["p1", "p2"])
+    cfg = EventIOConfig(type="file", format="parquet", location=str(tmp_path / "pq"))
+    write_event_output(df, cfg)
+    back = spark.read.parquet(str(tmp_path / "pq"))
+    assert sorted(r.element for r in back.collect()) == ["p1", "p2"]
+    assert set(env.ENVELOPE_COLS) <= set(back.columns)
+
+
+def test_bq_style_sink_unwraps_payload(spark, tmp_path):
+    """KlioWriteToBigQuery parity: json payload -> typed rows (io.py:370-375)."""
+    df = env.from_elements(spark, ["b1", "b2"]).withColumn(
+        "payload",
+        F.to_json(
+            F.struct(F.col("element").alias("entity_id"), F.length("element").alias("value"))
+        ).cast("binary"),
+    )
+    cfg = EventIOConfig(
+        type="bq",
+        location=str(tmp_path / "bq"),
+        options={"schema": "entity_id string, value int", "disposition": "WRITE_TRUNCATE"},
+    )
+    write_event_output(df, cfg)
+    back = spark.read.parquet(str(tmp_path / "bq"))
+    rows = {r.entity_id: r.value for r in back.collect()}
+    assert rows == {"b1": 2, "b2": 2}
+    # WRITE_TRUNCATE -> overwrite: second write replaces, not appends
+    write_event_output(df, cfg)
+    assert spark.read.parquet(str(tmp_path / "bq")).count() == 2
+
+
+def test_skip_klio_write(spark, tmp_path):
+    df = env.from_elements(spark, ["x"])
+    cfg = EventIOConfig(
+        type="file", location=str(tmp_path / "never"), skip_klio_write=True
+    )
+    write_event_output(df, cfg)
+    assert not (tmp_path / "never").exists()
+
+
+def test_message_counter_observe(spark):
+    """KlioMessageCounter parity: counts piggyback the materializing job."""
+    df = env.from_elements(spark, ["a", "b", "c"])
+    counted = count_messages(df.filter(F.col("element") != "b"), "filtered")
+    assert counted.count() == 2  # action triggers observation
+    assert get_count("filtered") == 2
+
+
+def test_debug_message_passthrough(spark, caplog):
+    df = env.from_elements(spark, ["d1", "d2"])
+    out = debug_message(df, prefix="t")
+    assert sorted(r.element for r in out.collect()) == ["d1", "d2"]
+    # disabled -> identity (no UDF stage in plan)
+    assert debug_message(df, enabled=False) is df
+
+
+def test_profile_decorator_hook():
+    calls = []
+
+    @kudf.profile
+    def work(x):
+        return x * 2
+
+    assert work(3) == 6  # no profiler -> plain call
+    kudf.ACTIVE_PROFILER = lambda fn, *a, **kw: (calls.append(a), fn(*a, **kw))[1]
+    try:
+        assert work(4) == 8
+        assert calls == [(4,)]
+    finally:
+        kudf.ACTIVE_PROFILER = None
+
+
+def test_inject_klio_context():
+    from klio_spark.config import KlioJobConfig
+    from klio_spark.context import KlioContext
+
+    KlioContext.set_current(KlioContext(KlioJobConfig(job_name="ctxjob")))
+
+    @kudf.inject_klio_context
+    def uses_ctx(ctx, x):
+        return f"{ctx.config.job_name}:{x}"
+
+    assert uses_ctx("v") == "ctxjob:v"
