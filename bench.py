@@ -27,6 +27,10 @@ def main() -> int:
 
     spark = get_spark("klio-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # warm up: JVM + python worker startup and parquet footer reads land
+    # here instead of inside the first query's timing
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
     specs = all_queries()
     only = set(sys.argv[1:])

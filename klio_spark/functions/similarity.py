@@ -88,6 +88,94 @@ def srp_signatures(vec_col, planes: np.ndarray):
     return pandas_udf(_sig, "array<int>")(vec_col)
 
 
+def _kmeans_centroids(
+    m: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic mini k-means on a sample (driver-side, numpy).
+    Spherical variant: centroids re-normalized each step so assignment by
+    max dot == min angular distance."""
+    rng = np.random.default_rng(seed)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    c = mn[rng.choice(len(mn), size=min(k, len(mn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mn @ c.T, axis=1)
+        for j in range(len(c)):
+            members = mn[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_lists
+    centroids (trained on a deterministic sample), probe the n_probe
+    closest lists per query, exact cosine re-rank inside them.
+
+    Scale shape: the corpus is partitioned by list id (a stable int — at
+    rest this is a partition column, so a probe reads n_probe/n_lists of
+    the data); queries broadcast with their probe lists. Recall/cost
+    tunes via n_probe. Complements SRP-LSH: IVF adapts to the data
+    distribution, LSH is data-independent.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    samp = corpus.select(vec_col).limit(sample).collect()
+    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in samp])
+    cents = _kmeans_centroids(m, n_lists, seed=seed)
+
+    def _assign(v):
+        mm = np.stack(v.to_numpy()).astype(np.float64)
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mm @ cents.T).argmax(axis=1).astype(np.int32))
+
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    assign_udf = pandas_udf(_assign, "int")
+
+    def _probes(v):
+        mm = np.stack(v.to_numpy()).astype(np.float64)
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mm @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    _probes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    probes_udf = pandas_udf(_probes, "array<int>")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        assign_udf(F.col(vec_col)).alias("_list"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probes_udf(F.col(vec_col))).alias("_list"),
+        )
+    )
+    cand = q.join(c, "_list").withColumn(
+        "cosine", cosine_sim(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def exact_pairs_blocked(
     df: DataFrame,
     vec_col: str,

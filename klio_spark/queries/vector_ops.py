@@ -77,6 +77,26 @@ def q71_ann_lsh_topk(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q74_ann_ivf_topk",
+    None,  # approximate (recall < 1) → rows-only; recall asserted in tests
+    doc="IVF ANN: spherical-kmeans coarse quantizer (16 lists, 4 probes), "
+    "corpus partitioned by list id, exact re-rank inside probed lists — "
+    "the data-adaptive complement to the SRP-LSH path.",
+)
+def q74_ann_ivf_topk(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.similarity import ivf_topk
+
+    (e,) = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") >= 10),
+        k=5,
+        n_lists=16,
+        n_probe=4,
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
     "q72_embedding_near_dups",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

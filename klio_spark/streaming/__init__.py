@@ -80,6 +80,39 @@ def session_windows(
     )
 
 
+def stateful_element_counts(df: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-element totals across
+    micro-batches via applyInPandasWithState (the applyInPandasWithState
+    slot klio has no analog for — its streaming is stateless per-element;
+    this is the extension path for dedup-with-memory, rate tracking,
+    session state).
+
+    State = one long per element, checkpoint-durable; emits
+    (element, total_seen, batch_seen) each time the element appears.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {"element": [key[0]], "total_seen": [total], "batch_seen": [batch]}
+        )
+
+    return df.groupBy("element").applyInPandasWithState(
+        update,
+        outputStructType="element string, total_seen long, batch_seen long",
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_stream_text(
     df: DataFrame,
     path: str,

@@ -69,6 +69,21 @@ def test_lsh_topk_recall_against_exact(spark, vec_df):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_against_exact(spark, vec_df):
+    queries = vec_df.filter(F.col("vec_id") < 5)
+    corpus = vec_df.filter(F.col("vec_id") >= 5)
+    exact = sim.brute_force_topk(queries, corpus, k=3)
+    approx = sim.ivf_topk(queries, corpus, k=3, n_lists=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # probing ALL lists makes IVF exact
+    full = sim.ivf_topk(queries, corpus, k=3, n_lists=8, n_probe=8)
+    f = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert f == e
+
+
 def test_lsh_deterministic(spark, vec_df):
     q = vec_df.filter(F.col("vec_id") < 2)
     c = vec_df.filter(F.col("vec_id") >= 2)

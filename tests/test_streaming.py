@@ -118,6 +118,35 @@ def test_dedup_elements(spark, stream_in, tmp_path):
     assert lines == ["e1", "e2", "e3", "e4"]  # e3 deduped
 
 
+def test_stateful_element_counts(spark, stream_in, tmp_path):
+    """Custom stateful operator: totals accumulate across batches and
+    survive a query restart via the checkpoint."""
+    counted = st.stateful_element_counts(_read_stream(spark, stream_in))
+    q = st.foreach_batch_sink(
+        counted,
+        lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/counts"),
+        str(tmp_path / "ckpt-state"),
+    )
+    q.awaitTermination(60)
+    rows = spark.read.parquet(f"{tmp_path}/counts").collect()
+    totals = {}
+    for r in rows:
+        totals[r.element] = max(totals.get(r.element, 0), r.total_seen)
+    assert totals == {"e1": 1, "e2": 1, "e3": 2, "e4": 1}
+
+    # restart with new data: state restored from checkpoint, e3 -> 3
+    (stream_in / "batch3.txt").write_text("e3\n")
+    counted = st.stateful_element_counts(_read_stream(spark, stream_in))
+    q = st.foreach_batch_sink(
+        counted,
+        lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/counts"),
+        str(tmp_path / "ckpt-state"),
+    )
+    q.awaitTermination(60)
+    rows = spark.read.parquet(f"{tmp_path}/counts").collect()
+    assert max(r.total_seen for r in rows if r.element == "e3") == 3
+
+
 def test_tumbling_and_session_windows_on_events(spark, sf_dir, tmp_path):
     """Batch-mode check of the streaming aggregation shapes (same code
     path; window()/session_window() work identically on static frames)."""
