@@ -42,6 +42,14 @@ def _build(config_path: str):
     from klio_spark.session import get_spark
 
     config = KlioJobConfig.from_yaml(config_path)
+    # relative I/O locations resolve against the job dir (portable examples)
+    base = os.path.dirname(os.path.abspath(config_path))
+    for io in (
+        config.event_inputs + config.event_outputs
+        + config.data_inputs + config.data_outputs
+    ):
+        if io.location and not os.path.isabs(io.location) and "://" not in io.location:
+            io.location = os.path.join(base, io.location)
     spark = get_spark(config.job_name, conf=config.spark_confs())
     return spark, config
 
@@ -59,6 +67,22 @@ def cmd_job_run(args) -> int:
         raise SystemExit("no event inputs configured")
     events = read_event_input(spark, config.event_inputs[0])
     out = run_pipeline(events, config, user_run, spark)
+    if out.isStreaming:
+        # streaming job: checkpointed text sink next to the output location
+        # (pipeline_options.streaming_timeout_s bounds the run; unset → run
+        # until stopped, the reference's `streaming: True` default)
+        from klio_spark.streaming import write_stream_text
+
+        sink = config.event_outputs[0]
+        timeout_s = config.pipeline_options.get("streaming_timeout_s")
+        q = write_stream_text(
+            out,
+            sink.location,
+            sink.options.get("checkpoint", sink.location + "_checkpoint"),
+            trigger_available_now=bool(timeout_s),
+        )
+        q.awaitTermination(int(timeout_s) if timeout_s else None)
+        return 0
     if config.event_outputs:
         write_event_output(out, config.event_outputs[0])
     else:

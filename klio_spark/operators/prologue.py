@@ -109,6 +109,27 @@ def setup_prologue(
     )
 
 
+def setup_prologue_multi(
+    inputs: dict[str, DataFrame],
+    config: KlioJobConfig,
+    spark: SparkSession | None = None,
+) -> tuple[dict[str, DataFrame], DataFrame | None, DataFrame | None]:
+    """Multi-event-input prologue (run.py:458-486): each input gets the
+    canonical chain; user code receives a dict of process streams (the
+    namedtuple-of-pcolls contract); pass-thrus and not-founds flatten."""
+    processed: dict[str, DataFrame] = {}
+    pass_thrus: list[DataFrame] = []
+    not_founds: list[DataFrame] = []
+    for name, df in inputs.items():
+        res = setup_prologue(df, config, spark)
+        processed[name] = res.process
+        if res.pass_thru is not None:
+            pass_thrus.append(res.pass_thru)
+        if res.not_found is not None:
+            not_founds.append(res.not_found)
+    return processed, _union(pass_thrus), _union(not_founds)
+
+
 def run_pipeline(
     df: DataFrame,
     config: KlioJobConfig,
