@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
         advanced,
         envelope_ops,
         relational,
+        scalars2,
         textops,
         vector_ops,
     )
