@@ -38,10 +38,9 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
 def num_shuffles(df: DataFrame) -> int:
     """Count Exchange operators (formatted mode lists each as '(N) Exchange');
     broadcast exchanges are excluded — they ship dims, not the fact table."""
-    s = plan_str(df)
-    return len(re.findall(r"\(\d+\) Exchange\b", s)) - len(
-        re.findall(r"\(\d+\) BroadcastExchange\b", s)
-    )
+    # '(N) Exchange' headers are the hash/range exchanges; broadcast
+    # exchanges print as '(N) BroadcastExchange' and don't match
+    return len(re.findall(r"\(\d+\) Exchange\b", plan_str(df)))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
