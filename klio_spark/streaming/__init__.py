@@ -58,6 +58,52 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+    *extra_keys: str,
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide buckets."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"), *extra_keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *extra_keys,
+            "n_events",
+        )
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: right rows within (left_ts - upper,
+    left_ts - lower]. Watermarks on BOTH sides bound the join state —
+    without them a stream-stream join buffers forever."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") - F.expr(lower))
+        & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}") - F.expr(upper))
+    )
+    return l.join(r, cond)
+
+
 def session_windows(
     df: DataFrame,
     ts_col: str,

@@ -138,8 +138,10 @@ def handle_klio(
     """Wrap an element-level fn into a DataFrame transform with error routing.
 
     The user fn has the reference's shape — ``fn(element, payload, **row)``
-    returning a dict of output columns (or None to drop silently) — and the
-    wrapper handles vectorization, retries, timeouts, and drop-don't-fail.
+    returning a dict of output columns, None to drop silently, or a
+    list/generator of dicts for flatMap semantics (the reference's
+    generator DoFns, decorators.py:257-337) — and the wrapper handles
+    vectorization, retries, timeouts, and drop-don't-fail.
 
     Returns a function ``(DataFrame) -> DataFrame`` whose output has the
     input columns replaced by ``output_schema``'s fields plus ``ERROR_COL``
@@ -186,8 +188,12 @@ def handle_klio(
                             res = call(element, payload, **extra)
                             if res is None:
                                 continue  # silent drop (generator-skip parity)
-                            res = dict(res)
-                            res[ERROR_COL] = None
+                            if isinstance(res, dict):
+                                res = [res]
+                            for r in res:  # list/generator -> flatMap
+                                r = dict(r)
+                                r[ERROR_COL] = None
+                                out_rows.append(r)
                         except Exception:
                             # drop-don't-fail: route the element + traceback
                             # to the quarantine branch (decorators.py:226-337)
@@ -195,7 +201,7 @@ def handle_klio(
                             if "element" in res:
                                 res["element"] = element
                             res[ERROR_COL] = traceback.format_exc(limit=8)
-                        out_rows.append(res)
+                            out_rows.append(res)
                     yield pd.DataFrame(
                         out_rows, columns=out_names + [ERROR_COL]
                     )

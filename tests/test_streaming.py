@@ -118,6 +118,56 @@ def test_dedup_elements(spark, stream_in, tmp_path):
     assert lines == ["e1", "e2", "e3", "e4"]  # e3 deduped
 
 
+def test_sliding_windows_batch_semantics(spark, sf_dir):
+    from klio_spark.queries import load
+
+    (e,) = load(spark, sf_dir, "events")
+    slid = st.sliding_counts(e, "ts", "1 hour", "30 minutes")
+    # every event lands in exactly window/slide = 2 buckets
+    total = slid.agg(F.sum("n_events")).collect()[0][0]
+    assert total == e.count() * 2
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """errors joined to clicks of the same user within the prior 10 min."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    clicks_rows = [(1, t0), (1, t0 + dt.timedelta(minutes=30)), (2, t0)]
+    errors_rows = [
+        (1, t0 + dt.timedelta(minutes=5)),    # joins click@0 (5 min gap)
+        (1, t0 + dt.timedelta(minutes=45)),   # joins click@30 (15 min gap)
+        (2, t0 + dt.timedelta(minutes=25)),   # click@0 is 25 min old -> no match
+    ]
+    cdir, edir = tmp_path / "clicks", tmp_path / "errors"
+    cdir.mkdir(), edir.mkdir()
+    spark.createDataFrame(clicks_rows, "user_id long, cts timestamp").write.mode(
+        "overwrite"
+    ).parquet(str(cdir / "p"))
+    spark.createDataFrame(errors_rows, "user_id long, ets timestamp").write.mode(
+        "overwrite"
+    ).parquet(str(edir / "p"))
+    cstream = spark.readStream.schema("user_id long, cts timestamp").parquet(
+        str(cdir / "p")
+    )
+    estream = spark.readStream.schema("user_id long, ets timestamp").parquet(
+        str(edir / "p")
+    )
+    joined = st.interval_join(
+        estream, cstream, "user_id", "ets", "cts",
+        upper="interval 20 minutes",
+    ).select(F.col("l.user_id").alias("user_id"), "ets", "cts")
+    q = st.foreach_batch_sink(
+        joined,
+        lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/joined"),
+        str(tmp_path / "ckpt-ij"),
+    )
+    q.awaitTermination(90)
+    rows = spark.read.parquet(f"{tmp_path}/joined").collect()
+    got = sorted((r.user_id, r.ets.minute, r.cts.minute) for r in rows)
+    assert got == [(1, 5, 0), (1, 45, 30)]
+
+
 def test_stateful_element_counts(spark, stream_in, tmp_path):
     """Custom stateful operator: totals accumulate across batches and
     survive a query restart via the checkpoint."""

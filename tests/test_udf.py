@@ -48,6 +48,21 @@ def test_silent_drop_on_none(spark):
     assert quarantine.count() == 0
 
 
+def test_flatmap_generator_output(spark):
+    """Generator DoFn parity: one element -> N output rows."""
+    df = env.from_elements(spark, ["ab", "xyz"])
+
+    @handle_klio("element string, ch string")
+    def explode_chars(element, payload, **_):
+        for ch in element:
+            yield {"element": element, "ch": ch}
+
+    ok, quarantine = split_errors(explode_chars(df))
+    rows = sorted((r.element, r.ch) for r in ok.collect())
+    assert rows == [("ab", "a"), ("ab", "b"), ("xyz", "x"), ("xyz", "y"), ("xyz", "z")]
+    assert quarantine.count() == 0
+
+
 def test_retry_succeeds_eventually(spark):
     df = env.from_elements(spark, ["x"])
     # retry state must live worker-side; use module-level mutable via time
