@@ -289,14 +289,21 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted shingle index.
 
     NOT a cross join: explode shingles → self-join on shingle (the inverted
     index) → count shared shingles per pair → |A∩B| known, |A∪B| =
     |A|+|B|-|A∩B|. Cost is Σ bucket² over shingle buckets — proportional
-    to true overlap, not n². For 100 TB you'd cap bucket width (drop
-    ultra-common shingles, standard df-cut) — exposed as `max_df`.
+    to true overlap, not n².
+
+    `max_df` is the 100 TB lever: drop shingles appearing in more than
+    max_df documents before the join (the standard df-cut). A shingle in
+    B docs contributes B² candidate pairs but almost no Jaccard evidence
+    for near-dup pairs; capping it bounds the worst bucket. Jaccard then
+    UNDERCOUNTS by at most (dropped shingles)/union per pair — exact when
+    max_df is None (the oracle setting).
     """
     base = df.select(
         F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
@@ -307,6 +314,14 @@ def ngram_jaccard_pairs(
     inv = base.select(
         id_col, "_size", F.explode(_base_hashes(F.col("_sh"))).alias("_s")
     ).persist()
+    if max_df is not None:
+        common = (
+            inv.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_s")
+        )
+        inv = inv.join(F.broadcast(common), "_s", "left_anti")
     l, r = inv.alias("l"), inv.alias("r")
     pair_counts = (
         l.join(

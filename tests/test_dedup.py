@@ -77,6 +77,26 @@ def test_ngram_jaccard_values(spark):
     assert (1, 3) not in out  # no shared shingles -> not even a candidate
 
 
+def test_ngram_jaccard_max_df_cut(spark, docs):
+    full = dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1)
+    # generous cap: nothing exceeds it -> identical results
+    capped = dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1, max_df=100)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, capped.collect()))
+    # aggressive cap drops common shingles -> jaccard only ever shrinks
+    tight = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.0, max_df=1
+        ).collect()
+    }
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+    }
+    for k, v in tight.items():
+        assert v <= base[k] + 1e-12
+
+
 def test_embedding_near_dups_exact_vs_lsh(spark):
     import numpy as np
 
