@@ -8,8 +8,10 @@ lib/src/klio/message/serializer.py:23-108.
 Design rule (SURVEY §7): the envelope is *columns*, not a serialized blob.
 Every routing decision (ping/force/recipients) becomes a Catalyst-visible
 boolean predicate, so filters are pushed down, pruned, and codegen'd.
-The protobuf wire format is only needed at external edges (to_proto_bytes /
-from_proto_bytes below are deliberately tiny and optional).
+A wire format is only needed at external edges: to_wire / from_wire below
+carry the envelope as JSON bytes (protobuf is not in this container; a
+proto codec can replace the JSON pair without touching anything else —
+the columns ARE the schema).
 """
 
 from __future__ import annotations
@@ -170,3 +172,68 @@ def job_lit(job_name: str, project: str) -> Column:
     return F.struct(
         F.lit(job_name).alias("job_name"), F.lit(project).alias("project")
     )
+
+
+def to_wire(df: DataFrame) -> DataFrame:
+    """Envelope columns → one `value: BINARY` column (JSON wire format)
+    for external edges (Kafka value, file queue). Payload bytes travel
+    base64 inside the JSON (serializer.py edge parity)."""
+    body = F.to_json(
+        F.struct(
+            F.col("element"),
+            F.base64(F.col("payload")).alias("payload_b64"),
+            F.col("version"),
+            F.col("force"),
+            F.col("ping"),
+            F.col("recipients_mode"),
+            F.col("recipients"),
+            F.col("trigger_children_of"),
+        )
+    )
+    return df.select(body.cast("binary").alias("value"))
+
+
+def from_wire(df: DataFrame, value_col: str = "value", *, allow_non_klio: bool = False) -> DataFrame:
+    """`value: BINARY` JSON → envelope columns.
+
+    Unparseable bytes: dropped by default; with ``allow_non_klio`` they
+    become fresh V2 messages whose element is the raw text (the
+    allow_non_klio_messages contract, serializer.py:90-98)."""
+    wire_schema = T.StructType(
+        [
+            T.StructField("element", T.StringType()),
+            T.StructField("payload_b64", T.StringType()),
+            T.StructField("version", T.IntegerType()),
+            T.StructField("force", T.BooleanType()),
+            T.StructField("ping", T.BooleanType()),
+            T.StructField("recipients_mode", T.StringType()),
+            T.StructField("recipients", T.ArrayType(JOB_SCHEMA)),
+            T.StructField("trigger_children_of", JOB_SCHEMA),
+        ]
+    )
+    raw = F.col(value_col).cast("string")
+    parsed = df.withColumn("_w", F.from_json(raw, wire_schema))
+    ok = F.col("_w").isNotNull() & F.col("_w.element").isNotNull()
+    if not allow_non_klio:
+        parsed = parsed.filter(ok)
+    out = parsed.select(
+        F.when(ok, F.col("_w.element")).otherwise(raw).alias("element"),
+        F.when(ok, F.unbase64(F.col("_w.payload_b64"))).otherwise(F.lit(None))
+        .cast("binary").alias("payload"),
+        F.when(ok, F.coalesce(F.col("_w.version"), F.lit(2))).otherwise(F.lit(2))
+        .cast("int").alias("version"),
+        F.when(ok, F.coalesce(F.col("_w.force"), F.lit(False)))
+        .otherwise(F.lit(False)).alias("force"),
+        F.when(ok, F.coalesce(F.col("_w.ping"), F.lit(False)))
+        .otherwise(F.lit(False)).alias("ping"),
+        F.when(ok, F.coalesce(F.col("_w.recipients_mode"), F.lit(ANYONE)))
+        .otherwise(F.lit(ANYONE)).alias("recipients_mode"),
+        F.when(ok, F.col("_w.recipients")).otherwise(
+            F.lit(None).cast(T.ArrayType(JOB_SCHEMA))
+        ).alias("recipients"),
+        F.when(ok, F.col("_w.trigger_children_of")).otherwise(
+            F.lit(None).cast(JOB_SCHEMA)
+        ).alias("trigger_children_of"),
+        F.array().cast(T.ArrayType(AUDIT_ITEM_SCHEMA)).alias("job_audit_log"),
+    )
+    return out

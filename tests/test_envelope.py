@@ -90,6 +90,38 @@ def test_version_tag_and_coerce(spark):
     assert coerced.version == 2
 
 
+def test_wire_roundtrip(spark):
+    df = (
+        env.from_elements(spark, ["w1", "w2"])
+        .withColumn("payload", F.lit(b"\x00state\xff"))
+        .withColumn("force", F.col("element") == "w1")
+        .withColumn("recipients_mode", F.lit(env.LIMITED))
+        .withColumn("recipients", F.array(env.job_lit("j", "p")))
+    )
+    wire = env.to_wire(df)
+    assert wire.columns == ["value"]
+    back = {r.element: r for r in env.from_wire(wire).collect()}
+    assert set(back) == {"w1", "w2"}
+    assert bytes(back["w1"].payload) == b"\x00state\xff"
+    assert back["w1"].force and not back["w2"].force
+    assert back["w1"].recipients[0].job_name == "j"
+    assert back["w1"].job_audit_log == []
+
+
+def test_from_wire_non_klio_messages(spark):
+    raw = spark.createDataFrame(
+        [(b'{"element": "good", "version": 2}',), (b"not json at all",)],
+        "value binary",
+    )
+    strict = env.from_wire(raw)
+    assert [r.element for r in strict.collect()] == ["good"]
+    lenient = env.from_wire(raw, allow_non_klio=True)
+    els = sorted(r.element for r in lenient.collect())
+    # unparseable bytes become a fresh V2 message (serializer.py:90-98)
+    assert els == ["good", "not json at all"]
+    assert all(r.recipients_mode == env.ANYONE for r in lenient.collect() if r.element != "good")
+
+
 def test_audit_log_append(spark):
     from klio_spark.operators.audit import update_audit_log
 
