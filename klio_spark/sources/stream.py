@@ -23,25 +23,40 @@ def read_stream(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
     cfg.topic set   → Kafka source (value bytes = element utf-8).
     cfg.location set→ file source watching a directory of text files
                       (one element per line), the local Pub/Sub stand-in.
+    cfg.options["wire"] truthy → lines are JSON wire envelopes (what
+    trigger_upstream publishes): parsed via envelope.from_wire so routing
+    metadata (recipients, trigger_children_of) survives the hop between
+    jobs. "allow_non_klio" option → unparseable lines become fresh V2
+    messages instead of being dropped (serializer.py:90-98).
     Dedup-by-id (`id_label` in the reference) becomes dropDuplicates on
     element under a watermark (set by the job, not here, since the
     watermark column is event-time-specific).
     """
+    opts = dict(cfg.options)
+    wire = bool(opts.pop("wire", False))
+    allow_non_klio = bool(opts.pop("allow_non_klio", False))
     if cfg.topic:
         raw = (
             spark.readStream.format("kafka")
             .option("subscribe", cfg.topic)
-            .options(**{k: str(v) for k, v in cfg.options.items()})
+            .options(**{k: str(v) for k, v in opts.items()})
             .load()
         )
         df = raw.select(F.col("value").cast("string").alias("_el"))
     elif cfg.location:
         df = (
             spark.readStream.format("text")
-            .options(**{k: str(v) for k, v in cfg.options.items()})
+            .options(**{k: str(v) for k, v in opts.items()})
             .load(cfg.location)
             .select(F.col("value").alias("_el"))
         )
     else:
         raise ValueError("stream source needs topic (kafka) or location (file)")
+    if wire:
+        from klio_spark.envelope import from_wire
+
+        return from_wire(
+            df.select(F.col("_el").cast("binary").alias("value")),
+            allow_non_klio=allow_non_klio,
+        )
     return with_envelope(df, "_el").drop("_el")

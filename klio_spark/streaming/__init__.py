@@ -231,13 +231,9 @@ def trigger_upstream(
     rewritten = rewrite_for_upstream(not_found, upstream_job, current_job)
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df.select(
-            F.to_json(
-                F.struct(
-                    "element", "recipients_mode", "recipients", "trigger_children_of"
-                )
-            ).alias("value")
-        )
+        from klio_spark.envelope import to_wire
+
+        out = to_wire(batch_df).select(F.col("value").cast("string"))
         # one deterministic subdir per batch -> replays overwrite, not dup
         out.write.mode("overwrite").text(f"{upstream_topic_dir}/batch-{batch_id}")
 
