@@ -180,6 +180,50 @@ def q53_tumbling_window_batch(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q56_time_rollup_multigrain",
+    """
+    WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT COALESCE(CAST(date_trunc('day', ts) AS TIMESTAMP), TIMESTAMP '1970-01-01') AS day,
+           COALESCE(CAST(date_trunc('hour', ts) AS TIMESTAMP), TIMESTAMP '1970-01-01') AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+    FROM e
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)),
+                            ())
+    """,
+    doc="hypertable-style continuous-aggregate rollup: hourly + daily + "
+    "grand total in ONE scan via grouping sets (Expand feeds one hash "
+    "agg) — the batch shape of a multi-granularity rollup cascade.",
+)
+def q56_time_rollup_multigrain(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    epoch = F.lit("1970-01-01").cast("timestamp")
+    return (
+        e.select(day.alias("_day"), hour.alias("_hour"), "value")
+        .groupingSets(
+            [["_day", "_hour"], ["_day"], []],
+            F.col("_day"),
+            F.col("_hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 10000.0)).cast("double") / 10000.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.coalesce("_day", epoch).alias("day"),
+            F.coalesce("_hour", epoch).alias("hour"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "q54_pivot",
     """
     SELECT user_id,
