@@ -23,7 +23,6 @@ import argparse
 import importlib.util
 import json
 import os
-import sys
 import time
 
 

@@ -20,13 +20,10 @@ tables.
 
 from __future__ import annotations
 
-import json
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from klio_spark.config import EventIOConfig, KlioJobConfig
 from klio_spark.envelope import LIMITED, job_lit
 
 
