@@ -76,6 +76,49 @@ def _base_hashes(shingle_col: Column) -> Column:
     return F.transform(shingle_col, lambda s: F.xxhash64(s))
 
 
+def shingle_hashes(text_col: Column, n: int = 3) -> Column:
+    """Fused tokenize→shingle→hash in ONE Arrow-batched UDF → ARRAY<LONG>
+    of distinct shingle hashes (blake2b/8, deterministic everywhere).
+
+    Jaccard over hash sets equals Jaccard over shingle-string sets up to
+    2^-64 collisions, and every downstream op (inverted index, minhash,
+    verify intersect) is integer-typed — this replaces three interpreted
+    HOF passes (sequence/slice/concat_ws, then hashing) with numpy-speed
+    python and 8-byte keys."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sh(texts):
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) >= n:
+                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            else:
+                grams = {" ".join(toks)}
+            out.append(
+                np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                            "big",
+                            signed=True,
+                        )
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+            )
+        return pd.Series(out)
+
+    _sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_sh, "array<long>")(text_col)
+
+
 def _minhash_params(num_hashes: int, seed: int = 42):
     import numpy as np
 
@@ -86,15 +129,9 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature (Broder '97): min over shingles of h_i(s).
-
-    Hash family = one JVM xxhash64 per shingle, then `num_hashes`
-    multiply-shift permutations applied in ONE vectorized numpy outer
-    product per Arrow batch. (The all-expression alternative — num_hashes
-    array_min/transform trees — evaluates interpreted: ~30M lambda calls
-    per 5k docs.) Array of BIGINT.
-    """
+def _signature_from_hash_col(hash_col: Column, num_hashes: int) -> Column:
+    """num_hashes multiply-shift permutations of an ARRAY<LONG> hash
+    column, min per permutation, in ONE numpy outer product per batch."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -111,7 +148,19 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
         return pd.Series(out)
 
     _sig.__annotations__ = {"h": pd.Series, "return": pd.Series}
-    return pandas_udf(_sig, "array<long>")(_base_hashes(shingle_col))
+    return pandas_udf(_sig, "array<long>")(hash_col)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (Broder '97): min over shingles of h_i(s).
+
+    Hash family = one JVM xxhash64 per shingle string, then `num_hashes`
+    multiply-shift permutations applied in ONE vectorized numpy outer
+    product per Arrow batch. (The all-expression alternative — num_hashes
+    array_min/transform trees — evaluates interpreted: ~30M lambda calls
+    per 5k docs.) Array of BIGINT.
+    """
+    return _signature_from_hash_col(_base_hashes(shingle_col), num_hashes)
 
 
 def band_hashes(sig_col: Column, bands: int, rows: int) -> Column:
@@ -159,13 +208,14 @@ def minhash_lsh_dedup(
     just for the verify step, keyed by id.
     """
     rows = num_hashes // bands
-    # persist: the shingle arrays feed BOTH candidate generation and the
-    # verify rejoin — without it the tokenize+shingle pass runs twice.
+    # persist: the shingle-hash arrays feed BOTH candidate generation and
+    # the verify rejoin — without it the tokenize+shingle pass runs twice.
     # (At 100 TB this materialization is a bucketed table, not a cache.)
+    # Everything downstream operates on 8-byte hashes (shingle_hashes).
     base = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("_sh")
     ).persist()
-    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    sig = base.withColumn("_sig", _signature_from_hash_col(F.col("_sh"), num_hashes))
     banded = sig.select(
         id_col,
         F.posexplode(band_hashes(F.col("_sig"), bands, rows)).alias(
@@ -306,14 +356,12 @@ def ngram_jaccard_pairs(
     max_df is None (the oracle setting).
     """
     base = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
+        F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
     ).withColumn("_size", F.size("_sh"))
-    # shuffle 8-byte shingle hashes, not strings (xxhash64 collisions over
-    # distinct shingles are ~2^-64 per pair — far below any data noise);
-    # persist: both sides of the self-join read this exploded index
-    inv = base.select(
-        id_col, "_size", F.explode(_base_hashes(F.col("_sh"))).alias("_s")
-    ).persist()
+    # the inverted index carries 8-byte shingle hashes, never strings
+    # (hash collisions over distinct shingles are ~2^-64 per pair — far
+    # below any data noise); persist: both self-join sides read it
+    inv = base.select(id_col, "_size", F.explode(F.col("_sh")).alias("_s")).persist()
     if max_df is not None:
         common = (
             inv.groupBy("_s")
