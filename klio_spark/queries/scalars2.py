@@ -83,6 +83,55 @@ def q46_calendar_funcs(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q09_arg_min_max",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     * 10000000000 + o_orderkey) AS first_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="arg-max/arg-min aggregation (Spark max_by/min_by): the 'row of "
+    "the extreme' without a window sort. The date arg-min orders by a "
+    "composite (day, orderkey) bigint — day-granular dates tie, and a "
+    "tied arg_min is engine-arbitrary.",
+)
+def q09_arg_min_max(spark: SparkSession, sf_dir: str):
+    (o,) = load(spark, sf_dir, "orders")
+    first_key = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+        * F.lit(10000000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", first_key).alias("first_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "q47_regexp_filter",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE regexp_matches(p_name, '^[a-m].*(ed|ing)')
+      AND NOT regexp_matches(p_type, 'BRASS')
+    """,
+    doc="regexp predicates: RLIKE filters evaluated in the scan stage.",
+)
+def q47_regexp_filter(spark: SparkSession, sf_dir: str):
+    (p,) = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").rlike("^[a-m].*(ed|ing)")
+        & ~F.col("p_type").rlike("BRASS")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
     "q08_grouped_pandas_udaf",
     """
     SELECT l_returnflag,
