@@ -36,11 +36,11 @@ def _load_user_run(job_dir: str):
     return getattr(mod, "run_basic", None) or mod.run
 
 
-def _build(config_path: str):
+def _build(config_path: str, templates=None, overrides=None):
     from klio_spark.config import KlioJobConfig
     from klio_spark.session import get_spark
 
-    config = KlioJobConfig.from_yaml(config_path)
+    config = KlioJobConfig.from_yaml(config_path, templates, overrides)
     # relative I/O locations resolve against the job dir (portable examples)
     base = os.path.dirname(os.path.abspath(config_path))
     for io in (
@@ -58,7 +58,7 @@ def cmd_job_run(args) -> int:
     from klio_spark.sinks import write_event_output
     from klio_spark.sources import read_event_input
 
-    spark, config = _build(args.config)
+    spark, config = _build(args.config, args.template, args.override)
     job_dir = args.job_dir or os.path.dirname(os.path.abspath(args.config))
     user_run = _load_user_run(job_dir)
 
@@ -104,7 +104,7 @@ def cmd_job_profile(args) -> int:
 
     from klio_spark import envelope as env
 
-    spark, config = _build(args.config)
+    spark, config = _build(args.config, args.template, args.override)
     job_dir = args.job_dir or os.path.dirname(os.path.abspath(args.config))
     user_run = _load_user_run(job_dir)
 
@@ -142,7 +142,7 @@ def cmd_job_profile(args) -> int:
 def cmd_job_config(args) -> int:
     from klio_spark.config import KlioJobConfig
 
-    config = KlioJobConfig.from_yaml(args.config)
+    config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
     import dataclasses
 
     print(json.dumps(dataclasses.asdict(config), indent=2, default=str))
@@ -150,21 +150,41 @@ def cmd_job_config(args) -> int:
 
 
 def cmd_message_publish(args) -> int:
-    """Write envelope JSON lines into the job's stream-input dir.
+    """Write JSON *wire envelopes* into the job's stream-input dir.
+
+    The flags must ride IN the message (reference publish.py encodes them
+    in the KlioMessage) — a bare element line would make readers build
+    fresh V2 messages with force=ping=false and recipients=anyone, silently
+    dropping what the CLI claims it applied. Lines use the envelope
+    to_wire/from_wire JSON schema; the job's stream input reads them with
+    ``wire: true``.
 
     Top-down (default): recipients=anyone. Bottom-up (--bottom-up): only
-    this job processes it (publish.py:54-72)."""
+    this job processes it, and trigger_children_of flips the message back
+    to anyone once it passes this job (publish.py:54-72)."""
     from klio_spark.config import KlioJobConfig
 
-    config = KlioJobConfig.from_yaml(args.config)
+    config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
     inp = config.event_inputs[0] if config.event_inputs else None
     if inp is None or not inp.location:
         raise SystemExit("job has no file event input to publish into")
+    me = {"job_name": config.job_name, "project": config.project}
     os.makedirs(inp.location, exist_ok=True)
     fname = os.path.join(inp.location, f"publish-{int(time.time()*1000)}.txt")
     with open(fname, "w") as f:
         for el in args.elements:
-            f.write(el + "\n")
+            msg = {
+                "element": el,
+                "payload_b64": None,
+                "version": 2,
+                "force": bool(args.force),
+                "ping": bool(args.ping),
+                "recipients_mode": "limited" if args.bottom_up else "anyone",
+                "recipients": [me] if args.bottom_up else None,
+                "trigger_children_of": me if args.bottom_up else None,
+                "job_audit_log": [],
+            }
+            f.write(json.dumps(msg) + "\n")
     mode = "bottom-up" if args.bottom_up else "top-down"
     print(f"published {len(args.elements)} message(s) ({mode}"
           f"{', force' if args.force else ''}{', ping' if args.ping else ''}) "
@@ -187,6 +207,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.set_defaults(fn=fn)
         sp.add_argument("--config", default="klio-job.yaml")
         sp.add_argument("--job-dir", default=None)
+        # klio job run --template KEY=VAL --override path.to.key=VAL
+        # (core _preprocessing.py: templates fill $VARs, overrides assign
+        # dotted paths; repeatable)
+        sp.add_argument("-T", "--template", action="append", default=[])
+        sp.add_argument("-O", "--override", action="append", default=[])
         if name == "profile":
             sp.add_argument("--input-file", default=None)
             sp.add_argument("elements", nargs="*")
@@ -195,6 +220,8 @@ def main(argv: list[str] | None = None) -> int:
     pub = msg.add_parser("publish")
     pub.set_defaults(fn=cmd_message_publish)
     pub.add_argument("--config", default="klio-job.yaml")
+    pub.add_argument("-T", "--template", action="append", default=[])
+    pub.add_argument("-O", "--override", action="append", default=[])
     pub.add_argument("--force", action="store_true")
     pub.add_argument("--ping", action="store_true")
     pub.add_argument("--bottom-up", action="store_true")

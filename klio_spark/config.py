@@ -24,6 +24,7 @@ The dual-channel split — *event* I/O (what to work on) vs *data* I/O
 from __future__ import annotations
 
 import dataclasses
+import string
 from typing import Any
 
 try:
@@ -31,6 +32,127 @@ try:
     _HAS_YAML = True
 except ImportError:  # pragma: no cover - pyyaml is in the base image
     _HAS_YAML = False
+
+
+class KlioConfigTemplatingError(Exception):
+    """A $VAR / ${VAR} in klio-job.yaml has no matching --template value
+    (mirrors KlioConfigTemplatingException, _preprocessing.py:160-161)."""
+
+
+def parse_key_value_list(pairs: list[str] | dict[str, str]) -> dict[str, str]:
+    """["k=v", ...] → {"k": "v"} with whitespace trimmed
+    (_preprocessing.py:207-223's CLI contract for --template/--override).
+    Key case is preserved — string.Template vars and user config keys are
+    case-sensitive, so the reference's key-lowering would silently break
+    `$YESTERDAY`-style templates."""
+    if isinstance(pairs, dict):
+        return {str(k): str(v) for k, v in pairs.items()}
+    out: dict[str, str] = {}
+    for item in pairs or []:
+        pieces = ["".join(p.split()) for p in item.split("=")]
+        if len(pieces) != 2:
+            raise ValueError(
+                f"Malformed config override {item!r}, should be '<key>=<value>'"
+            )
+        out[pieces[0]] = pieces[1]
+    return out
+
+
+def apply_templates(raw_yaml: str, templates: dict[str, str]) -> str:
+    """``$VAR`` / ``${VAR}`` substitution over the raw YAML text
+    (_preprocessing.py:133-161). Missing variables raise
+    KlioConfigTemplatingError. With no templates given, the text passes
+    through untouched (so configs containing literal '$' still parse)."""
+    if not templates:
+        return raw_yaml
+    try:
+        return string.Template(raw_yaml).substitute(**templates)
+    except KeyError as e:
+        raise KlioConfigTemplatingError(
+            f"config contains template variable {e} with no --template value"
+        ) from e
+    except ValueError as e:
+        raise KlioConfigTemplatingError(str(e)) from e
+
+
+def _io_list_index(items: list, part: str) -> int:
+    """Resolve one override path segment against an I/O *list*.
+
+    Accepts a plain index ("0"), an explicit `name` field, or the
+    reference's auto-generated `<type><n>` names ("file0", "bigquery1" —
+    _transform_io_list, _preprocessing.py:45-95). One step past the end
+    creates a new entry (overrides may introduce new I/Os)."""
+    if part.isdigit():
+        idx = int(part)
+        while idx >= len(items):
+            items.append({})
+        return idx
+    counters: dict[str, int] = {}
+    for i, conf in enumerate(items):
+        if not isinstance(conf, dict):
+            continue
+        if "name" in conf:
+            # named entries are keyed by name and don't consume the
+            # auto-name counter (reference _transform_io_list)
+            if conf["name"] == part:
+                return i
+            continue
+        t = conf.get("type", "unknown")
+        auto = f"{t}{counters.get(t, 0)}"
+        counters[t] = counters.get(t, 0) + 1
+        if auto == part:
+            return i
+    # unseen name → new entry; remember the name so later override paths
+    # addressing the same entry resolve to it
+    items.append({"name": part})
+    return len(items) - 1
+
+
+def apply_overrides(config: dict, overrides: dict[str, str]) -> dict:
+    """Dotted-path assignment, creating missing intermediate dicts
+    (_apply_overrides, _preprocessing.py:163-204; glom.assign with
+    missing=dict). Paths may address I/O list entries by index, `name`,
+    or `<type><n>` (the reference's named-I/O transform)."""
+    for path, value in (overrides or {}).items():
+        parts = path.split(".")
+        cur: Any = config
+        for depth, part in enumerate(parts):
+            last = depth == len(parts) - 1
+            if isinstance(cur, list):
+                idx = _io_list_index(cur, part)
+                if last:
+                    cur[idx] = value
+                else:
+                    if not isinstance(cur[idx], (dict, list)):
+                        cur[idx] = {}
+                    cur = cur[idx]
+            else:
+                if last:
+                    cur[part] = value
+                else:
+                    nxt = cur.get(part)
+                    if not isinstance(nxt, (dict, list)):
+                        nxt = {}
+                        cur[part] = nxt
+                    cur = nxt
+    return config
+
+
+def preprocess(
+    raw: str | dict,
+    templates: list[str] | dict[str, str] | None = None,
+    overrides: list[str] | dict[str, str] | None = None,
+) -> dict:
+    """Template → parse → override, the reference's preprocessing pipeline
+    (KlioConfigPreprocessor.process, _preprocessing.py:232-254)."""
+    if not _HAS_YAML:  # pragma: no cover
+        raise RuntimeError("pyyaml not available")
+    tpl = parse_key_value_list(templates or [])
+    ovr = parse_key_value_list(overrides or [])
+    if isinstance(raw, dict):
+        raw = yaml.dump(raw)
+    cfg = yaml.safe_load(apply_templates(raw, tpl)) or {}
+    return apply_overrides(cfg, ovr)
 
 
 @dataclasses.dataclass
@@ -51,9 +173,13 @@ class EventIOConfig:
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "EventIOConfig":
         known = {f.name for f in dataclasses.fields(cls)}
+        # "name" is a preprocessing-level addressing label (override paths),
+        # not an I/O option — reference pops it too (_preprocessing.py:84-87)
         kw = {k: v for k, v in d.items() if k in known}
         kw.setdefault("options", {})
-        kw["options"].update({k: v for k, v in d.items() if k not in known})
+        kw["options"].update(
+            {k: v for k, v in d.items() if k not in known and k != "name"}
+        )
         return cls(**kw)
 
 
@@ -106,11 +232,20 @@ class KlioJobConfig:
         )
 
     @classmethod
-    def from_yaml(cls, path: str) -> "KlioJobConfig":
+    def from_yaml(
+        cls,
+        path: str,
+        templates: list[str] | dict[str, str] | None = None,
+        overrides: list[str] | dict[str, str] | None = None,
+    ) -> "KlioJobConfig":
+        """Parse klio-job.yaml, with `klio job run --template/--override`
+        preprocessing applied first (templates fill $VARs in the raw text;
+        overrides assign dotted paths into the parsed dict)."""
         if not _HAS_YAML:
             raise RuntimeError("pyyaml not available; use from_dict")
         with open(path) as f:
-            return cls.from_dict(yaml.safe_load(f) or {})
+            raw = f.read()
+        return cls.from_dict(preprocess(raw, templates, overrides))
 
     def spark_confs(self) -> dict[str, str]:
         """pipeline_options that look like spark confs pass through."""

@@ -177,7 +177,10 @@ def job_lit(job_name: str, project: str) -> Column:
 def to_wire(df: DataFrame) -> DataFrame:
     """Envelope columns → one `value: BINARY` column (JSON wire format)
     for external edges (Kafka value, file queue). Payload bytes travel
-    base64 inside the JSON (serializer.py edge parity)."""
+    base64 inside the JSON (serializer.py edge parity). The audit log is
+    carried too (ISO-8601 timestamps) — the reference serializes full
+    KlioMessage metadata including job_audit_log across jobs, so audit
+    provenance must survive external hops (trigger_upstream included)."""
     body = F.to_json(
         F.struct(
             F.col("element"),
@@ -188,6 +191,7 @@ def to_wire(df: DataFrame) -> DataFrame:
             F.col("recipients_mode"),
             F.col("recipients"),
             F.col("trigger_children_of"),
+            F.col("job_audit_log"),
         )
     )
     return df.select(body.cast("binary").alias("value"))
@@ -209,6 +213,7 @@ def from_wire(df: DataFrame, value_col: str = "value", *, allow_non_klio: bool =
             T.StructField("recipients_mode", T.StringType()),
             T.StructField("recipients", T.ArrayType(JOB_SCHEMA)),
             T.StructField("trigger_children_of", JOB_SCHEMA),
+            T.StructField("job_audit_log", T.ArrayType(AUDIT_ITEM_SCHEMA)),
         ]
     )
     raw = F.col(value_col).cast("string")
@@ -234,6 +239,10 @@ def from_wire(df: DataFrame, value_col: str = "value", *, allow_non_klio: bool =
         F.when(ok, F.col("_w.trigger_children_of")).otherwise(
             F.lit(None).cast(JOB_SCHEMA)
         ).alias("trigger_children_of"),
-        F.array().cast(T.ArrayType(AUDIT_ITEM_SCHEMA)).alias("job_audit_log"),
+        # provenance survives the hop; empty only when genuinely absent
+        F.coalesce(
+            F.when(ok, F.col("_w.job_audit_log")),
+            F.array().cast(T.ArrayType(AUDIT_ITEM_SCHEMA)),
+        ).alias("job_audit_log"),
     )
     return out

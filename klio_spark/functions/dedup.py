@@ -206,6 +206,13 @@ def minhash_lsh_dedup(
     b=16,r=4 puts the S-curve knee near j≈0.5 with high recall at 0.7.
     The self-join carries only (id, band value); shingle arrays rejoin
     just for the verify step, keyed by id.
+
+    Cache lifetime: the shingle-hash intermediate is persist()ed because
+    both the candidate join and the verify rejoin read it; the returned
+    DataFrame is lazy, so the cache cannot be dropped here. Long-lived
+    sessions should ``spark.catalog.clearCache()`` (or unpersist via
+    ``df.sparkSession.catalog``) after materializing the result; at real
+    scale the materialization is a bucketed table, not a cache.
     """
     rows = num_hashes // bands
     # persist: the shingle-hash arrays feed BOTH candidate generation and
@@ -354,6 +361,10 @@ def ngram_jaccard_pairs(
     for near-dup pairs; capping it bounds the worst bucket. Jaccard then
     UNDERCOUNTS by at most (dropped shingles)/union per pair — exact when
     max_df is None (the oracle setting).
+
+    Cache lifetime: the inverted index is persist()ed (both self-join
+    sides read it); callers that materialize the result in a long-lived
+    session should clear it afterwards (see minhash_lsh_dedup note).
     """
     base = df.select(
         F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")

@@ -60,25 +60,34 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray
     return rng.standard_normal((tables, bits, dim))
 
 
-def srp_signatures(vec_col, planes: np.ndarray):
+def srp_signatures(vec_col, *, bits: int, tables: int, seed: int = 42):
     """All-tables sign-random-projection signatures in one shot.
 
     One Arrow-batched pandas_udf doing a single (batch × dim) @ (dim ×
     tables·bits) matmul — the expression-tree alternative (tables·bits
     fold expressions) spends more time in codegen than compute and scales
     badly past ~32 planes. Returns ARRAY<INT>, one bucket id per table.
-    Planes ride the closure as literals — deterministic everywhere.
+
+    Hyperplanes are derived INSIDE the UDF from (seed, dim) on the first
+    batch each worker sees — deterministic everywhere (same rng stream),
+    and plan building stays side-effect-free: no driver-side `first()` to
+    sniff the dimension, no job runs until the query itself executes.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    tables, bits, dim = planes.shape
-    flat = planes.reshape(tables * bits, dim).T.astype(np.float64)  # (dim, T*B)
     weights = (1 << np.arange(bits)).astype(np.int64)
+    cache: dict[int, np.ndarray] = {}
 
     def _sig(v):
-        m = np.stack(v.to_numpy())  # (n, dim)
-        proj = (m.astype(np.float64) @ flat) > 0  # (n, T*B)
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        dim = m.shape[1]
+        flat = cache.get(dim)
+        if flat is None:
+            planes = _hyperplanes(dim, bits, tables, seed)
+            flat = planes.reshape(tables * bits, dim).T  # (dim, T*B)
+            cache[dim] = flat
+        proj = (m @ flat) > 0  # (n, T*B)
         b = proj.reshape(len(v), tables, bits) @ weights  # (n, T)
         return pd.Series(list(b.astype(np.int32)))
 
@@ -224,6 +233,79 @@ def exact_pairs_blocked(
     )
 
 
+def exact_pairs_grouped(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float,
+    round_digits: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, fully distributed (triangle join).
+
+    The scale-safe exact path: rows hash into ``n_blocks`` blocks; every
+    unordered block pair (i ≤ j) becomes one task; each row is shuffled to
+    the n_blocks tasks that involve its block; inside a task a single BLAS
+    matmul scores block-i × block-j and emits pairs whose ROUNDED cosine
+    clears the threshold. No driver collect, no broadcast — replication
+    factor is n_blocks per row (choose n_blocks ≈ sqrt(2 · tasks wanted)),
+    shuffle volume n_blocks·|corpus|, compute Σ block_i × block_j = the
+    same N²/2 dots as any exact sweep but spread across executors.
+
+    Same math as exact_pairs_blocked (normalize → float64 matmul → round)
+    so both paths agree bit-for-bit with each other and the SQL oracle.
+    """
+    import pandas as pd
+
+    P = n_blocks
+    pair_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for i in range(P)
+            for j in range(i, P)
+        ]
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(P)).cast("int").alias("_blk"),
+    )
+    exploded = base.select(
+        "_id", "_v", "_blk", F.explode(pair_structs).alias("_p")
+    ).filter((F.col("_p.i") == F.col("_blk")) | (F.col("_p.j") == F.col("_blk")))
+    tasks = exploded.select(
+        "_id", "_v", "_blk", F.col("_p.i").alias("_i"), F.col("_p.j").alias("_j")
+    )
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = key
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        blk = pdf["_blk"].to_numpy()
+        if i == j:
+            sims = np.round(mn @ mn.T, round_digits)
+            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(mask)
+            id_a, id_b, cos = ids[ai], ids[bj], sims[ai, bj]
+        else:
+            a_sel, b_sel = blk == i, blk == j
+            aids, bids = ids[a_sel], ids[b_sel]
+            sims = np.round(mn[a_sel] @ mn[b_sel].T, round_digits)
+            ai, bj = np.nonzero(sims >= threshold)
+            ra, rb = aids[ai], bids[bj]
+            id_a, id_b = np.minimum(ra, rb), np.maximum(ra, rb)
+            cos = sims[ai, bj]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+
+    return tasks.groupBy("_i", "_j").applyInPandas(
+        score, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def lsh_candidates(
     df: DataFrame,
     vec_col: str,
@@ -234,12 +316,12 @@ def lsh_candidates(
     seed: int = 42,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b, _va, _vb) sharing any table bucket."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, bits, tables, seed)
     sigs = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.posexplode(srp_signatures(F.col(vec_col), planes)).alias("_table", "_sig"),
+        F.posexplode(
+            srp_signatures(F.col(vec_col), bits=bits, tables=tables, seed=seed)
+        ).alias("_table", "_sig"),
     )
     l = sigs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_table", "_sig"
@@ -272,16 +354,13 @@ def lsh_topk(
     At scale the corpus side is hash-partitioned by (_table, _sig) — each
     query probes only its buckets instead of the full corpus.
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, bits, tables, seed)
-
     def signed(df: DataFrame, id_alias: str, v_alias: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(v_alias),
-            F.posexplode(srp_signatures(F.col(vec_col), planes)).alias(
-                "_table", "_sig"
-            ),
+            F.posexplode(
+                srp_signatures(F.col(vec_col), bits=bits, tables=tables, seed=seed)
+            ).alias("_table", "_sig"),
         )
 
     q = F.broadcast(signed(queries, "query_id", "_qv"))

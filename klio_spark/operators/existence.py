@@ -38,10 +38,19 @@ def list_location(spark: SparkSession, cfg: DataIOConfig) -> DataFrame:
     binaryFile with only `path` selected is a pure metadata scan
     (pathGlobFilter prunes at the listing level, contents never read).
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     reader = spark.read.format("binaryFile")
     if cfg.file_suffix:
         reader = reader.option("pathGlobFilter", f"*{cfg.file_suffix}")
-    listing = reader.load(cfg.location).select(F.col("path"))
+    try:
+        listing = reader.load(cfg.location).select(F.col("path"))
+    except AnalysisException:
+        # a not-yet-created location lists as empty, it doesn't error —
+        # the reference's client.exists() returns False on missing paths
+        # (_helpers.py:282-309); output dirs in particular won't exist
+        # before the first run
+        return spark.createDataFrame([], "path string")
     # binaryFile yields file:/... URIs locally; normalize to plain paths so
     # they compare equal to concat-built paths.
     return listing.select(
@@ -97,7 +106,13 @@ def check_output_exists(
 
     `found` (output already exists) feeds filter_force: recompute only when
     forced. KlioGcsCheckOutputExists: helpers.py:99-104.
+
+    With skip_klio_existence_check set, nothing counts as existing: every
+    row proceeds to recompute (run.py _setup_data_io_filters gates the
+    whole exists→force chain on this flag).
     """
+    if cfg.skip_klio_existence_check:
+        return TaggedSplit(process=df.filter(F.lit(False)), pass_thru=df)
     if listing is None:
         listing = list_location(spark or df.sparkSession, cfg)
     return _exists_split(df, listing, cfg)

@@ -88,8 +88,9 @@ def setup_prologue(
     pass_thrus.append(ping_split.pass_thru)
 
     # output-exists → force (run.py:349-378): existing-output rows skip
-    # unless forced
-    if data_out is not None:
+    # unless forced; the whole chain is gated on the output's
+    # skip_klio_existence_check flag (run.py _setup_data_io_filters)
+    if data_out is not None and not data_out.skip_klio_existence_check:
         out_split = check_output_exists(df, data_out, spark, listing=output_listing)
         force_split = filter_force(
             out_split.found, data_output_force=bool(data_out.force)

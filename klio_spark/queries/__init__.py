@@ -51,6 +51,14 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 
     out = []
     for t in tables:
+        if t == "events":
+            # events.parquet carries TIMESTAMP(NANOS) columns, which Spark
+            # refuses to read (PARQUET_TYPE_ILLEGAL) unless this legacy flag
+            # is on. session.py sets it at build time, but the correctness
+            # driver constructs its own vanilla session — a runtime
+            # spark.conf.set works on an existing session, so set it here,
+            # immediately before the read resolves the schema.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "events" and dict(df.dtypes).get("ts") == "bigint":
             # events.parquet carries TIMESTAMP(NANOS) which Spark reads as

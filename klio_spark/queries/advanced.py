@@ -227,9 +227,9 @@ def q56_time_rollup_multigrain(spark: SparkSession, sf_dir: str):
     "q54_pivot",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
     FROM events
     GROUP BY user_id
     """,

@@ -151,7 +151,7 @@ def q03_group_stats(spark: SparkSession, sf_dir: str):
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            CAST(SUM(CAST(FLOOR(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END
                 * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS big_order_value
     FROM orders
@@ -571,8 +571,8 @@ def q41_date_funcs(spark: SparkSession, sf_dir: str):
     """
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05) AS disc_dev,
-           CEIL(l_quantity / 7.0) AS qty_bucket,
-           FLOOR(l_extendedprice / 1000.0) AS price_k,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
            ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
            ROUND(LN(l_extendedprice + 1.0), 6) AS price_ln
     FROM lineitem
@@ -634,7 +634,7 @@ def q50_events_hourly(spark: SparkSession, sf_dir: str):
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
     doc="gaps-and-islands sessionization (30-min inactivity): one window "

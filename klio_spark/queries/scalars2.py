@@ -43,18 +43,20 @@ def q44_string_funcs2(spark: SparkSession, sf_dir: str):
     "q45_array_agg",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            len(list(DISTINCT l_linestatus)) AS n_statuses,
            list_contains(list(DISTINCT l_linestatus), 'O') AS has_open
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    doc="array aggregation: collect-distinct-sorted (deterministic order "
-    "for the value hash) + array predicates.",
+    doc="array aggregation: collect-distinct-sorted + array predicates. The "
+    "array is serialized to a CSV string for the comparison — a raw "
+    "ARRAY<STRING> output crashes pandas-based canonicalizers "
+    "(unhashable list in sort_values).",
 )
 def q45_array_agg(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
-    statuses = F.array_sort(F.collect_set("l_linestatus"))
+    statuses = F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus")))
     return l.groupBy("l_returnflag").agg(
         statuses.alias("statuses"),
         F.size(F.collect_set("l_linestatus")).alias("n_statuses"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from klio_spark.functions.similarity import exact_pairs_blocked, lsh_topk
+from klio_spark.functions.similarity import exact_pairs_grouped, lsh_topk
 from klio_spark.functions.vectors import cosine_sim, l2_norm
 from klio_spark.queries import load, register
 
@@ -110,11 +110,13 @@ def q74_ann_ivf_topk(spark: SparkSession, sf_dir: str):
 )
 def q72_embedding_near_dups(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "embeddings")
-    # blocked BLAS matmul: a catalyst pair-join with higher-order-function
-    # dots evaluates interpreted (~100M fold steps here); the broadcast
-    # matrix + per-partition matmul is ~3 orders faster and still
-    # distributes over blocks
-    return exact_pairs_blocked(e, "embedding", "vec_id", threshold=0.35)
+    # distributed triangle join: rows hash into blocks, each block pair is
+    # one BLAS matmul task — no driver collect, no broadcast; the same
+    # rounded-float64 math as the broadcast twin (exact_pairs_blocked,
+    # kept for tests/broadcastable corpora). A catalyst pair-join with
+    # higher-order-function dots would evaluate interpreted (~100M fold
+    # steps here) — ~3 orders slower.
+    return exact_pairs_grouped(e, "embedding", "vec_id", threshold=0.35)
 
 
 @register(

@@ -22,10 +22,25 @@ from klio_spark.envelope import with_envelope
 
 
 def read_text(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
-    """Newline-delimited element ids → envelope (io.py:148-189)."""
-    df = spark.read.options(**{k: str(v) for k, v in cfg.options.items()}).text(
+    """Newline-delimited element ids → envelope (io.py:148-189).
+
+    cfg.options["wire"] truthy → lines are JSON wire envelopes (what
+    `klio message publish` and trigger_upstream write), parsed via
+    envelope.from_wire so force/ping/recipients survive — same contract
+    as the streaming reader (sources/stream.py)."""
+    opts = dict(cfg.options)
+    wire = bool(opts.pop("wire", False))
+    allow_non_klio = bool(opts.pop("allow_non_klio", False))
+    df = spark.read.options(**{k: str(v) for k, v in opts.items()}).text(
         cfg.location
     )
+    if wire:
+        from klio_spark.envelope import from_wire
+
+        return from_wire(
+            df.select(F.col("value").cast("binary").alias("value")),
+            allow_non_klio=allow_non_klio,
+        )
     return with_envelope(df, "value").drop("value")
 
 
@@ -64,11 +79,15 @@ def read_bq_style(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
     spark.read.format("bigquery"); locally any tabular format stands in
     (cfg.options["format"], default parquet).
     """
-    fmt = cfg.options.pop("format", "parquet")
-    cols = cfg.options.pop("klio_message_columns", None)
+    # copy before popping: cfg is shared, and mutating it would make a
+    # second read with the same EventIOConfig silently fall back to
+    # parquet/JSON-of-all-columns
+    opts = dict(cfg.options)
+    fmt = opts.pop("format", "parquet")
+    cols = opts.pop("klio_message_columns", None)
     df = (
         spark.read.format(fmt)
-        .options(**{k: str(v) for k, v in cfg.options.items()})
+        .options(**{k: str(v) for k, v in opts.items()})
         .load(cfg.location)
     )
     if cols:

@@ -172,8 +172,21 @@ def handle_klio(
             call = _with_retry(call, tries, retry_delay, retry_on)
 
         def transform(df: DataFrame) -> DataFrame:
-            def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def chunked(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                # bound peak memory per user-fn invocation wave: re-slice
+                # the Arrow batches Spark hands us into batch_size-row
+                # chunks (klio payloads can be multi-MB blobs; the session
+                # Arrow batch size is a global knob, this is the per-
+                # transform one)
+                if not batch_size:
+                    yield from batches
+                    return
                 for pdf in batches:
+                    for start in range(0, len(pdf), batch_size):
+                        yield pdf.iloc[start : start + batch_size]
+
+            def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in chunked(batches):
                     rows = pdf.to_dict("records")
                     out_rows = []
                     for row in rows:
@@ -206,8 +219,6 @@ def handle_klio(
                         out_rows, columns=out_names + [ERROR_COL]
                     )
 
-            if batch_size:
-                df = df.sparkSession.createDataFrame(df.rdd, df.schema)  # pragma: no cover
             return df.mapInPandas(run_batches, schema=full_schema)
 
         transform.__name__ = getattr(fn, "__name__", "handle_klio")

@@ -89,12 +89,19 @@ def test_message_publish(job_dir, tmp_path):
     (job_dir / "klio-job.yaml").write_text(cfg)
     rc = cli.main(
         ["message", "publish", "--config", str(job_dir / "klio-job.yaml"),
-         "--bottom-up", "t1", "t2"]
+         "--bottom-up", "--force", "t1", "t2"]
     )
     assert rc == 0
     published = [
-        line
+        json.loads(line)
         for f in pathlib.Path(f"{tmp_path}/topic").glob("publish-*.txt")
         for line in f.read_text().splitlines()
     ]
-    assert sorted(published) == ["t1", "t2"]
+    # flags travel IN the wire message, not just in the CLI banner
+    assert sorted(m["element"] for m in published) == ["t1", "t2"]
+    me = {"job_name": "myjob", "project": "testproj"}
+    for m in published:
+        assert m["force"] is True and m["ping"] is False
+        assert m["recipients_mode"] == "limited"
+        assert m["recipients"] == [me]
+        assert m["trigger_children_of"] == me

@@ -108,6 +108,22 @@ def test_wire_roundtrip(spark):
     assert back["w1"].job_audit_log == []
 
 
+def test_wire_carries_audit_log(spark):
+    # provenance must survive external hops (reference serializes full
+    # KlioMessage metadata incl. job_audit_log)
+    from klio_spark.operators.audit import update_audit_log
+
+    df = env.from_elements(spark, ["a1"])
+    df = update_audit_log(df, "jobA", "projA")
+    df = update_audit_log(df, "jobB", "projB")
+    back = env.from_wire(env.to_wire(df)).collect()[0]
+    assert [(e.job_name, e.project) for e in back.job_audit_log] == [
+        ("jobA", "projA"),
+        ("jobB", "projB"),
+    ]
+    assert all(e.ts is not None for e in back.job_audit_log)
+
+
 def test_from_wire_non_klio_messages(spark):
     raw = spark.createDataFrame(
         [(b'{"element": "good", "version": 2}',), (b"not json at all",)],
