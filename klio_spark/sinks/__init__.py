@@ -40,10 +40,69 @@ def write_parquet(df: DataFrame, cfg: EventIOConfig) -> None:
 
 
 def write_avro(df: DataFrame, cfg: EventIOConfig) -> None:
-    """Fixed klio Avro schema {"element": bytes} (io.py:555-560)."""
-    df.select(F.col("element").cast("binary").alias("element")).write.format(
-        "avro"
-    ).mode(cfg.options.get("mode", "overwrite")).save(cfg.location)
+    """Fixed klio Avro schema {"element": bytes} (io.py:555-560).
+
+    spark-avro DataSource when present; else the pure-Python container
+    writer (klio_spark.avro_codec) — one .avro file per partition,
+    written executor-side, so the write stays distributed."""
+    out = df.select(F.col("element").cast("binary").alias("element"))
+    try:
+        out.write.format("avro").mode(
+            cfg.options.get("mode", "overwrite")
+        ).save(cfg.location)
+        return
+    except Exception as e:  # noqa: BLE001 — only swallow "no such source"
+        if "avro" not in str(e).lower():
+            raise
+    write_avro_fallback(out, cfg.location, mode=cfg.options.get("mode", "overwrite"))
+
+
+def write_avro_fallback(df: DataFrame, location: str, *, mode: str = "overwrite") -> None:
+    """Distributed pure-Python Avro container write (no spark-avro).
+
+    Each partition encodes its rows into one container file named like a
+    Spark part file. Timestamps/dates are written as their base types
+    (micros/days) matching avro_codec's read side."""
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from klio_spark import avro_codec as ac
+
+    if os.path.exists(location):
+        if mode == "overwrite":
+            shutil.rmtree(location)
+        elif mode == "errorifexists":
+            raise FileExistsError(location)
+    os.makedirs(location, exist_ok=True)
+    avro_schema = ac.spark_to_avro_schema(df.schema)
+
+    def _write(batches):
+        pid = os.getpid()
+        for pdf in batches:
+            recs = []
+            for row in pdf.to_dict("records"):
+                for k, v in row.items():
+                    if isinstance(v, pd.Timestamp):
+                        row[k] = int(v.value // 1000)  # ns → micros
+                    elif isinstance(v, bytearray):
+                        row[k] = bytes(v)
+                    elif v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+                        row[k] = None
+                recs.append(row)
+            if not recs:
+                continue
+            blob = ac.write_container(avro_schema, recs)
+            fname = f"part-{pid}-{uuid.uuid4().hex[:12]}.avro"
+            with open(os.path.join(location, fname), "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame({"n": [len(recs)]})
+
+    df.mapInPandas(_write, schema="n long").write.mode("overwrite").format(
+        "noop"
+    ).save()
 
 
 def write_bq_style(df: DataFrame, cfg: EventIOConfig) -> None:

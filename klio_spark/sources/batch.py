@@ -60,14 +60,52 @@ def read_parquet(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
 def read_avro(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
     """Avro records: element field if present else JSON (io.py:428-446).
 
-    Requires the spark-avro package on the cluster; tests use parquet.
+    Uses the spark-avro DataSource when it's on the classpath (the scale
+    path: splittable, pushdown-capable). Without it, falls back to a
+    pure-Python container decode (klio_spark.avro_codec) over the
+    binaryFile source — whole files ship to executors and decode inside
+    mapInPandas, which is fine for klio-sized event manifests but should
+    be swapped for the real DataSource on large inputs.
     """
-    df = (
-        spark.read.format("avro")
-        .options(**{k: str(v) for k, v in cfg.options.items()})
-        .load(cfg.location)
+    try:
+        df = (
+            spark.read.format("avro")
+            .options(**{k: str(v) for k, v in cfg.options.items()})
+            .load(cfg.location)
+        )
+        return _element_or_json(df)
+    except Exception as e:  # noqa: BLE001 — only swallow "no such source"
+        if "avro" not in str(e).lower():
+            raise
+    return _element_or_json(read_avro_fallback(spark, cfg.location))
+
+
+def read_avro_fallback(spark: SparkSession, location: str) -> DataFrame:
+    """binaryFile + pure-Python Avro container decode (no spark-avro)."""
+    import pandas as pd
+
+    from klio_spark import avro_codec as ac
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(location)
+        .select("content")
     )
-    return _element_or_json(df)
+    head = files.limit(1).collect()
+    if not head:
+        raise FileNotFoundError(f"no .avro files under {location}")
+    avro_schema = ac.read_schema(bytes(head[0][0]))
+    spark_schema = ac.avro_to_spark_schema(avro_schema)
+    names = [f.name for f in spark_schema.fields]
+
+    def _decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                recs = list(ac.read_container(bytes(blob)))
+                yield pd.DataFrame(recs, columns=names)
+
+    return files.mapInPandas(_decode, schema=spark_schema)
 
 
 def read_bq_style(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
