@@ -8,10 +8,11 @@ lib/src/klio/message/serializer.py:23-108.
 Design rule (SURVEY §7): the envelope is *columns*, not a serialized blob.
 Every routing decision (ping/force/recipients) becomes a Catalyst-visible
 boolean predicate, so filters are pushed down, pruned, and codegen'd.
-A wire format is only needed at external edges: to_wire / from_wire below
-carry the envelope as JSON bytes (protobuf is not in this container; a
-proto codec can replace the JSON pair without touching anything else —
-the columns ARE the schema).
+A wire format is only needed at external edges. Two are provided:
+to_wire / from_wire carry the envelope as JSON bytes (introspectable,
+self-describing); to_proto_wire / from_proto_wire carry it as real
+KlioMessage protobuf bytes (klio_spark.proto_wire, dependency-free) for
+interop with existing klio jobs on the same topics.
 """
 
 from __future__ import annotations
@@ -246,3 +247,70 @@ def from_wire(df: DataFrame, value_col: str = "value", *, allow_non_klio: bool =
         ).alias("job_audit_log"),
     )
     return out
+
+
+def to_proto_wire(df: DataFrame) -> DataFrame:
+    """Envelope columns → `value: BINARY` of KlioMessage protobuf bytes.
+
+    True wire interop with existing klio jobs: the bytes match
+    KlioMessage.SerializeToString() (klio.proto, serializer.py:58-168),
+    produced by the dependency-free codec in klio_spark.proto_wire.
+    A Python edge op (mapInPandas) by design — serialization happens only
+    at external boundaries, never between in-plan operators."""
+    import pandas as pd
+
+    from klio_spark.proto_wire import encode_klio_message
+
+    cols = list(ENVELOPE_COLS)
+
+    def _enc(batches):
+        for pdf in batches:
+            values = []
+            for row in pdf.to_dict("records"):
+                msg = dict(row)
+                if isinstance(msg.get("payload"), bytearray):
+                    msg["payload"] = bytes(msg["payload"])
+                audit = []
+                for item in list(msg.get("job_audit_log") or []):
+                    d = dict(item)
+                    ts = d.get("ts")
+                    if isinstance(ts, pd.Timestamp):
+                        d["ts"] = ts.to_pydatetime()
+                    audit.append(d)
+                msg["job_audit_log"] = audit
+                if msg.get("recipients") is not None:
+                    msg["recipients"] = [dict(j) for j in list(msg["recipients"])]
+                if msg.get("trigger_children_of") is not None:
+                    msg["trigger_children_of"] = dict(msg["trigger_children_of"])
+                values.append(encode_klio_message(msg))
+            yield pd.DataFrame({"value": values})
+
+    return df.select(*cols).mapInPandas(_enc, schema="value binary")
+
+
+def from_proto_wire(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """`value: BINARY` KlioMessage protobuf bytes → envelope columns.
+
+    Inverse of to_proto_wire; v1 entity_id folds into element and the
+    null recipients_mode drop rule is preserved for the downstream
+    check_recipients filter."""
+    import pandas as pd
+
+    from klio_spark.proto_wire import decode_klio_message
+
+    def _dec(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf[value_col]:
+                try:
+                    msg = decode_klio_message(bytes(blob))
+                except Exception:  # noqa: BLE001 — undecodable → dropped
+                    continue
+                if not msg.get("element"):
+                    continue  # no element/entity_id → not a klio message
+                msg["version"] = int(msg["version"] or 2)
+                msg["job_audit_log"] = msg.get("job_audit_log") or []
+                rows.append(msg)
+            yield pd.DataFrame(rows, columns=ENVELOPE_COLS)
+
+    return df.select(value_col).mapInPandas(_dec, schema=ENVELOPE_SCHEMA)

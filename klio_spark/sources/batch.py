@@ -27,13 +27,21 @@ def read_text(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
     cfg.options["wire"] truthy → lines are JSON wire envelopes (what
     `klio message publish` and trigger_upstream write), parsed via
     envelope.from_wire so force/ping/recipients survive — same contract
-    as the streaming reader (sources/stream.py)."""
+    as the streaming reader (sources/stream.py). ``wire: proto`` selects
+    the KlioMessage protobuf codec instead (interop with reference klio
+    jobs; base64-per-line since the text source is line-oriented)."""
     opts = dict(cfg.options)
-    wire = bool(opts.pop("wire", False))
+    wire = opts.pop("wire", False)
     allow_non_klio = bool(opts.pop("allow_non_klio", False))
     df = spark.read.options(**{k: str(v) for k, v in opts.items()}).text(
         cfg.location
     )
+    if str(wire).lower() == "proto":
+        from klio_spark.envelope import from_proto_wire
+
+        return from_proto_wire(
+            df.select(F.unbase64(F.col("value")).alias("value"))
+        )
     if wire:
         from klio_spark.envelope import from_wire
 

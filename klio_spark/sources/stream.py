@@ -26,22 +26,32 @@ def read_stream(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
     cfg.options["wire"] truthy → lines are JSON wire envelopes (what
     trigger_upstream publishes): parsed via envelope.from_wire so routing
     metadata (recipients, trigger_children_of) survives the hop between
-    jobs. "allow_non_klio" option → unparseable lines become fresh V2
+    jobs. ``wire: proto`` selects the KlioMessage protobuf codec instead
+    (raw bytes from Kafka values; base64-per-line from the text source) —
+    interop with reference klio jobs publishing to the same topic.
+    "allow_non_klio" option → unparseable lines become fresh V2
     messages instead of being dropped (serializer.py:90-98).
     Dedup-by-id (`id_label` in the reference) becomes dropDuplicates on
     element under a watermark (set by the job, not here, since the
     watermark column is event-time-specific).
     """
     opts = dict(cfg.options)
-    wire = bool(opts.pop("wire", False))
+    wire = opts.pop("wire", False)
     allow_non_klio = bool(opts.pop("allow_non_klio", False))
-    if cfg.topic:
+    from_kafka = bool(cfg.topic)
+    if from_kafka:
         raw = (
             spark.readStream.format("kafka")
             .option("subscribe", cfg.topic)
             .options(**{k: str(v) for k, v in opts.items()})
             .load()
         )
+        # keep raw bytes for the proto codec: a string round-trip would
+        # corrupt non-UTF-8 protobuf bytes
+        if str(wire).lower() == "proto":
+            from klio_spark.envelope import from_proto_wire
+
+            return from_proto_wire(raw.select(F.col("value")))
         df = raw.select(F.col("value").cast("string").alias("_el"))
     elif cfg.location:
         df = (
@@ -52,6 +62,11 @@ def read_stream(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
         )
     else:
         raise ValueError("stream source needs topic (kafka) or location (file)")
+    if str(wire).lower() == "proto":
+        from klio_spark.envelope import from_proto_wire
+
+        # text-source lines carry base64 (line-oriented source, binary wire)
+        return from_proto_wire(df.select(F.unbase64(F.col("_el")).alias("value")))
     if wire:
         from klio_spark.envelope import from_wire
 
