@@ -98,10 +98,14 @@ def cmd_job_test(args) -> int:
 
 
 def cmd_job_profile(args) -> int:
-    """Profile the user transform over a stubbed source (profile.py:60-89)."""
-    import cProfile
-    import pstats
+    """Profile the user transform over a stubbed source (profile.py:60-89).
 
+    --what selects the profiler (reference profile.py:295-320 modes):
+      cpu    — cProfile cumulative table (default)
+      memory — tracemalloc top allocation sites (the reference's
+               per-line memory profiler, stdlib edition)
+      wall   — repeated timed runs (timeit mode), min/mean/max
+    """
     from klio_spark import envelope as env
 
     spark, config = _build(args.config, args.template, args.override)
@@ -117,26 +121,232 @@ def cmd_job_profile(args) -> int:
         raise SystemExit("profile needs --input-file or element ids")
 
     df = env.from_elements(spark, elements)
-    prof = cProfile.Profile()
-    t0 = time.perf_counter()
-    prof.enable()
-    out = user_run(df, config)
-    n = out.count()  # force execution
-    prof.disable()
-    wall = time.perf_counter() - t0
-    stats = pstats.Stats(prof)
-    stats.sort_stats("cumulative").print_stats(15)
-    print(
-        json.dumps(
-            {
-                "elements": len(elements),
-                "output_rows": n,
-                "wall_sec": round(wall, 3),
-                "elements_per_sec": round(len(elements) / wall, 1) if wall else None,
-            }
+
+    def run_once() -> int:
+        return user_run(df, config).count()  # force execution
+
+    report: dict = {"what": args.what, "elements": len(elements)}
+    if args.what == "cpu":
+        import cProfile
+        import pstats
+
+        prof = cProfile.Profile()
+        t0 = time.perf_counter()
+        prof.enable()
+        n = run_once()
+        prof.disable()
+        report.update(output_rows=n, wall_sec=round(time.perf_counter() - t0, 3))
+        pstats.Stats(prof).sort_stats("cumulative").print_stats(15)
+    elif args.what == "memory":
+        import tracemalloc
+
+        tracemalloc.start(25)
+        t0 = time.perf_counter()
+        n = run_once()
+        wall = time.perf_counter() - t0
+        snap = tracemalloc.take_snapshot()
+        current, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        print("Top allocation sites (driver-side):")
+        for stat in snap.statistics("lineno")[:15]:
+            print(f"  {stat}")
+        report.update(
+            output_rows=n,
+            wall_sec=round(wall, 3),
+            peak_driver_bytes=peak,
+            current_driver_bytes=current,
         )
-    )
+    elif args.what == "wall":
+        times = []
+        n = 0
+        for _ in range(max(1, args.iterations)):
+            t0 = time.perf_counter()
+            n = run_once()
+            times.append(time.perf_counter() - t0)
+        report.update(
+            output_rows=n,
+            iterations=len(times),
+            min_sec=round(min(times), 3),
+            mean_sec=round(sum(times) / len(times), 3),
+            max_sec=round(max(times), 3),
+        )
+    else:
+        raise SystemExit(f"unknown --what {args.what!r} (cpu|memory|wall)")
+    wall = report.get("wall_sec") or report.get("mean_sec") or 0
+    if wall:
+        report["elements_per_sec"] = round(len(elements) / wall, 1)
+    print(json.dumps(report))
     return 0
+
+
+_JOB_YAML_TEMPLATE = """\
+job_name: {job_name}
+project: {project}
+pipeline_options:
+  spark.sql.shuffle.partitions: "32"
+job_config:
+  events:
+    inputs:
+      - type: file
+        location: elements.txt
+    outputs:
+      - type: file
+        location: out
+  data:
+    inputs:
+      - type: file
+        location: input_data
+        file_suffix: {suffix}
+    outputs:
+      - type: file
+        location: output_data
+        file_suffix: {suffix}
+"""
+
+_RUN_PY_TEMPLATE = '''\
+"""Job transforms. `run` receives the post-prologue envelope DataFrame
+(element/payload/routing columns) and must return a DataFrame with the
+same envelope columns."""
+
+from pyspark.sql import functions as F
+
+
+def run(df, config):
+    # TODO: your transform here. Elements arrive as df.element; heavy
+    # bytes belong in data-input files, referenced by element id.
+    return df
+'''
+
+_TEST_RUN_TEMPLATE = '''\
+from pyspark.sql import SparkSession
+
+import run as job
+
+
+def test_run_passthrough():
+    spark = SparkSession.builder.master("local[2]").getOrCreate()
+    from klio_spark.envelope import from_elements
+
+    df = from_elements(spark, ["e1"])
+    out = job.run(df, config=None)
+    assert out.count() == 1
+'''
+
+
+def cmd_job_create(args) -> int:
+    """Scaffold a runnable job directory (reference
+    cli/src/klio_cli/commands/job/create.py, minus the GCP/Docker
+    questionnaire — Spark packaging is spark-submit's problem)."""
+    out = os.path.abspath(args.output or args.job_name)
+    if os.path.exists(os.path.join(out, "klio-job.yaml")) and not args.force_create:
+        raise SystemExit(f"{out}/klio-job.yaml exists (use --force-create)")
+    os.makedirs(out, exist_ok=True)
+    os.makedirs(os.path.join(out, "input_data"), exist_ok=True)
+    with open(os.path.join(out, "klio-job.yaml"), "w") as f:
+        f.write(
+            _JOB_YAML_TEMPLATE.format(
+                job_name=args.job_name,
+                project=args.project,
+                suffix=args.file_suffix,
+            )
+        )
+    with open(os.path.join(out, "run.py"), "w") as f:
+        f.write(_RUN_PY_TEMPLATE)
+    with open(os.path.join(out, "test_run.py"), "w") as f:
+        f.write(_TEST_RUN_TEMPLATE)
+    with open(os.path.join(out, "elements.txt"), "w") as f:
+        f.write("")
+    print(f"created job '{args.job_name}' in {out}")
+    print("next: add element ids to elements.txt, edit run.py, then "
+          f"`python -m klio_spark.cli job run --config {out}/klio-job.yaml`")
+    return 0
+
+
+def cmd_job_verify(args) -> int:
+    """Verify the job's config + I/O are usable before running (reference
+    cli job verify checks GCS buckets/topics/subscriptions exist; the
+    Spark analogs are locations, suffixes, and reader/writer registry
+    entries). --create makes missing local dirs (reference
+    --create-resources)."""
+    from klio_spark.config import KlioJobConfig
+    from klio_spark.sinks import _WRITERS
+    from klio_spark.sources import _READERS
+
+    ok = True
+
+    def check(cond: bool, what: str, fatal: bool = True):
+        nonlocal ok
+        mark = "ok " if cond else ("ERR" if fatal else "WRN")
+        print(f"[{mark}] {what}")
+        if not cond and fatal:
+            ok = False
+        return cond
+
+    try:
+        config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
+    except Exception as e:  # noqa: BLE001
+        print(f"[ERR] config parse failed: {e}")
+        return 1
+    check(bool(config.job_name), f"job_name = {config.job_name!r}")
+    base = os.path.dirname(os.path.abspath(args.config))
+
+    def resolve(loc):
+        if loc and not os.path.isabs(loc) and "://" not in loc:
+            return os.path.join(base, loc)
+        return loc
+
+    check(bool(config.event_inputs), "at least one event input")
+    for io_cfg in config.event_inputs:
+        fmt = io_cfg.format if io_cfg.type in ("file", "text") else io_cfg.type
+        check(fmt in _READERS or io_cfg.type in _READERS,
+              f"event input type/format {io_cfg.type}/{io_cfg.format} has a reader")
+        loc = resolve(io_cfg.location)
+        if loc and "://" not in loc:
+            check(os.path.exists(loc), f"event input location exists: {loc}",
+                  fatal=False)
+    for io_cfg in config.event_outputs:
+        fmt = io_cfg.format if io_cfg.type in ("file", "text") else io_cfg.type
+        check(fmt in _WRITERS or io_cfg.type in _WRITERS,
+              f"event output type/format {io_cfg.type}/{io_cfg.format} has a writer")
+    for io_cfg in config.data_inputs + config.data_outputs:
+        loc = resolve(io_cfg.location)
+        if loc and "://" not in loc and not os.path.exists(loc):
+            if args.create:
+                os.makedirs(loc, exist_ok=True)
+                print(f"[ok ] created data location {loc}")
+            else:
+                check(False, f"data location exists: {loc} (--create to make)",
+                      fatal=False)
+        else:
+            check(True, f"data location exists: {loc}")
+        check(io_cfg.file_suffix.startswith(".") or io_cfg.file_suffix == "",
+              f"file_suffix {io_cfg.file_suffix!r} starts with '.'", fatal=False)
+    run_py = os.path.join(args.job_dir or base, "run.py")
+    check(os.path.exists(run_py), f"run.py present at {run_py}")
+    print("verification " + ("passed" if ok else "FAILED"))
+    return 0 if ok else 1
+
+
+def cmd_job_audit(args) -> int:
+    """Run the job's tests with pitfall detectors (klio_spark.audit)."""
+    from klio_spark.audit import run_audit
+    from klio_spark.config import KlioJobConfig
+
+    config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
+    job_dir = args.job_dir or os.path.dirname(os.path.abspath(args.config))
+    results = run_audit(job_dir, config, run_pytest=not args.skip_tests)
+    n_err = n_warn = 0
+    for r in results:
+        for e in r.errors:
+            print(f"[ERR] {r.name}: {e}")
+            n_err += 1
+        for w in r.warnings:
+            print(f"[WRN] {r.name}: {w}")
+            n_warn += 1
+        if not r.errors and not r.warnings:
+            print(f"[ok ] {r.name}")
+    print(f"audit: {n_err} errors, {n_warn} warnings")
+    return 1 if n_err else 0
 
 
 def cmd_job_config(args) -> int:
@@ -202,6 +412,8 @@ def main(argv: list[str] | None = None) -> int:
         ("test", cmd_job_test),
         ("profile", cmd_job_profile),
         ("config", cmd_job_config),
+        ("verify", cmd_job_verify),
+        ("audit", cmd_job_audit),
     ]:
         sp = job.add_parser(name)
         sp.set_defaults(fn=fn)
@@ -214,7 +426,21 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("-O", "--override", action="append", default=[])
         if name == "profile":
             sp.add_argument("--input-file", default=None)
+            sp.add_argument("--what", default="cpu", choices=["cpu", "memory", "wall"])
+            sp.add_argument("--iterations", type=int, default=3)
             sp.add_argument("elements", nargs="*")
+        if name == "verify":
+            sp.add_argument("--create", action="store_true")
+        if name == "audit":
+            sp.add_argument("--skip-tests", action="store_true")
+
+    create = job.add_parser("create")
+    create.set_defaults(fn=cmd_job_create)
+    create.add_argument("job_name")
+    create.add_argument("--project", default="local")
+    create.add_argument("--output", default=None)
+    create.add_argument("--file-suffix", default=".bin")
+    create.add_argument("--force-create", action="store_true")
 
     msg = sub.add_parser("message").add_subparsers(dest="cmd", required=True)
     pub = msg.add_parser("publish")
