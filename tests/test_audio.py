@@ -112,6 +112,34 @@ def test_full_audio_pipeline(spark, audio_store):
     assert joined.count() == 3
 
 
+def test_render_plot_gate_and_roundtrip(spark, audio_store, tmp_path):
+    """Without matplotlib the transform raises NotImplementedError at
+    plan build; WITH it, the PNG render + upload path runs end-to-end —
+    the test adapts to the environment (gate on the import, not a stub)."""
+    from klio_spark.audio import render_plot, upload_plots
+
+    cfg = DataIOConfig(location=audio_store, file_suffix=".wav")
+    df = env.from_elements(spark, ["track-1"])
+    spec = get_spec(get_stft(load_audio(load_binary(df, cfg, spark)),
+                             n_fft=256, hop_length=128))
+    try:
+        import matplotlib  # noqa: F401
+        have_mpl = True
+    except ImportError:
+        have_mpl = False
+
+    if not have_mpl:
+        with pytest.raises(NotImplementedError, match="matplotlib"):
+            render_plot(spec, "spec")
+        return
+
+    rendered = render_plot(spec, "spec")
+    row = rendered.select("element", "plot_png").collect()[0]
+    assert bytes(row.plot_png)[:8] == b"\x89PNG\r\n\x1a\n"
+    upload_plots(rendered, str(tmp_path / "plots"))
+    assert (tmp_path / "plots" / "track-1.png").exists()
+
+
 def test_numpy_dsp_matches_spark_path(spark, audio_store):
     """Differential: the distributed result equals direct numpy on the
     same bytes (FIXTURES.md F6 closeness check)."""
