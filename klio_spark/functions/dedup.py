@@ -119,6 +119,31 @@ def shingle_hashes(text_col: Column, n: int = 3) -> Column:
     return pandas_udf(_sh, "array<long>")(text_col)
 
 
+def shingle_strings(text_col: Column, n: int = 3) -> Column:
+    """Fused tokenize→shingle pass returning the distinct gram STRINGS
+    (ARRAY<STRING>) — same semantics as `shingles` (and the same
+    short-doc rule), but one Arrow-batched pass instead of the
+    interpreted sequence/slice/concat_ws lambda tree. Use when the gram
+    text itself is the output (df tables, n-gram LM features); use
+    shingle_hashes when only identity matters (dedup joins)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sh(texts):
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) >= n:
+                grams = list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            else:
+                grams = [" ".join(toks)]
+            out.append(grams)
+        return pd.Series(out)
+
+    _sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_sh, "array<string>")(text_col)
+
+
 def _minhash_params(num_hashes: int, seed: int = 42):
     import numpy as np
 
@@ -199,6 +224,8 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    bucket_table: str | None = None,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -207,21 +234,35 @@ def minhash_lsh_dedup(
     The self-join carries only (id, band value); shingle arrays rejoin
     just for the verify step, keyed by id.
 
-    Cache lifetime: the shingle-hash intermediate is persist()ed because
-    both the candidate join and the verify rejoin read it; the returned
-    DataFrame is lazy, so the cache cannot be dropped here. Long-lived
-    sessions should ``spark.catalog.clearCache()`` (or unpersist via
-    ``df.sparkSession.catalog``) after materializing the result; at real
-    scale the materialization is a bucketed table, not a cache.
+    Materialization: the shingle-hash intermediate feeds BOTH candidate
+    generation and the verify rejoin, so it must not be recomputed.
+    Two code paths:
+      * default — ``persist()`` (right for corpora that fit cluster
+        memory/disk cache). The returned DataFrame is lazy, so the cache
+        cannot be dropped here; long-lived sessions should
+        ``spark.catalog.clearCache()`` after materializing the result.
+      * ``bucket_table=...`` — the 100 TB path: the intermediate is
+        WRITTEN as a table bucketed+sorted by ``id_col``
+        (``n_buckets``), and both verify joins read it back bucketed, so
+        the big side of each id-keyed join arrives pre-partitioned — no
+        exchange on the corpus side, and the shingle pass runs exactly
+        once regardless of executor cache pressure.
     """
     rows = num_hashes // bands
-    # persist: the shingle-hash arrays feed BOTH candidate generation and
-    # the verify rejoin — without it the tokenize+shingle pass runs twice.
-    # (At 100 TB this materialization is a bucketed table, not a cache.)
-    # Everything downstream operates on 8-byte hashes (shingle_hashes).
-    base = df.select(
+    # everything downstream operates on 8-byte hashes (shingle_hashes)
+    base_plan = df.select(
         F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("_sh")
-    ).persist()
+    )
+    if bucket_table is not None:
+        (
+            base_plan.write.mode("overwrite")
+            .bucketBy(n_buckets, id_col)
+            .sortBy(id_col)
+            .saveAsTable(bucket_table)
+        )
+        base = df.sparkSession.table(bucket_table)
+    else:
+        base = base_plan.persist()
     sig = base.withColumn("_sig", _signature_from_hash_col(F.col("_sh"), num_hashes))
     banded = sig.select(
         id_col,

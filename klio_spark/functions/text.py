@@ -35,6 +35,21 @@ def token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
 
 
+# BPE-ish pre-tokenizer classes (GPT-2-style split, simplified to RE2-safe
+# classes so the identical pattern runs in Spark's codegen AND the DuckDB
+# oracle): letter runs, digit runs, single non-space-non-alnum marks.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE pre-token count — the letters/digits/punctuation
+    split every byte-pair tokenizer applies before merges. Counts the
+    units a real tokenizer would start from (so it upper-bounds and
+    tracks token counts far better than whitespace splitting on
+    punctuation-heavy or code text); runs in whole-stage codegen."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+
+
 def _member_count(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 

@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from klio_spark.queries import (  # noqa: F401
         advanced,
         envelope_ops,
+        extra,
         relational,
         scalars2,
         textops,

@@ -1,0 +1,279 @@
+"""Third tranche of declared queries: cube, range-frame windows, string
+aggregation, correlation/covariance, bigram document frequencies, and
+per-dimension embedding centroids.
+
+Determinism rules as in queries/__init__ — floor-integer sums for
+anything summed across rows, ROUND(6) only for genuinely iterative math
+(corr/covar), BIGINT casts in oracle SQL wherever DuckDB would emit
+HUGEINT/double for integral results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from klio_spark.queries import load, register
+
+
+def _dsum(col, scale: float = 10000.0):
+    return F.sum(F.floor(col * scale)).cast("double") / scale
+
+
+@register(
+    "q32_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="full cube over two dims — like q05's rollup, Spark Expand feeds a "
+    "single hash aggregate: 4 grouping sets in one scan, no re-reads.",
+)
+def q32_cube(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q34_window_range_frame",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT) AS p4
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(p4) OVER (
+                 PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 10000.0 AS rev_30d
+    FROM o
+    """,
+    doc="RANGE window frame (trailing 30 days of revenue per customer): "
+    "value-based frames are order-of-equal-rows insensitive, so the "
+    "result is deterministic even with same-day ties — unlike ROWS "
+    "frames, which q21 covers.",
+)
+def q34_window_range_frame(spark: SparkSession, sf_dir: str):
+    (o,) = load(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.alias("d"))
+        .rangeBetween(-29, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).over(w)
+            .cast("double") / 10000.0
+        ).alias("rev_30d"),
+    )
+
+
+@register(
+    "q48_string_agg",
+    """
+    SELECT r_name,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="string aggregation (listagg shape): sorted pipe-joined member "
+    "names per group — sorted before joining so the string is "
+    "deterministic under any shuffle order.",
+)
+def q48_string_agg(spark: SparkSession, sf_dir: str):
+    n, r = load(spark, sf_dir, "nation", "region")
+    return (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "q49_corr_covar",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="statistical aggregates: Pearson correlation + sample covariance "
+    "(iterative double accumulation → rounded at 6, the standard "
+    "treatment for engine-order-dependent math).",
+)
+def q49_corr_covar(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_covar"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q69_top_bigrams",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+1], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 1, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents)
+    )
+    SELECT gram, df FROM (
+      SELECT gram, COUNT(*) AS df
+      FROM (SELECT unnest(shingles) AS gram FROM sh)
+      GROUP BY gram
+    )
+    ORDER BY df DESC, gram
+    LIMIT 20
+    """,
+    doc="corpus bigram document frequencies, top 20 — the df table behind "
+    "max_df-style cuts (q68) and n-gram LM features; distinct-per-doc "
+    "explode → count, ties broken by gram for a total order.",
+)
+def q69_top_bigrams(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.dedup import shingle_strings
+
+    (d,) = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(shingle_strings(F.col("text"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q76_binary_meta",
+    """
+    WITH b AS (
+      SELECT source,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             sha256(text) AS digest
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           COUNT(DISTINCT digest) AS n_distinct
+    FROM b
+    GROUP BY source
+    """,
+    doc="multimodal-column metadata pass: treat content as an opaque BLOB "
+    "and aggregate typed metadata (byte sizes, distinct digests) per "
+    "source — the schema/partitioning pattern for image/audio/video "
+    "columns where only metadata, never bytes, enters the shuffle "
+    "(functions/multimodal.py is the decode-side twin).",
+)
+def q76_binary_meta(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.length(F.col("text").cast("binary")).alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("digest"),
+    )
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.count_distinct("digest").alias("n_distinct"),
+    )
+
+
+@register(
+    "q77_bpe_token_count",
+    """
+    SELECT lang,
+           CAST(SUM(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_ws_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="BPE-ish pre-token counting (letters/digits/punct split — the "
+    "units a byte-pair tokenizer merges from) next to the whitespace "
+    "count: the budget metric for token-count-based corpus slicing; "
+    "identical RE2-safe pattern on both engines, all codegen.",
+)
+def q77_bpe_token_count(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.text import bpe_token_count, token_count
+
+    (d,) = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.sum(token_count(F.col("text"))).alias("total_ws_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "q75_embedding_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             embedding
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(i - 1 AS INT) AS pos,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM ex
+    GROUP BY 1, 2
+    """,
+    doc="per-label embedding centroids, one row per (label, dimension): "
+    "posexplode → hash agg on (label, pos). Emitting per-dimension rows "
+    "instead of re-assembled arrays keeps the sum floor-integer "
+    "deterministic AND the shuffle payload scalar — the array never "
+    "travels. The training-data use: class prototypes / centroid init.",
+)
+def q75_embedding_centroids(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "_v"))
+        .withColumn("_vd", F.col("_v").cast("double"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("_vd") * 1000000.0).cast("long")).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1))
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

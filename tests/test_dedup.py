@@ -97,6 +97,43 @@ def test_ngram_jaccard_max_df_cut(spark, docs):
         assert v <= base[k] + 1e-12
 
 
+def test_minhash_bucketed_table_path(spark, docs, tmp_path):
+    """The 100 TB materialization path: the shingle intermediate is a
+    bucketed+sorted table, same results as the persist path, and in the
+    sort-merge regime the bucketed plan drops the corpus-side exchanges
+    of the verify joins."""
+    persist_out = sorted(
+        map(tuple, dd.minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.3).collect())
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        bucketed = dd.minhash_lsh_dedup(
+            docs, "text", "doc_id", threshold=0.3,
+            bucket_table="mh_bucket_test", n_buckets=4,
+        )
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") >= 2  # both verify-join reads
+        unbucketed = dd.minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.3)
+        plan2 = unbucketed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") < plan2.count("Exchange")
+        assert sorted(map(tuple, bucketed.collect())) == persist_out
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS mh_bucket_test")
+
+
+def test_shingle_strings_matches_hof_shingles(spark, docs):
+    a = docs.select(
+        "doc_id", F.array_sort(dd.shingles(F.col("text"), 2)).alias("s")
+    ).collect()
+    b = docs.select(
+        "doc_id", F.array_sort(dd.shingle_strings(F.col("text"), 2)).alias("s")
+    ).collect()
+    assert {r.doc_id: r.s for r in a} == {r.doc_id: r.s for r in b}
+
+
 def test_embedding_near_dups_exact_vs_lsh(spark):
     import numpy as np
 

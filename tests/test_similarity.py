@@ -92,6 +92,27 @@ def test_lsh_deterministic(spark, vec_df):
     assert r1 == r2
 
 
+def test_exact_pairs_grouped_matches_blocked(spark, vec_df):
+    """The distributed triangle join (no driver collect, no broadcast)
+    must produce exactly the broadcast twin's pairs and cosines."""
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.exact_pairs_blocked(
+            vec_df, "embedding", "vec_id", threshold=0.3
+        ).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        grouped = {
+            (r.id_a, r.id_b): r.cosine
+            for r in sim.exact_pairs_grouped(
+                vec_df, "embedding", "vec_id", threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert grouped.keys() == blocked.keys(), f"n_blocks={n_blocks}"
+        for k in grouped:
+            assert abs(grouped[k] - blocked[k]) < 1e-9
+
+
 def test_exact_pairs_blocked_matches_bruteforce(spark, vec_df):
     out = sim.exact_pairs_blocked(
         vec_df, "embedding", "vec_id", threshold=0.3

@@ -14,6 +14,15 @@ def test_token_count(spark):
     assert _one(spark, "", tx.token_count(F.col("text"))) == 0
 
 
+def test_bpe_token_count(spark):
+    # "don't stop-me 123x" → don | ' | t | stop | - | me | 123 | x = 8
+    assert _one(spark, "don't stop-me 123x", tx.bpe_token_count(F.col("text"))) == 8
+    # whitespace tokenizer sees only 3 — the BPE-ish count tracks real
+    # tokenizer behavior on punctuation-heavy text
+    assert _one(spark, "don't stop-me 123x", tx.token_count(F.col("text"))) == 3
+    assert _one(spark, "", tx.bpe_token_count(F.col("text"))) == 0
+
+
 def test_tokens_drops_empties(spark):
     toks = _one(spark, "  x  y ", tx.tokens(F.col("text")))
     assert toks == ["x", "y"]
