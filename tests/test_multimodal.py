@@ -37,11 +37,65 @@ def test_fake_decoders_deterministic():
     assert not np.array_equal(img1, mm.fake_image_decode(b"other"))
 
 
-def test_real_decoders_are_gated():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"x")
-    with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"x")
+def test_compressed_formats_are_gated():
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PGM/PPM"):
+            mm.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+    with pytest.raises(NotImplementedError, match="WAV"):
+        mm.decode_audio(b"ID3\x03not-a-wav")
+
+
+def test_ppm_decode_roundtrip():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    out = mm.decode_image(mm.encode_ppm(rgb))
+    assert out.shape == (5, 7, 3)
+    np.testing.assert_allclose(out * 255.0, rgb.astype(np.float32), atol=0.5)
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    out2 = mm.decode_image(mm.encode_ppm(gray))
+    assert out2.shape == (4, 6)
+
+
+def test_pgm_decode_with_comment():
+    raw = b"P5\n# a comment line\n3 2\n255\n" + bytes(range(6))
+    out = mm.decode_image(raw)
+    assert out.shape == (2, 3)
+    np.testing.assert_allclose(out.ravel() * 255.0, np.arange(6), atol=0.5)
+
+
+def test_wav_decode_real():
+    from klio_spark.audio import dsp
+
+    raw = dsp.synth_wav([440.0], duration_s=0.25, sr=8000)
+    y = mm.decode_audio(raw)
+    assert y.shape == (2000,)
+    assert np.abs(y).max() <= 1.0
+
+
+def test_resize_nearest():
+    img = np.arange(16, dtype=np.float32).reshape(4, 4)
+    small = mm.resize_nearest(img, (2, 2))
+    assert small.shape == (2, 2)
+    np.testing.assert_array_equal(small, [[0, 2], [8, 10]])
+    big = mm.resize_nearest(img, (8, 8))
+    assert big.shape == (8, 8)
+
+
+def test_extract_features_real_decoder_with_resize(spark):
+    rng = np.random.default_rng(9)
+    rows = [
+        (f"img{i}", mm.encode_ppm(rng.integers(0, 256, (6 + i, 9, 3), dtype=np.uint8)))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "element string, blob binary")
+    out = mm.extract_features(
+        df, "blob", decoder=mm.decode_image, resize=(4, 4)
+    ).collect()
+    # resize normalizes variable source resolutions to a fixed dim
+    assert all(len(r.features) == 4 * 4 * 3 for r in out)
+    assert "blob" not in out[0].asDict()
 
 
 def test_frame_sample_flatmap_shape(spark, media_df):
