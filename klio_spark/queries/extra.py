@@ -90,6 +90,33 @@ def q34_window_range_frame(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q35_salted_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="skew-resilient salted join, oracle-verified equal to the plain "
+    "join: the fact side gets a deterministic row-hash salt, the dim side "
+    "explodes ×salts, and the shuffle key becomes (key, salt) so one hot "
+    "customer spreads across 8 reducers — the lever for the single-hot-key "
+    "case AQE's skew split can't fix (one key > executor memory).",
+)
+def q35_salted_join(spark: SparkSession, sf_dir: str):
+    from klio_spark.plans.partitioning import salted_join
+
+    c, o = load(spark, sf_dir, "customer", "orders")
+    dim = c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    joined = salted_join(o, dim, "o_custkey", salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
     "q48_string_agg",
     """
     SELECT r_name,

@@ -105,6 +105,23 @@ def write_avro_fallback(df: DataFrame, location: str, *, mode: str = "overwrite"
     ).save()
 
 
+def write_csv(df: DataFrame, cfg: EventIOConfig) -> None:
+    """Envelope scalars (element + routing flags) as CSV with header."""
+    df.select(
+        F.col("element").cast("string"),
+        "version", "force", "ping", "recipients_mode",
+    ).write.option("header", "true").mode(
+        cfg.options.get("mode", "overwrite")
+    ).csv(cfg.location)
+
+
+def write_json(df: DataFrame, cfg: EventIOConfig) -> None:
+    """Full envelope (minus binary payload, carried base64) as JSON lines."""
+    df.withColumn("payload_b64", F.base64("payload")).drop("payload").write.mode(
+        cfg.options.get("mode", "overwrite")
+    ).json(cfg.location)
+
+
 def write_bq_style(df: DataFrame, cfg: EventIOConfig) -> None:
     """payload JSON → typed rows (io.py:370-375). Locally parquet stands in
     for the bigquery connector; schema comes from cfg.options["schema"]."""
@@ -124,6 +141,8 @@ _WRITERS: dict[str, Callable[[DataFrame, EventIOConfig], None]] = {
     "text": write_text,
     "parquet": write_parquet,
     "avro": write_avro,
+    "csv": write_csv,
+    "json": write_json,
     "bq": write_bq_style,
     "bigquery": write_bq_style,
 }

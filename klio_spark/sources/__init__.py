@@ -15,6 +15,8 @@ from klio_spark.config import EventIOConfig
 from klio_spark.sources.batch import (  # noqa: F401
     read_avro,
     read_bq_style,
+    read_csv,
+    read_json,
     read_parquet,
     read_text,
 )
@@ -25,6 +27,8 @@ _READERS: dict[str, Callable[..., DataFrame]] = {
     "text": read_text,
     "avro": read_avro,
     "parquet": read_parquet,
+    "csv": read_csv,
+    "json": read_json,
     "bq": read_bq_style,
     "bigquery": read_bq_style,
     "pubsub": read_stream,

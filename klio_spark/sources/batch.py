@@ -116,6 +116,23 @@ def read_avro_fallback(spark: SparkSession, location: str) -> DataFrame:
     return files.mapInPandas(_decode, schema=spark_schema)
 
 
+def read_csv(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
+    """CSV rows → element-or-JSON (header on by default; any Spark CSV
+    option passes through cfg.options). Not in the reference (Beam had no
+    first-class CSV source) but a day-one need for tabular manifests."""
+    opts = {"header": "true", **{k: str(v) for k, v in cfg.options.items()}}
+    df = spark.read.options(**opts).csv(cfg.location)
+    return _element_or_json(df)
+
+
+def read_json(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
+    """JSON-lines records → element-or-JSON."""
+    df = spark.read.options(
+        **{k: str(v) for k, v in cfg.options.items()}
+    ).json(cfg.location)
+    return _element_or_json(df)
+
+
 def read_bq_style(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
     """BigQuery-style rows → element = single column or JSON of columns.
 

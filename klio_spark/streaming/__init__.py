@@ -219,18 +219,29 @@ def trigger_upstream(
     upstream_job: tuple[str, str],
     current_job: tuple[str, str],
     trigger_available_now: bool = True,
+    wire_format: str = "json",
 ) -> StreamingQuery:
     """Publish missing-input elements to the upstream job's input channel
-    (file-dir stand-in for its Pub/Sub topic). Envelope rides as JSON so
-    the upstream's reader can parse routing columns; publish is
-    idempotent per (element, batchId) via deterministic file naming in
-    foreachBatch."""
+    (file-dir stand-in for its Pub/Sub topic). The envelope rides as JSON
+    wire lines by default; ``wire_format="proto"`` publishes real
+    KlioMessage protobuf (base64 per line) so an *unmodified reference
+    klio job* can be the upstream. Publish is idempotent per (element,
+    batchId) via deterministic file naming in foreachBatch."""
     rewritten = rewrite_for_upstream(not_found, upstream_job, current_job)
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
-        from klio_spark.envelope import to_wire
+        if wire_format == "proto":
+            from klio_spark.envelope import to_proto_wire
 
-        out = to_wire(batch_df).select(F.col("value").cast("string"))
+            # Spark's base64 is MIME-chunked (\r\n every 76 chars) which
+            # would split one message across text lines — strip the breaks
+            out = to_proto_wire(batch_df).select(
+                F.regexp_replace(F.base64(F.col("value")), "[\\r\\n]", "")
+            )
+        else:
+            from klio_spark.envelope import to_wire
+
+            out = to_wire(batch_df).select(F.col("value").cast("string"))
         # one deterministic subdir per batch -> replays overwrite, not dup
         out.write.mode("overwrite").text(f"{upstream_topic_dir}/batch-{batch_id}")
 

@@ -93,3 +93,57 @@ def test_bottom_up_dag(spark, tmp_path):
         line for f in out.glob("part-*") for line in f.read_text().splitlines()
     )
     assert done == ["e2", "e3"]
+
+
+def test_trigger_upstream_proto_wire(spark, tmp_path):
+    """trigger_upstream with wire_format=proto publishes real KlioMessage
+    bytes an unmodified reference job could consume; our proto reader
+    round-trips the routing metadata."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "w.txt").write_text("m1\nm2\n")
+    events = read_event_input(spark, EventIOConfig(type="stream", location=str(src)))
+    topic = tmp_path / "topic-proto"
+    q = st.trigger_upstream(
+        events,
+        str(topic),
+        str(tmp_path / "ckpt-p"),
+        upstream_job=("parent", "proj"),
+        current_job=("child", "proj"),
+        wire_format="proto",
+    )
+    q.awaitTermination(60)
+
+    # the raw lines decode as KlioMessage protobuf with the rewrite applied
+    import base64
+
+    from klio_spark.proto_wire import decode_klio_message
+
+    lines = [
+        line
+        for f in topic.glob("batch-*/part-*")
+        for line in f.read_text().splitlines()
+    ]
+    msgs = {m["element"]: m for m in map(
+        lambda l: decode_klio_message(base64.b64decode(l)), lines
+    )}
+    assert set(msgs) == {"m1", "m2"}
+    assert msgs["m1"]["recipients_mode"] == "limited"
+    assert [j["job_name"] for j in msgs["m1"]["recipients"]] == ["parent", "child"]
+    assert msgs["m1"]["trigger_children_of"]["job_name"] == "child"
+
+    # and the engine's own proto reader consumes the topic
+    back = read_event_input(
+        spark,
+        EventIOConfig(
+            type="stream", location=f"{topic}/batch-*", options={"wire": "proto"}
+        ),
+    )
+    got = []
+    q = st.foreach_batch_sink(
+        back,
+        lambda b, bid: got.extend(r.element for r in b.select("element").collect()),
+        str(tmp_path / "ckpt-pr"),
+    )
+    q.awaitTermination(60)
+    assert sorted(got) == ["m1", "m2"]

@@ -45,6 +45,34 @@ def test_bq_style_sink_unwraps_payload(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "bq")).count() == 2
 
 
+def test_csv_event_roundtrip(spark, tmp_path):
+    from klio_spark.sources import read_event_input
+
+    loc = str(tmp_path / "ev_csv")
+    df = env.from_elements(spark, ["c1", "c2"])
+    write_event_output(df, EventIOConfig(type="file", format="csv", location=loc))
+    back = read_event_input(
+        spark, EventIOConfig(type="file", format="csv", location=loc)
+    )
+    els = sorted(r.element for r in back.collect())
+    assert els == ["c1", "c2"]
+
+
+def test_json_event_roundtrip(spark, tmp_path):
+    from klio_spark.sources import read_event_input
+
+    loc = str(tmp_path / "ev_json")
+    df = env.from_elements(spark, ["j1"]).withColumn(
+        "payload", F.lit(b"\x00\x01")
+    )
+    write_event_output(df, EventIOConfig(type="file", format="json", location=loc))
+    back = read_event_input(
+        spark, EventIOConfig(type="file", format="json", location=loc)
+    )
+    rows = back.collect()
+    assert [r.element for r in rows] == ["j1"]
+
+
 def test_skip_klio_write(spark, tmp_path):
     df = env.from_elements(spark, ["x"])
     cfg = EventIOConfig(
