@@ -337,8 +337,17 @@ def simhash_near_dups(
 
     Pigeonhole: at ≤3 differing bits, at least one of 4 16-bit blocks is
     identical → bucket-join on each block, verify with bit_count(a^b).
+
+    The (id, simhash) projection is persist()ed — 16 bytes/row, the
+    cheapest possible cache — because both sides of the block self-join
+    read it; without the cache the tokenize+hash+vote UDF runs twice
+    over the full corpus. Same lifetime note as minhash_lsh_dedup.
     """
-    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    sh = (
+        simhash(df.select(id_col, text_col), text_col)
+        .select(id_col, "simhash")
+        .persist()
+    )
     blocks = sh.select(
         id_col,
         "simhash",
