@@ -1,0 +1,79 @@
+"""Distributed connected components — the clustering step of near-dup
+deduplication (pairs → duplicate groups → one representative per group).
+
+At 100 TB the near-dup stage emits an edge list (id_a, id_b) that can be
+billions of rows; grouping those edges into components is an iterative
+min-label-propagation fixpoint, the standard Spark formulation (the
+"hash-to-min" scheme of Rastogi et al. '13, also what GraphFrames'
+connectedComponents does under the hood):
+
+  * every node starts labeled with itself;
+  * each round, a node's label becomes the min of its own and its
+    neighbors' labels (one shuffle: edges ⋈ labels, groupBy node, min);
+  * converged when no label changes — O(component diameter) rounds, and
+    near-dup components are shallow (dup clusters are near-cliques), so
+    3-5 rounds in practice.
+
+Each round persists its label table and truncates lineage (the loop would
+otherwise build an O(rounds)-deep plan), and unpersists the previous
+round's — peak storage is 2 label tables of (id, component) longs.
+Driver involvement is ONE count() per round for the convergence check —
+a scalar, not data; the label tables never leave the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Edge list → (id, component) with component = min node id reachable.
+
+    Only nodes that appear in an edge are returned (isolated nodes are
+    their own singleton components by definition; callers that want them
+    can union the complement). The result is materialized (persisted)
+    before return so the iteration scaffolding can be torn down.
+    """
+    # symmetric neighbor view: both directions of every edge
+    fwd = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
+    rev = edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
+    sym = fwd.unionByName(rev).distinct().persist()
+
+    labels = sym.select("id").distinct().withColumn("comp", F.col("id")).persist()
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]  # materializes round 0
+
+    for _ in range(max_iter):
+        # candidate label per node: min over neighbors' current labels
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage; stays executor-side
+        )
+        # labels only ever decrease under min-propagation, so the fixpoint
+        # test is one scalar: sum(comp) unchanged ⟺ no label changed.
+        # (One agg per round instead of a full old⋈new change-count join.)
+        new_sum = new_labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels

@@ -79,6 +79,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         scalars2,
         textops,
+        training,
         vector_ops,
     )
 

@@ -1,0 +1,291 @@
+"""Training-data-pipeline operators beyond the reference (SURVEY §2.9
+extensions): dedup clustering, deterministic dataset splits, repetition
+quality filters, time-series gap-fill, embedding quantization.
+
+These are the ops a 100 TB pretraining corpus pipeline runs after the
+per-document stages: turn near-dup PAIRS into duplicate GROUPS, carve
+stable train/val/test splits, score repetition (Gopher-style quality
+signals), regularize event time series, and compress embeddings for ANN
+serving. Cross-engine determinism follows the package rules (see
+klio_spark.queries module doc): integer outputs wherever possible,
+floor-integerized sums for doubles, identical IEEE expression order on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from klio_spark.functions import dedup as dd
+from klio_spark.functions import text as tx
+from klio_spark.queries import load, register
+
+
+@register(
+    "q57_gap_fill",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour, t.event_type, CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.hour = s.hour AND a.event_type = t.event_type
+    """,
+    doc="time-series gap-fill: dense hourly spine (sequence+explode — the "
+    "generate_series equivalent) × event types, zero-filled where no "
+    "events landed. The spine and type dims are tiny at any corpus size "
+    "(hours × cardinality), so both joins broadcast; the only shuffle is "
+    "the hourly pre-aggregation.",
+)
+def q57_gap_fill(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(agg), ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q78_embedding_quantize",
+    """
+    WITH m AS (
+      SELECT MAX(list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE))))) AS ma
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+               x -> CAST(FLOOR((CAST(x AS DOUBLE) * 127.0) / m.ma) AS BIGINT)
+             )) AS qsum
+      FROM embeddings CROSS JOIN m
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(qsum) AS BIGINT) AS sum_q,
+           CAST(MIN(qsum) AS BIGINT) AS min_q,
+           CAST(MAX(qsum) AS BIGINT) AS max_q
+    FROM q GROUP BY label
+    """,
+    doc="int8 scalar quantization (the ANN-serving compression step): one "
+    "corpus pass finds the global max|x| scale, a second quantizes each "
+    "component to floor(x*127/scale). The scale scalar rides along as a "
+    "broadcast cross join — never a driver collect — and all outputs are "
+    "exact integers (floor of identical IEEE doubles on both engines).",
+)
+def q78_embedding_quantize(spark: SparkSession, sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    ma = emb.select(
+        F.max(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        ).alias("ma")
+    )
+
+    def _qsum(vecs, mas):
+        out = []
+        for v, m in zip(vecs, mas):
+            a = np.asarray(v, dtype=np.float64)
+            out.append(int(np.floor((a * 127.0) / m).sum()))
+        return pd.Series(out)
+
+    _qsum.__annotations__ = {"vecs": pd.Series, "mas": pd.Series, "return": pd.Series}
+    qsum = pandas_udf(_qsum, "long")
+
+    return (
+        emb.crossJoin(F.broadcast(ma))
+        .select("label", qsum(F.col("embedding"), F.col("ma")).alias("qsum"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("qsum").alias("sum_q"),
+            F.min("qsum").alias("min_q"),
+            F.max("qsum").alias("max_q"),
+        )
+    )
+
+
+@register(
+    "q79_repetition_quality",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    per AS (SELECT source, doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+    doc AS (
+      SELECT source, doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS top
+      FROM per GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT source,
+             1.0 - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS dup_frac,
+             CAST(top AS DOUBLE) / CAST(n AS DOUBLE) AS top_frac
+      FROM doc
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(FLOOR(dup_frac * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS sum_dup_frac,
+           CAST(SUM(CAST(FLOOR(top_frac * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS sum_top_frac
+    FROM m GROUP BY source
+    """,
+    doc="Gopher-style repetition signals (Rae et al. '21 §A1.1): per-doc "
+    "duplicate-token fraction and most-common-token fraction, aggregated "
+    "per source. explode→two-level groupBy keeps everything in codegen; "
+    "the shuffle carries (source, doc_id, tok-hash-sized) rows with "
+    "map-side partial counts.",
+)
+def q79_repetition_quality(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    per = toks.groupBy("source", "doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    doc = per.groupBy("source", "doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("top"),
+    )
+    m = doc.select(
+        "source",
+        (F.lit(1.0) - F.col("nd").cast("double") / F.col("n").cast("double")).alias(
+            "dup_frac"
+        ),
+        (F.col("top").cast("double") / F.col("n").cast("double")).alias("top_frac"),
+    )
+
+    def _fsum(col):
+        return F.sum(F.floor(col * 1000000.0)).cast("double") / 1000000.0
+
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _fsum(F.col("dup_frac")).alias("sum_dup_frac"),
+        _fsum(F.col("top_frac")).alias("sum_top_frac"),
+    )
+
+
+# q65's oracle pair pipeline, reused as the edge set for clustering
+_JACCARD_EDGES_CTE = """
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    e AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE inter > 0 AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
+    )
+"""
+
+
+@register(
+    "q85_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_CTE},
+    ed AS (SELECT id_a AS a, id_b AS b FROM e
+           UNION SELECT id_b, id_a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="near-dup pairs → duplicate clusters via distributed connected "
+    "components (min-label propagation, functions/graph.py — the "
+    "hash-to-min scheme). The oracle is a recursive-CTE transitive "
+    "closure over the same Jaccard edge set as q65; Spark's iterative "
+    "fixpoint gets the identical grouping, hash-verified. cluster_id = "
+    "min doc_id in the component (the canonical 'keep' representative).",
+)
+def q85_dedup_clusters(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.graph import connected_components
+
+    (d,) = load(spark, sf_dir, "documents")
+    edges = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3)
+    comp = connected_components(edges, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+@register(
+    "q86_hash_split",
+    """
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM b GROUP BY 1
+    """,
+    doc="deterministic 80/10/10 train/val/test split: bucket = "
+    "md5(id)[:4] mod 100 — stable under reshuffles, re-runs, and corpus "
+    "growth (a doc's split never changes when other docs arrive), the "
+    "property random() splits lack. Pure codegen expression, no shuffle "
+    "beyond the final 3-group agg.",
+)
+def q86_hash_split(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+    )
