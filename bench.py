@@ -27,10 +27,19 @@ def main() -> int:
 
     spark = get_spark("klio-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up: JVM + python worker startup and parquet footer reads land
-    # here instead of inside the first query's timing
+    # warm up: one-time session costs land here instead of inside the
+    # first queries' timings — JVM + codegen, parquet footer reads, the
+    # Python/Arrow UDF worker pool, and the broadcast-exchange machinery
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    _inc = pandas_udf(lambda s: s + 1, "long")
+    _inc.__wrapped__.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    a = spark.range(100).withColumn("v", _inc(F.col("id")))
+    a.join(F.broadcast(spark.range(10)), "id").groupBy().sum("v").collect()
 
     specs = all_queries()
     only = set(sys.argv[1:])

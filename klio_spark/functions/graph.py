@@ -46,8 +46,19 @@ def connected_components(
     rev = edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
     sym = fwd.unionByName(rev).distinct().persist()
 
-    labels = sym.select("id").distinct().withColumn("comp", F.col("id")).persist()
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]  # materializes round 0
+    def _sum(df):
+        # decimal sum: node-id sums can pass int64 range on huge corpora
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    # round 0 fused into initialization: comp = min(id, min neighbor) is
+    # one groupBy over sym — a full propagation round without the
+    # edges⋈labels join the loop rounds pay
+    labels = (
+        sym.groupBy("id")
+        .agg(F.least(F.col("id"), F.min("nbr")).alias("comp"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = _sum(labels)  # materializes the checkpoint too
 
     for _ in range(max_iter):
         # candidate label per node: min over neighbors' current labels
@@ -64,12 +75,16 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage; stays executor-side
+            # truncate lineage each round (else the plan deepens per round
+            # and a cache eviction triggers a recompute cascade); lazy, so
+            # the convergence agg below materializes checkpoint + sum in
+            # ONE job per round
+            .localCheckpoint(eager=False)
         )
         # labels only ever decrease under min-propagation, so the fixpoint
         # test is one scalar: sum(comp) unchanged ⟺ no label changed.
         # (One agg per round instead of a full old⋈new change-count join.)
-        new_sum = new_labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        new_sum = _sum(new_labels)
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
