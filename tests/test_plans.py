@@ -96,3 +96,36 @@ def test_envelope_filters_are_codegen(spark):
     s = plans.plan_str(split.process)
     assert plans.num_shuffles(split.process) == 0
     assert "Filter" in s and "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_q57_gapfill_spine_and_dims_broadcast(spark, sf_dir, specs):
+    """The hour spine and event-type dims are tiny at ANY corpus size, so
+    both gap-fill joins must broadcast — the only real shuffle work is the
+    hourly pre-aggregation (plus the two scalar/dim aggs)."""
+    df = specs["q57_gap_fill"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 2, plans.plan_str(df)[:3000]
+    assert plans.num_shuffles(df) <= 3
+
+
+def test_q86_hash_split_is_single_shuffle(spark, sf_dir, specs):
+    """Deterministic split assignment is pure codegen expression work —
+    the plan is scan → project → partial agg → ONE 3-group exchange."""
+    df = specs["q86_hash_split"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 1, plans.plan_str(df)[:3000]
+
+
+def test_q78_quantize_scale_rides_broadcast(spark, sf_dir, specs):
+    """The global max-abs scale must reach rows as a broadcast scalar —
+    never a driver collect baked into the plan as a literal."""
+    df = specs["q78_embedding_quantize"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.num_shuffles(df) <= 2
+
+
+def test_q79_repetition_aggs_have_partial_combine(spark, sf_dir, specs):
+    """Token-count and doc-rollup aggs keep map-side partial aggregation
+    (the shuffle carries combined counts, not raw token rows)."""
+    df = specs["q79_repetition_quality"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "partial_count" in s or "partial_sum" in s
+    assert plans.num_shuffles(df) <= 3
