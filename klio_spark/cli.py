@@ -10,6 +10,12 @@ Command parity (reference: cli/src/klio_cli/cli.py):
                (StubIOMapper parity, profile.py:60-89) + cProfile around
                the user transform.
   job config   (cli.py:440-499): show the parsed config.
+  job stop     (commands/job/stop.py: Dataflow cancel/drain): stop-marker
+               file in the checkpoint dir; the streaming run loop drains
+               or cancels on sight.
+  job delete   (commands/job/delete.py: delete topics/subs/locations with
+               confirmation): removes the job's event I/O dirs, checkpoint
+               and data outputs; --force skips the dialog.
   message publish (cli.py:89-92, commands/message/publish.py): drop
                elements into a job's file-stream input dir with force/ping
                and top-down/bottom-up routing.
@@ -69,18 +75,35 @@ def cmd_job_run(args) -> int:
     if out.isStreaming:
         # streaming job: checkpointed text sink next to the output location
         # (pipeline_options.streaming_timeout_s bounds the run; unset → run
-        # until stopped, the reference's `streaming: True` default)
+        # until stopped, the reference's `streaming: True` default — a
+        # `job stop` from another process lands as a marker file in the
+        # checkpoint dir, the local stand-in for Dataflow's cancel/drain
+        # API (reference cli job/stop.py JOB_STATE_MAP))
         from klio_spark.streaming import write_stream_text
 
         sink = config.event_outputs[0]
+        ckpt = _checkpoint_dir(config)
         timeout_s = config.pipeline_options.get("streaming_timeout_s")
         q = write_stream_text(
             out,
             sink.location,
-            sink.options.get("checkpoint", sink.location + "_checkpoint"),
+            ckpt,
             trigger_available_now=bool(timeout_s),
         )
-        q.awaitTermination(int(timeout_s) if timeout_s else None)
+        if timeout_s:
+            q.awaitTermination(int(timeout_s))
+            return 0
+        marker = os.path.join(ckpt, "_klio_stop")
+        while q.isActive:
+            q.awaitTermination(2)
+            if os.path.exists(marker):
+                mode = (open(marker).read().strip() or "drain").lower()
+                if mode == "drain":
+                    q.processAllAvailable()  # finish everything already read
+                q.stop()
+                os.remove(marker)  # consumed: the next run starts clean
+                print(f"job {config.job_name} stopped ({mode})")
+                break
         return 0
     if config.event_outputs:
         write_event_output(out, config.event_outputs[0])
@@ -359,6 +382,93 @@ def cmd_job_config(args) -> int:
     return 0
 
 
+def _checkpoint_dir(config) -> str:
+    sink = config.event_outputs[0]
+    return sink.options.get("checkpoint", sink.location + "_checkpoint")
+
+
+def cmd_job_stop(args) -> int:
+    """Signal a running streaming job to stop (reference job/stop.py:
+    Dataflow cancel/drain → here a marker file in the job's checkpoint
+    dir, polled by the `job run` streaming loop).
+
+    drain (default): the job finishes processing everything already read,
+    then exits — no message loss, matches JOB_STATE_DRAINED. cancel:
+    immediate stop, unprocessed batches stay pending in the checkpoint
+    (redelivered on restart), matches JOB_STATE_CANCELLED."""
+    from klio_spark.config import KlioJobConfig
+
+    config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
+    if not config.event_outputs:
+        raise SystemExit("job has no event output — nothing to stop")
+    base = os.path.dirname(os.path.abspath(args.config))
+    ckpt = _checkpoint_dir(config)
+    if not os.path.isabs(ckpt) and "://" not in ckpt:
+        ckpt = os.path.join(base, ckpt)
+    if not os.path.isdir(ckpt):
+        # reference stop.py warns and continues when no active job is found
+        print(f"no running job found for '{config.job_name}' "
+              f"(no checkpoint at {ckpt}); nothing to stop")
+        return 0
+    with open(os.path.join(ckpt, "_klio_stop"), "w") as f:
+        f.write(args.mode)
+    print(f"requested {args.mode} of job {config.job_name}")
+    return 0
+
+
+def cmd_job_delete(args) -> int:
+    """Delete the job's local resources (reference job/delete.py removes
+    topics/subscriptions/locations with per-resource confirmation; here
+    the resources are the event I/O dirs, the checkpoint, and data
+    outputs). A stop marker is written first so a running job drains
+    before its dirs disappear. --force skips the confirmation dialog."""
+    import shutil
+
+    from klio_spark.config import KlioJobConfig
+
+    config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
+    base = os.path.dirname(os.path.abspath(args.config))
+
+    def _abs(loc: str) -> str:
+        if loc and not os.path.isabs(loc) and "://" not in loc:
+            return os.path.join(base, loc)
+        return loc
+
+    resources: list[tuple[str, str]] = []
+    for kind, ios in (
+        ("event input", config.event_inputs),
+        ("event output", config.event_outputs),
+        ("data input", config.data_inputs) if args.all else ("data input", []),
+        ("data output", config.data_outputs),
+    ):
+        for io in ios:
+            if io.location:
+                resources.append((kind, _abs(io.location)))
+    if config.event_outputs:
+        resources.append(("checkpoint", _abs(_checkpoint_dir(config))))
+
+    # drain a still-running job before pulling its dirs out from under it
+    ckpt = _abs(_checkpoint_dir(config)) if config.event_outputs else None
+    if ckpt and os.path.isdir(ckpt):
+        with open(os.path.join(ckpt, "_klio_stop"), "w") as f:
+            f.write("drain")
+
+    deleted = 0
+    for kind, loc in resources:
+        if not os.path.exists(loc):
+            continue
+        if not args.force:
+            answer = input(f"Delete {kind} {loc}? [y/N] ").strip().lower()
+            if answer not in ("y", "yes"):
+                print(f"kept {kind} {loc}")
+                continue
+        shutil.rmtree(loc, ignore_errors=True)
+        print(f"deleted {kind} {loc}")
+        deleted += 1
+    print(f"deleted {deleted} resource(s) for job {config.job_name}")
+    return 0
+
+
 def cmd_message_publish(args) -> int:
     """Write JSON *wire envelopes* into the job's stream-input dir.
 
@@ -414,6 +524,8 @@ def main(argv: list[str] | None = None) -> int:
         ("config", cmd_job_config),
         ("verify", cmd_job_verify),
         ("audit", cmd_job_audit),
+        ("stop", cmd_job_stop),
+        ("delete", cmd_job_delete),
     ]:
         sp = job.add_parser(name)
         sp.set_defaults(fn=fn)
@@ -433,6 +545,12 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--create", action="store_true")
         if name == "audit":
             sp.add_argument("--skip-tests", action="store_true")
+        if name == "stop":
+            sp.add_argument("--mode", default="drain", choices=["drain", "cancel"])
+        if name == "delete":
+            sp.add_argument("--force", action="store_true")
+            sp.add_argument("--all", action="store_true",
+                            help="also delete data INPUT locations")
 
     create = job.add_parser("create")
     create.set_defaults(fn=cmd_job_create)

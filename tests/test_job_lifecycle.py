@@ -88,3 +88,97 @@ def test_run_audit_aggregates(tmp_path):
     names = [r.name for r in results]
     assert names == ["tempfile", "numpy_blas", "threaded_tf", "driver_collect"]
     assert all(not r.errors for r in results)
+
+
+# ---------------------------------------------------------------------------
+# job stop / job delete (reference job/stop.py, job/delete.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def streaming_job(tmp_path):
+    d = tmp_path / "streamjob"
+    d.mkdir()
+    (d / "topic").mkdir()
+    (d / "topic" / "m.txt").write_text("s1\ns2\n")
+    (d / "klio-job.yaml").write_text(
+        f"""
+job_name: streamjob
+project: testproj
+job_config:
+  events:
+    inputs:
+      - type: stream
+        location: {d}/topic
+    outputs:
+      - type: file
+        location: {d}/out
+"""
+    )
+    (d / "run.py").write_text(
+        "def run(df, config):\n    return df\n"
+    )
+    return d
+
+
+def test_stop_drains_running_streaming_job(spark, streaming_job):
+    """`job run` (no timeout → runs forever) + `job stop` from 'another
+    process': the marker drains in-flight work and the run exits 0."""
+    import threading
+    import time
+
+    cfg = str(streaming_job / "klio-job.yaml")
+    rc_box = {}
+
+    def _run():
+        rc_box["rc"] = cli.main(["job", "run", "--config", cfg])
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    ckpt = streaming_job / "out_checkpoint"
+    deadline = time.time() + 90
+    while not ckpt.is_dir() and time.time() < deadline:
+        time.sleep(0.5)
+    assert ckpt.is_dir(), "streaming job never started"
+
+    assert cli.main(["job", "stop", "--config", cfg]) == 0
+    t.join(timeout=90)
+    assert not t.is_alive(), "job did not stop on the drain marker"
+    assert rc_box["rc"] == 0
+    # drain semantics: everything already published made it to the sink
+    out = streaming_job / "out"
+    lines = sorted(
+        line
+        for f in out.glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == ["s1", "s2"]
+    # marker consumed → a restart would not instantly stop
+    assert not (ckpt / "_klio_stop").exists()
+
+
+def test_stop_without_running_job_warns(streaming_job, capsys):
+    cfg = str(streaming_job / "klio-job.yaml")
+    assert cli.main(["job", "stop", "--config", cfg]) == 0
+    assert "no running job" in capsys.readouterr().out
+
+
+def test_delete_removes_resources(streaming_job, capsys):
+    cfg = str(streaming_job / "klio-job.yaml")
+    (streaming_job / "out").mkdir()
+    (streaming_job / "out_checkpoint").mkdir()
+    rc = cli.main(["job", "delete", "--force", "--config", cfg])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert not (streaming_job / "topic").exists()
+    assert not (streaming_job / "out").exists()
+    assert not (streaming_job / "out_checkpoint").exists()
+    assert "deleted 3 resource(s)" in out
+
+
+def test_delete_confirmation_keeps_on_no(streaming_job, capsys, monkeypatch):
+    cfg = str(streaming_job / "klio-job.yaml")
+    monkeypatch.setattr("builtins.input", lambda _: "n")
+    rc = cli.main(["job", "delete", "--config", cfg])
+    assert rc == 0
+    assert (streaming_job / "topic").exists()
+    assert "kept" in capsys.readouterr().out
