@@ -55,6 +55,11 @@ def main() -> int:
         except Exception as e:
             print(f"# ERROR {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # queries are independent: drop persisted intermediates (dedup
+            # caches etc.) so storage from earlier queries can't skew or
+            # starve later ones
+            spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t > 0), 3)
     print(
         json.dumps(

@@ -46,9 +46,22 @@ def connected_components(
     rev = edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
     sym = fwd.unionByName(rev).distinct().persist()
 
+    numeric_ids = dict(edges.dtypes)[src] in (
+        "tinyint", "smallint", "int", "bigint", "decimal(38,0)"
+    )
+
     def _sum(df):
-        # decimal sum: node-id sums can pass int64 range on huge corpora
-        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        if numeric_ids:
+            # decimal sum: node-id sums can pass int64 range on huge corpora
+            return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        # non-numeric ids: fixpoint-test on sum(xxhash64(id, comp)) — any
+        # label change moves the sum except with ~2^-64 hash-sum collision
+        # odds (the same tolerance the dedup operators' 8-byte shingle
+        # hashes accept); an extra no-op round costs one join, never
+        # correctness, since propagation is idempotent at the fixpoint
+        return df.agg(
+            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
 
     # round 0 fused into initialization: comp = min(id, min neighbor) is
     # one groupBy over sym — a full propagation round without the

@@ -67,3 +67,24 @@ def test_docs_dedup_job(spark, tmp_path):
     assert cli.main(["job", "run", "--config", str(job / "klio-job.yaml")]) == 0
     survivors = _lines(job / "output")
     assert survivors == ["d1", "d4"]
+
+
+def test_training_pipeline_job(spark, tmp_path):
+    job = _stage(tmp_path, "training-pipeline")
+    good = "spark shuffles partition data across executors during wide transformations"
+    docs = [
+        ("d1", good),
+        ("d2", good + " efficiently"),  # near dup of d1 -> clustered away
+        ("d3", "spam spam spam spam spam spam spam spam"),  # repetition gate
+        ("d4", "catalyst optimizes logical plans into physical plans lazily"),
+    ]
+    spark.createDataFrame(docs, "element string, text string").write.parquet(
+        str(job / "input")
+    )
+    assert cli.main(["job", "run", "--config", str(job / "klio-job.yaml")]) == 0
+    out = dict(
+        line.split("\t") for line in _lines(job / "output")
+    )
+    # d2 collapsed into d1's cluster, d3 failed the quality gate
+    assert sorted(out) == ["d1", "d4"]
+    assert set(out.values()) <= {"train", "validation", "test"}

@@ -34,3 +34,9 @@ def test_no_driver_data_transfer(spark):
     df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     out = connected_components(df)
     assert out.filter(F.col("comp") == 1).count() == 2
+
+
+def test_string_node_ids(spark):
+    # non-numeric ids: lexicographic min labels, hash-sum fixpoint path
+    got = _comp_map(spark, [("b", "c"), ("a", "b"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
