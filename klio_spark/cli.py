@@ -9,7 +9,10 @@ Command parity (reference: cli/src/klio_cli/cli.py):
   job profile  (exec/cli.py:160-378): stubbed source from --input-file
                (StubIOMapper parity, profile.py:60-89) + cProfile around
                the user transform.
-  job config   (cli.py:440-499): show the parsed config.
+  job config   (cli.py:452-501, job/configuration.py): show the parsed
+               config; get/set/unset dotted-path values with write-back.
+  job deploy   (cli.py:230-297): cancel any running job of the same
+               name, then run.
   job stop     (commands/job/stop.py: Dataflow cancel/drain): stop-marker
                file in the checkpoint dir; the streaming run loop drains
                or cancels on sight.
@@ -372,19 +375,116 @@ def cmd_job_audit(args) -> int:
     return 1 if n_err else 0
 
 
+def _config_path_get(cfg, path: str):
+    """Dotted-path lookup mirroring apply_overrides' addressing (digit
+    indices into lists; dict keys elsewhere)."""
+    cur = cfg
+    for part in path.split("."):
+        if isinstance(cur, list):
+            if not part.isdigit() or int(part) >= len(cur):
+                raise KeyError(path)
+            cur = cur[int(part)]
+        elif isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            raise KeyError(path)
+    return cur
+
+
 def cmd_job_config(args) -> int:
-    from klio_spark.config import KlioJobConfig
+    """show / get / set / unset — reference job/configuration.py:100-146
+    (`klio job config ...`): show dumps the effective config; get prints
+    one dotted-path value as JSON; set assigns dotted paths (the same
+    addressing as --override, incl. <type><n> I/O names) and writes the
+    yaml back after validating; unset deletes a path (missing is a no-op).
+    """
+    import yaml
 
-    config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
-    import dataclasses
+    from klio_spark.config import KlioJobConfig, apply_overrides, preprocess
 
-    print(json.dumps(dataclasses.asdict(config), indent=2, default=str))
+    action = getattr(args, "action", None) or "show"
+    targets = list(getattr(args, "targets", []) or [])
+
+    if action == "show":
+        import dataclasses
+
+        config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
+        print(json.dumps(dataclasses.asdict(config), indent=2, default=str))
+        return 0
+
+    raw = open(args.config).read()
+    if action == "get":
+        if len(targets) != 1:
+            raise SystemExit("usage: job config get <path.to.key>")
+        cfg = preprocess(raw, args.template, args.override)
+        try:
+            print(json.dumps(_config_path_get(cfg, targets[0]), indent=2))
+        except KeyError:
+            raise SystemExit(f"no such config key: {targets[0]}")
+        return 0
+
+    cfg = yaml.safe_load(raw) or {}
+    if action == "set":
+        if not targets or any("=" not in t for t in targets):
+            raise SystemExit("usage: job config set path.to.key=value ...")
+        apply_overrides(cfg, dict(t.split("=", 1) for t in targets))
+        KlioJobConfig.from_dict(cfg)  # validate before writing back
+    elif action == "unset":
+        if len(targets) != 1:
+            raise SystemExit("usage: job config unset <path.to.key>")
+        parts = targets[0].split(".")
+        cur = cfg
+        for part in parts[:-1]:
+            if isinstance(cur, list) and part.isdigit() and int(part) < len(cur):
+                cur = cur[int(part)]
+            elif isinstance(cur, dict) and part in cur:
+                cur = cur[part]
+            else:
+                return 0  # missing path: no-op (glom ignore_missing)
+        if isinstance(cur, dict):
+            cur.pop(parts[-1], None)
+        elif isinstance(cur, list) and parts[-1].isdigit() and int(parts[-1]) < len(cur):
+            cur.pop(int(parts[-1]))
+    else:
+        raise SystemExit(f"unknown config action: {action}")
+    with open(args.config, "w") as f:
+        yaml.dump(cfg, f, default_flow_style=False, sort_keys=False)
     return 0
 
 
 def _checkpoint_dir(config) -> str:
     sink = config.event_outputs[0]
     return sink.options.get("checkpoint", sink.location + "_checkpoint")
+
+
+def cmd_job_deploy(args) -> int:
+    """Cancel any currently running job of the same name, then run —
+    reference `job deploy` (cli.py:230-297; "this will first cancel any
+    currently running job of the same name & region", draining
+    unsupported there, so the pre-stop is a cancel here too)."""
+    from klio_spark.config import KlioJobConfig
+
+    config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
+    if config.event_outputs:
+        base = os.path.dirname(os.path.abspath(args.config))
+        ckpt = _checkpoint_dir(config)
+        if not os.path.isabs(ckpt) and "://" not in ckpt:
+            ckpt = os.path.join(base, ckpt)
+        if os.path.isdir(ckpt):
+            marker = os.path.join(ckpt, "_klio_stop")
+            with open(marker, "w") as f:
+                f.write("cancel")
+            # a running job consumes the marker as it exits; if nothing
+            # was running, clear it so the fresh run doesn't insta-stop
+            for _ in range(60):
+                if not os.path.exists(marker):
+                    break
+                time.sleep(0.5)
+            if os.path.exists(marker):
+                os.remove(marker)
+            else:
+                print(f"cancelled previous run of {config.job_name}")
+    return cmd_job_run(args)
 
 
 def cmd_job_stop(args) -> int:
@@ -517,15 +617,36 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="group", required=True)
 
     job = sub.add_parser("job").add_subparsers(dest="cmd", required=True)
+
+    def _common(sp):
+        sp.add_argument("--config", default="klio-job.yaml")
+        sp.add_argument("--job-dir", default=None)
+        sp.add_argument("-T", "--template", action="append", default=[])
+        sp.add_argument("-O", "--override", action="append", default=[])
+
+    # `job config <show|get|set|unset>` is a sub-group like the
+    # reference's job configuration commands (cli.py:95-105, 452-501);
+    # bare `job config` defaults to show
+    cfg_parent = job.add_parser("config")
+    _common(cfg_parent)
+    cfg_parent.set_defaults(fn=cmd_job_config, action="show", targets=[])
+    cfgp = cfg_parent.add_subparsers(dest="action")
+    for action, nargs in [("show", None), ("get", 1), ("set", "+"), ("unset", 1)]:
+        asp = cfgp.add_parser(action)
+        asp.set_defaults(fn=cmd_job_config, action=action)
+        _common(asp)
+        if nargs:
+            asp.add_argument("targets", nargs=nargs)
+
     for name, fn in [
         ("run", cmd_job_run),
         ("test", cmd_job_test),
         ("profile", cmd_job_profile),
-        ("config", cmd_job_config),
         ("verify", cmd_job_verify),
         ("audit", cmd_job_audit),
         ("stop", cmd_job_stop),
         ("delete", cmd_job_delete),
+        ("deploy", cmd_job_deploy),
     ]:
         sp = job.add_parser(name)
         sp.set_defaults(fn=fn)

@@ -2,6 +2,7 @@
 (reference: cli/src/klio_cli/commands/job/create.py, verify.py;
 exec/src/klio_exec/commands/audit.py + audit_steps/)."""
 
+import json
 import os
 
 import pytest
@@ -182,3 +183,55 @@ def test_delete_confirmation_keeps_on_no(streaming_job, capsys, monkeypatch):
     assert rc == 0
     assert (streaming_job / "topic").exists()
     assert "kept" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# job config get/set/unset (reference job/configuration.py) + job deploy
+# ---------------------------------------------------------------------------
+
+def test_config_get_set_unset_roundtrip(created_job, capsys):
+    cfg = str(created_job / "klio-job.yaml")
+    # get a nested value
+    assert cli.main(["job", "config", "get", "--config", cfg, "job_name"]) == 0
+    assert json.loads(capsys.readouterr().out) == "scaffjob"
+    # set writes back (and validates first)
+    assert cli.main([
+        "job", "config", "set", "--config", cfg,
+        "job_config.my_flag=42", "job_config.events.inputs.0.location=elsewhere",
+    ]) == 0
+    text = (created_job / "klio-job.yaml").read_text()
+    assert "my_flag" in text and "elsewhere" in text
+    assert cli.main(["job", "config", "get", "--config", cfg,
+                     "job_config.my_flag"]) == 0
+    assert json.loads(capsys.readouterr().out) == "42"
+    # unset removes; unset of a missing path is a no-op
+    assert cli.main(["job", "config", "unset", "--config", cfg,
+                     "job_config.my_flag"]) == 0
+    assert "my_flag" not in (created_job / "klio-job.yaml").read_text()
+    assert cli.main(["job", "config", "unset", "--config", cfg,
+                     "job_config.nope.deep"]) == 0
+
+
+def test_config_get_missing_key_fails(created_job):
+    cfg = str(created_job / "klio-job.yaml")
+    with pytest.raises(SystemExit):
+        cli.main(["job", "config", "get", "--config", cfg, "definitely.not.there"])
+
+
+def test_deploy_clears_stale_marker_and_runs(spark, streaming_job):
+    """deploy with a leftover checkpoint but no live job: the cancel
+    marker is written, found unconsumed, cleared, and the new run
+    processes the topic (bounded by streaming_timeout_s)."""
+    cfg = str(streaming_job / "klio-job.yaml")
+    assert cli.main(["job", "config", "set", "--config", cfg,
+                     "pipeline_options.streaming_timeout_s=20"]) == 0
+    ckpt = streaming_job / "out_checkpoint"
+    ckpt.mkdir()
+    assert cli.main(["job", "deploy", "--config", cfg]) == 0
+    # marker was written and cleared (no running job consumed it)
+    assert not (ckpt / "_klio_stop").exists()
+    out = streaming_job / "out"
+    lines = sorted(
+        line for f in out.glob("part-*") for line in f.read_text().splitlines()
+    )
+    assert lines == ["s1", "s2"]
