@@ -116,6 +116,35 @@ def _kmeans_centroids(
     return c
 
 
+def _assign_udf(cents: np.ndarray):
+    """pandas UDF: vector → nearest-centroid list id (spherical argmax)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _assign(v):
+        mm = np.stack(v.to_numpy()).astype(np.float64)
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mm @ cents.T).argmax(axis=1).astype(np.int32))
+
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, "int")
+
+
+def _probes_udf(cents: np.ndarray, n_probe: int):
+    """pandas UDF: vector → its n_probe closest centroid list ids."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _probes(v):
+        mm = np.stack(v.to_numpy()).astype(np.float64)
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mm @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    _probes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_probes, "array<int>")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -138,29 +167,11 @@ def ivf_topk(
     tunes via n_probe. Complements SRP-LSH: IVF adapts to the data
     distribution, LSH is data-independent.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     samp = corpus.select(vec_col).limit(sample).collect()
     m = np.stack([np.asarray(r[0], dtype=np.float64) for r in samp])
     cents = _kmeans_centroids(m, n_lists, seed=seed)
-
-    def _assign(v):
-        mm = np.stack(v.to_numpy()).astype(np.float64)
-        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mm @ cents.T).argmax(axis=1).astype(np.int32))
-
-    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    assign_udf = pandas_udf(_assign, "int")
-
-    def _probes(v):
-        mm = np.stack(v.to_numpy()).astype(np.float64)
-        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(mm @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
-
-    _probes.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    probes_udf = pandas_udf(_probes, "array<int>")
+    assign_udf = _assign_udf(cents)
+    probes_udf = _probes_udf(cents, n_probe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -172,6 +183,105 @@ def ivf_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             F.explode(probes_udf(F.col(vec_col))).alias("_list"),
+        )
+    )
+    cand = q.join(c, "_list").withColumn(
+        "cosine", cosine_sim(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    sample: int = 2048,
+    seed: int = 42,
+) -> None:
+    """Materialize an IVF index: build once, query many.
+
+    Writes two artifacts:
+      * ``index_path`` — the corpus PARTITIONED BY its coarse list id
+        (``_list``), so at rest each inverted list is its own partition
+        directory. A probe of n_probe lists reads n_probe/n_lists of the
+        bytes — partition pruning, not a filter after a full scan.
+      * ``index_path + "_centroids"`` — the n_lists centroid vectors
+        (tiny: n_lists × dim doubles).
+
+    This is the serving-path counterpart of the ad-hoc ``ivf_topk``
+    (which re-trains and re-assigns per call — right for one-shot
+    analytics, wasteful for repeated querying). Centroid training uses
+    the same bounded deterministic sample, so for equal (sample, seed,
+    n_lists) the two paths return identical neighbors.
+    """
+    samp = corpus.select(vec_col).limit(sample).collect()
+    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in samp])
+    cents = _kmeans_centroids(m, n_lists, seed=seed)
+    spark = corpus.sparkSession
+
+    assign_udf = _assign_udf(cents)
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), assign_udf(F.col(vec_col)).alias("_list")
+        )
+        .write.mode("overwrite")
+        .partitionBy("_list")
+        .parquet(index_path)
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(index_path + "_centroids")
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over a prebuilt IVF index (see build_ivf_index).
+
+    The probe-list join keys on the index's PARTITION column, and the
+    union of probed lists (a set of ≤ n_lists ints, computed up front
+    from the query batch) becomes a STATIC partition filter — the scan
+    provably opens only the probed list directories, no reliance on
+    runtime dynamic pruning. Driver traffic is bounded by n_lists twice
+    (centroid read + probed-list set), never by corpus or query size."""
+    spark = queries.sparkSession
+    crows = spark.read.parquet(index_path + "_centroids").collect()
+    cents = np.stack(
+        [np.asarray(r.centroid, dtype=np.float64) for r in sorted(crows, key=lambda r: r.list_id)]
+    )
+    n_probe = min(n_probe, len(cents))
+
+    probes_udf = _probes_udf(cents, n_probe)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probes_udf(F.col(vec_col))).alias("_list"),
+        )
+    ).persist()
+    probed = [r[0] for r in q.select("_list").distinct().collect()]
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("_list").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col("_list"),
         )
     )
     cand = q.join(c, "_list").withColumn(

@@ -132,3 +132,37 @@ def test_exact_pairs_blocked_matches_bruteforce(spark, vec_df):
     assert got.keys() == expect.keys()
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-9
+
+
+def test_ivf_index_build_query_matches_adhoc(spark, vec_df, tmp_path):
+    """build-once/query-many path returns exactly what the ad-hoc path
+    does for equal (sample, seed, n_lists) — same centroids, same probes."""
+    queries = vec_df.filter(F.col("vec_id") < 5)
+    corpus = vec_df.filter(F.col("vec_id") >= 5)
+    idx = str(tmp_path / "ivf_index")
+    sim.build_ivf_index(corpus, idx, n_lists=8)
+    indexed = sim.ivf_topk_indexed(queries, idx, k=3, n_probe=4)
+    adhoc = sim.ivf_topk(queries, corpus, k=3, n_lists=8, n_probe=4)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, adhoc.collect())
+    )
+
+
+def test_ivf_index_is_partitioned_by_list(spark, vec_df, tmp_path):
+    """the at-rest layout IS the inverted file: one partition dir per
+    list, so probing reads n_probe/n_lists of the bytes."""
+    import pathlib
+
+    corpus = vec_df.filter(F.col("vec_id") >= 5)
+    idx = str(tmp_path / "ivf_index2")
+    sim.build_ivf_index(corpus, idx, n_lists=8)
+    part_dirs = {p.name for p in pathlib.Path(idx).iterdir() if p.name.startswith("_list=")}
+    assert len(part_dirs) >= 2  # corpus actually spread over lists
+    # and the probed-list set is a STATIC partition filter on the scan:
+    # executors open only the probed directories
+    out = sim.ivf_topk_indexed(vec_df.limit(2), idx, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in line and "_list" in line and " IN (" in line
+        for line in plan.splitlines()
+    ), plan[:2000]
