@@ -40,3 +40,39 @@ def test_string_node_ids(spark):
     # non-numeric ids: lexicographic min labels, hash-sum fixpoint path
     got = _comp_map(spark, [("b", "c"), ("a", "b"), ("x", "y")])
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Differential: min-label propagation vs a pure-Python union-find on
+    random edge lists (fixed seeds — each case is a full Spark fixpoint)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # expected component label = min member id, only for nodes in edges
+        touched = {v for e in edges for v in e}
+        roots = {v: find(v) for v in touched}
+        min_per_root = {}
+        for v, r in roots.items():
+            min_per_root[r] = min(min_per_root.get(r, v), v)
+        expected = {v: min_per_root[roots[v]] for v in touched}
+
+        assert _comp_map(spark, edges) == expected, f"seed {seed}"
