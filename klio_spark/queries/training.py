@@ -1,6 +1,8 @@
 """Training-data-pipeline operators beyond the reference (SURVEY §2.9
 extensions): dedup clustering, deterministic dataset splits, repetition
-quality filters, time-series gap-fill, embedding quantization.
+quality filters, time-series gap-fill, embedding quantization,
+benchmark-contamination detection, stratified sampling, per-source heavy
+hitters, sequence packing, passage-level dedup, domain mixture weights.
 
 These are the ops a 100 TB pretraining corpus pipeline runs after the
 per-document stages: turn near-dup PAIRS into duplicate GROUPS, carve
@@ -249,6 +251,319 @@ def q85_dedup_clusters(spark: SparkSession, sf_dir: str):
     edges = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3)
     comp = connected_components(edges, "id_a", "id_b")
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+# shared DuckDB CTE: per-doc distinct 3-gram shingle lists (q65's oracle
+# shingler — proven to match shingle_hashes counts)
+_SHINGLE_CTE = """
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents)
+    )
+"""
+
+
+@register(
+    "q87_contamination",
+    f"""
+    WITH {_SHINGLE_CTE},
+    ev AS (SELECT list(DISTINCT s) AS evs
+           FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0)),
+    per AS (
+      SELECT source, len(shingles) AS n_sh,
+             len(list_filter(shingles, x -> list_contains(evs, x))) AS n_hit
+      FROM sh CROSS JOIN ev WHERE doc_id % 97 != 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN 2 * n_hit >= n_sh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(n_hit) AS BIGINT) AS sum_hits
+    FROM per GROUP BY source
+    """,
+    doc="benchmark-contamination detection: the eval set (doc_id % 97 = 0 "
+    "stands in for a held-out benchmark) contributes a distinct-shingle "
+    "set; every training doc is scored by how many of its 3-gram shingles "
+    "appear in it (contaminated at ≥50% overlap). The eval shingle set is "
+    "tiny relative to any corpus — benchmarks are KBs, corpora are TBs — "
+    "so it BROADCASTS and the corpus-side probe is a map-side hash join "
+    "on 8-byte shingle hashes: one corpus scan, no self-join, no shuffle "
+    "of document text.",
+)
+def q87_contamination(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", dd.shingle_hashes(F.col("text"), 3).alias("_sh")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("_sh").alias("_s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    docs = corpus.select("doc_id", "source", F.size("_sh").alias("n_sh"))
+    hits = (
+        corpus.select("doc_id", F.explode("_sh").alias("_s"))
+        .join(F.broadcast(ev), "_s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per = docs.join(hits, "doc_id", "left").withColumn(
+        "n_hit", F.coalesce(F.col("n_hit"), F.lit(0))
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(2 * F.col("n_hit") >= F.col("n_sh"), 1).otherwise(0)
+        ).cast("bigint").alias("n_contaminated"),
+        F.sum("n_hit").cast("bigint").alias("sum_hits"),
+    )
+
+
+@register(
+    "q88_stratified_sample",
+    """
+    WITH b AS (
+      SELECT source, doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS bucket,
+             25 + (CAST(substring(source, 4) AS BIGINT) * 7) % 71 AS rate_pct
+      FROM documents
+    )
+    SELECT source, CAST(MIN(rate_pct) AS BIGINT) AS rate_pct,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate_pct THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sum_kept_ids
+    FROM b GROUP BY source
+    """,
+    doc="stratified per-source downsampling with deterministic hash "
+    "gating: each source gets its own keep-rate (derived here from the "
+    "source id; in production a dimension table) and a doc is kept iff "
+    "md5(doc_id)-bucket < rate — the q86 split trick, so membership is "
+    "stable under reshuffles and corpus growth. Pure codegen row "
+    "expressions + one agg shuffle; at 100 TB the rates dim joins as a "
+    "broadcast.",
+)
+def q88_stratified_sample(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = (
+        F.lit(25) + (F.substring("source", 4, 10).cast("bigint") * 7) % 71
+    ).cast("bigint")
+    b = d.select(
+        "source", "doc_id", bucket.alias("bucket"), rate.alias("rate_pct")
+    )
+    kept = F.col("bucket") < F.col("rate_pct")
+    return b.groupBy("source").agg(
+        F.min("rate_pct").alias("rate_pct"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_kept_ids"),
+    )
+
+
+@register(
+    "q89_heavy_hitters",
+    """
+    WITH t AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    r AS (SELECT source, tok, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, tok ASC) AS rank
+          FROM c)
+    SELECT source, CAST(rank AS BIGINT) AS rank, tok, CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rank <= 5
+    """,
+    doc="per-source heavy hitters (top-5 tokens, count-desc/token-asc "
+    "deterministic tie-break): explode → two-level hash agg (map-side "
+    "partial combine does the heavy lifting — the shuffle carries one row "
+    "per (source, distinct token), not per occurrence) → per-source "
+    "row_number window, which Spark executes as WindowGroupLimit: the "
+    "top-k is pre-filtered before the window sort shuffle.",
+)
+def q89_heavy_hitters(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    (d,) = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    c = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "tok", "cnt")
+    )
+
+
+@register(
+    "q90_sequence_packing",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+               AS nt
+      FROM documents
+    ),
+    w AS (
+      SELECT source, doc_id, nt,
+             SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    )
+    SELECT source, CAST((cum - nt) // 512 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS pack_tokens
+    FROM w GROUP BY 1, 2
+    """,
+    doc="sequence packing (the pre-tokenization sharding step: fill "
+    "512-token packs with whole documents in deterministic doc_id order): "
+    "a per-source running token sum assigns pack_id = tokens-before // "
+    "budget — greedy first-fit in one window pass, no iteration. The "
+    "window sorts WITHIN each source partition only; at 100 TB packing "
+    "is per-shard by construction, so the sort never sees the whole "
+    "corpus and the plan is one shuffle (partitionBy source) + one agg.",
+)
+def q90_sequence_packing(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", F.size(tx.tokens(F.col("text"))).alias("nt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn("cum", F.sum("nt").over(w)).withColumn(
+        "pack_id", F.expr("(cum - nt) div 512").cast("bigint")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@register(
+    "q91_passage_dedup",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+               AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT source, doc_id,
+             unnest([array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ')
+                     FOR i IN range(1, len(toks) // 8 + 1)]) AS chunk
+      FROM t
+    ),
+    g AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chunk)
+    SELECT ch.source, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN g.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks
+    FROM ch JOIN g USING (chunk)
+    GROUP BY ch.source
+    """,
+    doc="passage-level exact dedup (sub-document granularity — the level "
+    "where boilerplate and quoted passages recur even when whole docs "
+    "differ): docs are cut into non-overlapping 8-token chunks, each "
+    "hashed to 8 bytes JVM-side (xxhash64 — the shuffle carries hashes, "
+    "never passage text), and a chunk occurring in ≥2 distinct docs "
+    "corpus-wide counts as a duplicated passage. Two hash-agg shuffles "
+    "on 8-byte keys; both get map-side partial aggregation.",
+)
+def q91_passage_dedup(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    nch = F.expr("size(_toks) div 8")
+    chunks = F.when(
+        nch >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nch),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("_toks"), (i - 1) * 8 + 1, 8))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ch = (
+        d.select("source", "doc_id", toks.alias("_toks"))
+        .select("source", "doc_id", F.explode(chunks).alias("chash"))
+    )
+    g = ch.groupBy("chash").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        ch.join(g, "chash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
+@register(
+    "q92_domain_mixture",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x != ''))) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total,
+                 COUNT(*) AS n_src FROM s)
+    SELECT source, n_docs, src_tokens,
+           CAST(total AS DOUBLE) / CAST(n_src * src_tokens AS DOUBLE)
+             AS mix_weight
+    FROM s CROSS JOIN t
+    """,
+    doc="domain-mixture reweighting: per-source sampling weight that "
+    "equalizes token share (weight = uniform-target-share / actual-share "
+    "= total/(n_sources·src_tokens)) — the knob pretraining recipes turn "
+    "to up/down-weight web vs books vs code. One corpus agg; the totals "
+    "row rides along as a broadcast cross join; the single IEEE division "
+    "on identical integer operands is bit-stable across engines.",
+)
+def q92_domain_mixture(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tx.tokens(F.col("text")))).cast("bigint").alias("src_tokens"),
+    )
+    t = s.agg(
+        F.sum("src_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        (
+            F.col("total").cast("double")
+            / (F.col("n_src") * F.col("src_tokens")).cast("double")
+        ).alias("mix_weight"),
+    )
 
 
 @register(
