@@ -129,3 +129,54 @@ def test_q79_repetition_aggs_have_partial_combine(spark, sf_dir, specs):
     s = plans.plan_str(df)
     assert "partial_count" in s or "partial_sum" in s
     assert plans.num_shuffles(df) <= 3
+
+
+def test_q87_eval_set_is_broadcast(spark, sf_dir, specs):
+    """Contamination probe: the eval shingle set (KBs vs a TB corpus)
+    must reach the corpus side as a broadcast hash join — the corpus is
+    scanned once and never self-joined or shuffled by text."""
+    df = specs["q87_contamination"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1, plans.plan_str(df)[:3000]
+
+
+def test_q88_stratified_sample_is_single_shuffle(spark, sf_dir, specs):
+    """Rate derivation + hash gating are pure row expressions; the only
+    exchange is the final per-source agg."""
+    df = specs["q88_stratified_sample"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 1, plans.plan_str(df)[:3000]
+
+
+def test_q89_heavy_hitters_topk_uses_window_group_limit(spark, sf_dir, specs):
+    """rank<=5 over (source ordered by cnt) must rewrite to
+    WindowGroupLimit so each partition pre-filters its top-k before the
+    window sort — and the token agg keeps map-side partial combine."""
+    df = specs["q89_heavy_hitters"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "WindowGroupLimit" in s, s[:2000]
+    assert "partial_count" in s
+
+
+def test_q90_packing_agg_reuses_window_partitioning(spark, sf_dir, specs):
+    """The running-sum window hash-partitions by source; the following
+    (source, pack_id) agg's clustered-distribution requirement is
+    satisfied by that same partitioning — ONE shuffle total, the plan a
+    1000-executor packing job needs."""
+    df = specs["q90_sequence_packing"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 1, plans.plan_str(df)[:3000]
+
+
+def test_q91_passage_dedup_shuffles_hashes_not_text(spark, sf_dir, specs):
+    """Chunks are xxhash64'd to 8 bytes JVM-side before any exchange —
+    no plan node carries passage text across the wire, and the
+    recurrence agg has map-side partial combine."""
+    df = specs["q91_passage_dedup"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "hashpartitioning(chash" in s, s[:3000]
+    assert "partial_count" in s
+
+
+def test_q92_mixture_totals_ride_broadcast(spark, sf_dir, specs):
+    """The corpus-total row joins back to per-source rows as a broadcast
+    nested loop — never a driver collect baked in as a literal."""
+    df = specs["q92_domain_mixture"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1, plans.plan_str(df)[:3000]
