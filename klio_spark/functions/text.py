@@ -127,3 +127,36 @@ def fingerprint(text: Column) -> Column:
         F.array_distinct(tokens(F.lower(F.regexp_replace(text, r"[^\w\s]", " "))))
     )
     return F.md5(F.concat_ws(" ", norm))
+
+
+# PII patterns, applied in this order (email before phone so a digit run
+# inside a local-part is consumed as email first; SSN before phone so
+# ddd-dd-dddd is not half-eaten by the phone pattern). Every pattern is
+# RE2-safe — identical semantics under Java regex (Spark codegen) and
+# RE2 (the DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrence count per PII class (leftmost non-overlapping matches —
+    the count regexp_replace would substitute). Pure codegen."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its class tag (<EMAIL>, <IP>, <SSN>,
+    <PHONE>), in PII_PATTERNS order. The scrub every training-data
+    pipeline runs before text leaves quarantine; all JVM-side regexp —
+    no Python, no shuffle, runs inside whole-stage codegen."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

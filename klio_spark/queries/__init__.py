@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # import side-effect populates the registry
     from klio_spark.queries import (  # noqa: F401
         advanced,
+        curation,
         envelope_ops,
         extra,
         relational,

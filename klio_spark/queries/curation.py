@@ -1,0 +1,361 @@
+"""Corpus-curation operators: PII redaction, quality-filter chains,
+sliding-window chunking, LM rarity scoring, TF-IDF salient terms.
+
+The document-level stages a pretraining pipeline runs between raw crawl
+and tokenization: scrub PII, drop junk docs with an auditable reason,
+cut long docs into model-window chunks, score rarity against a corpus
+language model (the CCNet trick, with a unigram stand-in), and surface
+each source's distinctive vocabulary. All pure Catalyst expressions —
+the only Python is plan construction.
+
+Cross-engine determinism (see klio_spark.queries module doc): ratio
+thresholds are integer cross-multiplications (50*n_stop < n_tokens, not
+n_stop/n_tokens < 0.02); log weights are integerized per DISTINCT token
+(floor at 1e6) before any per-doc multiply/sum, so every aggregate is
+exact integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from klio_spark.functions import text as tx
+from klio_spark.queries import load, register
+
+# Deterministic pseudo-PII injection: the synthetic corpus is PII-free
+# word salad, so a redaction query over raw text would verify nothing
+# but zeros. Both engines append the same markers to the same docs
+# (keyed on doc_id), so every count and redacted-length below is a real
+# differential check of the regex machinery.
+_EMAIL_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'"
+)
+_PHONE_SQL = "' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+
+@register(
+    "q93_pii_redaction",
+    f"""
+    WITH aug AS (
+      SELECT source,
+             text || CASE WHEN doc_id % 5 = 0 THEN {_EMAIL_SQL} ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN {_PHONE_SQL} ELSE '' END
+               AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT source,
+             LEN(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+             LEN(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS n_phone,
+             LENGTH(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                     '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                     '<IP>', 'g'),
+                   '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+                 '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')) AS red_len
+      FROM aug
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(red_len) AS BIGINT) AS sum_redacted_chars
+    FROM red GROUP BY source
+    """,
+    doc="PII redaction (functions/text.redact_pii: email/IP/SSN/phone "
+    "class tags, fixed pattern order): per-source counts of scrubbed "
+    "items plus redacted-text length as the differential signal. The "
+    "corpus is synthetic word salad, so deterministic pseudo-PII markers "
+    "are injected keyed on doc_id — identically on both engines — to "
+    "exercise every pattern. All JVM regexp in one codegen stage; the "
+    "single shuffle is the per-source agg of four integers.",
+)
+def q93_pii_redaction(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("source", aug.alias("t"))
+    counts = tx.pii_counts(F.col("t"))
+    red = t.select(
+        "source",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        F.length(tx.redact_pii(F.col("t"))).alias("red_len"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum("red_len").cast("bigint").alias("sum_redacted_chars"),
+    )
+
+
+@register(
+    "q94_quality_filter",
+    """
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '')) AS nt,
+             len(list_distinct(list_filter(string_split_regex(lower(text),
+                             '\\s+'), x -> x != ''))) AS nd,
+             LEN(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                 t -> list_contains(['the','a','an','of','and','or','to',
+                                     'in','is','it'], t))) AS n_stop
+      FROM documents
+    ),
+    v AS (
+      SELECT source, nt,
+             CASE WHEN nt < 30 THEN 'too_short'
+                  WHEN nt > 85 THEN 'too_long'
+                  WHEN 50 * n_stop < nt THEN 'no_stopwords'
+                  WHEN 100 * nd < 35 * nt THEN 'repetitive'
+                  ELSE 'kept' END AS verdict
+      FROM t
+    )
+    SELECT source, verdict, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens
+    FROM v GROUP BY source, verdict
+    """,
+    doc="C4/Gopher-style quality-filter chain with auditable drop "
+    "reasons: length bounds, stopword floor, distinct-token repetition "
+    "cut — first failing rule wins, so every doc lands in exactly one "
+    "verdict bucket and the per-source kept/dropped ledger is "
+    "reconstructible. Thresholds are integer cross-multiplications "
+    "(50*n_stop < nt, 100*nd < 35*nt), never float ratios. One codegen "
+    "scan + one agg shuffle of integers.",
+)
+def q94_quality_filter(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    t = d.select(
+        "source",
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.size(
+            F.filter(toks, lambda x: x.isin(*tx.EN_STOPWORDS))
+        ).alias("n_stop"),
+    )
+    verdict = (
+        F.when(F.col("nt") < 30, "too_short")
+        .when(F.col("nt") > 85, "too_long")
+        .when(50 * F.col("n_stop") < F.col("nt"), "no_stopwords")
+        .when(100 * F.col("nd") < 35 * F.col("nt"), "repetitive")
+        .otherwise("kept")
+    )
+    return (
+        t.select("source", "nt", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+@register(
+    "q95_doc_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '')) AS nt
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, nt, unnest(range(1, nt + 1, 16)) AS start
+      FROM t WHERE nt > 0
+    )
+    SELECT doc_id, source, CAST(MIN(nt) AS BIGINT) AS nt,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(LEAST(32, nt - start + 1)) AS BIGINT) AS sum_chunk_tokens,
+           CAST(SUM(CASE WHEN nt - start + 1 >= 32 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full
+    FROM ch GROUP BY doc_id, source
+    """,
+    doc="sliding-window chunking (window 32 tokens, stride 16 — the "
+    "context-window carve-up step before tokenization): chunk starts are "
+    "generated with sequence()+explode and each chunk reports its clipped "
+    "length, so downstream token budgets are exact. The explode fans out "
+    "~nt/stride small integer rows per doc — never the text itself — and "
+    "collapses in the same stage's hash agg keyed by doc_id.",
+)
+def q95_doc_chunking(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tx.tokens(F.lower(F.col("text")))).alias("nt")
+    ).filter(F.col("nt") > 0)
+    ch = t.select(
+        "doc_id",
+        "source",
+        "nt",
+        F.explode(F.sequence(F.lit(1), F.col("nt"), F.lit(16))).alias("start"),
+    )
+    clen = F.least(F.lit(32), F.col("nt") - F.col("start") + 1)
+    return ch.groupBy("doc_id", "source").agg(
+        F.min("nt").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(clen).cast("bigint").alias("sum_chunk_tokens"),
+        F.sum((F.col("nt") - F.col("start") + 1 >= 32).cast("int"))
+        .cast("bigint")
+        .alias("n_full"),
+    )
+
+
+@register(
+    "q96_lm_rarity_score",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    dc AS (SELECT source, doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+    vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cnt FROM dc GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    w AS (
+      SELECT tok,
+             CAST(FLOOR(1000000.0 *
+                  ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT)
+               AS iw
+      FROM vocab CROSS JOIN tot
+    ),
+    per AS (
+      SELECT dc.source, dc.doc_id,
+             CAST(SUM(dc.c * w.iw) AS BIGINT) AS s,
+             CAST(SUM(dc.c) AS BIGINT) AS nt
+      FROM dc JOIN w USING (tok)
+      GROUP BY 1, 2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS sum_ilogp,
+           CAST(SUM(s // nt) AS BIGINT) AS sum_avg_ilogp
+    FROM per GROUP BY source
+    """,
+    doc="LM rarity scoring (CCNet-style quality signal, unigram LM "
+    "stand-in): every token's -ln p under the corpus unigram model, "
+    "integerized at 1e6 per DISTINCT vocab entry — so per-doc sums are "
+    "exact integer arithmetic regardless of token order or partition "
+    "count. The vocab+weight table is tiny at any corpus size (it grows "
+    "with the lexicon, not the corpus) and joins back as a BROADCAST; "
+    "the corpus-side plan is explode → two hash aggs with map-side "
+    "partial combine.",
+)
+def q96_lm_rarity_score(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    dc = t.groupBy("source", "doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dc.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(F.col("total").cast("double") / F.col("cnt").cast("double"))
+        )
+        .cast("bigint")
+        .alias("iw"),
+    )
+    per = (
+        dc.join(F.broadcast(w), "tok")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("iw")).cast("bigint").alias("s"),
+            F.sum("c").cast("bigint").alias("nt"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("s").cast("bigint").alias("sum_ilogp"),
+        F.sum(F.expr("s div nt")).cast("bigint").alias("sum_avg_ilogp"),
+    )
+
+
+@register(
+    "q97_tfidf_top_terms",
+    """
+    WITH t AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(*) AS df FROM c GROUP BY tok),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM c),
+    w AS (
+      SELECT tok,
+             CAST(FLOOR(1000000.0 * ln((1.0 + n_src) / (1.0 + df)))
+                  AS BIGINT) + 1000000 AS iw
+      FROM df CROSS JOIN ns
+    ),
+    scored AS (
+      SELECT c.source, c.tok, CAST(c.tf * w.iw AS BIGINT) AS score,
+             ROW_NUMBER() OVER (PARTITION BY c.source
+                                ORDER BY c.tf * w.iw DESC, c.tok ASC) AS rank
+      FROM c JOIN w USING (tok)
+    )
+    SELECT source, CAST(rank AS BIGINT) AS rank, tok, score
+    FROM scored WHERE rank <= 3
+    """,
+    doc="TF-IDF salient terms per source (source-level documents): tf × "
+    "smoothed-idf with the idf weight integerized per DISTINCT token "
+    "before the multiply, ranked count-desc/token-asc. The df/idf table "
+    "is lexicon-sized → broadcast; the top-3 window runs as "
+    "WindowGroupLimit over the (source, tok) agg — the same shape as "
+    "q89 but keyed on a corpus-statistics join rather than raw counts.",
+)
+def q97_tfidf_top_terms(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    c = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = c.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ns = c.agg(F.countDistinct("source").alias("n_src"))
+    w = df.crossJoin(F.broadcast(ns)).select(
+        "tok",
+        (
+            F.floor(
+                F.lit(1000000.0)
+                * F.log((1.0 + F.col("n_src")) / (1.0 + F.col("df")))
+            ).cast("bigint")
+            + 1000000
+        ).alias("iw"),
+    )
+    scored = c.join(F.broadcast(w), "tok").select(
+        "source", "tok", (F.col("tf") * F.col("iw")).cast("bigint").alias("score")
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "tok", "score")
+    )

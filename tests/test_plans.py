@@ -180,3 +180,44 @@ def test_q92_mixture_totals_ride_broadcast(spark, sf_dir, specs):
     nested loop — never a driver collect baked in as a literal."""
     df = specs["q92_domain_mixture"].fn(spark, sf_dir)
     assert plans.broadcast_join_count(df) >= 1, plans.plan_str(df)[:3000]
+
+
+def test_q93_redaction_is_pure_codegen_single_shuffle(spark, sf_dir, specs):
+    """PII scrub is JVM regexp only — no Python eval node anywhere in the
+    plan, and the lone exchange is the per-source agg of four integers."""
+    df = specs["q93_pii_redaction"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "EvalPython" not in s, s[:2000]
+    assert plans.num_shuffles(df) == 1, s[:3000]
+
+
+def test_q94_quality_filter_single_shuffle(spark, sf_dir, specs):
+    """Every verdict rule is a row expression; one agg exchange total."""
+    df = specs["q94_quality_filter"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 1, plans.plan_str(df)[:3000]
+
+
+def test_q95_chunking_explode_collapses_in_stage(spark, sf_dir, specs):
+    """The chunk-start explode fans out small integer rows and the
+    doc-keyed agg gets map-side partial combine before the one exchange."""
+    df = specs["q95_doc_chunking"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert plans.num_shuffles(df) == 1, s[:3000]
+    assert "partial_count" in s or "partial_min" in s
+
+
+def test_q96_vocab_weights_ride_broadcast(spark, sf_dir, specs):
+    """The unigram weight table is lexicon-sized: it must come back to
+    the corpus as broadcast joins (weights + total), never a sort-merge
+    shuffle of the exploded corpus side."""
+    df = specs["q96_lm_rarity_score"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 2, plans.plan_str(df)[:3000]
+
+
+def test_q97_tfidf_broadcast_idf_and_window_group_limit(spark, sf_dir, specs):
+    """idf joins as broadcast; the per-source top-3 rewrites to
+    WindowGroupLimit so partitions pre-filter before the window sort."""
+    df = specs["q97_tfidf_top_terms"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert plans.broadcast_join_count(df) >= 1, s[:3000]
+    assert "WindowGroupLimit" in s, s[:3000]

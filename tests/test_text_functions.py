@@ -60,3 +60,35 @@ def test_fingerprint_order_insensitive(spark):
     c = _one(spark, "alpha beta delta", tx.fingerprint(F.col("text")))
     assert a == b  # same token set (punct stripped, dups dropped)
     assert a != c
+
+
+def test_redact_pii_all_classes(spark):
+    text = (
+        "mail bob.smith+x@corp.example.org or 192.168.1.17, "
+        "ssn 123-45-6789, phone 415-555-0199 done"
+    )
+    red = _one(spark, text, tx.redact_pii(F.col("text")))
+    assert red == "mail <EMAIL> or <IP>, ssn <SSN>, phone <PHONE> done"
+
+
+def test_redact_pii_order_ssn_before_phone(spark):
+    # ddd-dd-dddd must land as SSN, not be half-eaten by the phone pattern
+    assert _one(spark, "id 321-54-9876.", tx.redact_pii(F.col("text"))) == "id <SSN>."
+    assert (
+        _one(spark, "call 800-555-1234 now", tx.redact_pii(F.col("text")))
+        == "call <PHONE> now"
+    )
+
+
+def test_redact_pii_noop_on_clean_text(spark):
+    clean = "the quick brown fox jumps at 5 pm on street 12"
+    assert _one(spark, clean, tx.redact_pii(F.col("text"))) == clean
+
+
+def test_pii_counts(spark):
+    text = "a@b.io c@d.io 1.2.3.4 999-88-7777"
+    c = tx.pii_counts(F.col("text"))
+    assert _one(spark, text, c["email"]) == 2
+    assert _one(spark, text, c["ipv4"]) == 1
+    assert _one(spark, text, c["ssn"]) == 1
+    assert _one(spark, text, c["phone"]) == 0
