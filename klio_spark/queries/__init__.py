@@ -79,6 +79,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extra,
         relational,
         scalars2,
+        sketches,
         textops,
         training,
         vector_ops,

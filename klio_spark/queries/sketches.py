@@ -1,0 +1,148 @@
+"""Sketch-based approximate statistics — the 100 TB answer to "how many
+distinct" and "what's the p95".
+
+At corpus scale, exact COUNT(DISTINCT) shuffles every distinct key and
+exact percentiles sort every value; both are re-run from scratch for every
+grouping the pipeline asks about.  Mergeable sketches (Apache DataSketches,
+built into Spark as `hll_sketch_agg` / `kll_sketch_agg_*` /
+`theta_sketch_agg`) change the cost model:
+
+  * the aggregate is a FIXED-SIZE binary (HLL lgK=12 → 4 KB) with map-side
+    partial merge, so the shuffle carries one sketch per partition×group,
+    never the keys themselves;
+  * sketches re-aggregate: `hll_union_agg` rolls per-group sketches up to
+    any coarser grouping WITHOUT rescanning the fact table — compute once
+    at the finest grain, answer every rollup from the sketch table.
+
+Correctness-harness pattern: an approximate result can't hash-match an
+exact oracle, so each query outputs the EXACT answer (the slow twin both
+engines agree on) plus a boolean asserting the sketch landed within its
+published error envelope.  DuckDB's oracle emits literal TRUE — the hash
+matches if and only if the sketch estimate is actually inside the
+envelope on this data.  The booleans are deterministic (DataSketches
+hashing is seeded), so this is a stable, driver-checkable claim about
+sketch accuracy, not a flaky tolerance test.
+
+The exact twin exists only to referee: a production 100 TB run computes
+the sketch column alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from klio_spark.queries import load, register
+
+
+@register(
+    "q98_hll_distinct_rollup",
+    """
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL',
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           TRUE
+    FROM orders
+    """,
+    doc="per-priority distinct-customer cardinality via HLL sketch "
+    "(hll_sketch_agg, DataSketches HLL lgK=12), with the ALL row produced "
+    "by MERGING the per-group sketches (hll_union_agg) — the rollup never "
+    "rescans orders. Output carries the exact count plus a boolean that "
+    "the estimate is within ±5% (≈3σ of the 1.6% standard error at "
+    "lgK=12); the oracle emits TRUE, so the hash match IS the accuracy "
+    "claim.",
+)
+def q98_hll_distinct_rollup(spark: SparkSession, sf_dir: str):
+    (o,) = load(spark, sf_dir, "orders")
+
+    def ok(est, exact):
+        return (F.abs(est.cast("double") - exact) <= 0.05 * exact).alias(
+            "hll_within_5pct"
+        )
+
+    per = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.hll_sketch_agg("o_custkey").alias("_sk"),
+    )
+    per_out = per.select(
+        F.col("o_orderpriority").alias("grp"),
+        "exact_distinct",
+        ok(F.hll_sketch_estimate("_sk"), F.col("exact_distinct")),
+    )
+    # rollup from sketches: one tiny agg over 5 rows of 4 KB binaries;
+    # the exact twin re-scans orders only because the referee needs it
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    all_out = (
+        o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+        .crossJoin(union_est)
+        .select(
+            F.lit("ALL").alias("grp"),
+            "exact_distinct",
+            ok(F.col("_est"), F.col("exact_distinct")),
+        )
+    )
+    return per_out.unionByName(all_out)
+
+
+@register(
+    "q99_kll_quantile_ranks",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+           TRUE AS kll_p50_rank_ok,
+           TRUE AS kll_p95_rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="streaming-friendly quantiles via KLL sketch "
+    "(kll_sketch_agg_double, default k=200 → ~1.65% normalized rank "
+    "error). KLL guarantees RANK accuracy, not value accuracy: the value "
+    "it returns for rank q has TRUE rank within q±ε. The boolean asserts "
+    "exactly that — pull the sketch's p50/p95 values "
+    "(kll_sketch_get_quantile_double), re-scan to compute each value's "
+    "true normalized rank, require it within ±0.03. Exact percentiles "
+    "(q07's sort-based twin, rounded at 6) ride along as the referee "
+    "output. The second scan belongs to the referee, not the sketch: a "
+    "production run reads the quantile straight off the sketch.",
+)
+def q99_kll_quantile_ranks(spark: SparkSession, sf_dir: str):
+    (li,) = load(spark, sf_dir, "lineitem")
+    base = li.select("l_returnflag", F.col("l_extendedprice").alias("_x"))
+    sk = base.groupBy("l_returnflag").agg(
+        F.percentile("_x", F.array(F.lit(0.5), F.lit(0.95))).alias("_p"),
+        F.kll_sketch_agg_double("_x").alias("_sk"),
+    )
+    dim = sk.select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 6).alias("median_price"),
+        F.round(F.col("_p")[1], 6).alias("p95_price"),
+        F.kll_sketch_get_quantile_double("_sk", F.lit(0.5)).alias("_v50"),
+        F.kll_sketch_get_quantile_double("_sk", F.lit(0.95)).alias("_v95"),
+    )
+    # 3 rows of scalars — broadcast; the rank pass stays shuffle-light
+    ranked = (
+        base.join(F.broadcast(dim), "l_returnflag")
+        .groupBy("l_returnflag", "median_price", "p95_price")
+        .agg(
+            F.avg((F.col("_x") <= F.col("_v50")).cast("double")).alias("_r50"),
+            F.avg((F.col("_x") <= F.col("_v95")).cast("double")).alias("_r95"),
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "median_price",
+        "p95_price",
+        ((F.col("_r50") >= 0.47) & (F.col("_r50") <= 0.53)).alias(
+            "kll_p50_rank_ok"
+        ),
+        ((F.col("_r95") >= 0.92) & (F.col("_r95") <= 0.98)).alias(
+            "kll_p95_rank_ok"
+        ),
+    )
