@@ -41,10 +41,23 @@ def connected_components(
     can union the complement). The result is materialized (persisted)
     before return so the iteration scaffolding can be torn down.
     """
-    # symmetric neighbor view: both directions of every edge
-    fwd = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
-    rev = edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
-    sym = fwd.unionByName(rev).distinct().persist()
+    # symmetric neighbor view: both directions of every edge. One explode,
+    # not a self-union — a union's two branches would each execute the
+    # upstream edge plan (for near-dup edges that's the whole candidate
+    # self-join) before the persist below ever materializes
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("id"), F.col(dst).alias("nbr")),
+                    F.struct(F.col(dst).alias("id"), F.col(src).alias("nbr")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.id", "_e.nbr")
+        .distinct()
+        .persist()
+    )
 
     numeric_ids = dict(edges.dtypes)[src] in (
         "tinyint", "smallint", "int", "bigint", "decimal(38,0)"
