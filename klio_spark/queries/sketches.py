@@ -91,6 +91,48 @@ def q98_hll_distinct_rollup(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q100_bloom_semi_join",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+    GROUP BY l_returnflag
+    """,
+    doc="semi-join reduction via an explicit Bloom bitmap "
+    "(functions/bloom.py): the bitmap over Brand#23 partkeys is a fixed "
+    "128 KiB (word,bits) table built with one shuffle over part only; the "
+    "lineitem side is prefiltered by k map-side broadcast joins — zero "
+    "shuffles of the fact table — and an exact semi-join over the "
+    "survivors removes bloom false positives, so the result equals the "
+    "plain semi-join the oracle runs. At 100 TB the bitmap is the "
+    "persistable blocklist form of Spark's runtime bloom filter: build "
+    "once, apply map-side in every pipeline.",
+)
+def q100_bloom_semi_join(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.bloom import bloom_semi_join
+
+    li, p = load(spark, sf_dir, "lineitem", "part")
+    matched = bloom_semi_join(
+        li,
+        "l_partkey",
+        p.filter(F.col("p_brand") == "Brand#23"),
+        "p_partkey",
+    )
+    m = 10000.0
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * m)
+            ).cast("double")
+            / m
+        ).alias("revenue"),
+    )
+
+
+@register(
     "q99_kll_quantile_ranks",
     """
     SELECT l_returnflag,

@@ -58,3 +58,83 @@ def test_hll_union_matches_direct_sketch(spark, sf_dir):
         .est
     )
     assert merged == direct
+
+
+# --------------------------------------------------------------------------
+# bloom semi-join (q100)
+# --------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Every true member survives the prefilter (the bloom guarantee)."""
+    from klio_spark.functions.bloom import bloom_bitmap, bloom_prefilter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    keys = p.select(F.col("p_partkey").alias("_bloom_bk")).distinct()
+    bm = bloom_bitmap(keys, "_bloom_bk")
+    pre = set(
+        r.l_orderkey
+        for r in bloom_prefilter(li, "l_partkey", bm)
+        .select("l_orderkey")
+        .collect()
+    )
+    exact = set(
+        r.l_orderkey
+        for r in li.join(keys, li.l_partkey == keys._bloom_bk, "left_semi")
+        .select("l_orderkey")
+        .collect()
+    )
+    assert exact <= pre
+
+
+def test_bloom_semi_join_is_exact(spark, sf_dir):
+    """bloom_semi_join == plain semi-join, false positives and all."""
+    from klio_spark.functions.bloom import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") <= 10
+    )
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in bloom_semi_join(li, "l_partkey", p, "p_partkey")
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    want = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.join(
+            p.select("p_partkey"), li.l_partkey == p.p_partkey, "left_semi"
+        )
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_bloom_prefilter_plan_is_all_broadcast(spark, sf_dir):
+    """The probe side must reach the filter without shuffling: k broadcast
+    hash joins against the bitmap, zero sort-merge joins."""
+    from klio_spark.functions.bloom import bloom_bitmap, bloom_prefilter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(F.col("p_partkey").alias("_bloom_bk"))
+        .distinct()
+    )
+    pre = bloom_prefilter(li, "l_partkey", bloom_bitmap(keys, "_bloom_bk"), k=5)
+    assert plans.broadcast_join_count(pre) >= 5
+    assert plans.sort_merge_join_count(pre) == 0
+
+
+def test_bloom_bitmap_is_bounded(spark, sf_dir):
+    """Bitmap rows never exceed m_bits/64 regardless of key count."""
+    from klio_spark.functions.bloom import bloom_bitmap
+
+    keys = spark.range(10000).select(F.col("id").alias("k"))
+    bm = bloom_bitmap(keys, "k", m_bits=1 << 12, k=5)
+    assert bm.count() <= (1 << 12) // 64
