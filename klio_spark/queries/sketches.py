@@ -91,6 +91,98 @@ def q98_hll_distinct_rollup(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q101_theta_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 200),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'error' AND value > 200)
+    SELECT 'difference' AS setop,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS BIGINT) AS exact_count,
+           TRUE AS theta_within_envelope
+    UNION ALL
+    SELECT 'intersection',
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT),
+           TRUE
+    UNION ALL
+    SELECT 'union',
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT),
+           TRUE
+    """,
+    doc="distinct-set algebra via theta sketches (theta_sketch_agg + "
+    "theta_intersection/theta_union/theta_difference): audience-overlap "
+    "questions (users who purchased big AND errored big) without the "
+    "self-join an exact engine needs. Each cohort aggregates to one "
+    "fixed-size sketch (map-side partial merge — the shuffle carries "
+    "sketches, not user ids) and the set ops combine the two scalars. "
+    "The exact twin (full-outer join of the distinct cohorts) rides "
+    "along as referee; the boolean asserts the estimate is within "
+    "max(1, 5%) of exact, which theta's exact mode (<4096 entries) and "
+    "its published 3σ error both satisfy deterministically.",
+)
+def q101_theta_set_ops(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    a = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).select("user_id")
+    b = e.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 200)
+    ).select("user_id")
+    sk = (
+        a.agg(F.theta_sketch_agg("user_id").alias("_ska"))
+        .crossJoin(b.agg(F.theta_sketch_agg("user_id").alias("_skb")))
+        .select(
+            F.theta_sketch_estimate(
+                F.theta_intersection("_ska", "_skb")
+            ).alias("_est_i"),
+            F.theta_sketch_estimate(F.theta_union("_ska", "_skb")).alias(
+                "_est_u"
+            ),
+            F.theta_sketch_estimate(
+                F.theta_difference("_ska", "_skb")
+            ).alias("_est_d"),
+        )
+    )
+    m = a.distinct().select("user_id", F.lit(True).alias("_a")).join(
+        b.distinct().select("user_id", F.lit(True).alias("_b")),
+        "user_id",
+        "full",
+    )
+    exact = m.agg(
+        F.sum((F.coalesce("_a", F.lit(False)) & F.coalesce("_b", F.lit(False))).cast("long")).alias("_x_i"),
+        F.count(F.lit(1)).alias("_x_u"),
+        F.sum((F.coalesce("_a", F.lit(False)) & ~F.coalesce("_b", F.lit(False))).cast("long")).alias("_x_d"),
+    )
+
+    def ok(est, x):
+        return F.abs(est - x.cast("double")) <= F.greatest(
+            F.lit(1.0), 0.05 * x.cast("double")
+        )
+
+    row = exact.crossJoin(sk)
+    triples = F.array(
+        F.struct(
+            F.lit("intersection").alias("setop"),
+            F.col("_x_i").alias("exact_count"),
+            ok(F.col("_est_i"), F.col("_x_i")).alias("theta_within_envelope"),
+        ),
+        F.struct(
+            F.lit("union").alias("setop"),
+            F.col("_x_u").alias("exact_count"),
+            ok(F.col("_est_u"), F.col("_x_u")).alias("theta_within_envelope"),
+        ),
+        F.struct(
+            F.lit("difference").alias("setop"),
+            F.col("_x_d").alias("exact_count"),
+            ok(F.col("_est_d"), F.col("_x_d")).alias("theta_within_envelope"),
+        ),
+    )
+    return row.select(F.explode(triples).alias("_t")).select(
+        "_t.setop", "_t.exact_count", "_t.theta_within_envelope"
+    )
+
+
+@register(
     "q100_bloom_semi_join",
     """
     SELECT l_returnflag,

@@ -138,3 +138,18 @@ def test_bloom_bitmap_is_bounded(spark, sf_dir):
     keys = spark.range(10000).select(F.col("id").alias("k"))
     bm = bloom_bitmap(keys, "k", m_bits=1 << 12, k=5)
     assert bm.count() <= (1 << 12) // 64
+
+
+def test_q101_theta_envelope_and_set_identities(spark):
+    """Theta estimates within envelope at every sf the harness touches,
+    and the exact counts obey |A∪B| = |A∩B| + |A\\B| + |B\\A|."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = {r.setop: r for r in _rows(spark, sf, "q101_theta_set_ops")}
+        assert all(r.theta_within_envelope for r in rows.values()), (sf, rows)
+        i, u, d = (
+            rows["intersection"].exact_count,
+            rows["union"].exact_count,
+            rows["difference"].exact_count,
+        )
+        # difference is A\B; B\A = union - intersection - difference >= 0
+        assert u - i - d >= 0 and u >= max(i, d), (sf, rows)
