@@ -252,6 +252,44 @@ def q54_pivot(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q102_unpivot",
+    """
+    SELECT p_brand, metric,
+           CAST(SUM(CAST(FLOOR(val * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total,
+           COUNT(*) AS n
+    FROM (
+        SELECT p_brand, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_brand, 'p_retailprice', p_retailprice FROM part
+    )
+    GROUP BY p_brand, metric
+    """,
+    doc="unpivot/melt (the inverse of q54's pivot): wide measure columns "
+    "become (metric, value) rows via DataFrame.unpivot — one Expand node, "
+    "no join and no shuffle until the downstream aggregation, which gets "
+    "map-side partial combine on (brand, metric). The fan-out factor is "
+    "the number of measure columns, fixed at plan time.",
+)
+def q102_unpivot(spark: SparkSession, sf_dir: str):
+    (p,) = load(spark, sf_dir, "part")
+    m = 10000.0
+    long = p.select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot(
+        ids=["p_brand"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("p_brand", "metric").agg(
+        (F.sum(F.floor(F.col("val") * m)).cast("double") / m).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "q55_above_group_avg",
     """
     SELECT p_partkey, p_brand, p_retailprice

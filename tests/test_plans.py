@@ -221,3 +221,12 @@ def test_q97_tfidf_broadcast_idf_and_window_group_limit(spark, sf_dir, specs):
     s = plans.plan_str(df)
     assert plans.broadcast_join_count(df) >= 1, s[:3000]
     assert "WindowGroupLimit" in s, s[:3000]
+
+
+def test_q102_unpivot_is_expand_single_shuffle(spark, sf_dir, specs):
+    """Melt compiles to one Expand node in the scan stage — no join, and
+    the only exchange is the (brand, metric) aggregation."""
+    df = specs["q102_unpivot"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "Expand" in s, s[:2000]
+    assert plans.num_shuffles(df) == 1, s[:3000]
