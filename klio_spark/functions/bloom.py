@@ -24,6 +24,12 @@ Scale shape (the whole point):
   plain semi-join (that is what the DuckDB oracle checks); the bloom
   stage only decides how many probe rows reach the verify shuffle.
 
+All three functions work unchanged on a STREAMING probe side: the
+bitmap/build inputs are static, so the prefilter's broadcast joins and
+the verify semi-join are ordinary stream-static joins — a blocklist
+quarantine needs no stateful operator and never shuffles the stream
+(tests/test_streaming.py).
+
 Reference parity: klio has no relational layer — this is a north-star
 extension (SURVEY §2.9); the mechanism mirrors the published
 BloomFilterJoin / runtime-filter designs in Spark itself.

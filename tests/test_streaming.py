@@ -220,3 +220,27 @@ def test_tumbling_and_session_windows_on_events(spark, sf_dir, tmp_path):
         for r in sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert batch_sessions == stream_sessions
+
+
+def test_bloom_blocklist_filters_stream_map_side(spark, stream_in, tmp_path):
+    """The persisted-blocklist story end to end on a stream: a bloom
+    bitmap built from a static blocklist quarantines blocked elements
+    inside each microbatch via stream-static broadcast joins (bloom
+    prefilter, then exact semi-join verify) — no stateful operator and
+    no shuffle of the stream side."""
+    from klio_spark.functions.bloom import bloom_semi_join
+
+    blocked = spark.createDataFrame([("e2",), ("e4",), ("zz",)], ["blocked"])
+    df = _read_stream(spark, stream_in)
+    quarantined = bloom_semi_join(df, "element", blocked, "blocked")
+    assert quarantined.isStreaming
+    q = st.write_stream_text(
+        quarantined, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    lines = sorted(
+        line
+        for f in (tmp_path / "out").glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == ["e2", "e4"]
