@@ -153,3 +153,70 @@ def test_q101_theta_envelope_and_set_identities(spark):
         )
         # difference is A\B; B\A = union - intersection - difference >= 0
         assert u - i - d >= 0 and u >= max(i, d), (sf, rows)
+
+
+# --------------------------------------------------------------------------
+# persisted sketch tables
+# --------------------------------------------------------------------------
+
+
+def test_distinct_rollup_from_table_matches_direct(spark, sf_dir, tmp_path):
+    """Rollups from the persisted sketch table must estimate identically
+    to sketching the fact table directly — at every coarser grain."""
+    from klio_spark.functions import sketch_table as skt
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "sk")
+    skt.write_distinct_sketches(
+        o, ["o_orderpriority", "o_orderstatus"], "o_custkey", path
+    )
+    # grain 1: priority
+    got = {
+        r.o_orderpriority: r.distinct_est
+        for r in skt.distinct_rollup(spark, path, "o_orderpriority").collect()
+    }
+    want = {
+        r.o_orderpriority: r.est
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(12))).alias("est"))
+        .collect()
+    }
+    assert got == want
+    # grain 0: grand total
+    total = skt.distinct_rollup(spark, path).collect()[0].distinct_est
+    direct = (
+        o.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(12))).alias("est")
+        ).collect()[0].est
+    )
+    assert total == direct
+
+
+def test_quantile_rollup_keeps_rank_guarantee(spark, sf_dir, tmp_path):
+    """The merged KLL sketch's p50 must have true normalized rank within
+    the sketch's epsilon (±0.03 at k=200) on the full fact column."""
+    from klio_spark.functions import sketch_table as skt
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "kll")
+    skt.write_quantile_sketches(li, ["l_returnflag"], "l_extendedprice", path)
+    v50 = skt.quantile_rollup(spark, path, 0.5).collect()[0].quantile_est
+    rank = (
+        li.agg(
+            F.avg((F.col("l_extendedprice") <= v50).cast("double")).alias("r")
+        ).collect()[0].r
+    )
+    assert 0.47 <= rank <= 0.53, (v50, rank)
+
+
+def test_sketch_table_rollup_never_scans_fact(spark, sf_dir, tmp_path):
+    """The rollup plan reads only the sketch parquet — the fact table
+    must not appear in any scan."""
+    from klio_spark import plans
+    from klio_spark.functions import sketch_table as skt
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "sk2")
+    skt.write_distinct_sketches(o, ["o_orderpriority"], "o_custkey", path)
+    df = skt.distinct_rollup(spark, path)
+    assert "orders.parquet" not in plans.plan_str(df)
