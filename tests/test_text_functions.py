@@ -92,3 +92,66 @@ def test_pii_counts(spark):
     assert _one(spark, text, c["ipv4"]) == 1
     assert _one(spark, text, c["ssn"]) == 1
     assert _one(spark, text, c["phone"]) == 0
+
+
+def test_sql_surface_matches_column_api(spark, sf_dir):
+    """Every registered SQL function must agree with its Column twin on
+    real documents plus adversarial edge strings."""
+    from pyspark.sql import functions as F
+
+    from klio_spark.functions import text as T
+    from klio_spark.functions.sql_surface import register_sql
+
+    names = register_sql(spark)
+    assert {
+        "token_count", "bpe_token_count", "lang_id", "quality_score",
+        "fingerprint", "redact_pii", "pii_count_email",
+    } <= set(names)
+
+    edge = spark.createDataFrame(
+        [
+            ("",),
+            ("   ",),
+            ("!!! ??? ... 123 456",),
+            ("der hund und die katze nicht hier",),
+            ("mail me at a.b+c@example.org or 555-12-3456 x 10.0.0.1",),
+            ("the of and a to in is it " * 5,),
+        ],
+        ["text"],
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").limit(50)
+    sample = edge.unionByName(docs)
+    sample.createOrReplaceTempView("_sqlsurf")
+
+    col = sample.select(
+        T.token_count(F.col("text")).alias("tc"),
+        T.bpe_token_count(F.col("text")).alias("bc"),
+        T.lang_id(F.col("text")).alias("li"),
+        F.round(T.quality_score(F.col("text")), 9).alias("qs"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.redact_pii(F.col("text")).alias("rp"),
+        T.pii_counts(F.col("text"))["email"].alias("pe"),
+    ).collect()
+    sql = spark.sql(
+        """
+        SELECT token_count(text) tc, bpe_token_count(text) bc,
+               lang_id(text) li, round(quality_score(text), 9) qs,
+               fingerprint(text) fp, redact_pii(text) rp,
+               pii_count_email(text) pe
+        FROM _sqlsurf
+        """
+    ).collect()
+    assert [tuple(r) for r in col] == [tuple(r) for r in sql]
+
+
+def test_sql_surface_functions_inline_into_codegen(spark):
+    """SQL UDFs are macros: a quality_score filter must stay JVM-side
+    (no Python eval) and remain a plain Filter over the scan."""
+    from klio_spark.functions.sql_surface import register_sql
+
+    register_sql(spark)
+    spark.range(1).selectExpr("'x' AS text").createOrReplaceTempView("_one")
+    df = spark.sql("SELECT text FROM _one WHERE quality_score(text) > 0.5")
+    from klio_spark import plans
+
+    assert "EvalPython" not in plans.plan_str(df)
