@@ -52,6 +52,7 @@ def _build(config_path: str, templates=None, overrides=None):
     config = KlioJobConfig.from_yaml(config_path, templates, overrides)
     # relative I/O locations resolve against the job dir (portable examples)
     base = os.path.dirname(os.path.abspath(config_path))
+    config.job_dir = base
     for io in (
         config.event_inputs + config.event_outputs
         + config.data_inputs + config.data_outputs

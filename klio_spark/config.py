@@ -212,6 +212,10 @@ class KlioJobConfig:
     data_outputs: list[DataIOConfig] = dataclasses.field(default_factory=list)
     pipeline_options: dict[str, Any] = dataclasses.field(default_factory=dict)
     user: dict[str, Any] = dataclasses.field(default_factory=dict)  # core.py:186-209
+    # directory of the loaded klio-job.yaml (set by the CLI); lets run.py
+    # resolve its own files (blocklists, vocab …) relative to the job dir
+    # the same way event/data locations are resolved
+    job_dir: str = ""
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "KlioJobConfig":

@@ -88,3 +88,12 @@ def test_training_pipeline_job(spark, tmp_path):
     # d2 collapsed into d1's cluster, d3 failed the quality gate
     assert sorted(out) == ["d1", "d4"]
     assert set(out.values()) <= {"train", "validation", "test"}
+
+
+def test_blocklist_quarantine_job(spark, tmp_path):
+    job = _stage(tmp_path, "blocklist-quarantine")
+    (job / "input").mkdir()
+    (job / "input" / "elements.txt").write_text("d1\nd2\nd3\nd4\n")
+    (job / "blocklist.txt").write_text("d2\nd4\nzz\n")
+    assert cli.main(["job", "run", "--config", str(job / "klio-job.yaml")]) == 0
+    assert _lines(job / "output") == ["d1", "d3"]
