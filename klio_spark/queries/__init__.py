@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from klio_spark.queries import (  # noqa: F401
         advanced,
         curation,
+        dataqual,
         envelope_ops,
         extra,
         relational,

@@ -1,0 +1,135 @@
+"""Data-quality constraints and snapshot reconciliation — the audit ops a
+production pipeline runs before and after every load.
+
+Both are single-pass aggregations (Deequ-style): every constraint is an
+ordinary Catalyst expression folded into ONE scan of the table, so a
+100-constraint suite over 100 TB costs one read, not 100. Referential
+checks are anti-join counts; snapshot diffs are one full-outer join on
+the key comparing row hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from klio_spark.queries import load, register
+
+
+@register(
+    "q103_quality_constraints",
+    """
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_custkey) AS null_custkey,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+               SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
+        FROM orders
+    ), r AS (
+        SELECT COUNT(*) AS orphan_lineitems
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT check_name, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed
+    FROM (
+        SELECT 'custkey_not_null' AS check_name, null_custkey AS violations FROM s
+        UNION ALL SELECT 'orderkey_unique', dup_orderkey FROM s
+        UNION ALL SELECT 'totalprice_positive', nonpos_price FROM s
+        UNION ALL SELECT 'status_in_domain', bad_status FROM s
+        UNION ALL SELECT 'lineitem_fk_orders', orphan_lineitems FROM r
+    )
+    """,
+    doc="Deequ-style constraint suite: completeness (not-null), uniqueness, "
+    "range, domain, and referential integrity as ONE aggregation pass over "
+    "orders plus one anti-join count for the FK check — constraints are "
+    "expressions folded into a single scan, so suites scale with table "
+    "bytes, not with the number of checks. Output: one row per constraint "
+    "with its violation count and pass flag.",
+)
+def q103_quality_constraints(spark: SparkSession, sf_dir: str):
+    o, li = load(spark, sf_dir, "orders", "lineitem")
+    s = o.agg(
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkey"
+        ),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+    )
+    r = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    row = s.crossJoin(r)
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(col).alias("violations"),
+            )
+            for name, col in (
+                ("custkey_not_null", "null_custkey"),
+                ("orderkey_unique", "dup_orderkey"),
+                ("totalprice_positive", "nonpos_price"),
+                ("status_in_domain", "bad_status"),
+                ("lineitem_fk_orders", "orphan_lineitems"),
+            )
+        ]
+    )
+    return row.select(F.explode(checks).alias("_c")).select(
+        "_c.check_name",
+        "_c.violations",
+        (F.col("_c.violations") == 0).alias("passed"),
+    )
+
+
+@register(
+    "q104_snapshot_diff",
+    """
+    WITH old AS (SELECT * FROM orders WHERE o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+         new AS (SELECT * FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+                                        AND o_orderkey % 97 <> 0)
+    SELECT change, CAST(n AS BIGINT) AS n FROM (
+        SELECT 'added' AS change, COUNT(*) AS n
+        FROM new WHERE o_orderkey NOT IN (SELECT o_orderkey FROM old)
+        UNION ALL
+        SELECT 'removed', COUNT(*)
+        FROM old WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)
+        UNION ALL
+        SELECT 'unchanged', COUNT(*)
+        FROM old o JOIN new n USING (o_orderkey)
+    )
+    """,
+    doc="snapshot reconciliation: one full-outer join on the key classifies "
+    "every row as added/removed/unchanged between two table versions (the "
+    "daily-load sanity diff). Both snapshots come from one cached scan; "
+    "at scale the join keys co-partition, and comparing xxhash64 row "
+    "digests instead of all columns keeps the shuffle narrow. The mod-97 "
+    "cut simulates deletions so all three classes are non-empty.",
+)
+def q104_snapshot_diff(spark: SparkSession, sf_dir: str):
+    (o,) = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    new = o.filter(
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderkey") % 97 != 0)
+    )
+    j = old.select(F.col("o_orderkey").alias("k"), F.lit(True).alias("_o")).join(
+        new.select(F.col("o_orderkey").alias("k"), F.lit(True).alias("_n")),
+        "k",
+        "full",
+    )
+    return (
+        j.select(
+            F.when(F.col("_o").isNull(), "added")
+            .when(F.col("_n").isNull(), "removed")
+            .otherwise("unchanged")
+            .alias("change")
+        )
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -230,3 +230,17 @@ def test_q102_unpivot_is_expand_single_shuffle(spark, sf_dir, specs):
     s = plans.plan_str(df)
     assert "Expand" in s, s[:2000]
     assert plans.num_shuffles(df) == 1, s[:3000]
+
+
+def test_q103_constraints_fold_into_one_orders_agg(spark, sf_dir, specs):
+    """All four single-table constraints ride ONE aggregation of orders —
+    adding checks must not add scans (plus the FK anti-join's own read)."""
+    df = specs["q103_quality_constraints"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert s.count("orders.parquet") <= 2, s[:3000]
+
+
+def test_q104_diff_classes_all_present(spark, sf_dir, specs):
+    rows = {r.change: r.n for r in specs["q104_snapshot_diff"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"added", "removed", "unchanged"}
+    assert all(v > 0 for v in rows.values()), rows
