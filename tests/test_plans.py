@@ -244,3 +244,12 @@ def test_q104_diff_classes_all_present(spark, sf_dir, specs):
     rows = {r.change: r.n for r in specs["q104_snapshot_diff"].fn(spark, sf_dir).collect()}
     assert set(rows) == {"added", "removed", "unchanged"}
     assert all(v > 0 for v in rows.values()), rows
+
+
+def test_q105_fuzzy_match_is_blocked_equi_join(spark, sf_dir, specs):
+    """The match join must be an equi join on the block key (hash/broadcast
+    join, never BroadcastNestedLoopJoin/cartesian) and run over the
+    deduped name dimension."""
+    df = specs["q105_fuzzy_name_match"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "NestedLoop" not in s and "Cartesian" not in s, s[:3000]
