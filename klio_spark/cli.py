@@ -50,7 +50,15 @@ def _build(config_path: str, templates=None, overrides=None):
     from klio_spark.session import get_spark
 
     config = KlioJobConfig.from_yaml(config_path, templates, overrides)
-    # relative I/O locations resolve against the job dir (portable examples)
+    _resolve_locations(config, config_path)
+    spark = get_spark(config.job_name, conf=config.spark_confs())
+    return spark, config
+
+
+def _resolve_locations(config, config_path: str) -> None:
+    """Resolve relative I/O locations against the job dir (portable
+    examples) — every command that touches job I/O must apply the same
+    rule, or publish and run would disagree on where `topic` lives."""
     base = os.path.dirname(os.path.abspath(config_path))
     config.job_dir = base
     for io in (
@@ -59,8 +67,6 @@ def _build(config_path: str, templates=None, overrides=None):
     ):
         if io.location and not os.path.isabs(io.location) and "://" not in io.location:
             io.location = os.path.join(base, io.location)
-    spark = get_spark(config.job_name, conf=config.spark_confs())
-    return spark, config
 
 
 def cmd_job_run(args) -> int:
@@ -586,6 +592,7 @@ def cmd_message_publish(args) -> int:
     from klio_spark.config import KlioJobConfig
 
     config = KlioJobConfig.from_yaml(args.config, args.template, args.override)
+    _resolve_locations(config, args.config)
     inp = config.event_inputs[0] if config.event_inputs else None
     if inp is None or not inp.location:
         raise SystemExit("job has no file event input to publish into")

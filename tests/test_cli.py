@@ -105,3 +105,23 @@ def test_message_publish(job_dir, tmp_path):
         assert m["recipients_mode"] == "limited"
         assert m["recipients"] == [me]
         assert m["trigger_children_of"] == me
+
+
+def test_publish_resolves_topic_against_job_dir(tmp_path, monkeypatch):
+    """message publish must write into the job dir's topic, not CWD's —
+    the same resolution rule job run applies when reading."""
+    job = tmp_path / "job"
+    (job / "topic").mkdir(parents=True)
+    (job / "klio-job.yaml").write_text(
+        "job_name: pubres\nproject: t\njob_config:\n  events:\n"
+        "    inputs:  [{type: file, location: topic, wire: true}]\n"
+        "    outputs: [{type: file, location: out}]\n"
+    )
+    elsewhere = tmp_path / "elsewhere"
+    elsewhere.mkdir()
+    monkeypatch.chdir(elsewhere)
+    assert cli.main(
+        ["message", "publish", "--config", str(job / "klio-job.yaml"), "e1"]
+    ) == 0
+    files = list((job / "topic").glob("publish-*.txt"))
+    assert files and not list(elsewhere.glob("**/publish-*.txt"))
