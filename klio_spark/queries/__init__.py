@@ -71,19 +71,24 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    # import side-effect populates the registry
+    # Import side-effect populates the registry, and import ORDER is the
+    # dict order the driver iterates. Round 1's driver correctness run
+    # truncated after 50 entries (time budget), and vector_ops — imported
+    # last — never got verified. So modules whose queries have never been
+    # driver-checked go FIRST; the r1-verified relational/advanced bulk
+    # goes last, where a repeat truncation costs the least information.
     from klio_spark.queries import (  # noqa: F401
-        advanced,
-        curation,
-        dataqual,
-        envelope_ops,
-        extra,
-        relational,
-        scalars2,
-        sketches,
-        textops,
-        training,
         vector_ops,
+        training,
+        curation,
+        sketches,
+        dataqual,
+        extra,
+        textops,
+        scalars2,
+        envelope_ops,
+        advanced,
+        relational,
     )
 
     return dict(_REGISTRY)
