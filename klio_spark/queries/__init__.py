@@ -78,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # driver-checked go FIRST; the r1-verified relational/advanced bulk
     # goes last, where a repeat truncation costs the least information.
     from klio_spark.queries import (  # noqa: F401
+        behavior,
         vector_ops,
         training,
         curation,

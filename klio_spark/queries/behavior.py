@@ -1,0 +1,354 @@
+"""Event-behavior analytics + change-data operators: ordered funnel,
+retention cohorts, gaps-and-islands run collapse, CDC merge/upsert,
+deterministic negative sampling.
+
+The event-log half is the product-analytics surface a pipeline engine is
+asked for the day it can read an events table (funnel conversion,
+cohort retention, streak/run collapse); the CDC half is the ingestion
+surface (apply an upsert/delete changelog to a base table — the pure
+DataFrame formulation of Delta's MERGE INTO); negative sampling is the
+contrastive-training-pairs step of an embedding pipeline.
+
+Cross-engine determinism (module doc in klio_spark.queries): every
+measure is integer — timestamps become epoch-micros BIGINTs div'd to
+whole seconds, money becomes cents via FLOOR(x*100) (IEEE-identical on
+identical doubles), counts stay counts. No float leaves any query.
+
+Scale notes, common to the funnel/retention/runs trio: every stage keys
+on user_id, so a 1000-executor run shuffles the events table once per
+distinct shuffle key — Spark reuses the (user_id) exchange across the
+funnel's stage joins, and the window queries sort within the same
+partitioning. Nothing collects; dimension-sized sides stay joins (a
+user dimension is NOT broadcastable at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from klio_spark.queries import load, register
+
+# NTZ-safe epoch seconds: the vanilla session reads events.ts as
+# TIMESTAMP_NTZ (see load()), which unix_micros rejects — cast first.
+# q108 consumes only DIFFERENCES of these, so a session-timezone offset
+# introduced by the NTZ→LTZ cast cancels out.
+_SECS = "CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS BIGINT) div 1000000"
+
+
+@register(
+    "q108_event_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t, MIN(ts) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t, MIN(p.t0) AS t0
+      FROM events e JOIN s1 p ON e.user_id = p.user_id AND e.ts > p.t
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t, MIN(p.t0) AS t0
+      FROM events e JOIN s2 p ON e.user_id = p.user_id AND e.ts > p.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t, MIN(p.t0) AS t0
+      FROM events e JOIN s3 p ON e.user_id = p.user_id AND e.ts > p.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT '1_signup' AS step, COUNT(*) AS n_users,
+           CAST(0 AS BIGINT) AS sum_lag_secs FROM s1
+    UNION ALL
+    SELECT '2_view', COUNT(*),
+           CAST(COALESCE(SUM(epoch_us(t) // 1000000
+                             - epoch_us(t0) // 1000000), 0) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '3_click', COUNT(*),
+           CAST(COALESCE(SUM(epoch_us(t) // 1000000
+                             - epoch_us(t0) // 1000000), 0) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT '4_purchase', COUNT(*),
+           CAST(COALESCE(SUM(epoch_us(t) // 1000000
+                             - epoch_us(t0) // 1000000), 0) AS BIGINT) FROM s4
+    """,
+    doc="Ordered conversion funnel signup→view→click→purchase: stage k "
+    "reaches users whose earliest qualifying event strictly FOLLOWS their "
+    "stage-k-1 time (min-after-min, the textbook ordered-funnel "
+    "semantics — an out-of-order click does not count). Each stage is one "
+    "groupBy(user_id) agg joined to the previous stage on user_id, so "
+    "all four stages shuffle on the SAME key and the exchange is reused; "
+    "per-stage output is (n_users, summed signup→stage lag in whole "
+    "seconds) — integer epoch math, no floats.",
+)
+def q108_event_funnel(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .withColumn("t0", F.col("t"))
+    )
+
+    def next_stage(prev, etype):
+        ev = e.filter(F.col("event_type") == etype).alias("e")
+        p = prev.alias("p")
+        return (
+            ev.join(
+                p,
+                (F.col("e.user_id") == F.col("p.user_id"))
+                & (F.col("e.ts") > F.col("p.t")),
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias("t"), F.min("p.t0").alias("t0"))
+        )
+
+    s2 = next_stage(s1, "view")
+    s3 = next_stage(s2, "click")
+    s4 = next_stage(s3, "purchase")
+
+    lag = F.coalesce(
+        F.sum(
+            F.expr(_SECS.format(c="t")) - F.expr(_SECS.format(c="t0"))
+        ),
+        F.lit(0),
+    ).cast("bigint")
+
+    def level(df, step, with_lag=True):
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+            (lag if with_lag else F.lit(0).cast("bigint")).alias("sum_lag_secs"),
+        )
+
+    return (
+        level(s1, "1_signup", with_lag=False)
+        .unionAll(level(s2, "2_view"))
+        .unionAll(level(s3, "3_click"))
+        .unionAll(level(s4, "4_purchase"))
+    )
+
+
+@register(
+    "q109_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(datediff('day', DATE '2024-01-01', f.d0) // 7 AS BIGINT)
+             AS cohort_week,
+           CAST(datediff('day', f.d0, a.d) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: cohort = first-seen week (anchored to "
+    "an absolute epoch so cohort ids are stable across runs), cell = "
+    "distinct users from that cohort active in week-offset k. Two aggs "
+    "and a join, all keyed by user_id → one logical shuffle key; the "
+    "(cohort, offset) matrix is weeks², tiny at any corpus size. The "
+    "first-seen table is exactly the streaming dedup state the "
+    "readStream variant would keep under a watermark.",
+)
+def q109_retention_cohorts(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    a = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    j = a.join(f, "user_id")
+    return (
+        j.select(
+            "user_id",
+            F.expr("datediff(d0, DATE'2024-01-01') div 7")
+            .cast("bigint")
+            .alias("cohort_week"),
+            F.expr("datediff(d, d0) div 7").cast("bigint").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q110_activity_runs",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, rn - rnt AS grp, COUNT(*) AS run_len
+      FROM o GROUP BY user_id, event_type, rn - rnt
+    )
+    SELECT user_id, COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: collapse each user's time-ordered event "
+    "stream into maximal same-type runs via the row_number-difference "
+    "trick (rn over user minus rn over user+type is constant within a "
+    "run), then per-user run stats. Order is total — (ts, event_id) "
+    "tiebreak — so both engines see identical runs. Both windows "
+    "partition by user_id: one sort serves them, and the run agg stays "
+    "in the same partitioning. The batch twin of session_windows().",
+)
+def q110_activity_runs(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_u) - F.row_number().over(w_ut)).alias("grp"),
+    )
+    runs = o.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        F.sum("run_len").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "q111_cdc_merge",
+    """
+    WITH ch AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+               + (c_custkey % 100) * 100 AS new_cents
+      FROM customer WHERE c_custkey % 17 = 0 OR c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I',
+             (c_custkey % 500) * 100 + 42
+      FROM customer WHERE c_custkey % 23 = 0
+    ),
+    base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    merged AS (
+      SELECT COALESCE(b.k, c.k) AS k,
+             COALESCE(b.seg, 'NEW') AS seg,
+             CASE WHEN c.op IN ('U', 'I') THEN c.new_cents
+                  ELSE b.cents END AS cents
+      FROM base b FULL OUTER JOIN ch c ON b.k = c.k
+      WHERE c.op IS NULL OR c.op != 'D'
+    )
+    SELECT seg, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY seg
+    """,
+    doc="CDC changelog apply — MERGE INTO re-expressed as one "
+    "full-outer join: update rows take the change's value, delete ops "
+    "drop the base row, insert ops materialize with no base match "
+    "(delete wins when a key is both %10 and %17 — op precedence is the "
+    "CASE order, identical on both engines). The changelog is "
+    "synthesized deterministically from customer so the oracle sees the "
+    "same stream. At scale both sides shuffle once on the merge key — "
+    "or zero times if base and changelog are bucketed by key, the "
+    "layout a nightly-merge pipeline would maintain. Money is cents "
+    "(FLOOR(x*100) BIGINT): exact sums, no float drift.",
+)
+def q111_cdc_merge(spark: SparkSession, sf_dir: str):
+    (c,) = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    upserts = (
+        c.filter((F.col("c_custkey") % 17 == 0) | (F.col("c_custkey") % 10 == 0))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 17 == 0, "D").otherwise("U").alias("op"),
+            (cents + (F.col("c_custkey") % 100) * 100).alias("new_cents"),
+        )
+    )
+    inserts = c.filter(F.col("c_custkey") % 23 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        ((F.col("c_custkey") % 500) * 100 + 42).cast("bigint").alias("new_cents"),
+    )
+    ch = upserts.unionAll(inserts)
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        cents.alias("cents"),
+    )
+    merged = (
+        base.alias("b")
+        .join(ch.alias("c"), F.col("b.k") == F.col("c.k"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("b.seg"), F.lit("NEW")).alias("seg"),
+            F.when(
+                F.col("c.op").isin("U", "I"), F.col("c.new_cents")
+            ).otherwise(F.col("b.cents")).alias("cents"),
+        )
+    )
+    return merged.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+@register(
+    "q112_negative_sampling",
+    """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    cand AS (
+      SELECT d.doc_id, d.source AS src_a,
+             (d.doc_id * 2654435761 + 1 + t.i * 40503) % n.n AS neg_id
+      FROM documents d CROSS JOIN n, UNNEST([0, 1, 2, 3]) AS t(i)
+    )
+    SELECT c.src_a, d2.source AS src_b, COUNT(*) AS n_pairs
+    FROM cand c JOIN documents d2 ON c.neg_id = d2.doc_id
+    WHERE c.neg_id != c.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic negative sampling for contrastive training "
+    "pairs: k=4 pseudo-random partners per anchor via a Knuth "
+    "multiplicative hash over the dense doc_id space — seeded, "
+    "replayable, shufflable (the property that matters for training "
+    "reproducibility; rand() is none of those). The corpus count joins "
+    "in as a broadcast scalar, candidates join back to documents on "
+    "neg_id to fetch partner features. Per-anchor fan-out is k small "
+    "integer rows; the text/features never multiply. Accidental "
+    "self-pairs are filtered; a hard-negative variant adds a "
+    "same-source predicate at the join.",
+)
+def q112_negative_sampling(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        d.select("doc_id", F.col("source").alias("src_a"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "src_a",
+            F.explode(F.array([F.lit(i) for i in range(4)])).alias("i"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            "src_a",
+            ((F.col("doc_id") * F.lit(2654435761) + 1 + F.col("i") * 40503) % F.col("n")).alias(
+                "neg_id"
+            ),
+        )
+    )
+    d2 = d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("src_b"))
+    return (
+        cand.filter(F.col("neg_id") != F.col("doc_id"))
+        .join(d2, "neg_id")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

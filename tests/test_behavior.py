@@ -1,0 +1,134 @@
+"""Behavior-analytics queries (q108–q112): semantic invariants on real
+data plus the plan properties the 100 TB story depends on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from klio_spark import plans
+from klio_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_queries()
+
+
+# ---------------------------------------------------------------- semantics
+
+
+def test_funnel_is_monotone_and_lags_nonnegative(spark, sf_dir, specs):
+    rows = specs["q108_event_funnel"].fn(spark, sf_dir).orderBy("step").collect()
+    assert [r.step for r in rows] == ["1_signup", "2_view", "3_click", "4_purchase"]
+    counts = [r.n_users for r in rows]
+    # each stage requires the previous one strictly earlier → non-increasing
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.sum_lag_secs >= 0 for r in rows)
+    # the qualifying event must FOLLOW the prior stage: a user's stage-2
+    # count can never exceed users who signed up at all
+    assert counts[0] > 0
+
+
+def test_funnel_strict_ordering_on_synthetic_frame(spark, specs, tmp_path):
+    # user 1: signup→view→click→purchase in order (reaches stage 4)
+    # user 2: view BEFORE signup, nothing after → stops at stage 1
+    # user 3: never signs up → appears nowhere
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "signup"), (2, t(1), 1, "view"),
+        (3, t(2), 1, "click"), (4, t(3), 1, "purchase"),
+        (5, t(5), 2, "view"), (6, t(6), 2, "signup"),
+        (7, t(0), 3, "view"), (8, t(1), 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    d = tmp_path / "sf"
+    df.write.parquet(str(d / "events.parquet"))
+    out = {
+        r.step: r.n_users
+        for r in specs["q108_event_funnel"].fn(spark, str(d)).collect()
+    }
+    assert out == {"1_signup": 2, "2_view": 1, "3_click": 1, "4_purchase": 1}
+
+
+def test_retention_cohort_zero_offset_covers_every_user(spark, sf_dir, specs):
+    df = specs["q109_retention_cohorts"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    # every user is active in their own first week, so the offset-0 cells
+    # must sum to the total distinct-user count
+    from klio_spark.queries import load
+
+    (e,) = load(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows if r.week_offset == 0) == n_users
+
+
+def test_activity_runs_partition_events_exactly(spark, sf_dir, specs):
+    df = specs["q110_activity_runs"].fn(spark, sf_dir)
+    total = df.agg(F.sum("n_events")).collect()[0][0]
+    from klio_spark.queries import load
+
+    (e,) = load(spark, sf_dir, "events")
+    assert total == e.count()  # runs partition the event log: no loss, no dup
+    bad = df.filter(F.col("longest_run") > F.col("n_events")).count()
+    assert bad == 0
+
+
+def test_cdc_merge_row_accounting(spark, sf_dir, specs):
+    from klio_spark.queries import load
+
+    (c,) = load(spark, sf_dir, "customer")
+    n_base = c.count()
+    n_del = c.filter(F.col("c_custkey") % 17 == 0).count()
+    n_ins = c.filter(F.col("c_custkey") % 23 == 0).count()
+    out = specs["q111_cdc_merge"].fn(spark, sf_dir)
+    n_merged = out.agg(F.sum("n_rows")).collect()[0][0]
+    assert n_merged == n_base - n_del + n_ins
+    segs = {r.seg for r in out.collect()}
+    assert "NEW" in segs  # inserts surface with no base match
+
+
+def test_negative_sampling_is_deterministic_and_self_free(spark, sf_dir, specs):
+    a = specs["q112_negative_sampling"].fn(spark, sf_dir).collect()
+    b = specs["q112_negative_sampling"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+    from klio_spark.queries import load
+
+    (d,) = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    total_pairs = sum(r.n_pairs for r in a)
+    # k=4 per anchor minus the filtered accidental self-pairs
+    assert n_docs * 3 <= total_pairs <= n_docs * 4
+
+
+# ------------------------------------------------------------------- plans
+
+
+def test_funnel_pushes_stage_filters_to_scan(spark, sf_dir, specs):
+    df = specs["q108_event_funnel"].fn(spark, sf_dir)
+    pf = " ".join(plans.pushed_filters(df))
+    for etype in ("signup", "view", "click", "purchase"):
+        assert etype in pf, pf  # each stage scans only its event type
+
+
+def test_activity_runs_single_shuffle(spark, sf_dir, specs):
+    # both windows and both aggs key on user_id → ONE exchange total; the
+    # run agg and per-user agg are satisfied by the window's partitioning
+    df = specs["q110_activity_runs"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 1, plans.plan_str(df)[:2000]
+
+
+def test_cdc_merge_shuffle_budget(spark, sf_dir, specs):
+    # full-outer join (2 exchanges on the merge key) + final agg = 3 max;
+    # a bucketed-by-key base table would drop the join exchanges entirely
+    df = specs["q111_cdc_merge"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) <= 3, plans.plan_str(df)[:2000]
+
+
+def test_negative_sampling_corpus_count_is_broadcast(spark, sf_dir, specs):
+    df = specs["q112_negative_sampling"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1  # the COUNT(*) scalar
+    assert plans.num_shuffles(df) <= 3, plans.plan_str(df)[:2000]
