@@ -270,18 +270,18 @@ def minhash_lsh_dedup(
             "_band", "_bhash"
         ),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # bucket-grouped candidate expansion (same trick as
+    # ngram_jaccard_pairs): ONE groupBy on the band key builds each
+    # bucket's id list, a double explode emits its id<id pairs. vs the
+    # banded self-join this saves an exchange AND runs the fused
+    # signature UDF once instead of once per join side.
     cand = (
-        left.join(
-            right,
-            (F.col("l._band") == F.col("r._band"))
-            & (F.col("l._bhash") == F.col("r._bhash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        banded.groupBy("_band", "_bhash")
+        .agg(F.collect_list(F.col(id_col)).alias("xs"))
+        .filter(F.size("xs") > 1)
+        .select(F.explode("xs").alias("id_a"), "xs")
+        .select("id_a", F.explode("xs").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     sh = base
