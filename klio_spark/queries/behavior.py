@@ -301,6 +301,44 @@ def q111_cdc_merge(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q113_keep_latest",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id AS latest_event_id,
+           CAST(FLOOR(value * 100) AS BIGINT) AS latest_value_cents
+    FROM r WHERE rn = 1
+    """,
+    doc="Keep-latest-per-key compaction — the changelog→snapshot step of "
+    "every CDC/upsert pipeline (and the batch twin of streaming "
+    "dropDuplicates-on-key): rank desc by (ts, event_id) and keep rn=1. "
+    "Spark rewrites the rn=1 filter into WindowGroupLimit, so each "
+    "partition forwards only its per-key max before the exchange — the "
+    "shuffle carries one row per (user, type), not the event log. "
+    "Locked by a plan test.",
+)
+def q113_keep_latest(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("latest_value_cents"),
+        )
+    )
+
+
+@register(
     "q112_negative_sampling",
     """
     WITH n AS (SELECT COUNT(*) AS n FROM documents),

@@ -128,6 +128,23 @@ def test_cdc_merge_shuffle_budget(spark, sf_dir, specs):
     assert plans.num_shuffles(df) <= 3, plans.plan_str(df)[:2000]
 
 
+def test_keep_latest_uses_window_group_limit(spark, sf_dir, specs):
+    # rn=1 must compact BEFORE the exchange: one row per key per partition
+    df = specs["q113_keep_latest"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "WindowGroupLimit" in s, s[:2000]
+
+
+def test_keep_latest_one_row_per_live_key(spark, sf_dir, specs):
+    from klio_spark.queries import load
+
+    df = specs["q113_keep_latest"].fn(spark, sf_dir)
+    (e,) = load(spark, sf_dir, "events")
+    n_keys = e.select("user_id", "event_type").distinct().count()
+    assert df.count() == n_keys
+    assert df.select("user_id", "event_type").distinct().count() == n_keys
+
+
 def test_negative_sampling_corpus_count_is_broadcast(spark, sf_dir, specs):
     df = specs["q112_negative_sampling"].fn(spark, sf_dir)
     assert plans.broadcast_join_count(df) >= 1  # the COUNT(*) scalar
