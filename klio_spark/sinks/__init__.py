@@ -35,8 +35,28 @@ def write_text(df: DataFrame, cfg: EventIOConfig) -> None:
     ).text(cfg.location)
 
 
+def _partition_cols(cfg: EventIOConfig) -> list[str]:
+    """`partition_by` option → hive-style layout columns (comma string or
+    list in klio-job.yaml). At warehouse scale this is THE read-side
+    lever: a date/source-partitioned output turns downstream filters
+    into partition pruning — directories never listed, files never
+    opened — before any row-group stat is consulted."""
+    pb = cfg.options.get("partition_by")
+    if not pb:
+        return []
+    return [c.strip() for c in pb.split(",")] if isinstance(pb, str) else list(pb)
+
+
 def write_parquet(df: DataFrame, cfg: EventIOConfig) -> None:
-    df.write.mode(cfg.options.get("mode", "overwrite")).parquet(cfg.location)
+    w = df.write.mode(cfg.options.get("mode", "overwrite"))
+    if cols := _partition_cols(cfg):
+        w = w.partitionBy(*cols)
+    if mrpf := cfg.options.get("max_records_per_file"):
+        # bounds the biggest file a partition writes — the other half of
+        # layout hygiene (partition_by solves pruning; this caps skewed
+        # partitions so no single file becomes an unsplittable monster)
+        w = w.option("maxRecordsPerFile", int(mrpf))
+    w.parquet(cfg.location)
 
 
 def write_avro(df: DataFrame, cfg: EventIOConfig) -> None:
@@ -133,7 +153,10 @@ def write_bq_style(df: DataFrame, cfg: EventIOConfig) -> None:
     rows = df.select(
         F.from_json(F.col("payload").cast("string"), schema).alias("r")
     ).select("r.*")
-    rows.write.format(fmt).mode(mode).save(cfg.location)
+    w = rows.write.format(fmt).mode(mode)
+    if cols := _partition_cols(cfg):
+        w = w.partitionBy(*cols)
+    w.save(cfg.location)
 
 
 _WRITERS: dict[str, Callable[[DataFrame, EventIOConfig], None]] = {

@@ -23,6 +23,32 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     assert set(env.ENVELOPE_COLS) <= set(back.columns)
 
 
+def test_partitioned_parquet_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """partition_by option → hive layout; a source filter on the read-back
+    becomes a PartitionFilter (directories pruned before any file I/O)."""
+    from klio_spark import plans
+    from klio_spark.sinks import write_parquet
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = str(tmp_path / "by_source")
+    cfg = EventIOConfig(
+        type="parquet", location=loc, options={"partition_by": "source"}
+    )
+    write_parquet(d, cfg)
+
+    import os
+
+    subdirs = [p for p in os.listdir(loc) if p.startswith("source=")]
+    assert len(subdirs) > 1, subdirs  # real hive layout
+
+    one = subdirs[0].split("=", 1)[1]
+    back = spark.read.parquet(loc).filter(F.col("source") == one)
+    s = plans.plan_str(back)
+    assert "PartitionFilters" in s and "source" in s, s[:2000]
+    # row counts survive the layout round-trip
+    assert back.count() == d.filter(F.col("source") == one).count()
+
+
 def test_bq_style_sink_unwraps_payload(spark, tmp_path):
     """KlioWriteToBigQuery parity: json payload -> typed rows (io.py:370-375)."""
     df = env.from_elements(spark, ["b1", "b2"]).withColumn(
