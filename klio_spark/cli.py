@@ -122,6 +122,32 @@ def cmd_job_run(args) -> int:
     return 0
 
 
+def cmd_job_plan(args) -> int:
+    """Assemble the configured pipeline, print its physical plan, lint it,
+    execute nothing. Exit 1 on error-severity findings so CI can gate a
+    deploy on a clean plan. (No reference analog — Beam exposes no
+    inspectable physical plan; this is the Spark dividend.)"""
+    from klio_spark.operators import run_pipeline
+    from klio_spark.plans import plan_str
+    from klio_spark.plans.lint import lint
+    from klio_spark.sources import read_event_input
+
+    spark, config = _build(args.config, args.template, args.override)
+    job_dir = args.job_dir or os.path.dirname(os.path.abspath(args.config))
+    user_run = _load_user_run(job_dir)
+    if not config.event_inputs:
+        raise SystemExit("no event inputs configured")
+    events = read_event_input(spark, config.event_inputs[0])
+    out = run_pipeline(events, config, user_run, spark)
+    print(plan_str(out))
+    findings = lint(out)
+    for f in findings:
+        print(f)
+    errors = [f for f in findings if f.severity == "error"]
+    print(f"lint: {len(findings)} finding(s), {len(errors)} error(s)")
+    return 1 if errors else 0
+
+
 def cmd_job_test(args) -> int:
     """KLIO_TEST_MODE parity: _helpers.py:111-122 / job/test.py:27-31."""
     import pytest
@@ -648,6 +674,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for name, fn in [
         ("run", cmd_job_run),
+        ("plan", cmd_job_plan),
         ("test", cmd_job_test),
         ("profile", cmd_job_profile),
         ("verify", cmd_job_verify),

@@ -61,6 +61,15 @@ def test_job_run_end_to_end(spark, job_dir):
     assert lines == ["a1", "a2"]  # a3 input missing -> dropped
 
 
+def test_job_plan_lints_clean_and_writes_nothing(spark, job_dir, capsys):
+    rc = cli.main(["job", "plan", "--config", str(job_dir / "klio-job.yaml")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "lint:" in out and "0 error(s)" in out
+    assert not (job_dir / "out").exists()  # dry-run: no sink write
+
+
 def test_job_config_show(job_dir, capsys):
     rc = cli.main(["job", "config", "--config", str(job_dir / "klio-job.yaml")])
     assert rc == 0
