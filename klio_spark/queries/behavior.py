@@ -339,6 +339,69 @@ def q113_keep_latest(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q114_interval_overlap_join",
+    """
+    WITH t AS (
+      SELECT l_orderkey * 16 + l_linenumber AS id, l_partkey,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s
+      FROM lineitem
+    ),
+    p AS (
+      SELECT LEAST(a.s + 7, b.s + 7) - GREATEST(a.s, b.s) + 1 AS overlap_days
+      FROM t a JOIN t b
+        ON a.l_partkey = b.l_partkey AND a.id < b.id
+       AND a.s <= b.s + 7 AND b.s <= a.s + 7
+    )
+    SELECT CAST(overlap_days AS BIGINT) AS overlap_days, COUNT(*) AS n_pairs
+    FROM p GROUP BY 1
+    """,
+    doc="Interval-overlap range join via temporal banding — the scalable "
+    "form of a range join Spark would otherwise nest-loop per key: each "
+    "7-day ship window explodes into the week buckets it covers (≤3 "
+    "small-int rows), the join runs EQUI on (part, week), and the true "
+    "overlap predicate filters inside co-partitions; distinct collapses "
+    "pairs that met in two shared buckets. Candidate count is bounded by "
+    "week-colocated rows per part, not per-key n². The ORACLE runs the "
+    "naive non-equi join — identical result is the proof the banding "
+    "loses nothing. Output: pair counts per overlap length (days).",
+)
+def q114_interval_overlap_join(spark: SparkSession, sf_dir: str):
+    (li,) = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("id"),
+        "l_partkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+        ).alias("s"),
+    )
+    b = t.withColumn(
+        "wk", F.explode(F.sequence(F.expr("s div 7"), F.expr("(s + 7) div 7")))
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    pairs = (
+        a_.join(b_, ["l_partkey", "wk"])
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.s") <= F.col("b.s") + 7)
+            & (F.col("b.s") <= F.col("a.s") + 7)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.least(F.col("a.s") + 7, F.col("b.s") + 7)
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+                + 1
+            ).alias("overlap_days"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy(F.col("overlap_days").cast("bigint").alias("overlap_days")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@register(
     "q112_negative_sampling",
     """
     WITH n AS (SELECT COUNT(*) AS n FROM documents),

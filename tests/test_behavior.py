@@ -104,6 +104,16 @@ def test_negative_sampling_is_deterministic_and_self_free(spark, sf_dir, specs):
     assert n_docs * 3 <= total_pairs <= n_docs * 4
 
 
+def test_interval_overlap_bounds_and_banding(spark, sf_dir, specs):
+    rows = specs["q114_interval_overlap_join"].fn(spark, sf_dir).collect()
+    # two 8-day-inclusive windows overlap by 1..8 days, never more
+    assert rows and all(1 <= r.overlap_days <= 8 for r in rows)
+    # the banded plan must stay an equi join: no nested-loop fallback
+    df = specs["q114_interval_overlap_join"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s[:2000]
+
+
 # ------------------------------------------------------------------- plans
 
 
