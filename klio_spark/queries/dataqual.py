@@ -177,3 +177,53 @@ def q104_snapshot_diff(spark: SparkSession, sf_dir: str):
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_PROF_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@register(
+    "q115_table_profile",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             """
+    + ",\n             ".join(
+        f"COUNT(*) - COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}"
+        for c in _PROF_COLS
+    )
+    + """
+      FROM customer
+    )
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS col_name, CAST(nn_{c} AS BIGINT) AS n_nulls,"
+        f" CAST(nd_{c} AS BIGINT) AS n_distinct, n_rows FROM a"
+        for c in _PROF_COLS
+    ),
+    doc="one-scan table profiler (the describe/summarize surface every "
+    "warehouse tool ships): per column, null count + EXACT distinct "
+    "count + table rows, emitted long-form via stack(). The multi-column "
+    "COUNT DISTINCT compiles to one Expand (rows × columns) feeding one "
+    "partial-aggregated shuffle — still a single scan of the table. At "
+    "100 TB swap exact distinct for the HLL sketch variant (q98): same "
+    "shape, fixed-size state, ±2%.",
+)
+def q115_table_profile(spark: SparkSession, sf_dir: str):
+    (c,) = load(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in _PROF_COLS:
+        aggs.append(
+            F.sum(F.col(col).isNull().cast("long")).alias(f"nn_{col}")
+        )
+        aggs.append(F.count_distinct(F.col(col)).alias(f"nd_{col}"))
+    one = c.agg(*aggs)
+    stack = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}" for col in _PROF_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROF_COLS)}, {stack}) AS (col_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    )

@@ -156,6 +156,60 @@ def stateful_element_counts(df: DataFrame) -> DataFrame:
     )
 
 
+def stateful_funnel(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel state machine across micro-batches — the streaming
+    twin of q108's batch funnel (queries/behavior.py): state = (highest
+    stage reached, its event time); an event advances the user only if it
+    is the NEXT stage in order and strictly later than the current
+    stage's time. Emits one row per advancement.
+
+    State is two scalars per user — checkpoint-durable, restart-safe,
+    O(users) not O(events). Within a batch events sort by time; an event
+    arriving in a later batch with an earlier timestamp than the reached
+    stage cannot advance (same strict-ordering rule the batch query
+    applies, evaluated on arrival order across batches — the documented
+    streaming relaxation)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage_list = list(stages)
+
+    def update(key, pdfs, state: GroupState):
+        (stage, t) = state.get if state.exists else (0, -1)
+        evs = []
+        for pdf in pdfs:
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                evs.append((int(pd.Timestamp(ts).value // 1000), str(et)))
+        evs.sort()
+        out = []
+        for tm, et in evs:
+            if stage < len(stage_list) and et == stage_list[stage] and tm > t:
+                stage += 1
+                t = tm
+                out.append((key[0], stage, stage_list[stage - 1], tm))
+        state.update((stage, t))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[user_col, "stage", "stage_name", "ts_micros"]
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{user_col} long, stage int, stage_name string, ts_micros long"
+        ),
+        stateStructType="stage int, t long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_stream_text(
     df: DataFrame,
     path: str,

@@ -168,6 +168,60 @@ def test_interval_join_stream_stream(spark, tmp_path):
     assert got == [(1, 5, 0), (1, 45, 30)]
 
 
+def test_stateful_funnel_advances_in_order_across_batches(spark, tmp_path):
+    """Streaming funnel twin of q108: strict stage order per user, state
+    survives across micro-batches (user 1 completes over two batches;
+    user 2's pre-signup view never counts, post-signup view does)."""
+    import datetime as dt
+
+    edir = tmp_path / "fin"
+    (edir / "p").mkdir(parents=True)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+    b1 = spark.createDataFrame(
+        [(1, "signup", t(0)), (1, "view", t(1)), (2, "view", t(0))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    b1.write.mode("append").parquet(str(edir / "p"))
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(str(edir / "p"))
+    funnel = st.stateful_funnel(stream)
+    q = st.foreach_batch_sink(
+        funnel,
+        lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/fout"),
+        str(tmp_path / "ckpt-funnel"),
+    )
+    q.awaitTermination(60)
+
+    # batch 2: user 1 finishes; user 2 signs up then views
+    b2 = spark.createDataFrame(
+        [(1, "click", t(2)), (1, "purchase", t(3)),
+         (2, "signup", t(5)), (2, "view", t(6))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    b2.write.mode("append").parquet(str(edir / "p"))
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(str(edir / "p"))
+    funnel = st.stateful_funnel(stream)
+    q = st.foreach_batch_sink(
+        funnel,
+        lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/fout"),
+        str(tmp_path / "ckpt-funnel"),
+    )
+    q.awaitTermination(60)
+
+    rows = spark.read.parquet(f"{tmp_path}/fout").collect()
+    reached = {}
+    for r in rows:
+        reached[r.user_id] = max(reached.get(r.user_id, 0), r.stage)
+    assert reached == {1: 4, 2: 2}
+    # user 2's batch-1 view emitted nothing (no signup yet)
+    assert not [r for r in rows if r.user_id == 2 and r.stage_name == "view"
+                and r.ts_micros < int(t(6).timestamp() * 1e6)]
+
+
 def test_stateful_element_counts(spark, stream_in, tmp_path):
     """Custom stateful operator: totals accumulate across batches and
     survive a query restart via the checkpoint."""
