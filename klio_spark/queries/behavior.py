@@ -453,3 +453,97 @@ def q112_negative_sampling(spark: SparkSession, sf_dir: str):
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "q116_latency_histogram",
+    """
+    WITH t AS (
+      SELECT datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+               AS lag,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT CAST(CASE WHEN lag < 0 THEN 0
+                     WHEN lag >= 120 THEN 13
+                     ELSE lag // 10 + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n_lines,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM t GROUP BY 1
+    """,
+    doc="order→ship latency histogram: the day lag bins into 12 fixed "
+    "10-day buckets by pure integer arithmetic (underflow→0, "
+    "overflow→13 — width_bucket semantics, spelled portably since DuckDB "
+    "lacks the function). The fact-fact join shuffles both sides on "
+    "orderkey once; the histogram is a ≤14-row integer agg with map-side "
+    "combine. Money in cents.",
+)
+def q116_latency_histogram(spark: SparkSession, sf_dir: str):
+    l, o = load(spark, sf_dir, "lineitem", "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(lag < 0, 0)
+        .when(lag >= 120, 13)
+        .otherwise(F.floor(lag / 10) + 1)
+    )
+    return (
+        j.select(
+            bucket.cast("bigint").alias("bucket"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("_c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_c").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "q117_ab_experiment",
+    """
+    WITH per AS (
+      SELECT c.c_custkey, c.c_custkey % 2 AS arm,
+             COUNT(o.o_orderkey) AS n_orders,
+             CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS spend_cents
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(spend_cents) AS BIGINT) AS spend_cents
+    FROM per GROUP BY arm
+    """,
+    doc="A/B experiment readout: per-arm users, converters (≥1 order), "
+    "order count, spend. Arms here split on custkey parity so the oracle "
+    "agrees; production assigns by seeded hash-bucket exactly like q86's "
+    "dataset splits (same reshuffle-stable property). The per-user stage "
+    "and the customer⋈orders join share the custkey shuffle key; the arm "
+    "rollup is 2 rows of integers.",
+)
+def q117_ab_experiment(spark: SparkSession, sf_dir: str):
+    c, o = load(spark, sf_dir, "customer", "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", (F.col("c_custkey") % 2).alias("arm"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")),
+                F.lit(0),
+            ).cast("bigint").alias("spend_cents"),
+        )
+    )
+    return per.groupBy(F.col("arm").cast("bigint").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("n_orders") > 0).cast("int")).cast("bigint").alias(
+            "n_converted"
+        ),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("spend_cents").cast("bigint").alias("spend_cents"),
+    )
