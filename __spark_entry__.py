@@ -5,8 +5,10 @@ queries()     -> one callable per declared operator (SURVEY.md §2)
 oracle_sql()  -> DuckDB-equivalent ANSI SQL per query (None-sql queries
                  are omitted → driver records the rows-only check)
 
-The registry lives in klio_spark/queries/ (relational, textops,
-vector_ops, envelope_ops).
+The registry lives in klio_spark/queries/ (behavior, vector_ops,
+training, curation, sketches, dataqual, extra, textops, scalars2,
+envelope_ops, advanced, relational — import order = driver iteration
+order; never-driver-verified modules run first).
 """
 
 from __future__ import annotations
