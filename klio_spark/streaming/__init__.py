@@ -210,6 +210,47 @@ def stateful_funnel(
     )
 
 
+def stateful_keep_latest(
+    df: DataFrame,
+    key_col: str = "element",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming changelog compactor — the streaming twin of q113's batch
+    keep-latest (queries/behavior.py): per-key state holds (latest ts,
+    latest value); a batch emits one row per key that RECEIVED A NEWER
+    value, so the downstream sink sees an upsert stream it can apply
+    idempotently (merge by key). Out-of-order rows older than the held
+    timestamp are absorbed silently — same semantics as the batch rn=1
+    rank. State is two scalars per live key, checkpoint-durable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (t, v) = state.get if state.exists else (-1, None)
+        changed = False
+        for pdf in pdfs:
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                tm = int(pd.Timestamp(ts).value // 1000)
+                if tm > t:
+                    t, v, changed = tm, str(val), True
+        state.update((t, v))
+        if changed:
+            yield pd.DataFrame(
+                {key_col: [key[0]], "latest_ts_micros": [t], "latest_value": [v]}
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, latest_ts_micros long, latest_value string"
+        ),
+        stateStructType="t long, v string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_stream_text(
     df: DataFrame,
     path: str,

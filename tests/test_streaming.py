@@ -222,6 +222,46 @@ def test_stateful_funnel_advances_in_order_across_batches(spark, tmp_path):
                 and r.ts_micros < int(t(6).timestamp() * 1e6)]
 
 
+def test_stateful_keep_latest_absorbs_out_of_order(spark, tmp_path):
+    """Streaming changelog compactor: only newer-than-state rows emit;
+    an out-of-order older value in a later batch is absorbed."""
+    import datetime as dt
+
+    edir = tmp_path / "kl"
+    (edir / "p").mkdir(parents=True)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+    def run_batch(rows):
+        spark.createDataFrame(
+            rows, "element string, ts timestamp, value string"
+        ).write.mode("append").parquet(str(edir / "p"))
+        stream = spark.readStream.schema(
+            "element string, ts timestamp, value string"
+        ).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_keep_latest(stream),
+            lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/klout"),
+            str(tmp_path / "ckpt-kl"),
+        )
+        q.awaitTermination(60)
+
+    run_batch([("k1", t(5), "v5"), ("k1", t(2), "v2"), ("k2", t(0), "w0")])
+    # batch 2: k1 gets an OLDER row (absorbed) and k2 a newer one (emits)
+    run_batch([("k1", t(3), "v3"), ("k2", t(9), "w9")])
+
+    rows = spark.read.parquet(f"{tmp_path}/klout").collect()
+    latest = {}
+    for r in rows:
+        if (r.element not in latest) or r.latest_ts_micros > latest[r.element][0]:
+            latest[r.element] = (r.latest_ts_micros, r.latest_value)
+    assert latest == {
+        "k1": (int(t(5).timestamp() * 1e6), "v5"),
+        "k2": (int(t(9).timestamp() * 1e6), "w9"),
+    }
+    # k1's batch-2 older row must NOT have produced an emission
+    assert len([r for r in rows if r.element == "k1"]) == 1
+
+
 def test_stateful_element_counts(spark, stream_in, tmp_path):
     """Custom stateful operator: totals accumulate across batches and
     survive a query restart via the checkpoint."""
