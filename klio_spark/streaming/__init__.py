@@ -215,6 +215,7 @@ def stateful_keep_latest(
     key_col: str = "element",
     ts_col: str = "ts",
     value_col: str = "value",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming changelog compactor — the streaming twin of q113's batch
     keep-latest (queries/behavior.py): per-key state holds (latest ts,
@@ -222,11 +223,29 @@ def stateful_keep_latest(
     value, so the downstream sink sees an upsert stream it can apply
     idempotently (merge by key). Out-of-order rows older than the held
     timestamp are absorbed silently — same semantics as the batch rn=1
-    rank. State is two scalars per live key, checkpoint-durable."""
+    rank. State is two scalars per live key, checkpoint-durable.
+
+    ``idle_timeout_ms`` is the state-hygiene lever that makes this safe
+    on an unbounded key space (the 100 TB streaming concern: without
+    eviction, per-key state grows forever): keys idle past the timeout
+    are EVICTED and emit a tombstone row (latest_ts_micros = -1) so the
+    downstream merge can expire them too. Uses processing-time timeouts,
+    the applyInPandasWithState analog of a state-store TTL."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle eviction: drop state, emit a tombstone for the key
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "latest_ts_micros": [-1],
+                    "latest_value": [None],
+                }
+            )
+            return
         (t, v) = state.get if state.exists else (-1, None)
         changed = False
         for pdf in pdfs:
@@ -235,6 +254,8 @@ def stateful_keep_latest(
                 if tm > t:
                     t, v, changed = tm, str(val), True
         state.update((t, v))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if changed:
             yield pd.DataFrame(
                 {key_col: [key[0]], "latest_ts_micros": [t], "latest_value": [v]}
@@ -247,7 +268,11 @@ def stateful_keep_latest(
         ),
         stateStructType="t long, v string",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -262,6 +262,43 @@ def test_stateful_keep_latest_absorbs_out_of_order(spark, tmp_path):
     assert len([r for r in rows if r.element == "k1"]) == 1
 
 
+def test_stateful_keep_latest_idle_eviction_tombstones(spark, tmp_path):
+    """State hygiene on unbounded keys: a key idle past the timeout is
+    evicted and emits a tombstone (latest_ts_micros = -1)."""
+    import datetime as dt
+    import time as _time
+
+    edir = tmp_path / "ev"
+    (edir / "p").mkdir(parents=True)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run_batch(rows):
+        spark.createDataFrame(
+            rows, "element string, ts timestamp, value string"
+        ).write.mode("append").parquet(str(edir / "p"))
+        stream = spark.readStream.schema(
+            "element string, ts timestamp, value string"
+        ).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_keep_latest(stream, idle_timeout_ms=1),
+            lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/evout"),
+            str(tmp_path / "ckpt-ev"),
+        )
+        q.awaitTermination(60)
+
+    run_batch([("k1", t0, "v")])
+    _time.sleep(2)  # let the 1 ms idle timeout lapse between runs
+    # k1 gets no data this batch → its timer fires → tombstone
+    run_batch([("k2", t0, "w")])
+
+    rows = spark.read.parquet(f"{tmp_path}/evout").collect()
+    assert {"k1", "k2"} <= {r.element for r in rows}
+    k1 = sorted(
+        [r for r in rows if r.element == "k1"], key=lambda r: r.latest_ts_micros
+    )
+    assert k1[0].latest_ts_micros == -1 and k1[0].latest_value is None
+
+
 def test_stateful_element_counts(spark, stream_in, tmp_path):
     """Custom stateful operator: totals accumulate across batches and
     survive a query restart via the checkpoint."""
