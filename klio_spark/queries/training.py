@@ -604,3 +604,82 @@ def q86_hash_split(spark: SparkSession, sf_dir: str):
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
     )
+
+
+@register(
+    "q118_mixture_resample",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '')) AS nt,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    ),
+    s AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS src_tokens
+          FROM t GROUP BY source),
+    tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total,
+                   COUNT(*) AS n_src FROM s),
+    r AS (
+      SELECT source,
+             LEAST(10000, (total // n_src) * 10000 // src_tokens) AS rate_bp
+      FROM s CROSS JOIN tot
+    )
+    SELECT t.source, CAST(MIN(r.rate_bp) AS BIGINT) AS rate_bp,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN t.bucket < r.rate_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN t.bucket < r.rate_bp THEN t.nt ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM t JOIN r USING (source)
+    GROUP BY t.source
+    """,
+    doc="mixture resampling — q92's token-share-equalizing weights "
+    "APPLIED: per-source keep-rate in basis points = equal token target "
+    "over actual source tokens (capped at 1), gated per doc by the "
+    "md5-bucket trick (q86/q88) so membership is deterministic, "
+    "reshuffle-stable, and growth-stable. The rates table is "
+    "sources-sized → broadcast; the corpus side is one scan + the gate "
+    "expression + one agg. Integer arithmetic throughout (basis points, "
+    "floor division).",
+)
+def q118_mixture_resample(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions import text as tx
+
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(tx.tokens(F.lower(F.col("text")))).alias("nt"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("bigint")
+            % 10000
+        ).alias("bucket"),
+    )
+    s = t.groupBy("source").agg(F.sum("nt").cast("bigint").alias("src_tokens"))
+    tot = s.agg(
+        F.sum("src_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    r = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.expr("(total div n_src) * 10000 div src_tokens"),
+        ).alias("rate_bp"),
+    )
+    kept = F.col("bucket") < F.col("rate_bp")
+    return (
+        t.join(F.broadcast(r), "source")
+        .groupBy("source")
+        .agg(
+            F.min("rate_bp").cast("bigint").alias("rate_bp"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )

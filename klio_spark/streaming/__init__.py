@@ -276,6 +276,61 @@ def stateful_keep_latest(
     )
 
 
+def stateful_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Streaming retention tracker — the streaming twin of q109's batch
+    cohort matrix: per-user state is (first-seen day, highest week-offset
+    already emitted); a user's first activity in each NEW week emits one
+    (user, cohort_week, week_offset) cell. Summing cells per (cohort,
+    offset) downstream reproduces the batch matrix incrementally — each
+    cell row is emitted exactly once per user.
+
+    State is two ints per user. Week offsets only move forward: an
+    out-of-order event from an already-emitted week (or before the
+    first-seen day) is absorbed, the same arrival-order relaxation as
+    stateful_funnel."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    epoch_day = dt.date.fromisoformat(epoch).toordinal()
+
+    def update(key, pdfs, state: GroupState):
+        (d0, last) = state.get if state.exists else (-1, -1)
+        days = set()
+        for pdf in pdfs:
+            for ts in pdf[ts_col]:
+                days.add(pd.Timestamp(ts).date().toordinal())
+        if not days:
+            return
+        if d0 < 0:
+            d0 = min(days)
+        out = []
+        for d in sorted(days):
+            off = (d - d0) // 7
+            if off > last:
+                last = off
+                out.append((key[0], (d0 - epoch_day) // 7, off))
+        state.update((d0, last))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[user_col, "cohort_week", "week_offset"]
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{user_col} long, cohort_week int, week_offset int",
+        stateStructType="d0 long, last long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_stream_text(
     df: DataFrame,
     path: str,

@@ -262,6 +262,39 @@ def test_stateful_keep_latest_absorbs_out_of_order(spark, tmp_path):
     assert len([r for r in rows if r.element == "k1"]) == 1
 
 
+def test_stateful_retention_emits_each_week_cell_once(spark, tmp_path):
+    """Streaming retention twin of q109: one (user, cohort, offset) cell
+    per newly-reached week; repeats in later batches are absorbed."""
+    import datetime as dt
+
+    edir = tmp_path / "ret"
+    (edir / "p").mkdir(parents=True)
+    day = lambda n, h=0: dt.datetime(2024, 1, 1 + n, h)  # noqa: E731
+
+    def run_batch(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).write.mode("append").parquet(str(edir / "p"))
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            str(edir / "p")
+        )
+        q = st.foreach_batch_sink(
+            st.stateful_retention(stream),
+            lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/retout"),
+            str(tmp_path / "ckpt-ret"),
+        )
+        q.awaitTermination(60)
+
+    # user 1: days 0 and 15 (offsets 0, 2); user 2: day 7 (cohort wk 1)
+    run_batch([(1, day(0)), (1, day(15)), (2, day(7))])
+    # batch 2: user 1 day 16 (offset 2 again → absorbed), day 22 (offset 3)
+    run_batch([(1, day(16)), (1, day(22))])
+
+    rows = spark.read.parquet(f"{tmp_path}/retout").collect()
+    cells = sorted((r.user_id, r.cohort_week, r.week_offset) for r in rows)
+    assert cells == [(1, 0, 0), (1, 0, 2), (1, 0, 3), (2, 1, 0)]
+
+
 def test_stateful_keep_latest_idle_eviction_tombstones(spark, tmp_path):
     """State hygiene on unbounded keys: a key idle past the timeout is
     evicted and emits a tombstone (latest_ts_micros = -1)."""
