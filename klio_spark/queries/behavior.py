@@ -547,3 +547,150 @@ def q117_ab_experiment(spark: SparkSession, sf_dir: str):
         F.sum("n_orders").cast("bigint").alias("n_orders"),
         F.sum("spend_cents").cast("bigint").alias("spend_cents"),
     )
+
+
+@register(
+    "q119_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+      FROM events
+    ),
+    mx AS (SELECT MAX(wk) AS max_wk FROM uw),
+    lagged AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ),
+    status AS (
+      SELECT wk,
+             CASE WHEN prev_wk IS NULL THEN 'new'
+                  WHEN wk - prev_wk = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM lagged
+    ),
+    churn AS (
+      SELECT l.wk + 1 AS wk, COUNT(*) AS n
+      FROM lagged l CROSS JOIN mx
+      WHERE (l.next_wk IS NULL OR l.next_wk > l.wk + 1) AND l.wk + 1 <= mx.max_wk
+      GROUP BY l.wk + 1
+    )
+    SELECT CAST(s.wk AS BIGINT) AS wk,
+           CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(MIN(c.n), 0) AS BIGINT) AS n_churned
+    FROM status s LEFT JOIN churn c ON s.wk = c.wk
+    GROUP BY s.wk
+    """,
+    doc="growth accounting (the standard new/retained/resurrected/churned "
+    "weekly ledger): per-user week activity deduped, lag classifies each "
+    "active week, lead finds the week AFTER which the user went quiet "
+    "(churn attributed to wk+1, capped at the observation horizon so the "
+    "final week isn't spuriously churned). Every stage keys on user_id "
+    "then rolls up to a weeks-sized frame; one window sort serves lag "
+    "and lead.",
+)
+def q119_growth_accounting(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            F.expr("datediff(to_date(ts), DATE'2024-01-01') div 7").alias("wk"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lagged = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    status = lagged.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("wk") - F.col("prev_wk") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        lagged.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("max_wk"))
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        status.groupBy(F.col("wk").cast("bigint").alias("wk"))
+        .agg(
+            F.sum((F.col("status") == "new").cast("int"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum((F.col("status") == "retained").cast("int"))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum((F.col("status") == "resurrected").cast("int"))
+            .cast("bigint")
+            .alias("n_resurrected"),
+        )
+        .join(churn.withColumn("wk", F.col("wk").cast("bigint")), "wk", "left")
+        .select(
+            "wk",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+    )
+
+
+@register(
+    "q120_sliding_window_counts",
+    """
+    WITH d AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, day, unnest(range(GREATEST(day - 6, 0), day + 1)) AS w
+      FROM d
+    )
+    SELECT CAST(w AS BIGINT) AS window_start_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM f GROUP BY 1
+    """,
+    doc="7-day SLIDING window (stride 1 day) — the sliding twin of q53's "
+    "tumbling batch window: each event fans out to the ≤7 window starts "
+    "covering it (small-int rows, the same explode discipline as "
+    "chunking/banding), then one agg per window start with a distinct "
+    "count. Streaming twin: streaming.sliding_counts (window(ts, '7 "
+    "days', '1 day') keeps ONE state row per window instead of the "
+    "fan-out).",
+)
+def q120_sliding_window_counts(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE'2024-01-01')").alias("day"),
+    )
+    f = d.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.greatest(F.col("day") - 6, F.lit(0)), F.col("day"))
+        ).alias("w"),
+    )
+    return f.groupBy(F.col("w").cast("bigint").alias("window_start_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
