@@ -206,3 +206,73 @@ def q73_vector_norms_by_label(spark: SparkSession, sf_dir: str):
             ).alias("avg_norm"),
         )
     )
+
+
+@register(
+    "q121_centroid_similarity",
+    """
+    WITH ex AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS v
+      FROM ex GROUP BY label, i
+    ),
+    vecs AS (
+      SELECT label, list(v ORDER BY i) AS vec FROM cent GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(SUM(CAST(FLOOR(a.vec[i] * b.vec[i] * 1000000.0) AS BIGINT))
+                AS BIGINT) AS dot_micros
+    FROM vecs a
+    JOIN vecs b ON a.label < b.label,
+    UNNEST(generate_series(1, len(a.vec))) AS t(i)
+    GROUP BY 1, 2
+    """,
+    doc="pairwise label-centroid similarity matrix, all JVM higher-order "
+    "functions: centroids from the q75 floor-integer agg, assembled into "
+    "arrays with array_sort(collect_list) (per-dimension order, not "
+    "arrival order), pairs via a labels² self-join (labels-sized — "
+    "tiny at any corpus scale), dot product as zip_with(*) with each "
+    "per-dimension product floor-integerized before the exact integer "
+    "aggregate fold — so the sum is order-independent and engine-exact. "
+    "The corpus is touched once (the centroid agg); everything after is "
+    "dimension-table work.",
+)
+def q121_centroid_similarity(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "_v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("_v").cast("double") * 1000000.0).cast("long")
+                ).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    vecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("vec")
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    prod = F.zip_with(
+        F.col("a.vec"), F.col("b.vec"), lambda x, y: F.floor(x * y * 1000000.0).cast("long")
+    )
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.aggregate(
+                prod, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).cast("bigint").alias("dot_micros"),
+        )
+    )
