@@ -694,3 +694,112 @@ def q120_sliding_window_counts(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q122_anomalous_hours",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sm,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM h GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(SUM(CASE WHEN (h.c * s.n - s.sm) * (h.c * s.n - s.sm)
+                              > 4 * (s.n * s.ss - s.sm * s.sm)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           CAST(MIN(s.n) AS BIGINT) AS n_hours,
+           CAST(MIN(s.sm) AS BIGINT) AS total_events
+    FROM h JOIN s USING (event_type)
+    GROUP BY h.event_type
+    """,
+    doc="hourly-volume anomaly detection with EXACT integer algebra: an "
+    "hour is anomalous when its squared deviation exceeds 4x the "
+    "variance (|z| > 2), tested as (c*n - s)^2 > 4*(n*ss - s^2) — the "
+    "z-score inequality cross-multiplied so no division, sqrt, or float "
+    "ever happens and the boolean can't flip on a ULP across engines. "
+    "The per-type stats frame is types-sized → broadcast back onto the "
+    "hourly counts; two aggs, one tiny join.",
+)
+def q122_anomalous_hours(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    h = (
+        e.select("event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("sm"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    j = h.join(F.broadcast(s), "event_type")
+    dev = F.col("c") * F.col("n") - F.col("sm")
+    anom = dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("sm") * F.col("sm"))
+    return j.groupBy("event_type").agg(
+        F.sum(anom.cast("int")).cast("bigint").alias("n_anomalous"),
+        F.min("n").cast("bigint").alias("n_hours"),
+        F.min("sm").cast("bigint").alias("total_events"),
+    )
+
+
+@register(
+    "q123_revenue_share_bp",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           CAST(cents * 10000 // SUM(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS share_bp
+    FROM rev
+    """,
+    doc="percent-of-total as a window over an aggregate: per-nation "
+    "revenue share within its region in basis points, computed as "
+    "integer cents * 10000 floor-div the region window sum — no float "
+    "ratio, exact across engines. The star join broadcasts every "
+    "dimension (locked pattern from q02); the window partitions the "
+    "25-row agg result, costing nothing.",
+)
+def q123_revenue_share_bp(spark: SparkSession, sf_dir: str):
+    l, o, c, n, r = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("bigint")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(w).alias("_tot"),
+    ).select(
+        "region",
+        "nation",
+        "cents",
+        # integer floor-div, matching DuckDB's `//` exactly — a double
+        # division truncated could flip on a quotient's ULP boundary
+        F.expr("(cents * 10000) div _tot").cast("bigint").alias("share_bp"),
+    )
