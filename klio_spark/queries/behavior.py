@@ -803,3 +803,199 @@ def q123_revenue_share_bp(spark: SparkSession, sf_dir: str):
         # division truncated could flip on a quotient's ULP boundary
         F.expr("(cents * 10000) div _tot").cast("bigint").alias("share_bp"),
     )
+
+
+@register(
+    "q124_funnel_windowed",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 p ON e.user_id = p.user_id
+       AND e.ts > p.t AND e.ts <= p.t + INTERVAL 1 DAY
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 p ON e.user_id = p.user_id
+       AND e.ts > p.t AND e.ts <= p.t + INTERVAL 1 DAY
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    )
+    SELECT '1_signup' AS step, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT '2_view_24h', COUNT(*) FROM s2
+    UNION ALL SELECT '3_click_24h', COUNT(*) FROM s3
+    """,
+    doc="conversion-window funnel — q108's ordered chain with a 24 h "
+    "deadline per step (the form product funnels actually use: a view a "
+    "week after signup doesn't convert). Same reused user_id shuffle; "
+    "the deadline is one extra co-partition predicate. Timestamp + "
+    "interval arithmetic is exact micros on both engines.",
+)
+def q124_funnel_windowed(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+
+    def stage(prev, etype):
+        ev = e.filter(F.col("event_type") == etype).alias("e")
+        p = prev.alias("p")
+        return (
+            ev.join(
+                p,
+                (F.col("e.user_id") == F.col("p.user_id"))
+                & (F.col("e.ts") > F.col("p.t"))
+                & (F.col("e.ts") <= F.col("p.t") + F.expr("INTERVAL 1 DAY")),
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias("t"))
+        )
+
+    s2 = stage(s1, "view")
+    s3 = stage(s2, "click")
+
+    def level(df, step):
+        return df.agg(
+            F.lit(step).alias("step"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    return (
+        level(s1, "1_signup")
+        .unionAll(level(s2, "2_view_24h"))
+        .unionAll(level(s3, "3_click_24h"))
+    )
+
+
+@register(
+    "q125_copurchase_pairs",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    counts AS (
+      SELECT part_a, part_b, COUNT(*) AS support FROM pairs GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM (SELECT part_a, part_b, support,
+                 ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b)
+                   AS rnk
+          FROM counts)
+    WHERE rnk <= 10
+    """,
+    doc="market-basket co-occurrence: part pairs bought in the same "
+    "order, global top-10 by support with a total-order tiebreak. The "
+    "pair expansion is bounded by basket size (≤7 lines per order → ≤21 "
+    "pairs), so the self-join on orderkey never blows up — the same "
+    "bounded-fan-out discipline as chunking/banding. The global top-10 "
+    "runs as TakeOrderedAndProject over the pair agg, not a full sort.",
+)
+def q125_copurchase_pairs(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    counts = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return (
+        counts.orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(10)
+        .select("part_a", "part_b", "support")
+    )
+
+
+@register(
+    "q126_bounce_rate",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - COALESCE(epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)),
+                                  -3600000000 * 24)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    ),
+    per AS (
+      SELECT user_id, sess_id, COUNT(*) AS n_events,
+             MIN(ts) AS t0
+      FROM sess GROUP BY 1, 2
+    ),
+    first_ev AS (
+      SELECT s.user_id, s.sess_id, s.event_type AS first_type, p.n_events
+      FROM sess s JOIN per p
+        ON s.user_id = p.user_id AND s.sess_id = p.sess_id AND s.ts = p.t0
+    )
+    SELECT first_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce
+    FROM first_ev GROUP BY first_type
+    """,
+    doc="bounce rate by session entry point: 30-minute-gap "
+    "sessionization (q51's running-sum-of-boundaries trick), then each "
+    "session keyed by its FIRST event's type; bounce = single-event "
+    "session. Epoch-micros integer gap test — no interval-type "
+    "comparison drift. All three windows partition by user_id: one sort "
+    "serves the lag, the running sum, and the per-session agg stays "
+    "co-partitioned.",
+)
+def q126_bounce_rate(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)").alias("_us"),
+    )
+    o = base.withColumn("_prev", F.lag("_us").over(w)).withColumn(
+        "new_sess",
+        (
+            F.col("_us") - F.coalesce(F.col("_prev"), F.lit(-86400000000))
+            > 1800000000
+        ).cast("int"),
+    )
+    sess = o.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).select("user_id", "event_type", "ts", "sess_id")
+    per = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("t0")
+    )
+    s, p = sess.alias("s"), per.alias("p")
+    first_ev = s.join(
+        p,
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("s.sess_id") == F.col("p.sess_id"))
+        & (F.col("s.ts") == F.col("p.t0")),
+    ).select(F.col("s.event_type").alias("first_type"), F.col("p.n_events"))
+    return first_ev.groupBy("first_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int")).cast("bigint").alias("n_bounce"),
+    )
