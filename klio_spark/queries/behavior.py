@@ -39,23 +39,26 @@ _SECS = "CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS BIGINT) div 1000000"
 @register(
     "q108_event_funnel",
     """
-    WITH s1 AS (
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    s1 AS (
       SELECT user_id, MIN(ts) AS t, MIN(ts) AS t0
-      FROM events WHERE event_type = 'signup' GROUP BY user_id
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
     ),
     s2 AS (
       SELECT e.user_id, MIN(e.ts) AS t, MIN(p.t0) AS t0
-      FROM events e JOIN s1 p ON e.user_id = p.user_id AND e.ts > p.t
+      FROM ev e JOIN s1 p ON e.user_id = p.user_id AND e.ts > p.t
       WHERE e.event_type = 'view' GROUP BY e.user_id
     ),
     s3 AS (
       SELECT e.user_id, MIN(e.ts) AS t, MIN(p.t0) AS t0
-      FROM events e JOIN s2 p ON e.user_id = p.user_id AND e.ts > p.t
+      FROM ev e JOIN s2 p ON e.user_id = p.user_id AND e.ts > p.t
       WHERE e.event_type = 'click' GROUP BY e.user_id
     ),
     s4 AS (
       SELECT e.user_id, MIN(e.ts) AS t, MIN(p.t0) AS t0
-      FROM events e JOIN s3 p ON e.user_id = p.user_id AND e.ts > p.t
+      FROM ev e JOIN s3 p ON e.user_id = p.user_id AND e.ts > p.t
       WHERE e.event_type = 'purchase' GROUP BY e.user_id
     )
     SELECT '1_signup' AS step, COUNT(*) AS n_users,
@@ -179,9 +182,11 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str):
     WITH o AS (
       SELECT user_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn,
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rnt
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rnt
       FROM events
     ),
     runs AS (
@@ -306,7 +311,8 @@ def q111_cdc_merge(spark: SparkSession, sf_dir: str):
     WITH r AS (
       SELECT user_id, event_type, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts DESC, event_id DESC) AS rn
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
       FROM events
     )
     SELECT user_id, event_type, event_id AS latest_event_id,
@@ -808,19 +814,22 @@ def q123_revenue_share_bp(spark: SparkSession, sf_dir: str):
 @register(
     "q124_funnel_windowed",
     """
-    WITH s1 AS (
-      SELECT user_id, MIN(ts) AS t FROM events
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM ev
       WHERE event_type = 'signup' GROUP BY user_id
     ),
     s2 AS (
       SELECT e.user_id, MIN(e.ts) AS t
-      FROM events e JOIN s1 p ON e.user_id = p.user_id
+      FROM ev e JOIN s1 p ON e.user_id = p.user_id
        AND e.ts > p.t AND e.ts <= p.t + INTERVAL 1 DAY
       WHERE e.event_type = 'view' GROUP BY e.user_id
     ),
     s3 AS (
       SELECT e.user_id, MIN(e.ts) AS t
-      FROM events e JOIN s2 p ON e.user_id = p.user_id
+      FROM ev e JOIN s2 p ON e.user_id = p.user_id
        AND e.ts > p.t AND e.ts <= p.t + INTERVAL 1 DAY
       WHERE e.event_type = 'click' GROUP BY e.user_id
     )
@@ -932,29 +941,29 @@ def q125_copurchase_pairs(spark: SparkSession, sf_dir: str):
                        > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
     ),
     sess AS (
-      SELECT user_id, event_type, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM o
     ),
-    per AS (
-      SELECT user_id, sess_id, COUNT(*) AS n_events,
-             MIN(ts) AS t0
-      FROM sess GROUP BY 1, 2
-    ),
     first_ev AS (
-      SELECT s.user_id, s.sess_id, s.event_type AS first_type, p.n_events
-      FROM sess s JOIN per p
-        ON s.user_id = p.user_id AND s.sess_id = p.sess_id AND s.ts = p.t0
+      SELECT user_id, sess_id, event_type AS first_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, sess_id) AS n_events
+      FROM sess
     )
     SELECT first_type,
            COUNT(*) AS n_sessions,
            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bounce
-    FROM first_ev GROUP BY first_type
+    FROM first_ev WHERE rn = 1 GROUP BY first_type
     """,
     doc="bounce rate by session entry point: 30-minute-gap "
     "sessionization (q51's running-sum-of-boundaries trick), then each "
@@ -984,17 +993,18 @@ def q126_bounce_rate(spark: SparkSession, sf_dir: str):
     sess = o.withColumn(
         "sess_id",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    ).select("user_id", "event_type", "ts", "sess_id")
-    per = sess.groupBy("user_id", "sess_id").agg(
-        F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("t0")
+    ).select("user_id", "event_type", "ts", "event_id", "sess_id")
+    # first event per session via rn=1 with the SAME (ts, event_id)
+    # tiebreak as the session windows — a join-back on ts = min(ts)
+    # would duplicate sessions whose first two events share a timestamp
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id", "sess_id")
+    first_ev = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_type").alias("first_type"), "n_events")
     )
-    s, p = sess.alias("s"), per.alias("p")
-    first_ev = s.join(
-        p,
-        (F.col("s.user_id") == F.col("p.user_id"))
-        & (F.col("s.sess_id") == F.col("p.sess_id"))
-        & (F.col("s.ts") == F.col("p.t0")),
-    ).select(F.col("s.event_type").alias("first_type"), F.col("p.n_events"))
     return first_ev.groupBy("first_type").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum((F.col("n_events") == 1).cast("int")).cast("bigint").alias("n_bounce"),
