@@ -24,6 +24,17 @@ from klio_spark.functions import text as tx
 from klio_spark.queries import load, register
 
 
+def _md5_bucket(col, mod: int):
+    """Deterministic hash bucket 0..mod-1 from the first 4 md5 hex chars —
+    the split/sample/resample gating protocol shared by q86/q88/q118 (and
+    their DuckDB oracles, which spell the same expression in SQL). Change
+    the protocol here and in all three oracles together."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("bigint")
+        % mod
+    )
+
+
 @register(
     "q57_gap_fill",
     """
@@ -290,8 +301,11 @@ _SHINGLE_CTE = """
     "appear in it (contaminated at ≥50% overlap). The eval shingle set is "
     "tiny relative to any corpus — benchmarks are KBs, corpora are TBs — "
     "so it BROADCASTS and the corpus-side probe is a map-side hash join "
-    "on 8-byte shingle hashes: one corpus scan, no self-join, no shuffle "
-    "of document text.",
+    "on 8-byte shingle hashes — no self-join, no shuffle of document "
+    "text. The shingle UDF is evaluated once per consuming branch (size "
+    "pass + probe pass) rather than persisted: measured at sf0.1, "
+    "recomputing the cheap hash UDF beats materializing the shingle "
+    "arrays to cache 2.5x.",
 )
 def q87_contamination(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
@@ -351,11 +365,7 @@ def q87_contamination(spark: SparkSession, sf_dir: str):
 )
 def q88_stratified_sample(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = _md5_bucket(F.col("doc_id"), 100)
     rate = (
         F.lit(25) + (F.substring("source", 4, 10).cast("bigint") * 7) % 71
     ).cast("bigint")
@@ -591,11 +601,7 @@ def q92_domain_mixture(spark: SparkSession, sf_dir: str):
 )
 def q86_hash_split(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = _md5_bucket(F.col("doc_id"), 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
     )
@@ -645,18 +651,13 @@ def q86_hash_split(spark: SparkSession, sf_dir: str):
     "floor division).",
 )
 def q118_mixture_resample(spark: SparkSession, sf_dir: str):
-    from klio_spark.functions import text as tx
 
     (d,) = load(spark, sf_dir, "documents")
     t = d.select(
         "source",
         "doc_id",
         F.size(tx.tokens(F.lower(F.col("text")))).alias("nt"),
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("bigint")
-            % 10000
-        ).alias("bucket"),
+        _md5_bucket(F.col("doc_id"), 10000).alias("bucket"),
     )
     s = t.groupBy("source").agg(F.sum("nt").cast("bigint").alias("src_tokens"))
     tot = s.agg(

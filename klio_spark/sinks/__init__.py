@@ -72,7 +72,13 @@ def write_avro(df: DataFrame, cfg: EventIOConfig) -> None:
         ).save(cfg.location)
         return
     except Exception as e:  # noqa: BLE001 — only swallow "no such source"
-        if "avro" not in str(e).lower():
+        # only the missing-DataSource signature falls back; a real write
+        # failure from an installed spark-avro (disk full, task death)
+        # must surface, not silently rerun through the Python writer
+        msg = str(e)
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg
+        ):
             raise
     write_avro_fallback(out, cfg.location, mode=cfg.options.get("mode", "overwrite"))
 
@@ -86,6 +92,8 @@ def write_avro_fallback(df: DataFrame, location: str, *, mode: str = "overwrite"
     import os
     import shutil
     import uuid
+
+    import datetime
 
     import pandas as pd
 
@@ -107,6 +115,11 @@ def write_avro_fallback(df: DataFrame, location: str, *, mode: str = "overwrite"
                 for k, v in row.items():
                     if isinstance(v, pd.Timestamp):
                         row[k] = int(v.value // 1000)  # ns → micros
+                    elif isinstance(v, datetime.date) and not isinstance(
+                        v, datetime.datetime
+                    ):
+                        # DateType → Avro int days-since-epoch
+                        row[k] = (v - datetime.date(1970, 1, 1)).days
                     elif isinstance(v, bytearray):
                         row[k] = bytes(v)
                     elif v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
@@ -180,5 +193,12 @@ def write_event_output(df: DataFrame, cfg: EventIOConfig) -> None:
     if cfg.skip_klio_write:
         return
     fmt = cfg.format if cfg.type in ("file", "text") else cfg.type
-    writer = _WRITERS.get(fmt) or _WRITERS[cfg.type]
+    writer = _WRITERS.get(fmt)
+    if writer is None:
+        # a typo'd format silently writing text instead of the configured
+        # columnar layout is a data-corruption footgun — fail loudly
+        raise ValueError(
+            f"unknown event output format {fmt!r} (type={cfg.type!r}); "
+            f"known: {sorted(_WRITERS)}"
+        )
     writer(df, cfg)
