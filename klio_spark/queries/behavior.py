@@ -1009,3 +1009,74 @@ def q126_bounce_rate(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum((F.col("n_events") == 1).cast("int")).cast("bigint").alias("n_bounce"),
     )
+
+
+@register(
+    "q127_hierarchy_depth",
+    """
+    WITH RECURSIVE parents AS (
+      SELECT p_partkey AS node,
+             CASE WHEN p_partkey = 0 THEN 0
+                  ELSE ('0x' || substring(md5(CAST(p_partkey AS VARCHAR)), 1, 4))
+                         ::BIGINT % p_partkey END AS parent
+      FROM part
+    ),
+    walk(node, anc, d) AS (
+      SELECT node, parent, 1 FROM parents WHERE node > 0
+      UNION ALL
+      SELECT w.node, p.parent, w.d + 1
+      FROM walk w JOIN parents p ON w.anc = p.node
+      WHERE w.anc > 0
+    ),
+    depth AS (
+      SELECT node, d FROM walk WHERE anc = 0
+      UNION ALL SELECT 0, 0
+    )
+    SELECT CAST(d AS BIGINT) AS depth, COUNT(*) AS n_parts
+    FROM depth GROUP BY d
+    """,
+    doc="hierarchy depth rollup WITHOUT recursive SQL (Spark has none): "
+    "a deterministic random forest over partkeys (parent = md5-hash mod "
+    "node, strictly decreasing → acyclic, rooted at 0) traversed by "
+    "POINTER DOUBLING — each round joins the ancestor map with itself, "
+    "so reach doubles per round and depth-64 chains resolve in six "
+    "self-joins, O(log depth) shuffles instead of O(depth). The oracle "
+    "walks the same forest with a real WITH RECURSIVE. Output: node "
+    "count per depth.",
+)
+def q127_hierarchy_depth(spark: SparkSession, sf_dir: str):
+    (p,) = load(spark, sf_dir, "part")
+    nodes = p.select(F.col("p_partkey").alias("node"))
+    parents = nodes.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.conv(
+                F.substring(F.md5(F.col("node").cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % F.col("node")
+        )
+        .alias("parent"),
+    )
+    # pointer-doubling state: (node, anc, d) with anc = ancestor reached,
+    # d = steps taken; the root is its own fixpoint with d contribution 0
+    f = parents.filter(F.col("node") > 0).select(
+        "node", F.col("parent").alias("anc"), F.lit(1).cast("bigint").alias("d")
+    ).unionAll(
+        parents.filter(F.col("node") == 0).select(
+            "node", F.lit(0).cast("bigint").alias("anc"),
+            F.lit(0).cast("bigint").alias("d"),
+        )
+    )
+    for _ in range(7):  # covers depth ≤ 2^7 = 128 (observed 19 at 2k nodes — random-mod chains run ~2x e·ln(n))
+        a, b = f.alias("a"), f.alias("b")
+        f = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+            F.col("a.node").alias("node"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.d") + F.col("b.d")).alias("d"),
+        )
+    return (
+        f.filter(F.col("anc") == 0)
+        .groupBy(F.col("d").cast("bigint").alias("depth"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
