@@ -1068,7 +1068,17 @@ def q127_hierarchy_depth(spark: SparkSession, sf_dir: str):
             F.lit(0).cast("bigint").alias("d"),
         )
     )
-    for _ in range(7):  # covers depth ≤ 2^7 = 128 (observed 19 at 2k nodes — random-mod chains run ~2x e·ln(n))
+    # Reach doubles per round, so ceil(log2(max depth)) rounds suffice;
+    # the scalar convergence check stops as soon as every chain reached
+    # the root (depth 23 at sf0.1 → 5 rounds, not the 7-round worst
+    # case). localCheckpoint truncates the self-join's otherwise
+    # exponentially-doubling lineage — the same scaffolding as
+    # functions/graph.connected_components; driver traffic is one scalar
+    # per round.
+    for _ in range(7):
+        f = f.localCheckpoint(eager=False)
+        if f.filter(F.col("anc") > 0).limit(1).count() == 0:
+            break
         a, b = f.alias("a"), f.alias("b")
         f = a.join(b, F.col("a.anc") == F.col("b.node")).select(
             F.col("a.node").alias("node"),

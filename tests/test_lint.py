@@ -58,10 +58,13 @@ def test_every_declared_query_lints_clean(spark, sf_dir):
     """The registry-wide guarantee: no error/warn finding in any of the
     ~97 declared query plans. This is what 'UDFs only where Catalyst
     can't express it, and then Arrow-batched' means, made enforceable."""
-    # q85's connected-components loop localCheckpoints each round's label
-    # table (deliberate lineage truncation); that prints as the same
-    # ExistingRDD node the rdd_roundtrip rule hunts
-    allowed = {"q85_dedup_clusters": ("rdd_roundtrip",)}
+    # q85's connected-components loop and q127's pointer doubling
+    # localCheckpoint each round (deliberate lineage truncation); that
+    # prints as the same ExistingRDD node the rdd_roundtrip rule hunts
+    allowed = {
+        "q85_dedup_clusters": ("rdd_roundtrip",),
+        "q127_hierarchy_depth": ("rdd_roundtrip",),
+    }
     failures = []
     for name, spec in all_queries().items():
         try:
