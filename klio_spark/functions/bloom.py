@@ -127,6 +127,14 @@ def bloom_semi_join(
     shuffles the (already heavily reduced) survivor set.
     """
     keys = build.select(F.col(build_key).alias("_bloom_bk")).distinct()
+    # xxhash64 is TYPE-sensitive where the verify equi-join would coerce
+    # (string '5' vs bigint 5, decimal vs bigint): hashing mismatched key
+    # types would silently drop true matches at the prefilter. Align the
+    # probe key to the build key's type before any bit is probed.
+    build_t = dict(keys.dtypes)["_bloom_bk"]
+    probe_t = dict(probe.dtypes)[probe_key]
+    if probe_t != build_t:
+        probe = probe.withColumn(probe_key, F.col(probe_key).cast(build_t))
     bitmap = bloom_bitmap(keys, "_bloom_bk", m_bits, k)
     pre = bloom_prefilter(probe, probe_key, bitmap, m_bits, k)
     return pre.join(

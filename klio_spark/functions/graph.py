@@ -14,11 +14,15 @@ connectedComponents does under the hood):
     near-dup components are shallow (dup clusters are near-cliques), so
     3-5 rounds in practice.
 
-Each round persists its label table and truncates lineage (the loop would
-otherwise build an O(rounds)-deep plan), and unpersists the previous
-round's — peak storage is 2 label tables of (id, component) longs.
-Driver involvement is ONE count() per round for the convergence check —
-a scalar, not data; the label tables never leave the executors.
+Each round localCheckpoints its label table, truncating lineage (the
+loop would otherwise build an O(rounds)-deep plan). Checkpoint blocks
+from earlier rounds are reclaimed by the ContextCleaner once the Python
+references drop (Dataset.unpersist does not touch localCheckpoint
+storage), so transient peak storage can briefly exceed the 2 live label
+tables of (id, component) longs until the cleaner runs — bounded by
+O(rounds) small tables, not by data growth. Driver involvement is ONE
+count() per round for the convergence check — a scalar, not data; the
+label tables never leave the executors.
 """
 
 from __future__ import annotations
@@ -111,7 +115,9 @@ def connected_components(
         # test is one scalar: sum(comp) unchanged ⟺ no label changed.
         # (One agg per round instead of a full old⋈new change-count join.)
         new_sum = _sum(new_labels)
-        labels.unpersist()
+        # dropping the Python reference is what frees the previous
+        # round's checkpoint blocks (via ContextCleaner); unpersist()
+        # would be a no-op on a localCheckpoint'ed frame
         labels = new_labels
         if new_sum == prev_sum:
             break

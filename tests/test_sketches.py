@@ -115,6 +115,23 @@ def test_bloom_semi_join_is_exact(spark, sf_dir):
     assert got == want and got
 
 
+def test_bloom_semi_join_coerces_mismatched_key_types(spark, sf_dir):
+    """xxhash64 is type-sensitive where the equi-join would coerce: a
+    string probe key against a bigint build key must still return every
+    true match (the probe key is cast to the build type pre-hash)."""
+    from klio_spark.functions.bloom import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_partkey", F.col("l_partkey").cast("string")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_size") <= 10)
+    got = bloom_semi_join(li, "l_partkey", p, "p_partkey").count()
+    want = li.join(
+        p.select("p_partkey"), li.l_partkey == p.p_partkey, "left_semi"
+    ).count()
+    assert got == want and got > 0
+
+
 def test_bloom_prefilter_plan_is_all_broadcast(spark, sf_dir):
     """The probe side must reach the filter without shuffling: k broadcast
     hash joins against the bitmap, zero sort-merge joins."""
