@@ -285,10 +285,14 @@ def read_container(blob: bytes) -> Iterator[dict]:
 # ---------------------------------------------------------------------------
 
 def spark_to_avro_schema(schema, name: str = "klio_record") -> dict:
-    """StructType → Avro record schema (nullable fields become unions)."""
+    """StructType → Avro record schema (nullable fields become unions).
+
+    Nested records are named by their FIELD PATH (``<name>_<field>``) —
+    Avro requires unique record fullnames, so two sibling struct fields
+    must not share one (spec-compliant readers reject duplicate names)."""
     from pyspark.sql import types as T
 
-    def conv(dt, nullable):
+    def conv(dt, nullable, field_path):
         if isinstance(dt, T.StringType):
             a = "string"
         elif isinstance(dt, T.BinaryType):
@@ -308,11 +312,19 @@ def spark_to_avro_schema(schema, name: str = "klio_record") -> dict:
         elif isinstance(dt, T.DateType):
             a = {"type": "int", "logicalType": "date"}
         elif isinstance(dt, T.ArrayType):
-            a = {"type": "array", "items": conv(dt.elementType, dt.containsNull)}
+            a = {
+                "type": "array",
+                "items": conv(dt.elementType, dt.containsNull, f"{field_path}_item"),
+            }
         elif isinstance(dt, T.MapType):
-            a = {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull)}
+            a = {
+                "type": "map",
+                "values": conv(
+                    dt.valueType, dt.valueContainsNull, f"{field_path}_value"
+                ),
+            }
         elif isinstance(dt, T.StructType):
-            a = spark_to_avro_schema(dt, name=f"{name}_nested")
+            a = spark_to_avro_schema(dt, name=field_path)
         else:
             raise AvroError(f"no Avro mapping for Spark type {dt}")
         return ["null", a] if nullable else a
@@ -321,7 +333,7 @@ def spark_to_avro_schema(schema, name: str = "klio_record") -> dict:
         "type": "record",
         "name": name,
         "fields": [
-            {"name": f.name, "type": conv(f.dataType, f.nullable)}
+            {"name": f.name, "type": conv(f.dataType, f.nullable, f"{name}_{f.name}")}
             for f in schema.fields
         ],
     }

@@ -61,12 +61,21 @@ def _resolve_locations(config, config_path: str) -> None:
     rule, or publish and run would disagree on where `topic` lives."""
     base = os.path.dirname(os.path.abspath(config_path))
     config.job_dir = base
+    def _rel(p: str) -> bool:
+        return bool(p) and not os.path.isabs(p) and "://" not in p
+
     for io in (
         config.event_inputs + config.event_outputs
         + config.data_inputs + config.data_outputs
     ):
-        if io.location and not os.path.isabs(io.location) and "://" not in io.location:
+        if _rel(io.location):
             io.location = os.path.join(base, io.location)
+        # a relative options.checkpoint must resolve the same way, or a
+        # job started from one CWD and `job stop`ped from another would
+        # look for the stop marker in different directories
+        opts = getattr(io, "options", None)
+        if isinstance(opts, dict) and _rel(opts.get("checkpoint", "")):
+            opts["checkpoint"] = os.path.join(base, opts["checkpoint"])
 
 
 def cmd_job_run(args) -> int:
@@ -82,6 +91,10 @@ def cmd_job_run(args) -> int:
         raise SystemExit("no event inputs configured")
     events = read_event_input(spark, config.event_inputs[0])
     out = run_pipeline(events, config, user_run, spark)
+    if out.isStreaming and not config.event_outputs:
+        raise SystemExit(
+            "streaming job needs an event output (the checkpointed sink)"
+        )
     if out.isStreaming:
         # streaming job: checkpointed text sink next to the output location
         # (pipeline_options.streaming_timeout_s bounds the run; unset → run
@@ -595,7 +608,16 @@ def cmd_job_delete(args) -> int:
             if answer not in ("y", "yes"):
                 print(f"kept {kind} {loc}")
                 continue
-        shutil.rmtree(loc, ignore_errors=True)
+        try:
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
+            else:
+                os.remove(loc)  # file locations (e.g. elements.txt inputs)
+        except OSError as e:
+            # never report a failed delete as done — the reference's
+            # delete surfaces per-resource errors too
+            print(f"FAILED to delete {kind} {loc}: {e}")
+            continue
         print(f"deleted {kind} {loc}")
         deleted += 1
     print(f"deleted {deleted} resource(s) for job {config.job_name}")

@@ -49,12 +49,15 @@ def parse_key_value_list(pairs: list[str] | dict[str, str]) -> dict[str, str]:
         return {str(k): str(v) for k, v in pairs.items()}
     out: dict[str, str] = {}
     for item in pairs or []:
-        pieces = ["".join(p.split()) for p in item.split("=")]
-        if len(pieces) != 2:
+        # split on the FIRST '=' only (values may contain '=', e.g.
+        # tokens/URLs — matching `job config set`'s split), and trim only
+        # the ENDS — interior whitespace is part of the value
+        key, eq, value = item.partition("=")
+        if not eq or not key.strip():
             raise ValueError(
                 f"Malformed config override {item!r}, should be '<key>=<value>'"
             )
-        out[pieces[0]] = pieces[1]
+        out[key.strip()] = value.strip()
     return out
 
 
@@ -108,12 +111,39 @@ def _io_list_index(items: list, part: str) -> int:
     return len(items) - 1
 
 
+def coerce_scalar(value: str):
+    """CLI override values arrive as strings; interpret them the way the
+    YAML parser would have ('false' → False, '3' → 3) so a boolean flag
+    set via -O / `job config set` doesn't become a truthy string that
+    silently flips `if cfg.flag:` checks the wrong way."""
+    if not isinstance(value, str):
+        return value
+    low = value.strip().lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
+    if low in ("null", "none", "~", ""):
+        return None
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    return value
+
+
 def apply_overrides(config: dict, overrides: dict[str, str]) -> dict:
     """Dotted-path assignment, creating missing intermediate dicts
     (_apply_overrides, _preprocessing.py:163-204; glom.assign with
     missing=dict). Paths may address I/O list entries by index, `name`,
-    or `<type><n>` (the reference's named-I/O transform)."""
-    for path, value in (overrides or {}).items():
+    or `<type><n>` (the reference's named-I/O transform). Values are
+    YAML-coerced (coerce_scalar) before assignment."""
+    for path, raw_value in (overrides or {}).items():
+        value = coerce_scalar(raw_value)
         parts = path.split(".")
         cur: Any = config
         for depth, part in enumerate(parts):
@@ -227,10 +257,21 @@ class KlioJobConfig:
             job_name=raw.get("job_name", "klio-spark-job"),
             project=raw.get("project", raw.get("gcp_project", "local")),
             allow_non_klio_messages=allow,
-            event_inputs=[EventIOConfig.from_dict(d) for d in events.get("inputs", [])],
-            event_outputs=[EventIOConfig.from_dict(d) for d in events.get("outputs", [])],
-            data_inputs=[DataIOConfig.from_dict(d) for d in data.get("inputs", [])],
-            data_outputs=[DataIOConfig.from_dict(d) for d in data.get("outputs", [])],
+            # `or []` handles present-but-null keys (all entries
+            # commented out in the yaml) — .get's default only covers
+            # ABSENT keys
+            event_inputs=[
+                EventIOConfig.from_dict(d) for d in events.get("inputs") or []
+            ],
+            event_outputs=[
+                EventIOConfig.from_dict(d) for d in events.get("outputs") or []
+            ],
+            data_inputs=[
+                DataIOConfig.from_dict(d) for d in data.get("inputs") or []
+            ],
+            data_outputs=[
+                DataIOConfig.from_dict(d) for d in data.get("outputs") or []
+            ],
             pipeline_options=dict(raw.get("pipeline_options", {})),
             user=jc,  # leftover keys are dynamic user attributes
         )

@@ -149,7 +149,10 @@ def _dec_timestamp(blob: bytes) -> datetime.datetime:
     seconds = nanos = 0
     for field, wtype, val in _fields(blob):
         if field == 1 and wtype == _VARINT:
-            seconds = val
+            # Timestamp.seconds is int64: a negative (pre-1970) value
+            # arrives as its two's-complement 64-bit varint — re-sign it,
+            # or fromtimestamp(~2^64) raises and the whole message drops
+            seconds = val - (1 << 64) if val >= (1 << 63) else val
         elif field == 2 and wtype == _VARINT:
             nanos = val
     return datetime.datetime.fromtimestamp(

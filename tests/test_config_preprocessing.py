@@ -67,7 +67,7 @@ def test_override_existing_and_created_keys():
         ],
     )
     jc = cfg["job_config"]
-    assert jc["allow_non_klio_messages"] == "true"
+    assert jc["allow_non_klio_messages"] is True  # coerce_scalar: "true" -> bool
     ins = jc["events"]["inputs"]
     # file1 = second file-typed input (reference's <type><n> naming)
     assert ins[1]["location"] == "gs://x/new.txt"
@@ -101,8 +101,20 @@ def test_malformed_override_raises():
 
 
 def test_apply_overrides_plain_dict():
+    # override values are YAML-coerced: numeric strings become numbers
     out = apply_overrides({"a": {"b": 1}}, {"a.b": "2", "a.c.d": "3"})
-    assert out == {"a": {"b": "2", "c": {"d": "3"}}}
+    assert out == {"a": {"b": 2, "c": {"d": 3}}}
+
+
+def test_override_values_yaml_coerced():
+    from klio_spark.config import coerce_scalar
+
+    assert coerce_scalar("false") is False and coerce_scalar("TRUE") is True
+    assert coerce_scalar("42") == 42 and coerce_scalar("1.5") == 1.5
+    assert coerce_scalar("null") is None
+    assert coerce_scalar("hello world") == "hello world"  # interior space kept
+    out = apply_overrides({}, {"job_config.flag": "false"})
+    assert out["job_config"]["flag"] is False
 
 
 def test_from_yaml_with_templates_and_overrides(tmp_path):

@@ -203,7 +203,7 @@ def test_config_get_set_unset_roundtrip(created_job, capsys):
     assert "my_flag" in text and "elsewhere" in text
     assert cli.main(["job", "config", "get", "--config", cfg,
                      "job_config.my_flag"]) == 0
-    assert json.loads(capsys.readouterr().out) == "42"
+    assert json.loads(capsys.readouterr().out) == 42  # coerced to int
     # unset removes; unset of a missing path is a no-op
     assert cli.main(["job", "config", "unset", "--config", cfg,
                      "job_config.my_flag"]) == 0

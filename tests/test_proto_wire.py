@@ -150,3 +150,18 @@ def test_dataframe_proto_drops_garbage(spark):
     )
     out = env.from_proto_wire(raw).collect()
     assert [r.element for r in out] == ["ok"]
+
+
+def test_timestamp_roundtrip_pre_epoch():
+    """Timestamp.seconds is int64: pre-1970 values must round-trip (the
+    unsigned varint re-signs on decode) instead of crashing and dropping
+    the message."""
+    import datetime
+
+    from klio_spark.proto_wire import _dec_timestamp, _enc_timestamp
+
+    for ts in (
+        datetime.datetime(1969, 12, 31, 23, 59, 59, tzinfo=datetime.timezone.utc),
+        datetime.datetime(1950, 6, 1, tzinfo=datetime.timezone.utc),
+    ):
+        assert _dec_timestamp(_enc_timestamp(ts)) == ts
