@@ -314,6 +314,9 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     def _sim(h):
         out = []
         for row in h:
+            if row is None:  # NULL text → NULL token array from the JVM
+                out.append(0)
+                continue
             hv = np.asarray(row, dtype=np.int64).astype(np.uint64)
             if len(hv) == 0:
                 out.append(0)
@@ -333,16 +336,27 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Pairs within `max_hamming` bits, via 4×16-bit block bucketing.
+    """Pairs within `max_hamming` bits, via (max_hamming+1)-block bucketing.
 
-    Pigeonhole: at ≤3 differing bits, at least one of 4 16-bit blocks is
-    identical → bucket-join on each block, verify with bit_count(a^b).
+    Pigeonhole: h differing bits spread over h+1 blocks leave at least
+    one block identical → bucket-join on each block, verify with
+    bit_count(a^b). Block count DERIVES from max_hamming (h=3 → the
+    classic 4×16-bit split): a fixed 4-block split would silently MISS
+    pairs beyond 3 bits. The trade-off is real: larger h → narrower
+    blocks → hotter buckets (64/(h+1)-bit values), the standard
+    HmSearch-style recall/candidate-volume dial.
 
     The (id, simhash) projection is persist()ed — 16 bytes/row, the
     cheapest possible cache — because both sides of the block self-join
     read it; without the cache the tokenize+hash+vote UDF runs twice
     over the full corpus. Same lifetime note as minhash_lsh_dedup.
     """
+    n_blocks = max_hamming + 1
+    if n_blocks > 64:
+        raise ValueError("max_hamming must be < 64 for a 64-bit simhash")
+    base_w, rem = divmod(64, n_blocks)
+    widths = [base_w + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     sh = (
         simhash(df.select(id_col, text_col), text_col)
         .select(id_col, "simhash")
@@ -354,8 +368,10 @@ def simhash_near_dups(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
+                    )
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("_blk", "_bval"),

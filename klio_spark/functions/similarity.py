@@ -167,8 +167,12 @@ def ivf_topk(
     tunes via n_probe. Complements SRP-LSH: IVF adapts to the data
     distribution, LSH is data-independent.
     """
-    samp = corpus.select(vec_col).limit(sample).collect()
-    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in samp])
+    # ORDERED sample: bare limit() is not deterministic across runs or
+    # partition layouts, which would train different centroids for the
+    # same (sample, seed) and break the documented identical-neighbors
+    # guarantee. orderBy+limit compiles to TakeOrderedAndProject.
+    samp = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in samp])
     cents = _kmeans_centroids(m, n_lists, seed=seed)
     assign_udf = _assign_udf(cents)
     probes_udf = _probes_udf(cents, n_probe)
@@ -222,8 +226,12 @@ def build_ivf_index(
     the same bounded deterministic sample, so for equal (sample, seed,
     n_lists) the two paths return identical neighbors.
     """
-    samp = corpus.select(vec_col).limit(sample).collect()
-    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in samp])
+    # ORDERED sample: bare limit() is not deterministic across runs or
+    # partition layouts, which would train different centroids for the
+    # same (sample, seed) and break the documented identical-neighbors
+    # guarantee. orderBy+limit compiles to TakeOrderedAndProject.
+    samp = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in samp])
     cents = _kmeans_centroids(m, n_lists, seed=seed)
     spark = corpus.sparkSession
 
@@ -267,13 +275,18 @@ def ivf_topk_indexed(
     n_probe = min(n_probe, len(cents))
 
     probes_udf = _probes_udf(cents, n_probe)
+    # no persist: this is the query-many serving path, and a per-call
+    # persist would leak one cached frame per invocation in a long-lived
+    # session. The probes UDF therefore evaluates twice over the QUERY
+    # batch (probed-set collect + the join) — query batches are small by
+    # contract; the corpus side is untouched either way.
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             F.explode(probes_udf(F.col(vec_col))).alias("_list"),
         )
-    ).persist()
+    )
     probed = [r[0] for r in q.select("_list").distinct().collect()]
     c = (
         spark.read.parquet(index_path)
@@ -425,25 +438,35 @@ def lsh_candidates(
     tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b, _va, _vb) sharing any table bucket."""
+    """Candidate pairs (id_a < id_b, _va, _vb) sharing any table bucket.
+
+    Pair GENERATION runs on ids only — bucket-grouped collect_list +
+    double explode, the same expansion as minhash_lsh_dedup — so the
+    signature UDF evaluates once and no shuffle carries embeddings until
+    the final id-keyed joins fetch the two vectors per surviving pair
+    (the caller's verify step needs them). A vector-laden band self-join
+    would replicate every embedding `tables`× onto both exchange sides.
+    """
     sigs = df.select(
         F.col(id_col),
-        F.col(vec_col),
         F.posexplode(
             srp_signatures(F.col(vec_col), bits=bits, tables=tables, seed=seed)
         ).alias("_table", "_sig"),
     )
-    l = sigs.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_table", "_sig"
-    )
-    r = sigs.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_table", "_sig"
-    )
-    return (
-        l.join(r, ["_table", "_sig"])
+    pairs = (
+        sigs.groupBy("_table", "_sig")
+        .agg(F.collect_list(F.col(id_col)).alias("xs"))
+        .filter(F.size("xs") > 1)
+        .select(F.explode("xs").alias("id_a"), "xs")
+        .select("id_a", F.explode("xs").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
+    )
+    v = df.select(F.col(id_col), F.col(vec_col))
+    return pairs.join(
+        v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"
+    ).join(
+        v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b"
     )
 
 
