@@ -62,7 +62,11 @@ def _exists_split(
     df: DataFrame, listing: DataFrame, cfg: DataIOConfig
 ) -> TaggedSplit:
     expected = path_for(cfg).alias("_klio_path")
-    listing = F.broadcast(listing.withColumnRenamed("path", "_klio_listed"))
+    # no broadcast HINT: Spark auto-broadcasts a small listing from its
+    # stats, and at billions of objects (where the module doc promises a
+    # shuffle join) an unconditional hint would force the whole listing
+    # through the driver
+    listing = listing.withColumnRenamed("path", "_klio_listed")
     joined = df.withColumn("_klio_path", expected).join(
         listing, F.col("_klio_path") == F.col("_klio_listed"), "left"
     )

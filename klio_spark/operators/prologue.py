@@ -121,8 +121,32 @@ def setup_prologue_multi(
     processed: dict[str, DataFrame] = {}
     pass_thrus: list[DataFrame] = []
     not_founds: list[DataFrame] = []
+    # list each data location ONCE and share across inputs — without
+    # this, k event inputs would each trigger their own distributed
+    # metadata scan of the identical data input/output dirs
+    from klio_spark.operators.existence import list_location
+
+    sp = spark or next(iter(inputs.values())).sparkSession
+    data_in = config.data_inputs[0] if config.data_inputs else None
+    data_out = config.data_outputs[0] if config.data_outputs else None
+    in_listing = (
+        list_location(sp, data_in)
+        if data_in is not None and not data_in.skip_klio_existence_check
+        else None
+    )
+    out_listing = (
+        list_location(sp, data_out)
+        if data_out is not None and not data_out.skip_klio_existence_check
+        else None
+    )
     for name, df in inputs.items():
-        res = setup_prologue(df, config, spark)
+        res = setup_prologue(
+            df,
+            config,
+            spark,
+            input_listing=in_listing,
+            output_listing=out_listing,
+        )
         processed[name] = res.process
         if res.pass_thru is not None:
             pass_thrus.append(res.pass_thru)

@@ -83,7 +83,13 @@ def read_avro(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
         )
         return _element_or_json(df)
     except Exception as e:  # noqa: BLE001 — only swallow "no such source"
-        if "avro" not in str(e).lower():
+        # only the missing-DataSource signature falls back — a substring
+        # match on 'avro' would also swallow path/corruption errors whose
+        # message merely mentions the word (e.g. '/data/events_avro')
+        msg = str(e)
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg
+        ):
             raise
     return _element_or_json(read_avro_fallback(spark, cfg.location))
 
@@ -100,7 +106,11 @@ def read_avro_fallback(spark: SparkSession, location: str) -> DataFrame:
         .load(location)
         .select("content")
     )
-    head = files.limit(1).collect()
+    # schema sniff: only the container HEADER travels to the driver —
+    # collecting a whole multi-GB file's content column for its first
+    # few KB would be a driver-OOM hazard (1 MB covers any real header;
+    # klio-style schemas are one-field records)
+    head = files.select(F.substring("content", 1, 1 << 20)).limit(1).collect()
     if not head:
         raise FileNotFoundError(f"no .avro files under {location}")
     avro_schema = ac.read_schema(bytes(head[0][0]))
@@ -154,7 +164,15 @@ def read_bq_style(spark: SparkSession, cfg: EventIOConfig) -> DataFrame:
         .load(cfg.location)
     )
     if cols:
-        cols = cols if isinstance(cols, list) else json.loads(cols)
+        if not isinstance(cols, list):
+            try:
+                cols = json.loads(cols)
+            except (ValueError, TypeError):
+                # a plain column name (YAML `klio_message_columns:
+                # entity_id`) is a one-element list, not JSON
+                cols = [cols]
+            if isinstance(cols, str):
+                cols = [cols]
         if len(cols) == 1:
             el = F.col(cols[0]).cast("string")
         else:
