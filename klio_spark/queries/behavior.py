@@ -1090,3 +1090,60 @@ def q127_hierarchy_depth(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("d").cast("bigint").alias("depth"))
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+@register(
+    "q128_weighted_median",
+    """
+    WITH t AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, price, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY price, w
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM t
+    )
+    SELECT flag, MIN(price) AS weighted_median_price,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY flag
+    """,
+    doc="quantity-weighted median price per group — the weighted "
+    "quantile Spark has no built-in for: one window sort by price "
+    "accumulates integer weights, the answer is the first row whose "
+    "cumulative weight crosses half the total (2*cw >= tw, integer "
+    "cross-multiplication — no float ratio). Duplicate (price, weight) "
+    "rows permute freely without changing the crossing price, so the "
+    "result is deterministic on both engines. One sort + one partition "
+    "total serves everything.",
+)
+def q128_weighted_median(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    t = l.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.floor("l_quantity").cast("bigint").alias("w"),
+    )
+    wo = (
+        Window.partitionBy("flag")
+        .orderBy("price", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("flag")
+    c = t.select(
+        "flag",
+        "price",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )
