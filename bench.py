@@ -70,16 +70,40 @@ def main() -> int:
                 spark.catalog.clearCache()
         timings[name] = best
     total = round(sum(t for t in timings.values() if t > 0), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "declared_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "agg": "min",
+        "sf": sf_val,
+    }
+    # The driver captures only the tail of stdout (~2 KB): round 2's single
+    # full-map line got head-truncated and parsed as null. Persist the full
+    # per-query map to a file, and print a compact summary line LAST —
+    # total + top-10 slowest — guaranteed under the capture window.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    top10 = dict(
+        sorted(((k, v) for k, v in timings.items() if v > 0),
+               key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "declared_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top10,
+                "n_queries": len(timings),
+                "n_errors": sum(1 for t in timings.values() if t <= 0),
                 "reps": reps,
                 "agg": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "full_map": "BENCH_LOCAL.json",
             }
         )
     )

@@ -70,13 +70,57 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
     return out
 
 
+# The external correctness driver iterates the registry dict in order and
+# truncates after ~50 entries (time budget). Ordering is therefore a
+# verification-scheduling decision: front-load the entries with the LEAST
+# official evidence.
+#
+#   1. _VERIFY_FIRST — verification debt going into round 3: 12 entries no
+#      driver run has ever checked, 13 that were red in round 1 (since fixed
+#      and replica-verified, but the official record still shows red), and
+#      q71/q74 which reported `no_oracle` in round 2 (now reparameterized to
+#      oracle-checkable exact configs).
+#   2. Everything else in import order — this is where NEW queries land
+#      automatically (they are neither in the prefix nor round-2 green).
+#   3. _R2_GREEN — the 48 entries driver round 2 just hash-verified; a
+#      repeat truncation costs the least information here.
+_VERIFY_FIRST = [
+    # never driver-verified (green in judge replica)
+    "q32_cube", "q34_window_range_frame", "q35_salted_join", "q48_string_agg",
+    "q49_corr_covar", "q68_jaccard_capped_df", "q69_top_bigrams",
+    "q75_embedding_centroids", "q76_binary_meta", "q77_bpe_token_count",
+    "q102_unpivot", "q106_minhash_lsh_recall",
+    # red in driver round 1, fixed since, never officially re-checked
+    "q04_conditional_agg", "q15_asof_join", "q42_math_funcs", "q45_array_agg",
+    "q50_events_hourly", "q51_sessionization", "q52_events_json_props",
+    "q53_tumbling_window_batch", "q54_pivot", "q56_time_rollup_multigrain",
+    "q60_token_stats", "q66_minhash_lsh_dedup", "q67_simhash_dedup",
+    # `no_oracle` rows in round 2, now exact-parameterized with oracles
+    "q71_ann_lsh_topk", "q74_ann_ivf_topk",
+]
+
+_R2_GREEN = [
+    "q108_event_funnel", "q109_retention_cohorts", "q110_activity_runs",
+    "q111_cdc_merge", "q113_keep_latest", "q114_interval_overlap_join",
+    "q112_negative_sampling", "q116_latency_histogram", "q117_ab_experiment",
+    "q119_growth_accounting", "q120_sliding_window_counts",
+    "q122_anomalous_hours", "q123_revenue_share_bp", "q124_funnel_windowed",
+    "q125_copurchase_pairs", "q126_bounce_rate", "q127_hierarchy_depth",
+    "q128_weighted_median", "q70_ann_bruteforce_topk", "q107_ann_quality",
+    "q72_embedding_near_dups", "q73_vector_norms_by_label",
+    "q121_centroid_similarity", "q57_gap_fill", "q78_embedding_quantize",
+    "q79_repetition_quality", "q85_dedup_clusters", "q87_contamination",
+    "q88_stratified_sample", "q89_heavy_hitters", "q90_sequence_packing",
+    "q91_passage_dedup", "q92_domain_mixture", "q86_hash_split",
+    "q118_mixture_resample", "q93_pii_redaction", "q94_quality_filter",
+    "q95_doc_chunking", "q96_lm_rarity_score", "q97_tfidf_top_terms",
+    "q98_hll_distinct_rollup", "q101_theta_set_ops", "q100_bloom_semi_join",
+    "q99_kll_quantile_ranks", "q103_quality_constraints",
+    "q105_fuzzy_name_match", "q104_snapshot_diff", "q115_table_profile",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    # Import side-effect populates the registry, and import ORDER is the
-    # dict order the driver iterates. Round 1's driver correctness run
-    # truncated after 50 entries (time budget), and vector_ops — imported
-    # last — never got verified. So modules whose queries have never been
-    # driver-checked go FIRST; the r1-verified relational/advanced bulk
-    # goes last, where a repeat truncation costs the least information.
     from klio_spark.queries import (  # noqa: F401
         behavior,
         vector_ops,
@@ -92,4 +136,15 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
     )
 
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _VERIFY_FIRST:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    r2 = set(_R2_GREEN)
+    for name, spec in _REGISTRY.items():
+        if name not in ordered and name not in r2:
+            ordered[name] = spec
+    for name in _R2_GREEN:
+        if name in _REGISTRY and name not in ordered:
+            ordered[name] = _REGISTRY[name]
+    return ordered
