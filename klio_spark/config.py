@@ -118,7 +118,17 @@ def coerce_scalar(value: str):
     silently flips `if cfg.flag:` checks the wrong way."""
     if not isinstance(value, str):
         return value
-    low = value.strip().lower()
+    stripped = value.strip()
+    # quoting opts out of coercion entirely: -O key='"off"' or
+    # -O job_name='"1.10"' stays the literal string — the escape hatch
+    # for topics named 'off' and version-like names YAML would mangle
+    if (
+        len(stripped) >= 2
+        and stripped[0] == stripped[-1]
+        and stripped[0] in ("'", '"')
+    ):
+        return stripped[1:-1]
+    low = stripped.lower()
     if low in ("true", "yes", "on"):
         return True
     if low in ("false", "no", "off"):
@@ -129,10 +139,14 @@ def coerce_scalar(value: str):
         return int(value)
     except ValueError:
         pass
-    try:
-        return float(value)
-    except ValueError:
-        pass
+    # float() also accepts 'nan'/'inf'/'infinity' (any sign/case) — YAML
+    # treats those spellings as strings (only '.nan'/'.inf' are floats),
+    # and a config value that parses as NaN is never what a CLI user meant
+    if low.lstrip("+-") not in ("nan", "inf", "infinity"):
+        try:
+            return float(value)
+        except ValueError:
+            pass
     return value
 
 

@@ -427,13 +427,15 @@ def ngram_jaccard_pairs(
     codegen stage with nothing cached (measured 1.3-2× faster at sf0.1).
 
     `max_df` is the 100 TB lever: drop shingles appearing in more than
-    max_df documents (the standard df-cut). Here it is literally free —
-    a size() filter on the already-built posting list, no separate
-    document-frequency aggregation — and it bounds both the worst
-    bucket's expansion (≤ max_df² pairs) and the posting-list row width
-    (≤ max_df structs). Jaccard then UNDERCOUNTS by at most (dropped
-    shingles)/union per pair — exact when max_df is None (the oracle
-    setting).
+    max_df documents (the standard df-cut). Hot shingles are removed
+    BEFORE posting lists are built — a count aggregation (map-side
+    combined, 8-byte keys + long counts, no payload) feeds an anti-join
+    on the exploded stream — so a stop-word shingle's posting list is
+    never materialized: both the worst bucket's expansion (≤ max_df²
+    pairs) and the posting-list row width (≤ max_df structs) are hard
+    bounds, even for a shingle appearing in millions of documents.
+    Jaccard then UNDERCOUNTS by at most (dropped shingles)/union per
+    pair — exact when max_df is None (the oracle setting).
     """
     base = df.select(
         F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
@@ -442,13 +444,22 @@ def ngram_jaccard_pairs(
     # collisions over distinct shingles are ~2^-64 per pair — far below
     # any data noise)
     inv = base.select(id_col, "_size", F.explode(F.col("_sh")).alias("_s"))
+    if max_df is not None:
+        # df-cut BEFORE collect_list: a hot shingle must never become a
+        # single million-struct aggregation row. The count agg is partial
+        # (map-side combine) over 8-byte keys, and the anti-join keeps
+        # only shingles with df ≤ max_df.
+        hot = (
+            inv.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+        )
+        inv = inv.join(hot, "_s", "left_anti")
     buckets = inv.groupBy("_s").agg(
         F.collect_list(
             F.struct(F.col(id_col).alias("i"), F.col("_size").alias("n"))
         ).alias("xs")
     )
-    if max_df is not None:
-        buckets = buckets.filter(F.size("xs") <= max_df)
     pair_counts = (
         buckets.select(F.explode("xs").alias("a"), "xs")
         .select("a", F.explode("xs").alias("b"))

@@ -166,7 +166,12 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str):
     return (
         j.select(
             "user_id",
-            F.expr("datediff(d0, DATE'2024-01-01') div 7")
+            # Spark's `div` truncates toward zero; DuckDB's `//` floors.
+            # Shifting by a multiple of 7 (70000 = 7*10000) makes the
+            # operand positive for any date after ~1832, so truncation IS
+            # floor and pre-anchor events bucket identically on both
+            # engines.
+            F.expr("(datediff(d0, DATE'2024-01-01') + 70000) div 7 - 10000")
             .cast("bigint")
             .alias("cohort_week"),
             F.expr("datediff(d, d0) div 7").cast("bigint").alias("week_offset"),
@@ -413,7 +418,8 @@ def q114_interval_overlap_join(spark: SparkSession, sf_dir: str):
     WITH n AS (SELECT COUNT(*) AS n FROM documents),
     cand AS (
       SELECT d.doc_id, d.source AS src_a,
-             (d.doc_id * 2654435761 + 1 + t.i * 40503) % n.n AS neg_id
+             ((d.doc_id % 2147483648) * 2654435761 + 1 + t.i * 40503) % n.n
+               AS neg_id
       FROM documents d CROSS JOIN n, UNNEST([0, 1, 2, 3]) AS t(i)
     )
     SELECT c.src_a, d2.source AS src_b, COUNT(*) AS n_pairs
@@ -447,9 +453,14 @@ def q112_negative_sampling(spark: SparkSession, sf_dir: str):
         .select(
             "doc_id",
             "src_a",
-            ((F.col("doc_id") * F.lit(2654435761) + 1 + F.col("i") * 40503) % F.col("n")).alias(
-                "neg_id"
-            ),
+            # reduce mod 2^31 BEFORE the Knuth multiply: 2^31 * 2654435761
+            # stays under int64 max, so the product can't overflow — Spark
+            # would wrap silently (non-ANSI) while DuckDB raises, breaking
+            # the same-stream property for doc_id ≳ 3.5e9
+            (
+                ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+                 + 1 + F.col("i") * 40503) % F.col("n")
+            ).alias("neg_id"),
         )
     )
     d2 = d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("src_b"))
@@ -607,7 +618,12 @@ def q119_growth_accounting(spark: SparkSession, sf_dir: str):
     uw = (
         e.select(
             "user_id",
-            F.expr("datediff(to_date(ts), DATE'2024-01-01') div 7").alias("wk"),
+            # floor-div via positive shift (see q109): matches DuckDB `//`
+            # even for events before the 2024-01-01 anchor
+            F.expr(
+                "(datediff(to_date(ts), DATE'2024-01-01') + 70000) div 7"
+                " - 10000"
+            ).alias("wk"),
         )
         .distinct()
     )

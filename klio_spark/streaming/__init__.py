@@ -199,10 +199,14 @@ def stateful_funnel(
                 out, columns=[user_col, "stage", "stage_name", "ts_micros"]
             )
 
+    # the key column keeps ITS OWN type in the output — a string-keyed
+    # stream must not be cast through the default long
+    key_type = df.schema[user_col].dataType.simpleString()
     return df.groupBy(user_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{user_col} long, stage int, stage_name string, ts_micros long"
+            f"{user_col} {key_type}, stage int, stage_name string,"
+            " ts_micros long"
         ),
         stateStructType="stage int, t long",
         outputMode="append",
@@ -261,10 +265,11 @@ def stateful_keep_latest(
                 {key_col: [key[0]], "latest_ts_micros": [t], "latest_value": [v]}
             )
 
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, latest_ts_micros long, latest_value string"
+            f"{key_col} {key_type}, latest_ts_micros long, latest_value string"
         ),
         stateStructType="t long, v string",
         outputMode="append",
@@ -322,9 +327,12 @@ def stateful_retention(
                 out, columns=[user_col, "cohort_week", "week_offset"]
             )
 
+    key_type = df.schema[user_col].dataType.simpleString()
     return df.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType=f"{user_col} long, cohort_week int, week_offset int",
+        outputStructType=(
+            f"{user_col} {key_type}, cohort_week int, week_offset int"
+        ),
         stateStructType="d0 long, last long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -117,6 +117,22 @@ def test_override_values_yaml_coerced():
     assert out["job_config"]["flag"] is False
 
 
+def test_coerce_scalar_quoting_and_nan_guard():
+    from klio_spark.config import coerce_scalar
+
+    # quoting opts out of coercion: a topic named 'off' or a version-like
+    # job name stays the literal string
+    assert coerce_scalar('"off"') == "off"
+    assert coerce_scalar("'1.10'") == "1.10"
+    assert coerce_scalar('"42"') == "42"
+    # float() accepts nan/inf spellings, but YAML treats them as strings
+    # (only .nan/.inf are floats) — they must pass through unchanged
+    for s in ("nan", "NaN", "inf", "-inf", "+Infinity"):
+        assert coerce_scalar(s) == s
+    # plain numerics still coerce
+    assert coerce_scalar("1.10") == 1.1 and coerce_scalar("7") == 7
+
+
 def test_from_yaml_with_templates_and_overrides(tmp_path):
     p = tmp_path / "klio-job.yaml"
     p.write_text(RAW)

@@ -295,6 +295,36 @@ def test_stateful_retention_emits_each_week_cell_once(spark, tmp_path):
     assert cells == [(1, 0, 0), (1, 0, 2), (1, 0, 3), (2, 1, 0)]
 
 
+def test_stateful_funnel_string_keys(spark, tmp_path):
+    """The key column keeps its own type: a string-keyed stream funnels
+    without a long cast (output schema derives from the input schema)."""
+    import datetime as dt
+
+    edir = tmp_path / "sfk"
+    (edir / "p").mkdir(parents=True)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    spark.createDataFrame(
+        [("alice", "signup", t(0)), ("alice", "view", t(1))],
+        "user_id string, event_type string, ts timestamp",
+    ).write.mode("append").parquet(str(edir / "p"))
+    stream = spark.readStream.schema(
+        "user_id string, event_type string, ts timestamp"
+    ).parquet(str(edir / "p"))
+    q = st.foreach_batch_sink(
+        st.stateful_funnel(stream),
+        lambda b, bid: b.write.mode("append").parquet(f"{tmp_path}/sfkout"),
+        str(tmp_path / "ckpt-sfk"),
+    )
+    q.awaitTermination(60)
+    rows = spark.read.parquet(f"{tmp_path}/sfkout").collect()
+    assert sorted((r.user_id, r.stage) for r in rows) == [
+        ("alice", 1), ("alice", 2)
+    ]
+    assert dict(spark.read.parquet(f"{tmp_path}/sfkout").dtypes)[
+        "user_id"
+    ] == "string"
+
+
 def test_stateful_keep_latest_idle_eviction_tombstones(spark, tmp_path):
     """State hygiene on unbounded keys: a key idle past the timeout is
     evicted and emits a tombstone (latest_ts_micros = -1)."""
