@@ -40,6 +40,13 @@ from pyspark.sql import types as T
 
 ERROR_COL = "_klio_error"
 
+# process-local registry of max_concurrency semaphores (see _with_limiter);
+# lives at module level so it is never captured by pickled task closures
+import threading as _threading  # noqa: E402
+
+_LIMITERS: dict[tuple[str, int], Any] = {}
+_LIMITERS_LOCK = _threading.Lock()
+
 
 # ---------------------------------------------------------------------------
 # element-level execution wrappers (run inside executors)
@@ -97,6 +104,42 @@ def _run_cloudpickled(blob: bytes, a: tuple, kw: dict):
     return cloudpickle.loads(blob)(*a, **kw)
 
 
+def _with_limiter(fn: Callable, max_concurrency: int) -> Callable:
+    """Semaphore gate bounding in-flight invocations of ``fn`` within one
+    worker process (reference ThreadLimiter, decorators.py:163-210).
+
+    Spark already bounds task parallelism via executor cores, so this is
+    NOT for CPU throttling — it is the external-API rate-limit lever: a
+    user fn that fans out its own threads (async fetches, librosa worker
+    pools) or runs under a thread-reusing harness gets at most
+    ``max_concurrency`` concurrent entries per worker process. Cluster-
+    wide in-flight ceiling = max_concurrency × python workers, the same
+    per-worker semantics the reference offers.
+
+    The semaphore itself is process-local and created lazily through the
+    module registry (semaphores/locks can't ride the pickled task
+    closure); keyed by (fn qualname, limit) so every pickled copy of the
+    same transform shares one gate per worker process."""
+    key = (getattr(fn, "__qualname__", repr(fn)), max_concurrency)
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        import klio_spark.udf as _m
+
+        with _m._LIMITERS_LOCK:
+            sem = _m._LIMITERS.get(key)
+            if sem is None:
+                import threading
+
+                sem = _m._LIMITERS[key] = threading.BoundedSemaphore(
+                    max_concurrency
+                )
+        with sem:
+            return fn(*a, **kw)
+
+    return wrapper
+
+
 def _with_timeout(fn: Callable, seconds: float) -> Callable:
     import cloudpickle
 
@@ -134,6 +177,7 @@ def handle_klio(
     retry_on: type[BaseException] = Exception,
     timeout: float | None = None,
     batch_size: int | None = None,
+    max_concurrency: int | None = None,
 ):
     """Wrap an element-level fn into a DataFrame transform with error routing.
 
@@ -170,6 +214,10 @@ def handle_klio(
             call = _with_timeout(call, timeout)
         if tries > 1:
             call = _with_retry(call, tries, retry_delay, retry_on)
+        if max_concurrency:
+            # outermost: the semaphore bounds the whole retry/timeout
+            # envelope, so a retrying element still holds one slot
+            call = _with_limiter(call, max_concurrency)
 
         def transform(df: DataFrame) -> DataFrame:
             def chunked(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,6 +271,9 @@ def handle_klio(
 
         transform.__name__ = getattr(fn, "__name__", "handle_klio")
         transform.fn = fn
+        # the fully-wrapped element call (timeout→retry→limiter), for
+        # harnesses that drive elements outside mapInPandas
+        transform.call = call
         return transform
 
     return decorate

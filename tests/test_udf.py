@@ -123,3 +123,45 @@ def test_map_elements_with_extra_columns(spark):
 
     ok, _ = split_errors(map_elements(df, combine, "element string, out string"))
     assert sorted(r.out for r in ok.collect()) == ["a:6", "b:6"]
+
+
+def test_max_concurrency_bounds_inflight_elements():
+    """ThreadLimiter parity (reference decorators.py:163-210): at most
+    max_concurrency invocations of the user fn run concurrently within a
+    worker process, even when the caller drives elements from many
+    threads (the external-API rate-limit scenario)."""
+    import threading
+
+    active, peak = [0], [0]
+    lock = threading.Lock()
+
+    @handle_klio("element string", max_concurrency=2)
+    def fetch(element, payload, **_):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+        time.sleep(0.05)
+        with lock:
+            active[0] -= 1
+        return {"element": element}
+
+    threads = [
+        threading.Thread(target=fetch.call, args=(f"e{i}", None))
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert peak[0] == 2  # 8 threads, never more than 2 in the fn at once
+
+
+def test_max_concurrency_transform_still_works(spark):
+    df = env.from_elements(spark, ["a", "b", "c"])
+
+    @handle_klio("element string, n int", max_concurrency=4)
+    def f(element, payload, **_):
+        return {"element": element, "n": len(element)}
+
+    ok, quarantine = split_errors(f(df))
+    assert ok.count() == 3 and quarantine.count() == 0
