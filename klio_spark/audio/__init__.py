@@ -221,18 +221,21 @@ def render_plot(
     """Feature matrix → PNG bytes column (SpecToPlot/MelSpecToPlot/
     MFCCToPlot parity, reference audio.py:308-515).
 
-    The render path is real and runs whenever matplotlib is importable on
-    the executors (Agg backend, no display); without the library the
-    transform raises NotImplementedError at plan-build time — the gate is
-    on the import, not a stub body. tests/test_audio.py activates the
-    round-trip automatically when matplotlib is present."""
+    Two render paths, both real:
+      * matplotlib importable on executors → Agg figure with axes/labels
+        (the reference's rendering).
+      * otherwise → a pure numpy+zlib encoder (_matrix_to_png): the
+        matrix normalizes to 0-1, maps through a magma-like 256-color
+        LUT, and encodes as a true RGB PNG, one pixel per cell. No
+        external deps, deterministic bytes — plotting works in minimal
+        containers instead of gating on the library."""
     try:
-        import matplotlib
-    except ImportError as e:
-        raise NotImplementedError(
-            "render_plot needs matplotlib; install it or skip plotting"
-        ) from e
-    del matplotlib  # driver-side availability check only
+        import matplotlib  # noqa: F401
+
+        have_mpl = True
+        del matplotlib  # driver-side availability check only
+    except ImportError:
+        have_mpl = False
 
     keep = [f for f in df.schema.fields]
     schema_str = ", ".join(
@@ -244,10 +247,11 @@ def render_plot(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
 
-        import matplotlib
+        if have_mpl:
+            import matplotlib
 
-        matplotlib.use("Agg")  # headless executors
-        import matplotlib.pyplot as plt
+            matplotlib.use("Agg")  # headless executors
+            import matplotlib.pyplot as plt
 
         for pdf in batches:
             out = pdf[keep_names].copy()
@@ -257,6 +261,9 @@ def render_plot(
                     pngs.append(None)
                     continue
                 m = np.stack([np.asarray(r, dtype=np.float64) for r in mat])
+                if not have_mpl:
+                    pngs.append(_matrix_to_png(m, cmap=cmap))
+                    continue
                 fig, ax = plt.subplots(figsize=(6, 4), dpi=dpi)
                 ax.imshow(m, aspect="auto", origin="lower", cmap=cmap)
                 ax.set_xlabel("frames")
@@ -269,6 +276,65 @@ def render_plot(
             yield out
 
     return df.mapInPandas(run, schema=schema_str)
+
+
+def _magma_lut() -> np.ndarray:
+    """256×3 uint8 approximation of the magma colormap: piecewise-linear
+    through its anchor colors — close enough for spectrogram inspection,
+    zero dependencies."""
+    anchors = np.array(
+        [
+            (0.000, (0, 0, 4)),
+            (0.250, (81, 18, 124)),
+            (0.500, (183, 55, 121)),
+            (0.750, (251, 136, 97)),
+            (1.000, (252, 253, 191)),
+        ],
+        dtype=object,
+    )
+    xs = np.array([a[0] for a in anchors], dtype=np.float64)
+    cs = np.array([a[1] for a in anchors], dtype=np.float64)  # (5, 3)
+    t = np.linspace(0.0, 1.0, 256)
+    lut = np.stack(
+        [np.interp(t, xs, cs[:, ch]) for ch in range(3)], axis=1
+    )
+    return np.clip(np.round(lut), 0, 255).astype(np.uint8)
+
+
+def _matrix_to_png(m: np.ndarray, *, cmap: str = "magma") -> bytes:
+    """Feature matrix → RGB PNG bytes with no imaging library: normalize,
+    color through the LUT (origin='lower' row order like imshow), encode
+    scanlines with zlib per the PNG spec (filter 0). `cmap` accepts
+    'gray' for a luminance ramp; anything else uses the magma LUT."""
+    import struct
+    import zlib
+
+    lo, hi = float(np.min(m)), float(np.max(m))
+    norm = (m - lo) / (hi - lo) if hi > lo else np.zeros_like(m)
+    idx = np.clip((norm * 255).astype(np.int64), 0, 255)
+    if cmap == "gray":
+        lut = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    else:
+        lut = _magma_lut()
+    rgb = lut[idx][::-1]  # (rows, cols, 3); flip → origin lower
+    h, w = rgb.shape[:2]
+    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def upload_plots(
