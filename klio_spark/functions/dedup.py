@@ -17,6 +17,8 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -254,6 +256,23 @@ def minhash_lsh_dedup(
         F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("_sh")
     )
     if bucket_table is not None:
+        spark = df.sparkSession
+        # a table dir left behind by a PREVIOUS session's metastore is
+        # invisible to this one, and saveAsTable(overwrite) refuses to
+        # claim the orphaned location — drop both the entry and the dir
+        spark.sql(f"DROP TABLE IF EXISTS `{bucket_table}`")
+        if "." not in bucket_table:
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            )
+            if wh.scheme in ("", "file"):
+                shutil.rmtree(
+                    os.path.join(wh.path, bucket_table.lower()),
+                    ignore_errors=True,
+                )
         (
             base_plan.write.mode("overwrite")
             .bucketBy(n_buckets, id_col)

@@ -242,16 +242,72 @@ def q68_jaccard_capped_df(spark: SparkSession, sf_dir: str):
     ).select("id_a", "id_b", "jaccard")
 
 
+_EXACT_JACCARD_PAIRS_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter > 0 AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
+    """
+
+
 @register(
     "q66_minhash_lsh_dedup",
-    None,  # xxhash64 signatures are engine-specific → rows-only check
-    doc="MinHash(64)+LSH(16 bands) near-dup pairs at jaccard≥0.3, verified "
-    "exactly; candidate generation is the banded bucket self-join.",
+    _EXACT_JACCARD_PAIRS_ORACLE,
+    doc="MinHash(64)+LSH(16 bands) near-dup pairs at jaccard≥0.3: "
+    "shingle → minhash → band buckets → exact-Jaccard verify. The final "
+    "jaccard is EXACT (set arithmetic over shingle hashes, collision odds "
+    "~2^-64), so the only engine-specific part is which candidates the "
+    "bands surface — and at these parameters (b=16, r=4, knee j≈0.5) "
+    "banding recalls every true ≥0.3 pair on this corpus (q106's referee "
+    "claim), making the exact all-pairs SQL the oracle. A missed pair "
+    "would surface as a hash mismatch here, so this row also re-proves "
+    "recall each round.",
 )
 def q66_minhash_lsh_dedup(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
     return dd.minhash_lsh_dedup(
         d, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16, threshold=0.3
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q129_minhash_bucket_table",
+    _EXACT_JACCARD_PAIRS_ORACLE,
+    doc="the build-once/query-many variant of q66 (the 100 TB "
+    "materialization path): the shingle-hash intermediate is WRITTEN as a "
+    "table bucketed+sorted by doc_id instead of persist()ed, and both "
+    "exact-verify joins read it back bucketed — the corpus side of each "
+    "join arrives pre-partitioned (no exchange; plan locked in "
+    "tests/test_dedup.py::test_minhash_bucketed_table_path) and the "
+    "shingle pass runs exactly once regardless of cache pressure. Same "
+    "output as q66, same exact-pairs oracle.",
+)
+def q129_minhash_bucket_table(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(
+        d,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.3,
+        bucket_table="q129_mh_buckets",  # lands in spark-warehouse/ (job dir)
+        n_buckets=8,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
