@@ -309,3 +309,98 @@ def q55_above_group_avg(spark: SparkSession, sf_dir: str):
         .filter(F.col("p_retailprice") > F.col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice")
     )
+
+
+@register(
+    "q130_interval_join_batch",
+    """
+    WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS lts
+               FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS rts
+               FROM events WHERE event_type = 'click')
+    SELECT l.user_id AS user_id, COUNT(*) AS n_pairs,
+           CAST(SUM(epoch_us(l.lts) // 1000000
+                    - epoch_us(r.rts) // 1000000) AS BIGINT) AS sum_lag_secs
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.rts <= l.lts AND r.rts > l.lts - INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+    doc="batch twin of streaming.interval_join (the stream-stream "
+    "time-bounded join whose state both watermarks bound): each purchase "
+    "joins the user's clicks from the preceding 10 minutes — the SAME "
+    "interval_join function runs here on static frames (watermarks are "
+    "no-ops in batch), so the join condition the streaming path executes "
+    "is what gets hash-verified. Lag seconds integerize via unix_micros "
+    "div 1e6 on both engines. Covered end-to-end in streaming form by "
+    "tests/test_streaming.py's stream-stream interval join test.",
+)
+def q130_interval_join_batch(spark: SparkSession, sf_dir: str):
+    from klio_spark.streaming import interval_join
+
+    (e,) = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = interval_join(
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        "ts",
+        lower="interval 0 seconds",
+        upper="interval 10 minutes",
+    )
+    return (
+        j.select(
+            F.col("l.user_id").alias("user_id"),
+            # CAST AS TIMESTAMP first: a vanilla session reads the parquet
+            # column as TIMESTAMP_NTZ, which unix_micros rejects
+            F.expr(
+                "unix_micros(CAST(l.ts AS TIMESTAMP)) div 1000000"
+                " - unix_micros(CAST(r.ts AS TIMESTAMP)) div 1000000"
+            ).alias("_lag"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_lag").cast("bigint").alias("sum_lag_secs"),
+        )
+    )
+
+
+@register(
+    "q131_trigger_upstream_batch",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS element,
+           'limited' AS recipients_mode,
+           'up-job@up-proj,me-job@me-proj' AS recipients,
+           'me-job@me-proj' AS trigger_children_of,
+           FALSE AS is_force, FALSE AS is_ping
+    FROM documents
+    """,
+    doc="batch twin of streaming.trigger_upstream's metadata rewrite "
+    "(KlioTriggerUpstream, reference helpers.py:703-734): every "
+    "missing-input element gets recipients = [upstream, self] in limited "
+    "mode with trigger_children_of = self and force/ping cleared, so the "
+    "upstream reprocesses bottom-up and execution resumes at this job. "
+    "The SAME rewrite_for_upstream column transform the foreachBatch "
+    "publisher applies runs here on a batch frame; recipients flatten to "
+    "job@project strings for the cross-engine hash.",
+)
+def q131_trigger_upstream_batch(spark: SparkSession, sf_dir: str):
+    from klio_spark.streaming import rewrite_for_upstream
+
+    (d,) = load(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id").cast("string").alias("element"))
+    rw = rewrite_for_upstream(base, ("up-job", "up-proj"), ("me-job", "me-proj"))
+    fmt = lambda c: F.concat_ws("@", c["job_name"], c["project"])  # noqa: E731
+    return rw.select(
+        "element",
+        "recipients_mode",
+        F.concat_ws(
+            ",", F.transform(F.col("recipients"), fmt)
+        ).alias("recipients"),
+        fmt(F.col("trigger_children_of")).alias("trigger_children_of"),
+        F.col("force").alias("is_force"),
+        F.col("ping").alias("is_ping"),
+    )
