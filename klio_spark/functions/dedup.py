@@ -365,10 +365,15 @@ def simhash_near_dups(
     blocks → hotter buckets (64/(h+1)-bit values), the standard
     HmSearch-style recall/candidate-volume dial.
 
-    The (id, simhash) projection is persist()ed — 16 bytes/row, the
-    cheapest possible cache — because both sides of the block self-join
-    read it; without the cache the tokenize+hash+vote UDF runs twice
-    over the full corpus. Same lifetime note as minhash_lsh_dedup.
+    Candidate generation is the bucket-grouped expansion (the same trick
+    as minhash_lsh_dedup, which measured faster than the banded
+    self-join): ONE groupBy on (block, value) collects each bucket's
+    (id, simhash) list, and a double explode emits its id<id pairs —
+    the signature UDF runs once, and no exchange carries both join
+    sides. The exact hamming verify (bit_count(a^b), one fused-codegen
+    instruction) runs INSIDE the expansion stage, so the pair-dedup
+    ``distinct`` — the only remaining shuffle — carries true near-dup
+    pairs only, not the full candidate volume a hot bucket expands.
     """
     n_blocks = max_hamming + 1
     if n_blocks > 64:
@@ -376,10 +381,8 @@ def simhash_near_dups(
     base_w, rem = divmod(64, n_blocks)
     widths = [base_w + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    sh = (
-        simhash(df.select(id_col, text_col), text_col)
-        .select(id_col, "simhash")
-        .persist()
+    sh = simhash(df.select(id_col, text_col), text_col).select(
+        id_col, "simhash"
     )
     blocks = sh.select(
         id_col,
@@ -395,29 +398,28 @@ def simhash_near_dups(
             )
         ).alias("_blk", "_bval"),
     )
-    l, r = blocks.alias("l"), blocks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l._blk") == F.col("r._blk"))
-            & (F.col("l._bval") == F.col("r._bval"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    pairs = (
+        blocks.groupBy("_blk", "_bval")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+            ).alias("xs")
         )
+        .filter(F.size("xs") > 1)
+        .select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("_sa"),
-            F.col("r.simhash").alias("_sb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
+            F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s"))).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
+    return pairs
 
 
 # ---------------------------------------------------------------------------
