@@ -318,17 +318,41 @@ def minhash_lsh_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash (Charikar '02) per row.
+def md5_token_hash(t: Column) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex chars of md5.
 
-    One JVM xxhash64 pass per token, then all 64 bit-votes in a single
+    Both Spark (``conv(substr(md5(t),1,15),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``) compute the identical
+    value, so a simhash built on it has a full cross-engine differential
+    oracle — unlike xxhash64, whose bits only Spark can produce. 15 hex
+    chars = 60 bits, safely inside int64 for both engines' casts."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    *,
+    n_bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """n_bits-wide SimHash (Charikar '02) per row, default 64-bit/xxhash64.
+
+    One JVM hash pass per token, then all bit-votes in a single
     vectorized numpy pass per Arrow batch (the 64-fold expression tree
-    evaluates interpreted — ~30M lambda calls per 5k docs)."""
+    evaluates interpreted — ~30M lambda calls per 5k docs).
+
+    ``token_hash`` swaps the per-token hash column builder; pass
+    :func:`md5_token_hash` with ``n_bits=60`` for the engine-portable
+    variant an external SQL oracle can replicate bit-for-bit."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bits = np.arange(64, dtype=np.uint64)
+    if not 1 <= n_bits <= 64:
+        raise ValueError("n_bits must be in [1, 64]")
+    bits = np.arange(n_bits, dtype=np.uint64)
 
     def _sim(h):
         out = []
@@ -348,12 +372,21 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
         return pd.Series(out)
 
     _sim.__annotations__ = {"h": pd.Series, "return": pd.Series}
-    base = F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
+    hash_fn = token_hash if token_hash is not None else (
+        lambda t: F.xxhash64(t)
+    )
+    base = F.transform(tokens(F.lower(F.col(text_col))), hash_fn)
     return df.withColumn(out_col, pandas_udf(_sim, "long")(base))
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    *,
+    n_bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Pairs within `max_hamming` bits, via (max_hamming+1)-block bucketing.
 
@@ -376,14 +409,19 @@ def simhash_near_dups(
     pairs only, not the full candidate volume a hot bucket expands.
     """
     n_blocks = max_hamming + 1
-    if n_blocks > 64:
-        raise ValueError("max_hamming must be < 64 for a 64-bit simhash")
-    base_w, rem = divmod(64, n_blocks)
+    if n_blocks > n_bits:
+        raise ValueError(
+            f"max_hamming must be < {n_bits} for a {n_bits}-bit simhash"
+        )
+    base_w, rem = divmod(n_bits, n_blocks)
     widths = [base_w + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    sh = simhash(df.select(id_col, text_col), text_col).select(
-        id_col, "simhash"
-    )
+    sh = simhash(
+        df.select(id_col, text_col),
+        text_col,
+        n_bits=n_bits,
+        token_hash=token_hash,
+    ).select(id_col, "simhash")
     blocks = sh.select(
         id_col,
         "simhash",

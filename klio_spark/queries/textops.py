@@ -3,9 +3,13 @@
 The Spark side uses klio_spark.functions.text / .dedup operators; the
 oracle SQL re-derives the same deterministic computations so the hash
 comparison checks the *operator semantics*, not just row counts.
-MinHash/SimHash/LSH use engine-specific hashes (xxhash64) and are
-rows-only checks — their *verification* predicates (exact Jaccard,
-Hamming) are oracle-checked via q65's exact-pair twin instead.
+MinHash/SimHash/LSH production paths use engine-specific hashes
+(xxhash64); their outputs are cross-checked by hash-verified referee
+rows instead of direct twins: q66 is exact because banding recalls every
+≥0.3 pair (re-proven each round by q106), and q67's xxhash64 simhash is
+refereed by q132, whose md5-based 60-bit simhash DuckDB re-derives
+bit-for-bit — votes, packing, and an all-pairs hamming scan — so both
+the signature math and blocked candidate generation are oracle-checked.
 """
 
 from __future__ import annotations
@@ -365,9 +369,61 @@ def q106_minhash_lsh_recall(spark: SparkSession, sf_dir: str):
 @register(
     "q67_simhash_dedup",
     None,  # xxhash64-based bits are engine-specific → rows-only check
-    doc="64-bit SimHash near-dups within hamming≤8 via 16-bit block "
-    "pigeonhole bucketing; verification = bit_count(a^b).",
+    doc="64-bit SimHash near-dups within hamming≤8 via block pigeonhole "
+    "bucketing; verification = bit_count(a^b). Rows-only here because "
+    "only Spark can produce xxhash64 bits — the full pipeline semantics "
+    "are oracle-checked by q132, the md5-hash twin DuckDB replicates.",
 )
 def q67_simhash_dedup(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
     return dd.simhash_near_dups(d, "text", "doc_id", max_hamming=8)
+
+
+@register(
+    "q132_simhash_portable",
+    """
+    WITH th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t != '')) AS tok
+            FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(range(60)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    doc="the engine-portable simhash twin: identical semantics to q67 "
+    "(Charikar bit-votes, pigeonhole 9-block bucketing, bit_count "
+    "verify) but the per-token hash is the first 60 bits of md5 — which "
+    "DuckDB computes bit-for-bit — so the oracle re-derives the ENTIRE "
+    "simhash pipeline (votes, packing, brute-force hamming scan) in SQL "
+    "and the hash match verifies both the signature math and the claim "
+    "that blocked candidate generation loses no pair vs the all-pairs "
+    "scan. q67 keeps xxhash64 (one JVM-codegen hash vs md5's bytes) as "
+    "the production path; this row is its cross-engine referee.",
+)
+def q132_simhash_portable(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return dd.simhash_near_dups(
+        d,
+        "text",
+        "doc_id",
+        max_hamming=8,
+        n_bits=60,
+        token_hash=dd.md5_token_hash,
+    )

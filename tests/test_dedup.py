@@ -66,6 +66,56 @@ def test_simhash_near_dups(spark, docs):
     assert got.get((1, 2)) == 0
 
 
+def test_md5_token_hash_portable(spark):
+    """Spark's conv(substr(md5)) must equal DuckDB's hex cast — the
+    invariant the q132 cross-engine simhash oracle rests on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    toks = ["hello", "Wörld", "123", "a", "the quick brown fox"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.tok: r.h
+        for r in df.select(
+            "tok", dd.md5_token_hash(F.col("tok")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in toks:
+        (want,) = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [t]
+        ).fetchone()
+        assert got[t] == want, t
+    assert all(0 <= v < (1 << 60) for v in got.values())
+
+
+def test_simhash_portable_blocked_equals_bruteforce(spark, docs):
+    """Pigeonhole blocking over the 60-bit portable simhash must find
+    exactly the pairs an all-pairs hamming scan finds."""
+    from pyspark.sql import functions as F
+
+    sh = dd.simhash(
+        docs, "text", n_bits=60, token_hash=dd.md5_token_hash
+    ).select("doc_id", "simhash")
+    a = sh.toDF("id_a", "sa")
+    b = sh.toDF("id_b", "sb")
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
+    blocked = dd.simhash_near_dups(
+        docs, "text", "doc_id", max_hamming=8,
+        n_bits=60, token_hash=dd.md5_token_hash,
+    )
+    assert sorted(map(tuple, brute.collect())) == sorted(
+        map(tuple, blocked.collect())
+    )
+
+
 def test_ngram_jaccard_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
