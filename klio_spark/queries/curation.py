@@ -359,3 +359,123 @@ def q97_tfidf_top_terms(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= 3)
         .select("source", "rank", "tok", "score")
     )
+
+
+# BM25 constants as exact rationals: k1 = 6/5, b = 3/4. The tf-saturation
+# term tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) becomes, after multiplying
+# through by 20*1e6 and substituting the integerized length norm
+# ndl = (1e6*dl*N) div T (avgdl = T/N held as the exact rational T/N):
+#   s = (44 * tf * 1e12) div (20*tf*1e6 + 6*1e6 + 18*ndl)     [scale 1e6]
+# so every per-doc quantity is exact int64 arithmetic in both engines;
+# only the per-TERM idf touches a float (ln), integerized once per
+# distinct term exactly like q96/q97 weights.
+_BM25_TERMS = ("value", "data", "system", "random")
+
+
+@register(
+    "q135_bm25_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM t
+      WHERE tok IN {str(tuple(_BM25_TERMS))} GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok,
+             CAST(FLOOR(1000000.0 * ln(1.0 +
+                  (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))) AS BIGINT)
+               AS iw
+      FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+           CROSS JOIN corp
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(idf.iw *
+                  ((44 * tf.tf * 1000000000000)
+                   // (20 * tf.tf * 1000000 + 6000000
+                       + 18 * ((1000000 * dl.dl * corp.n) // corp.tt))))
+                  AS BIGINT) AS score
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN idf USING (tok)
+      CROSS JOIN corp
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, score
+    FROM scored
+    ORDER BY rank LIMIT 10
+    """,
+    doc="BM25 top-10 retrieval for a fixed query-term set (k1=1.2, "
+    "b=0.75): the classic probabilistic ranking function, computed with "
+    "exact integer arithmetic — idf integerized per DISTINCT term (the "
+    "q96/q97 trick) and the tf-saturation/length-normalization fraction "
+    "carried as an exact rational (avgdl stays T/N; nothing per-doc ever "
+    "touches a float), so ranks are bit-identical across engines and "
+    "partitionings. Plan: one tokenize pass feeds both the doc-length "
+    "agg and the term-filtered tf agg; corpus stats and the idf table "
+    "are single-row/term-count broadcasts; the global top-10 is a "
+    "TakeOrdered, not a full sort.",
+)
+def q135_bm25_topk(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tt"),
+    )
+    tf = (
+        t.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "tok",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    1.0
+                    + (F.col("n").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+            )
+            .cast("bigint")
+            .alias("iw"),
+        )
+    )
+    ndl = F.expr("(1000000 * dl * n) div tt")
+    sat = F.expr(
+        "(44 * tf * 1000000000000) div "
+        "(20 * tf * 1000000 + 6000000 + 18 * _ndl)"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .withColumn("_ndl", ndl)
+        .join(F.broadcast(idf), "tok")
+        .withColumn("_s", sat)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("iw") * F.col("_s")).cast("bigint").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score")
+    )

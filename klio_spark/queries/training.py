@@ -16,7 +16,7 @@ both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from klio_spark.functions import dedup as dd
@@ -262,6 +262,64 @@ def q85_dedup_clusters(spark: SparkSession, sf_dir: str):
     edges = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3)
     comp = connected_components(edges, "id_a", "id_b")
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+@register(
+    "q133_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_CTE},
+    ed AS (SELECT id_a AS a, id_b AS b FROM e
+           UNION SELECT id_b, id_a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    every AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) = 1) AS kept
+    FROM every
+    """,
+    doc="the step after q85 in a dedup pipeline: pick ONE survivor per "
+    "duplicate cluster by an explicit quality policy (longest doc wins, "
+    "doc_id breaks ties — integer keys only, so the ordering is "
+    "engine-exact) and emit the keep/drop verdict for EVERY corpus doc, "
+    "singletons included. Spark: q85's label-propagation components + a "
+    "left join back to the corpus + one row_number window per cluster; "
+    "clusters are tiny relative to the corpus so the window never sees "
+    "a hot partition. Oracle: the recursive-CTE closure + the same "
+    "window in DuckDB.",
+)
+def q133_dedup_survivors(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.graph import connected_components
+
+    (d,) = load(spark, sf_dir, "documents")
+    edges = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3)
+    comp = connected_components(edges, "id_a", "id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    every = (
+        d.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("comp", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return every.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
 
 
 # shared DuckDB CTE: per-doc distinct 3-gram shingle lists (q65's oracle

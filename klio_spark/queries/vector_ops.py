@@ -208,6 +208,67 @@ def q72_embedding_near_dups(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q134_semantic_dedup",
+    """
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+    ),
+    ed AS (SELECT id_a AS a, id_b AS b FROM p
+           UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a
+    ),
+    comp AS (
+      SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT v.vec_id,
+           COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+           (COALESCE(c.cluster_id, v.vec_id) = v.vec_id) AS kept
+    FROM v LEFT JOIN comp c USING (vec_id)
+    """,
+    doc="SemDeDup-style semantic deduplication over the embedding column: "
+    "exact cosine pairs >= 0.35 (the distributed triangle join of q72, no "
+    "cross join, no driver collect) -> connected components "
+    "(label-propagation fixpoint) -> keep exactly one representative per "
+    "semantic cluster (the min vec_id — an integer policy, engine-exact; "
+    "float-quality policies belong to q133's text-side twin). Emits the "
+    "keep/drop verdict for every vector, singletons included. Oracle: "
+    "DuckDB list_cosine_similarity pairs + a recursive-CTE transitive "
+    "closure. At 100 TB the pair stage swaps to the LSH/IVF-bucketed "
+    "candidate path (functions.similarity) with the same downstream "
+    "clustering — the declared exact config is its referee.",
+)
+def q134_semantic_dedup(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.graph import connected_components
+
+    (e,) = load(spark, sf_dir, "embeddings")
+    pairs = exact_pairs_grouped(
+        e, "embedding", "vec_id", threshold=0.35
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", "vec_id"
+    )
+    return (
+        e.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .withColumn("cluster_id", F.coalesce("comp", "vec_id"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("vec_id")).alias("kept"),
+        )
+    )
+
+
+@register(
     "q73_vector_norms_by_label",
     """
     SELECT label,

@@ -62,8 +62,13 @@ def test_every_declared_query_lints_clean(spark, sf_dir):
     # localCheckpoint each round (deliberate lineage truncation); that
     # prints as the same ExistingRDD node the rdd_roundtrip rule hunts
     allowed = {
+        # localCheckpoint lineage truncation inside the label-propagation /
+        # pointer-doubling fixpoints prints as an RDD scan — the truncation
+        # is the point (unbounded lineage would stack-overflow the planner)
         "q85_dedup_clusters": ("rdd_roundtrip",),
         "q127_hierarchy_depth": ("rdd_roundtrip",),
+        "q133_dedup_survivors": ("rdd_roundtrip",),
+        "q134_semantic_dedup": ("rdd_roundtrip",),
     }
     failures = []
     for name, spec in all_queries().items():
