@@ -14,7 +14,7 @@ the signature math and blocked candidate generation are oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from klio_spark.functions import dedup as dd
@@ -426,4 +426,108 @@ def q132_simhash_portable(spark: SparkSession, sf_dir: str):
         max_hamming=8,
         n_bits=60,
         token_hash=dd.md5_token_hash,
+    )
+
+
+@register(
+    "q136_substring_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS g
+      FROM toks, LATERAL unnest(range(1, len(tk) - 6)) AS u(i)
+      WHERE len(tk) >= 8
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM
+        (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c FROM kg)
+      WHERE c >= 2
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM dup
+    ),
+    r2 AS (
+      SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(pos) AS mn, MAX(pos) AS mx
+      FROM runs GROUP BY doc_id, grp
+    ),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(SUM(n) AS BIGINT) AS n_dup,
+             CAST(MAX(mx - mn + 8) AS BIGINT) AS max_span
+      FROM r2 GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.tk) - 7 AS BIGINT) AS n_pos,
+           COALESCE(p.n_dup, 0) AS n_dup,
+           COALESCE(p.n_runs, 0) AS n_runs,
+           COALESCE(p.max_span, 0) AS max_span
+    FROM toks t LEFT JOIN per p USING (doc_id)
+    WHERE len(t.tk) >= 8
+    """,
+    doc="exact-substring deduplication stats (the position-level dedup of "
+    "Lee et al. '22, 8-token granularity): a k-gram position is "
+    "duplicated when its token 8-gram occurs >= 2 times corpus-wide; "
+    "consecutive duplicated positions merge into spans (gaps-and-islands "
+    "with an integer row_number delta), and each doc reports its "
+    "position count, duplicated-position count, span count, and longest "
+    "duplicated span in tokens. The global occurrence count rides a "
+    "count window over the k-gram key — the same single-exchange "
+    "df-annotation trick as the q68 df-cut, so no k-gram posting list "
+    "is ever materialized (a boilerplate 8-gram shared by millions of "
+    "docs costs WindowExec disk spill, not aggregation heap). Spark "
+    "shuffles 8-byte xxhash64 k-gram keys; the oracle groups the "
+    "strings themselves (collision odds ~2^-64 per pair).",
+)
+def q136_substring_dedup(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    k = 8
+    toks = (
+        d.select("doc_id", tx.tokens(F.lower(F.col("text"))).alias("tk"))
+        .filter(F.size("tk") >= k)
+    )
+    kg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i, k))),
+            )
+        ).alias("_p0", "_kh"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_kh")
+    wk = Window.partitionBy("_kh")
+    dup = (
+        kg.withColumn("_c", F.count(F.lit(1)).over(wk))
+        .filter(F.col("_c") >= 2)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+    r2 = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("pos").alias("mn"),
+        F.max("pos").alias("mx"),
+    )
+    per = r2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum("n").cast("bigint").alias("n_dup"),
+        (F.max(F.col("mx") - F.col("mn")) + k).cast("bigint").alias("max_span"),
+    )
+    return (
+        toks.select("doc_id", (F.size("tk") - (k - 1)).cast("bigint").alias("n_pos"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pos",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+            F.coalesce("max_span", F.lit(0)).alias("max_span"),
+        )
     )
