@@ -66,8 +66,16 @@ def main() -> int:
             finally:
                 # queries are independent: drop persisted intermediates
                 # (dedup caches etc.) so storage from earlier queries
-                # can't skew or starve later ones
+                # can't skew or starve later ones. clearCache misses
+                # localCheckpoint blocks (the iterative fixpoint queries'
+                # lineage truncation) — those free only when the last
+                # py4j reference dies, so force a collection or their
+                # storage accumulates across the ~240 query executions
+                # and later persists thrash against a full store.
                 spark.catalog.clearCache()
+                import gc
+
+                gc.collect()
         timings[name] = best
     total = round(sum(t for t in timings.values() if t > 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
