@@ -10,6 +10,7 @@ collect cost). A -1 value means the query errored.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -73,8 +74,6 @@ def main() -> int:
                 # storage accumulates across the ~240 query executions
                 # and later persists thrash against a full store.
                 spark.catalog.clearCache()
-                import gc
-
                 gc.collect()
         timings[name] = best
     total = round(sum(t for t in timings.values() if t > 0), 3)
@@ -99,18 +98,15 @@ def main() -> int:
         sorted(((k, v) for k, v in timings.items() if v > 0),
                key=lambda kv: -kv[1])[:10]
     )
+    # same record as BENCH_LOCAL.json, with the query map truncated to the
+    # top-10 so the line stays inside the driver's ~2 KB stdout capture
     print(
         json.dumps(
             {
-                "metric": "declared_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
+                **full,
                 "queries": top10,
                 "n_queries": len(timings),
                 "n_errors": sum(1 for t in timings.values() if t <= 0),
-                "reps": reps,
-                "agg": "min",
-                "sf": sf_val,
                 "full_map": "BENCH_LOCAL.json",
             }
         )

@@ -229,14 +229,6 @@ def render_plot(
         LUT, and encodes as a true RGB PNG, one pixel per cell. No
         external deps, deterministic bytes — plotting works in minimal
         containers instead of gating on the library."""
-    try:
-        import matplotlib  # noqa: F401
-
-        have_mpl = True
-        del matplotlib  # driver-side availability check only
-    except ImportError:
-        have_mpl = False
-
     keep = [f for f in df.schema.fields]
     schema_str = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in keep]
@@ -247,11 +239,19 @@ def render_plot(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
 
-        if have_mpl:
+        # probe matplotlib HERE, on the executor: a driver-side check
+        # would bake the driver's environment into the closure and fail
+        # the task in mixed driver/executor images instead of falling
+        # back to the built-in encoder
+        try:
             import matplotlib
 
             matplotlib.use("Agg")  # headless executors
             import matplotlib.pyplot as plt
+
+            have_mpl = True
+        except ImportError:
+            have_mpl = False
 
         for pdf in batches:
             out = pdf[keep_names].copy()

@@ -259,9 +259,14 @@ def minhash_lsh_dedup(
         spark = df.sparkSession
         # a table dir left behind by a PREVIOUS session's metastore is
         # invisible to this one, and saveAsTable(overwrite) refuses to
-        # claim the orphaned location — drop both the entry and the dir
-        spark.sql(f"DROP TABLE IF EXISTS `{bucket_table}`")
-        if "." not in bucket_table:
+        # claim the orphaned location — drop both the entry and the dir.
+        # Quote each dotted part separately: quoting the whole name would
+        # turn db.tbl into one default-db identifier (wrong table, and a
+        # no-op drop for the intended one).
+        quoted = ".".join(f"`{p}`" for p in bucket_table.split("."))
+        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        parts = bucket_table.split(".")
+        if len(parts) <= 2:
             import shutil
             from urllib.parse import urlparse
 
@@ -269,9 +274,14 @@ def minhash_lsh_dedup(
                 spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
             )
             if wh.scheme in ("", "file"):
+                # db-qualified tables live under <warehouse>/<db>.db/
+                rel = (
+                    parts[-1].lower()
+                    if len(parts) == 1
+                    else os.path.join(f"{parts[0].lower()}.db", parts[1].lower())
+                )
                 shutil.rmtree(
-                    os.path.join(wh.path, bucket_table.lower()),
-                    ignore_errors=True,
+                    os.path.join(wh.path, rel), ignore_errors=True
                 )
         (
             base_plan.write.mode("overwrite")
@@ -398,15 +408,19 @@ def simhash_near_dups(
     blocks → hotter buckets (64/(h+1)-bit values), the standard
     HmSearch-style recall/candidate-volume dial.
 
-    Candidate generation is the bucket-grouped expansion (the same trick
-    as minhash_lsh_dedup, which measured faster than the banded
-    self-join): ONE groupBy on (block, value) collects each bucket's
-    (id, simhash) list, and a double explode emits its id<id pairs —
-    the signature UDF runs once, and no exchange carries both join
-    sides. The exact hamming verify (bit_count(a^b), one fused-codegen
-    instruction) runs INSIDE the expansion stage, so the pair-dedup
-    ``distinct`` — the only remaining shuffle — carries true near-dup
-    pairs only, not the full candidate volume a hot bucket expands.
+    Candidate generation is a streamed self-join on (block, value) — NOT
+    the bucket-grouped collect_list expansion minhash uses. The
+    difference is key cardinality: minhash band keys are 64-bit hashes
+    (buckets stay small), but simhash block values are only
+    ``n_bits/(h+1)`` bits wide — 6-8 bits at h=8 — so a corpus has at
+    most a few thousand distinct (block, value) keys and a collect_list
+    bucket row would grow O(N) structs in the aggregation heap. The
+    sort-merge join streams the same bucket² candidate pairs with
+    disk-spillable sorts on both sides instead. The exact hamming verify
+    (bit_count(a^b), one fused-codegen instruction) runs inside the join
+    stage, so the pair-dedup ``distinct`` — the only shuffle after the
+    join — carries true near-dup pairs only, never the full candidate
+    volume a hot bucket expands.
     """
     n_blocks = max_hamming + 1
     if n_blocks > n_bits:
@@ -416,12 +430,20 @@ def simhash_near_dups(
     base_w, rem = divmod(n_bits, n_blocks)
     widths = [base_w + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    sh = simhash(
-        df.select(id_col, text_col),
-        text_col,
-        n_bits=n_bits,
-        token_hash=token_hash,
-    ).select(id_col, "simhash")
+    # persist the signatures: two longs per row (16 bytes — cluster-cheap
+    # at any corpus size), consumed by BOTH sides of the candidate
+    # self-join below; without it each join child re-runs the tokenize +
+    # per-token hash + vote UDF over the full corpus
+    sh = (
+        simhash(
+            df.select(id_col, text_col),
+            text_col,
+            n_bits=n_bits,
+            token_hash=token_hash,
+        )
+        .select(id_col, "simhash")
+        .persist()
+    )
     blocks = sh.select(
         id_col,
         "simhash",
@@ -436,21 +458,21 @@ def simhash_near_dups(
             )
         ).alias("_blk", "_bval"),
     )
+    lhs = blocks.select(
+        "_blk", "_bval",
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"),
+    )
+    rhs = blocks.select(
+        "_blk", "_bval",
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"),
+    )
     pairs = (
-        blocks.groupBy("_blk", "_bval")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
-            ).alias("xs")
-        )
-        .filter(F.size("xs") > 1)
-        .select(F.explode("xs").alias("a"), "xs")
-        .select("a", F.explode("xs").alias("b"))
-        .filter(F.col("a.i") < F.col("b.i"))
+        lhs.join(rhs, ["_blk", "_bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            F.col("a.i").alias("id_a"),
-            F.col("b.i").alias("id_b"),
-            F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s"))).alias(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias(
                 "hamming"
             ),
         )

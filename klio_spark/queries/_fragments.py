@@ -1,0 +1,27 @@
+"""Shared DuckDB oracle SQL fragments.
+
+Registers nothing (safe to import from any query module without
+perturbing registry order). The exact 3-gram shingler + all-pairs
+Jaccard CTE lives HERE and only here: q65/q66/q106/q129 (textops) and
+the clustering oracles q85/q133 (training) all verify against this one
+definition, so a shingler-rule change can never silently desynchronize
+one verifier from another.
+"""
+
+# per-doc distinct 3-gram shingles + all-pairs intersection counts.
+# The GREATEST(len-2, 1) clause is the short-doc rule: a doc with <3
+# tokens contributes its (padded) single shingle rather than vanishing.
+SHINGLE_PAIRS_CTE = """sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )"""

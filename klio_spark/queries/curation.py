@@ -363,12 +363,20 @@ def q97_tfidf_top_terms(spark: SparkSession, sf_dir: str):
 
 # BM25 constants as exact rationals: k1 = 6/5, b = 3/4. The tf-saturation
 # term tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) becomes, after multiplying
-# through by 20*1e6 and substituting the integerized length norm
-# ndl = (1e6*dl*N) div T (avgdl = T/N held as the exact rational T/N):
-#   s = (44 * tf * 1e12) div (20*tf*1e6 + 6*1e6 + 18*ndl)     [scale 1e6]
+# through by 20*1e3 and substituting the integerized length norm
+# ndl = (1e6*dl) div (tt div n)  (avgdl floored to an integer — the same
+# deterministic-in-both-engines rounding as every other integerized
+# weight here):
+#   s = (44*tf*1e9) div (20000*tf + 6000 + (18*ndl) div 1000)  [scale 1e6]
 # so every per-doc quantity is exact int64 arithmetic in both engines;
 # only the per-TERM idf touches a float (ln), integerized once per
-# distinct term exactly like q96/q97 weights.
+# distinct term exactly like q96/q97 weights. Intermediates are bounded
+# by construction: tf clamps at 2^20 (the saturation curve is within
+# 1e-5 of its k1+1 limit there) and ndl at 1e12 (a doc a million times
+# longer than average — the length penalty is saturated), so nothing
+# can overflow int64 at any corpus size — without the clamps a
+# degenerate 200k-repetition doc would overflow, raising in DuckDB but
+# silently wrapping in non-ANSI Spark.
 _BM25_TERMS = ("value", "data", "system", "random")
 
 
@@ -397,17 +405,22 @@ _BM25_TERMS = ("value", "data", "system", "random")
            CROSS JOIN corp
     ),
     scored AS (
-      SELECT tf.doc_id,
-             CAST(SUM(idf.iw *
-                  ((44 * tf.tf * 1000000000000)
-                   // (20 * tf.tf * 1000000 + 6000000
-                       + 18 * ((1000000 * dl.dl * corp.n) // corp.tt))))
+      SELECT doc_id,
+             CAST(SUM(iw *
+                  ((44 * tfc * 1000000000)
+                   // (20000 * tfc + 6000 + (18 * ndl) // 1000)))
                   AS BIGINT) AS score
-      FROM tf
-      JOIN dl USING (doc_id)
-      JOIN idf USING (tok)
-      CROSS JOIN corp
-      GROUP BY tf.doc_id
+      FROM (
+        SELECT tf.doc_id, idf.iw,
+               LEAST(tf.tf, 1048576) AS tfc,
+               LEAST((1000000 * dl.dl) // GREATEST(corp.tt // corp.n, 1),
+                     1000000000000) AS ndl
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN idf USING (tok)
+        CROSS JOIN corp
+      )
+      GROUP BY doc_id
     )
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
              AS rank,
@@ -418,13 +431,14 @@ _BM25_TERMS = ("value", "data", "system", "random")
     doc="BM25 top-10 retrieval for a fixed query-term set (k1=1.2, "
     "b=0.75): the classic probabilistic ranking function, computed with "
     "exact integer arithmetic — idf integerized per DISTINCT term (the "
-    "q96/q97 trick) and the tf-saturation/length-normalization fraction "
-    "carried as an exact rational (avgdl stays T/N; nothing per-doc ever "
-    "touches a float), so ranks are bit-identical across engines and "
-    "partitionings. Plan: one tokenize pass feeds both the doc-length "
-    "agg and the term-filtered tf agg; corpus stats and the idf table "
-    "are single-row/term-count broadcasts; the global top-10 is a "
-    "TakeOrdered, not a full sort.",
+    "q96/q97 trick), avgdl floored to an integer, and the "
+    "tf-saturation/length-normalization fraction evaluated with clamped "
+    "int64-bounded intermediates (nothing per-doc ever touches a "
+    "float), so ranks are bit-identical across engines, partitionings, "
+    "and corpus sizes — no overflow at any scale. Plan: one tokenize "
+    "pass feeds both the doc-length agg and the term-filtered tf agg; "
+    "corpus stats and the idf table are single-row/term-count "
+    "broadcasts; the top-10 is a window limit over the per-doc agg.",
 )
 def q135_bm25_topk(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
@@ -459,10 +473,12 @@ def q135_bm25_topk(spark: SparkSession, sf_dir: str):
             .alias("iw"),
         )
     )
-    ndl = F.expr("(1000000 * dl * n) div tt")
+    ndl = F.expr(
+        "least((1000000 * dl) div greatest(tt div n, 1), 1000000000000)"
+    )
     sat = F.expr(
-        "(44 * tf * 1000000000000) div "
-        "(20 * tf * 1000000 + 6000000 + 18 * _ndl)"
+        "(44 * least(tf, 1048576) * 1000000000) div "
+        "(20000 * least(tf, 1048576) + 6000 + (18 * _ndl) div 1000)"
     )
     scored = (
         tf.join(dl, "doc_id")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from klio_spark.functions import dedup as dd
 from klio_spark.functions import text as tx
 from klio_spark.queries import load, register
+from klio_spark.queries._fragments import SHINGLE_PAIRS_CTE
 
 
 @register(
@@ -173,21 +174,8 @@ def q64_exact_dedup(spark: SparkSession, sf_dir: str):
 
 @register(
     "q65_ngram_jaccard_pairs",
-    """
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
-            FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
-             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    )
+    f"""
+    WITH {SHINGLE_PAIRS_CTE}
     SELECT id_a, id_b,
            CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
     FROM pairs
@@ -246,21 +234,8 @@ def q68_jaccard_capped_df(spark: SparkSession, sf_dir: str):
     ).select("id_a", "id_b", "jaccard")
 
 
-_EXACT_JACCARD_PAIRS_ORACLE = """
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
-            FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
-             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    )
+_EXACT_JACCARD_PAIRS_ORACLE = f"""
+    WITH {SHINGLE_PAIRS_CTE}
     SELECT id_a, id_b,
            ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
     FROM pairs
@@ -317,21 +292,8 @@ def q129_minhash_bucket_table(spark: SparkSession, sf_dir: str):
 
 @register(
     "q106_minhash_lsh_recall",
-    """
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
-            FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
-             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    )
+    f"""
+    WITH {SHINGLE_PAIRS_CTE}
     SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS lsh_recall_ge_90
     FROM pairs
     WHERE inter > 0 AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
@@ -401,10 +363,17 @@ def q67_simhash_dedup(spark: SparkSession, sf_dir: str):
              CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
                            ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
+    ),
+    sh0 AS (
+      -- token-less / NULL-text docs vanish from th (nothing to unnest)
+      -- but Spark's vote UDF assigns them signature 0 — mirror that, or
+      -- a corpus with two empty docs would be a false hash mismatch
+      SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sh s USING (doc_id)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     """,
     doc="the engine-portable simhash twin: identical semantics to q67 "

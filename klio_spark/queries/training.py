@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from klio_spark.functions import dedup as dd
 from klio_spark.functions import text as tx
 from klio_spark.queries import load, register
+from klio_spark.queries._fragments import SHINGLE_PAIRS_CTE
 
 
 def _md5_bucket(col, mod: int):
@@ -211,22 +212,10 @@ def q79_repetition_quality(spark: SparkSession, sf_dir: str):
     )
 
 
-# q65's oracle pair pipeline, reused as the edge set for clustering
-_JACCARD_EDGES_CTE = """
-    sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
-            FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
-             LEN(a.shingles) AS na, LEN(b.shingles) AS nb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    ),
+# q65's oracle pair pipeline (the ONE shared shingler definition in
+# queries/_fragments.py), extended with the ≥0.3 edge cut for clustering
+_JACCARD_EDGES_CTE = f"""
+    {SHINGLE_PAIRS_CTE},
     e AS (
       SELECT id_a, id_b FROM pairs
       WHERE inter > 0 AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3

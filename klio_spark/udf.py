@@ -118,9 +118,15 @@ def _with_limiter(fn: Callable, max_concurrency: int) -> Callable:
 
     The semaphore itself is process-local and created lazily through the
     module registry (semaphores/locks can't ride the pickled task
-    closure); keyed by (fn qualname, limit) so every pickled copy of the
-    same transform shares one gate per worker process."""
-    key = (getattr(fn, "__qualname__", repr(fn)), max_concurrency)
+    closure); keyed by (module, qualname, limit) so every pickled copy of
+    the same transform shares one gate per worker process — module
+    included because two unrelated fns both named e.g. ``fetch`` (or two
+    lambdas) must not share one budget."""
+    key = (
+        getattr(fn, "__module__", ""),
+        getattr(fn, "__qualname__", repr(fn)),
+        max_concurrency,
+    )
 
     @functools.wraps(fn)
     def wrapper(*a, **kw):

@@ -125,11 +125,16 @@ def test_map_elements_with_extra_columns(spark):
     assert sorted(r.out for r in ok.collect()) == ["a:6", "b:6"]
 
 
-def test_max_concurrency_bounds_inflight_elements():
+def test_max_concurrency_bounds_inflight_elements(spark):
     """ThreadLimiter parity (reference decorators.py:163-210): at most
     max_concurrency invocations of the user fn run concurrently within a
     worker process, even when the caller drives elements from many
-    threads (the external-API rate-limit scenario)."""
+    threads (the external-API rate-limit scenario).
+
+    Takes the spark fixture even though no DataFrame is built:
+    handle_klio parses its DDL schema via StructType.fromDDL, which
+    needs an active session — without the fixture this test fails when
+    run in isolation."""
     import threading
 
     active, peak = [0], [0]
@@ -153,7 +158,11 @@ def test_max_concurrency_bounds_inflight_elements():
         t.start()
     for t in threads:
         t.join()
-    assert peak[0] == 2  # 8 threads, never more than 2 in the fn at once
+    # the CLAIM is the bound: never more than 2 in the fn at once
+    assert peak[0] <= 2
+    # and the gate must not serialize everything — with 8 threads racing
+    # a 50ms fn, at least one overlap is effectively certain
+    assert peak[0] == 2
 
 
 def test_max_concurrency_transform_still_works(spark):
