@@ -495,3 +495,58 @@ def q135_bm25_topk(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= 10)
         .select("rank", "doc_id", "score")
     )
+
+
+@register(
+    "q138_vocab_coverage",
+    """
+    WITH t AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 1000)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST((10000 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS oov_bp
+    FROM t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.source
+    """,
+    doc="tokenizer-fit metric: fix the vocabulary at the corpus top-1000 "
+    "tokens (count desc, token asc — fully deterministic ties) and "
+    "report each source's out-of-vocabulary token rate in integer basis "
+    "points. The vocab is vocabulary-sized, never corpus-sized, so it "
+    "rides a TakeOrdered + broadcast left join; the corpus side is one "
+    "explode + hash agg with map-side combine. The production question "
+    "it answers: which source will blow up token counts under a "
+    "tokenizer fit on the overall mix.",
+)
+def q138_vocab_coverage(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    cnt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(1000)
+        .select("tok", F.lit(1).alias("_iv"))
+    )
+    return (
+        t.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+            F.sum(F.col("_iv").isNull().cast("int"))
+            .cast("bigint")
+            .alias("oov_tokens"),
+            F.expr("(10000 * sum(cast(_iv is null as int))) div count(1)")
+            .cast("bigint")
+            .alias("oov_bp"),
+        )
+    )

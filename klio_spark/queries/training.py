@@ -731,3 +731,94 @@ def q118_mixture_resample(spark: SparkSession, sf_dir: str):
             .alias("kept_tokens"),
         )
     )
+
+
+@register(
+    "q137_span_corruption",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, i AS pos
+      FROM toks, LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+      WHERE len(tk) >= 1
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             CASE WHEN CAST(('0x' || substring(md5(doc_id || ':' || pos), 1, 4))
+                       AS BIGINT) % 100 < 5 THEN 1 ELSE 0 END AS st
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             MAX(st) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mk
+      FROM s
+    ),
+    x AS (
+      SELECT doc_id, mk,
+             CASE WHEN mk = 1 AND COALESCE(LAG(mk) OVER
+                  (PARTITION BY doc_id ORDER BY pos), 0) = 0
+                  THEN 1 ELSE 0 END AS ns
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(mk) AS BIGINT) AS n_masked,
+           CAST(SUM(ns) AS BIGINT) AS n_spans,
+           CAST((10000 * SUM(mk)) // COUNT(*) AS BIGINT) AS masked_bp
+    FROM x GROUP BY doc_id
+    """,
+    doc="T5-style span corruption, replayable: a position STARTS a "
+    "3-token mask span iff its md5 bucket (the q86/q88 gating protocol, "
+    "keyed 'doc_id:pos') lands under 5% — so the mask layout is a pure "
+    "function of (doc_id, pos), reproducible across runs, engines, and "
+    "partitionings, with no RNG state to ship. Span membership is ONE "
+    "rows-between-2-preceding window max (overlapping spans merge for "
+    "free), span count a lag transition sum — both on the same "
+    "per-doc sort. Emits per-doc token/mask/span counts and the masked "
+    "rate in integer basis points.",
+)
+def q137_span_corruption(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("_p0", "_tok"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"))
+    st = t.withColumn(
+        "st",
+        (
+            _md5_bucket(
+                F.concat_ws(":", F.col("doc_id"), F.col("pos")), 100
+            )
+            < 5
+        ).cast("int"),
+    )
+    wm = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    x = (
+        st.withColumn("mk", F.max("st").over(wm))
+        .withColumn(
+            "ns",
+            (
+                (F.col("mk") == 1)
+                & (F.coalesce(F.lag("mk").over(wl), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+    )
+    return x.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("mk").cast("bigint").alias("n_masked"),
+        F.sum("ns").cast("bigint").alias("n_spans"),
+        F.expr("(10000 * sum(mk)) div count(1)")
+        .cast("bigint")
+        .alias("masked_bp"),
+    )

@@ -174,6 +174,37 @@ def test_minhash_bucketed_table_path(spark, docs, tmp_path):
         spark.sql("DROP TABLE IF EXISTS mh_bucket_test")
 
 
+def test_minhash_bucket_table_db_qualified(spark, docs):
+    """db.table bucket names must drop/recreate the RIGHT table (per-part
+    quoting — quoting the whole dotted string would target a default-db
+    table literally named 'db.tbl') and survive a rerun (orphan-dir
+    recovery under <warehouse>/<db>.db/)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS mh_testdb")
+    try:
+        for _ in range(2):  # second run exercises the drop/overwrite path
+            out = sorted(
+                map(
+                    tuple,
+                    dd.minhash_lsh_dedup(
+                        docs, "text", "doc_id", threshold=0.3,
+                        bucket_table="mh_testdb.buckets", n_buckets=2,
+                    ).collect(),
+                )
+            )
+        plain = sorted(
+            map(
+                tuple,
+                dd.minhash_lsh_dedup(
+                    docs, "text", "doc_id", threshold=0.3
+                ).collect(),
+            )
+        )
+        assert out == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_testdb.buckets")
+        spark.sql("DROP DATABASE IF EXISTS mh_testdb")
+
+
 def test_shingle_strings_matches_hof_shingles(spark, docs):
     a = docs.select(
         "doc_id", F.array_sort(dd.shingles(F.col("text"), 2)).alias("s")
