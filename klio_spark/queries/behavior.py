@@ -1163,3 +1163,97 @@ def q128_weighted_median(spark: SparkSession, sf_dir: str):
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "q139_psi_drift",
+    """
+    WITH b AS (
+      SELECT CAST(MIN(ts) AS TIMESTAMP) AS t0,
+             CAST(MAX(ts) AS TIMESTAMP) AS t1
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(b.t0)
+                       < (epoch_us(b.t1) - epoch_us(b.t0)) // 2
+                  THEN 0 ELSE 1 END AS half
+      FROM events e CROSS JOIN b
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM tagged GROUP BY event_type
+    ),
+    n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+    s AS (
+      SELECT event_type, ca, cb,
+             (1000000 * ca) // na AS pa,
+             (1000000 * cb) // nb AS qb
+      FROM c CROSS JOIN n
+      WHERE ca > 0 AND cb > 0
+    )
+    SELECT event_type, ca, cb,
+           CAST(pa AS BIGINT) AS pa_ppm, CAST(qb AS BIGINT) AS qb_ppm,
+           CAST((pa - qb) *
+                CAST(FLOOR(1000000.0 *
+                     ln(CAST(pa AS DOUBLE) / CAST(qb AS DOUBLE))) AS BIGINT)
+                AS BIGINT) AS psi_contrib
+    FROM s
+    """,
+    doc="distribution-drift monitoring (population stability index) over "
+    "the event-type mix: events split at the stream's temporal midpoint "
+    "(integer epoch-microsecond arithmetic), each type's share in either "
+    "half integerized to parts-per-million, and the PSI contribution "
+    "(p-q)*ln(p/q) computed as ppm-diff x floor-integerized log-ratio — "
+    "so every output is exact int64 at ANY corpus size (shares are "
+    "bounded by 1e6 regardless of counts; the raw-count cross products "
+    "a naive formulation multiplies would overflow at ~1e12 events). "
+    "Types absent from either half are excluded (their PSI term is "
+    "unbounded; the standard practice) — visible via ca/cb riding "
+    "along. One scan for bounds, one agg shuffle of per-type counts, "
+    "scalar totals broadcast.",
+)
+def q139_psi_drift(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    b = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    # the parquet column is TIMESTAMP_NTZ, which unix_micros rejects —
+    # cast through TIMESTAMP (session-tz offsets cancel: only
+    # differences and a midpoint comparison are used)
+    tagged = e.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp))"
+            " - unix_micros(cast(t0 as timestamp))"
+            " < (unix_micros(cast(t1 as timestamp))"
+            "    - unix_micros(cast(t0 as timestamp))) div 2"
+        ).alias("_first"),
+    )
+    c = tagged.groupBy("event_type").agg(
+        F.sum(F.col("_first").cast("int")).cast("bigint").alias("ca"),
+        F.sum((~F.col("_first")).cast("int")).cast("bigint").alias("cb"),
+    )
+    n = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(n))
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .withColumn("pa", F.expr("(1000000 * ca) div na"))
+        .withColumn("qb", F.expr("(1000000 * cb) div nb"))
+    )
+    iln = F.floor(
+        F.lit(1000000.0)
+        * F.log(F.col("pa").cast("double") / F.col("qb").cast("double"))
+    ).cast("bigint")
+    return s.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.col("pa").cast("bigint").alias("pa_ppm"),
+        F.col("qb").cast("bigint").alias("qb_ppm"),
+        ((F.col("pa") - F.col("qb")) * iln).cast("bigint").alias("psi_contrib"),
+    )
