@@ -5,9 +5,9 @@ from pyspark.sql import functions as F
 from klio_spark.functions.graph import connected_components
 
 
-def _comp_map(spark, edges):
+def _comp_map(spark, edges, **kw):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    return {r.id: r.comp for r in connected_components(df).collect()}
+    return {r.id: r.comp for r in connected_components(df, **kw).collect()}
 
 
 def test_two_components(spark):
@@ -16,30 +16,36 @@ def test_two_components(spark):
 
 
 def test_chain_needs_multiple_rounds(spark):
-    # a path graph: min label must walk the whole chain
+    # a path graph: min label must walk the whole chain — forced onto the
+    # distributed fixpoint, the behavior this test is named for
     chain = [(i, i + 1) for i in range(10, 1, -1)]
-    got = _comp_map(spark, chain)
+    got = _comp_map(spark, chain, driver_threshold=0)
     assert set(got.values()) == {2}
 
 
 def test_cycle_and_self_loop(spark):
-    got = _comp_map(spark, [(1, 2), (2, 3), (3, 1), (4, 4)])
-    assert got[1] == got[2] == got[3] == 1
-    assert got[4] == 4
+    for thr in (0, 1_000_000):  # both execution paths
+        got = _comp_map(spark, [(1, 2), (2, 3), (3, 1), (4, 4)], driver_threshold=thr)
+        assert got[1] == got[2] == got[3] == 1
+        assert got[4] == 4
 
 
 def test_no_driver_data_transfer(spark):
-    # the labels stay distributed; only scalar sums hit the driver —
-    # result is a DataFrame we can keep composing
+    # on the distributed path the labels stay distributed; only scalar
+    # sums hit the driver — result is a DataFrame we can keep composing
     df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
-    out = connected_components(df)
+    out = connected_components(df, driver_threshold=0)
     assert out.filter(F.col("comp") == 1).count() == 2
 
 
 def test_string_node_ids(spark):
-    # non-numeric ids: lexicographic min labels, hash-sum fixpoint path
-    got = _comp_map(spark, [("b", "c"), ("a", "b"), ("x", "y")])
-    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # non-numeric ids: lexicographic min labels; distributed path takes
+    # the hash-sum fixpoint test, driver path a plain dict union-find
+    for thr in (0, 1_000_000):
+        got = _comp_map(
+            spark, [("b", "c"), ("a", "b"), ("x", "y")], driver_threshold=thr
+        )
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_random_graphs_match_union_find(spark):
@@ -75,4 +81,10 @@ def test_random_graphs_match_union_find(spark):
             min_per_root[r] = min(min_per_root.get(r, v), v)
         expected = {v: min_per_root[roots[v]] for v in touched}
 
+        # BOTH execution paths must agree with the reference union-find:
+        # the default (driver-side for graphs this small) and the forced
+        # distributed fixpoint (driver_threshold=0 — the 100 TB path)
         assert _comp_map(spark, edges) == expected, f"seed {seed}"
+        assert (
+            _comp_map(spark, edges, driver_threshold=0) == expected
+        ), f"seed {seed} (distributed path)"
