@@ -274,11 +274,17 @@ def minhash_lsh_dedup(
                 spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
             )
             if wh.scheme in ("", "file"):
-                # db-qualified tables live under <warehouse>/<db>.db/
+                # an unqualified name resolves against the session's
+                # CURRENT database, not necessarily default — mirror
+                # that here or the orphan dir survives under
+                # <warehouse>/<db>.db/ and the overwrite still fails
+                db = (
+                    parts[0] if len(parts) == 2
+                    else spark.catalog.currentDatabase()
+                ).lower()
+                tbl = parts[-1].lower()
                 rel = (
-                    parts[-1].lower()
-                    if len(parts) == 1
-                    else os.path.join(f"{parts[0].lower()}.db", parts[1].lower())
+                    tbl if db == "default" else os.path.join(f"{db}.db", tbl)
                 )
                 shutil.rmtree(
                     os.path.join(wh.path, rel), ignore_errors=True
@@ -421,6 +427,12 @@ def simhash_near_dups(
     stage, so the pair-dedup ``distinct`` — the only shuffle after the
     join — carries true near-dup pairs only, never the full candidate
     volume a hot bucket expands.
+
+    The signature frame persists (16 bytes/row; it feeds both join
+    sides). The returned DataFrame is lazy, so the cache cannot be
+    dropped here — long-lived sessions should
+    ``spark.catalog.clearCache()`` after materializing the result, the
+    same obligation :func:`minhash_lsh_dedup` documents.
     """
     n_blocks = max_hamming + 1
     if n_blocks > n_bits:

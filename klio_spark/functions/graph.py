@@ -56,8 +56,10 @@ def connected_components(
 
     Adaptive execution, the same decision AQE makes for broadcast joins:
     once the (deduplicated, symmetric) edge list is materialized and
-    counted, a small graph — ≤ ``driver_threshold`` directed edges, i.e.
-    ≤ ~16 MB of id pairs — is solved by a driver-side union-find in
+    counted, a small graph — ≤ ``driver_threshold`` directed edges, ~16
+    MB of id pairs for long ids (size the threshold down for wide
+    string ids: the gate counts rows, not bytes) — is solved by a
+    driver-side union-find in
     microseconds instead of paying O(diameter) Spark jobs of fixpoint
     scaffolding (each round is 3 joins + a checkpoint + a scalar
     collect; on a 4k-edge graph that is seconds of pure scheduling for
@@ -69,9 +71,13 @@ def connected_components(
     # symmetric neighbor view: both directions of every edge. One explode,
     # not a self-union — a union's two branches would each execute the
     # upstream edge plan (for near-dup edges that's the whole candidate
-    # self-join) before the persist below ever materializes
+    # self-join) before the persist below ever materializes. Edges with a
+    # NULL endpoint (outer-join debris upstream) are dropped outright:
+    # "connected to null" has no component semantics, and the two
+    # execution paths must agree on the input set.
     sym = (
-        edges.select(
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
             F.explode(
                 F.array(
                     F.struct(F.col(src).alias("id"), F.col(dst).alias("nbr")),
@@ -153,11 +159,18 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-            ).alias("comp"),
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            # checkpoint BEFORE the self-join below: `stepped` feeds both
+            # sides of it, and without materialization the propagation
+            # join would physically execute twice per round
+            .localCheckpoint(eager=False)
         )
         # pointer-jump shortcut (path compression): also adopt the label
         # OF my label this round. Plain propagation needs O(diameter)

@@ -1,24 +1,35 @@
 """Shared DuckDB oracle SQL fragments.
 
 Registers nothing (safe to import from any query module without
-perturbing registry order). The exact 3-gram shingler + all-pairs
-Jaccard CTE lives HERE and only here: q65/q66/q106/q129 (textops) and
-the clustering oracles q85/q133 (training) all verify against this one
-definition, so a shingler-rule change can never silently desynchronize
-one verifier from another.
+perturbing registry order). The exact 3-gram shingler rule lives HERE
+and only here — q65/q66/q106/q129 (textops), the clustering oracles
+q85/q133 (training), and q87's source-carrying variant all verify
+against this one definition via :func:`shingle_cte`, so a shingler-rule
+change can never silently desynchronize one verifier from another.
 """
 
-# per-doc distinct 3-gram shingles + all-pairs intersection counts.
-# The GREATEST(len-2, 1) clause is the short-doc rule: a doc with <3
-# tokens contributes its (padded) single shingle rather than vanishing.
-SHINGLE_PAIRS_CTE = """sh AS (
-      SELECT doc_id,
+
+def shingle_cte(extra_cols: str = "") -> str:
+    """The per-doc distinct 3-gram shingle CTE (``sh``).
+
+    ``extra_cols`` passes additional grouping columns through (e.g.
+    ``", source"``). The GREATEST(len-2, 1) clause is the short-doc
+    rule: a doc with <3 tokens contributes its (padded) single shingle
+    rather than vanishing.
+    """
+    return f"""sh AS (
+      SELECT doc_id{extra_cols},
              list_distinct([array_to_string(toks[i:i+2], ' ')
                             FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
-      FROM (SELECT doc_id,
+      FROM (SELECT doc_id{extra_cols},
                    list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
             FROM documents)
-    ),
+    )"""
+
+
+# the shingler + all-pairs intersection counts — the exact-Jaccard pair
+# machinery every near-dup oracle builds on
+SHINGLE_PAIRS_CTE = f"""{shingle_cte()},
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              LEN(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,

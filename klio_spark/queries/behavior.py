@@ -1179,6 +1179,7 @@ def q128_weighted_median(spark: SparkSession, sf_dir: str):
                        < (epoch_us(b.t1) - epoch_us(b.t0)) // 2
                   THEN 0 ELSE 1 END AS half
       FROM events e CROSS JOIN b
+      WHERE e.ts IS NOT NULL
     ),
     c AS (
       SELECT event_type,
@@ -1193,7 +1194,6 @@ def q128_weighted_median(spark: SparkSession, sf_dir: str):
              (1000000 * ca) // na AS pa,
              (1000000 * cb) // nb AS qb
       FROM c CROSS JOIN n
-      WHERE ca > 0 AND cb > 0
     )
     SELECT event_type, ca, cb,
            CAST(pa AS BIGINT) AS pa_ppm, CAST(qb AS BIGINT) AS qb_ppm,
@@ -1202,19 +1202,24 @@ def q128_weighted_median(spark: SparkSession, sf_dir: str):
                      ln(CAST(pa AS DOUBLE) / CAST(qb AS DOUBLE))) AS BIGINT)
                 AS BIGINT) AS psi_contrib
     FROM s
+    WHERE pa > 0 AND qb > 0
     """,
     doc="distribution-drift monitoring (population stability index) over "
     "the event-type mix: events split at the stream's temporal midpoint "
-    "(integer epoch-microsecond arithmetic), each type's share in either "
-    "half integerized to parts-per-million, and the PSI contribution "
-    "(p-q)*ln(p/q) computed as ppm-diff x floor-integerized log-ratio — "
-    "so every output is exact int64 at ANY corpus size (shares are "
-    "bounded by 1e6 regardless of counts; the raw-count cross products "
-    "a naive formulation multiplies would overflow at ~1e12 events). "
-    "Types absent from either half are excluded (their PSI term is "
-    "unbounded; the standard practice) — visible via ca/cb riding "
-    "along. One scan for bounds, one agg shuffle of per-type counts, "
-    "scalar totals broadcast.",
+    "(integer epoch-microsecond arithmetic; NULL timestamps excluded on "
+    "both engines), each type's share in either half integerized to "
+    "parts-per-million, and the PSI contribution (p-q)*ln(p/q) computed "
+    "as ppm-diff x floor-integerized log-ratio — so every output is "
+    "exact int64 at ANY corpus size (shares are bounded by 1e6 "
+    "regardless of counts; the raw-count cross products a naive "
+    "formulation multiplies would overflow at ~1e12 events). The cut is "
+    "on the INTEGERIZED shares (pa>0 AND qb>0, not raw counts): a type "
+    "absent from a half has an unbounded PSI term (standard practice to "
+    "exclude), and a sub-ppm share floors to 0, whose log the oracle "
+    "engine would refuse outright where Spark would emit NULL — the "
+    "ppm-level cut keeps both engines total and identical. One scan "
+    "for bounds, one agg shuffle of per-type counts, scalar totals "
+    "broadcast.",
 )
 def q139_psi_drift(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
@@ -1222,14 +1227,18 @@ def q139_psi_drift(spark: SparkSession, sf_dir: str):
     # the parquet column is TIMESTAMP_NTZ, which unix_micros rejects —
     # cast through TIMESTAMP (session-tz offsets cancel: only
     # differences and a midpoint comparison are used)
-    tagged = e.crossJoin(F.broadcast(b)).select(
-        "event_type",
-        F.expr(
-            "unix_micros(cast(ts as timestamp))"
-            " - unix_micros(cast(t0 as timestamp))"
-            " < (unix_micros(cast(t1 as timestamp))"
-            "    - unix_micros(cast(t0 as timestamp))) div 2"
-        ).alias("_first"),
+    tagged = (
+        e.filter(F.col("ts").isNotNull())  # oracle drops them too
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp))"
+                " - unix_micros(cast(t0 as timestamp))"
+                " < (unix_micros(cast(t1 as timestamp))"
+                "    - unix_micros(cast(t0 as timestamp))) div 2"
+            ).alias("_first"),
+        )
     )
     c = tagged.groupBy("event_type").agg(
         F.sum(F.col("_first").cast("int")).cast("bigint").alias("ca"),
@@ -1241,9 +1250,11 @@ def q139_psi_drift(spark: SparkSession, sf_dir: str):
     )
     s = (
         c.crossJoin(F.broadcast(n))
-        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
         .withColumn("pa", F.expr("(1000000 * ca) div na"))
         .withColumn("qb", F.expr("(1000000 * cb) div nb"))
+        # cut on the INTEGERIZED shares, not raw counts: a sub-ppm share
+        # floors to 0 and ln(0) diverges between engines (see doc)
+        .filter((F.col("pa") > 0) & (F.col("qb") > 0))
     )
     iln = F.floor(
         F.lit(1000000.0)

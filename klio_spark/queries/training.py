@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from klio_spark.functions import dedup as dd
 from klio_spark.functions import text as tx
 from klio_spark.queries import load, register
-from klio_spark.queries._fragments import SHINGLE_PAIRS_CTE
+from klio_spark.queries._fragments import SHINGLE_PAIRS_CTE, shingle_cte
 
 
 def _md5_bucket(col, mod: int):
@@ -313,15 +313,9 @@ def q133_dedup_survivors(spark: SparkSession, sf_dir: str):
 
 # shared DuckDB CTE: per-doc distinct 3-gram shingle lists (q65's oracle
 # shingler — proven to match shingle_hashes counts)
-_SHINGLE_CTE = """
-    sh AS (
-      SELECT doc_id, source,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
-      FROM (SELECT doc_id, source,
-                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
-            FROM documents)
-    )
+# the shared shingler rule (_fragments.shingle_cte), carrying source
+_SHINGLE_CTE = f"""
+    {shingle_cte(", source")}
 """
 
 

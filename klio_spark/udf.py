@@ -118,13 +118,17 @@ def _with_limiter(fn: Callable, max_concurrency: int) -> Callable:
 
     The semaphore itself is process-local and created lazily through the
     module registry (semaphores/locks can't ride the pickled task
-    closure); keyed by (module, qualname, limit) so every pickled copy of
-    the same transform shares one gate per worker process — module
-    included because two unrelated fns both named e.g. ``fetch`` (or two
-    lambdas) must not share one budget."""
+    closure); keyed by (module, qualname, code location, limit) so every
+    pickled copy of the same transform shares one gate per worker
+    process. Module splits same-named fns in different files; the code
+    object's (filename, first line) — which cloudpickle preserves —
+    splits two lambdas at the same qualname, since neither name alone
+    distinguishes them."""
+    code = getattr(fn, "__code__", None)
     key = (
         getattr(fn, "__module__", ""),
         getattr(fn, "__qualname__", repr(fn)),
+        (code.co_filename, code.co_firstlineno) if code is not None else None,
         max_concurrency,
     )
 

@@ -158,11 +158,11 @@ def test_max_concurrency_bounds_inflight_elements(spark):
         t.start()
     for t in threads:
         t.join()
-    # the CLAIM is the bound: never more than 2 in the fn at once
+    # two separately-reported properties: the bound (the semaphore's
+    # actual claim), and non-serialization (with 8 threads racing a 50ms
+    # fn, at least one overlap is effectively certain)
     assert peak[0] <= 2
-    # and the gate must not serialize everything — with 8 threads racing
-    # a 50ms fn, at least one overlap is effectively certain
-    assert peak[0] == 2
+    assert peak[0] >= 2
 
 
 def test_max_concurrency_transform_still_works(spark):
