@@ -97,6 +97,14 @@ _VERIFY_FIRST = [
     "q60_token_stats", "q66_minhash_lsh_dedup", "q67_simhash_dedup",
     # `no_oracle` rows in round 2, now exact-parameterized with oracles
     "q71_ann_lsh_topk", "q74_ann_ivf_topk",
+    # round-3 additions — never driver-verified, pinned inside the
+    # ~50-entry truncation window (without pinning, later additions push
+    # earlier ones out: q130/q131 landed at positions 55-56)
+    "q129_minhash_bucket_table", "q130_interval_join_batch",
+    "q131_trigger_upstream_batch", "q132_simhash_portable",
+    "q133_dedup_survivors", "q134_semantic_dedup", "q135_bm25_topk",
+    "q136_substring_dedup", "q137_span_corruption", "q138_vocab_coverage",
+    "q139_psi_drift",
 ]
 
 _R2_GREEN = [
