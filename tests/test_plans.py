@@ -253,3 +253,43 @@ def test_q105_fuzzy_match_is_blocked_equi_join(spark, sf_dir, specs):
     df = specs["q105_fuzzy_name_match"].fn(spark, sf_dir)
     s = plans.plan_str(df)
     assert "NestedLoop" not in s and "Cartesian" not in s, s[:3000]
+
+
+def test_q68_df_cut_shares_posting_exchange(spark, sf_dir, specs):
+    """The hot-shingle df-cut must ride the SAME exchange the posting-list
+    groupBy needs (count window on the shingle key), so the capped query
+    shuffles exactly as often as the uncapped one: 2."""
+    capped = specs["q68_jaccard_capped_df"].fn(spark, sf_dir)
+    uncapped = specs["q65_ngram_jaccard_pairs"].fn(spark, sf_dir)
+    assert plans.num_shuffles(capped) == plans.num_shuffles(uncapped) == 2, (
+        plans.plan_str(capped)[:3000]
+    )
+
+
+def test_q136_substring_dedup_two_exchanges(spark, sf_dir, specs):
+    """Position-level dedup: one exchange for the k-gram count window, one
+    for the per-doc span windows; the run/span aggregations and the final
+    per-doc join must NOT add shuffles (they reuse the doc partitioning /
+    broadcast the tiny stats side)."""
+    df = specs["q136_substring_dedup"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 2, plans.plan_str(df)[:3000]
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_q135_bm25_stats_ride_broadcasts(spark, sf_dir, specs):
+    """Corpus stats (1 row) and the idf table (term-count rows) must reach
+    the scoring join as broadcasts — never shuffled against the corpus."""
+    df = specs["q135_bm25_topk"].fn(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 2, plans.plan_str(df)[:3000]
+
+
+def test_simhash_candidates_stream_not_collect(spark, sf_dir, specs):
+    """Simhash candidate generation must be a JOIN over the narrow block
+    keys (spillable at any bucket size), never a collect_list expansion —
+    a 6-8-bit block key's bucket row would grow O(corpus)."""
+    df = specs["q67_simhash_dedup"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    # the strategy is the optimizer's call (broadcast at tiny SF, SMJ at
+    # scale) — the locked property is join-vs-giant-row
+    assert "Join" in s, s[:3000]
+    assert "collect_list" not in s.lower(), s[:3000]
