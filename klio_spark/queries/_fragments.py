@@ -15,11 +15,14 @@ def shingle_cte(extra_cols: str = "") -> str:
     ``extra_cols`` passes additional grouping columns through (e.g.
     ``", source"``). The GREATEST(len-2, 1) clause is the short-doc
     rule: a doc with <3 tokens contributes its (padded) single shingle
-    rather than vanishing.
+    rather than vanishing — including the EMPTY doc, whose single
+    shingle is '' (two empty docs are identical content and must pair
+    at jaccard 1; Spark's shingler does this naturally, but DuckDB's
+    array_to_string returns NULL for an empty list, hence the COALESCE).
     """
     return f"""sh AS (
       SELECT doc_id{extra_cols},
-             list_distinct([array_to_string(toks[i:i+2], ' ')
+             list_distinct([COALESCE(array_to_string(toks[i:i+2], ' '), '')
                             FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
       FROM (SELECT doc_id{extra_cols},
                    list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from klio_spark.functions import dedup as dd
 from klio_spark.functions import text as tx
 from klio_spark.queries import load, register
-from klio_spark.queries._fragments import SHINGLE_PAIRS_CTE
+from klio_spark.queries._fragments import SHINGLE_PAIRS_CTE, shingle_cte
 
 
 @register(
@@ -137,14 +137,17 @@ def q62_lang_id(spark: SparkSession, sf_dir: str):
     "q63_fingerprint",
     """
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
+           md5(COALESCE(array_to_string(list_sort(list_distinct(
                list_filter(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'),
-                           t -> t != ''))), ' ')) AS fp
+                           t -> t != ''))), ' '), '')) AS fp
     FROM documents
     WHERE doc_id % 5 = 0
     """,
     doc="document fingerprint: md5 over the sorted distinct token set — "
-    "order-insensitive content identity for shuffled-copy detection.",
+    "order-insensitive content identity for shuffled-copy detection. An "
+    "empty doc fingerprints as md5('') on both engines (DuckDB's "
+    "array_to_string is NULL for an empty list — COALESCE'd; Spark's "
+    "concat_ws is '').",
 )
 def q63_fingerprint(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
@@ -194,15 +197,8 @@ def q65_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str):
 
 @register(
     "q68_jaccard_capped_df",
-    """
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS shingles
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
-            FROM documents)
-    ),
+    f"""
+    WITH {shingle_cte()},
     inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     dfreq AS (SELECT s, COUNT(*) AS dfc FROM inv GROUP BY s),
     keep AS (SELECT i.doc_id, i.s FROM inv i JOIN dfreq USING (s) WHERE dfc <= 20),

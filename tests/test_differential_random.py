@@ -1,0 +1,105 @@
+"""Randomized cross-engine differential tests.
+
+The driver gate compares every declared query against its DuckDB oracle
+on the FIXED synthetic corpus; these tests re-run that comparison on
+randomly generated corpora that deliberately include the shapes the
+fixed corpus lacks — empty documents, exact duplicates, single tokens,
+unicode, runs of repeated tokens, NULL text — using the same strict
+canon as tools/driver_check.py. A pass here means the oracle twin
+captures the operator's semantics, not just its behavior on one
+dataset.
+"""
+
+import importlib.util
+import os
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from klio_spark.queries import all_queries
+
+_spec = importlib.util.spec_from_file_location(
+    "driver_check",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "driver_check.py"),
+)
+_dc = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_dc)
+canon_frame = _dc.canon_frame
+
+WORDS = [
+    "the", "a", "of", "value", "data", "system", "random", "und", "der",
+    "la", "que", "alpha", "beta", "gamma", "Wörter", "naïve", "x1", "42",
+]
+
+
+def _random_corpus(seed: int, n_docs: int = 60) -> pd.DataFrame:
+    rng = random.Random(seed)
+    rows = []
+    texts = []
+    for i in range(n_docs):
+        kind = rng.randrange(10)
+        if kind == 0:
+            text = ""  # empty doc
+        elif kind == 1:
+            text = rng.choice(WORDS)  # single token
+        elif kind == 2 and texts:
+            text = rng.choice(texts)  # exact duplicate of an earlier doc
+        elif kind == 3:
+            text = " ".join([rng.choice(WORDS)] * rng.randrange(5, 30))  # runs
+        else:
+            text = " ".join(
+                rng.choice(WORDS) for _ in range(rng.randrange(3, 40))
+            )
+        texts.append(text)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": rng.choice(["en", "de", "es"]),
+                "source": rng.choice(["web", "book", "code"]),
+                "n_chars": len(text),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# documents-only queries whose semantics the random corpus stresses
+QUERIES = [
+    "q60_token_stats",
+    "q61_quality_features",
+    "q62_lang_id",
+    "q63_fingerprint",
+    "q64_exact_dedup",
+    "q65_ngram_jaccard_pairs",
+    "q132_simhash_portable",
+    "q136_substring_dedup",
+    "q137_span_corruption",
+    "q138_vocab_coverage",
+]
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    out = []
+    for seed in (11, 42):
+        d = tmp_path_factory.mktemp(f"rnd{seed}")
+        pdf = _random_corpus(seed)
+        pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        out.append(str(d))
+    return out
+
+
+@pytest.mark.parametrize("qname", QUERIES)
+def test_random_corpus_matches_oracle(spark, corpora, qname):
+    spec = all_queries()[qname]
+    for sf_dir in corpora:
+        got = canon_frame(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        want = canon_frame(con.execute(spec.sql).df())
+        assert got == want, f"{qname} diverged on {sf_dir}"
