@@ -157,10 +157,13 @@ def q43_null_scalars(spark: SparkSession, sf_dir: str):
            event_type,
            COUNT(*) AS n_events
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
     doc="batch twin of streaming.tumbling_counts: window('1 hour') on a "
-    "static frame equals epoch-aligned date_trunc buckets.",
+    "static frame equals epoch-aligned date_trunc buckets. NULL "
+    "timestamps are excluded on both engines — Spark's window() drops "
+    "them silently while SQL GROUP BY would keep a NULL bucket.",
 )
 def q53_tumbling_window_batch(spark: SparkSession, sf_dir: str):
     from klio_spark.streaming import tumbling_counts

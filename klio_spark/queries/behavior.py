@@ -143,7 +143,8 @@ def q108_event_funnel(spark: SparkSession, sf_dir: str):
     a AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
     )
-    SELECT CAST(datediff('day', DATE '2024-01-01', f.d0) // 7 AS BIGINT)
+    SELECT CAST((datediff('day', DATE '2024-01-01', f.d0) + 70000) // 7
+                - 10000 AS BIGINT)
              AS cohort_week,
            CAST(datediff('day', f.d0, a.d) // 7 AS BIGINT) AS week_offset,
            COUNT(DISTINCT a.user_id) AS n_users
@@ -166,11 +167,14 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str):
     return (
         j.select(
             "user_id",
-            # Spark's `div` truncates toward zero; DuckDB's `//` floors.
-            # Shifting by a multiple of 7 (70000 = 7*10000) makes the
-            # operand positive for any date after ~1832, so truncation IS
-            # floor and pre-anchor events bucket identically on both
-            # engines.
+            # BOTH engines truncate integer division toward zero (Spark
+            # `div`, and DuckDB's integer `//` too — measured: -45//7 =
+            # -6, not -7). Shifting by a multiple of 7 (70000 = 7*10000)
+            # makes the operand positive for any date after ~1832, so
+            # truncation IS floor and pre-anchor events bucket
+            # identically on both engines. The ORACLE applies the same
+            # shift — the randomized differential suite caught the
+            # unshifted oracle off by one week on pre-2024 data.
             F.expr("(datediff(d0, DATE'2024-01-01') + 70000) div 7 - 10000")
             .cast("bigint")
             .alias("cohort_week"),
@@ -192,7 +196,7 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str):
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
                AS rnt
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     runs AS (
       SELECT user_id, event_type, rn - rnt AS grp, COUNT(*) AS run_len
@@ -209,10 +213,15 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str):
     "run), then per-user run stats. Order is total — (ts, event_id) "
     "tiebreak — so both engines see identical runs. Both windows "
     "partition by user_id: one sort serves them, and the run agg stays "
-    "in the same partitioning. The batch twin of session_windows().",
+    "in the same partitioning. The batch twin of session_windows(). "
+    "NULL-timestamp events are excluded on both engines: an event with "
+    "unknown time has no position in a time-ordered run, and the "
+    "engines' NULL sort defaults disagree (Spark NULLS FIRST, SQL "
+    "NULLS LAST) so leaving them in is a silent cross-engine hazard.",
 )
 def q110_activity_runs(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
+    e = e.filter(F.col("ts").isNotNull())
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     o = e.select(
@@ -571,8 +580,9 @@ def q117_ab_experiment(spark: SparkSession, sf_dir: str):
     """
     WITH uw AS (
       SELECT DISTINCT user_id,
-             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
-      FROM events
+             (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 70000)
+               // 7 - 10000 AS wk
+      FROM events WHERE ts IS NOT NULL
     ),
     mx AS (SELECT MAX(wk) AS max_wk FROM uw),
     lagged AS (
@@ -616,7 +626,10 @@ def q117_ab_experiment(spark: SparkSession, sf_dir: str):
 def q119_growth_accounting(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
     uw = (
-        e.select(
+        # NULL ts → NULL week, whose lag/lead classification diverges
+        # across engines — excluded on both sides
+        e.filter(F.col("ts").isNotNull())
+        .select(
             "user_id",
             # floor-div via positive shift (see q109): matches DuckDB `//`
             # even for events before the 2024-01-01 anchor
@@ -684,7 +697,7 @@ def q119_growth_accounting(spark: SparkSession, sf_dir: str):
       FROM events
     ),
     f AS (
-      SELECT user_id, day, unnest(range(GREATEST(day - 6, 0), day + 1)) AS w
+      SELECT user_id, day, unnest(range(day - 6, day + 1)) AS w
       FROM d
     )
     SELECT CAST(w AS BIGINT) AS window_start_day,
@@ -693,12 +706,16 @@ def q119_growth_accounting(spark: SparkSession, sf_dir: str):
     FROM f GROUP BY 1
     """,
     doc="7-day SLIDING window (stride 1 day) — the sliding twin of q53's "
-    "tumbling batch window: each event fans out to the ≤7 window starts "
-    "covering it (small-int rows, the same explode discipline as "
+    "tumbling batch window: each event fans out to EXACTLY the 7 window "
+    "starts covering it (small-int rows, the same explode discipline as "
     "chunking/banding), then one agg per window start with a distinct "
-    "count. Streaming twin: streaming.sliding_counts (window(ts, '7 "
-    "days', '1 day') keeps ONE state row per window instead of the "
-    "fan-out).",
+    "count. Window starts are unclamped: an earlier GREATEST(day-6, 0) "
+    "floor silently assumed post-anchor data — for a pre-2024 event "
+    "Spark's sequence(0, day) RUNS BACKWARD (descending sequences are "
+    "legal) while SQL range() is empty, a cross-engine landmine the "
+    "randomized differential suite caught. Streaming twin: "
+    "streaming.sliding_counts (window(ts, '7 days', '1 day') keeps ONE "
+    "state row per window instead of the fan-out).",
 )
 def q120_sliding_window_counts(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
@@ -708,9 +725,7 @@ def q120_sliding_window_counts(spark: SparkSession, sf_dir: str):
     )
     f = d.select(
         "user_id",
-        F.explode(
-            F.sequence(F.greatest(F.col("day") - 6, F.lit(0)), F.col("day"))
-        ).alias("w"),
+        F.explode(F.sequence(F.col("day") - 6, F.col("day"))).alias("w"),
     )
     return f.groupBy(F.col("w").cast("bigint").alias("window_start_day")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -957,6 +972,7 @@ def q125_copurchase_pairs(spark: SparkSession, sf_dir: str):
                        > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
     ),
@@ -991,6 +1007,9 @@ def q125_copurchase_pairs(spark: SparkSession, sf_dir: str):
 )
 def q126_bounce_rate(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
+    # unknown-time events have no session position (and the engines'
+    # NULL sort defaults disagree) — excluded on both sides
+    e = e.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     base = e.select(
         "user_id",

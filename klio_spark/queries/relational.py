@@ -631,7 +631,8 @@ def q50_events_hourly(spark: SparkSession, sf_dir: str):
 @register(
     "q51_sessionization",
     """
-    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE ts IS NOT NULL),
     flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -644,11 +645,13 @@ def q50_events_hourly(spark: SparkSession, sf_dir: str):
     FROM flagged GROUP BY user_id
     """,
     doc="gaps-and-islands sessionization (30-min inactivity): one window "
-    "sort per user + one agg. The streaming twin is session_window().",
+    "sort per user + one agg. The streaming twin is session_window(). "
+    "NULL-timestamp events excluded on both engines (no session "
+    "position; NULL sort defaults disagree cross-engine).",
 )
 def q51_sessionization(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
-    e.createOrReplaceTempView("events")
+    e.filter(F.col("ts").isNotNull()).createOrReplaceTempView("events")
     return spark.sql(
         """
         WITH flagged AS (

@@ -103,3 +103,82 @@ def test_random_corpus_matches_oracle(spark, corpora, qname):
         )
         want = canon_frame(con.execute(spec.sql).df())
         assert got == want, f"{qname} diverged on {sf_dir}"
+
+
+def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
+    """Events with the adversarial shapes the fixed table lacks: exact
+    timestamp TIES within a user (stresses deterministic window
+    tie-breaks), out-of-order ids, a few NULL timestamps, and a skewed
+    type mix."""
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = []
+    for i in range(n):
+        user = rng.randrange(12)
+        if rng.randrange(50) == 0:
+            ts = None
+        else:
+            ts = base + rng.randrange(0, 14 * 24 * 3600) * 1_000_000
+            if rng.randrange(5) == 0 and rows:
+                prev = rows[rng.randrange(len(rows))]
+                ts = prev["_us"] if prev["_us"] is not None else ts  # tie
+        rows.append(
+            {
+                "event_id": n - i,  # ids descend: storage order != time
+                "_us": ts,
+                "user_id": user,
+                "event_type": rng.choice(
+                    ["view"] * 6 + ["click"] * 3 + ["purchase"]
+                ),
+                "value": round(rng.uniform(0, 100), 2),
+                "props": '{"k": %d}' % rng.randrange(5),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf.pop("_us"), unit="us")
+    return pdf
+
+
+EVENT_QUERIES = [
+    "q50_events_hourly",
+    "q51_sessionization",
+    "q52_events_json_props",
+    "q53_tumbling_window_batch",
+    "q57_gap_fill",
+    "q108_event_funnel",
+    "q109_retention_cohorts",
+    "q110_activity_runs",
+    "q113_keep_latest",
+    "q119_growth_accounting",
+    "q120_sliding_window_counts",
+    "q122_anomalous_hours",
+    "q124_funnel_windowed",
+    "q126_bounce_rate",
+    "q139_psi_drift",
+]
+
+
+@pytest.fixture(scope="module")
+def event_corpora(tmp_path_factory):
+    out = []
+    for seed in (5, 99):
+        d = tmp_path_factory.mktemp(f"ev{seed}")
+        _random_events(seed).to_parquet(
+            os.path.join(d, "events.parquet"), index=False
+        )
+        out.append(str(d))
+    return out
+
+
+@pytest.mark.parametrize("qname", EVENT_QUERIES)
+def test_random_events_match_oracle(spark, event_corpora, qname):
+    spec = all_queries()[qname]
+    for sf_dir in event_corpora:
+        got = canon_frame(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet'"
+        )
+        want = canon_frame(con.execute(spec.sql).df())
+        assert got == want, f"{qname} diverged on {sf_dir}"
