@@ -4,10 +4,14 @@ The driver gate compares every declared query against its DuckDB oracle
 on the FIXED synthetic corpus; these tests re-run that comparison on
 randomly generated corpora that deliberately include the shapes the
 fixed corpus lacks — empty documents, exact duplicates, single tokens,
-unicode, runs of repeated tokens, NULL text — using the same strict
-canon as tools/driver_check.py. A pass here means the oracle twin
-captures the operator's semantics, not just its behavior on one
-dataset.
+unicode, token runs (documents); timestamp ties, out-of-order ids,
+NULL timestamps, pre-anchor dates (events); zero vectors, duplicate
+vectors, near-threshold perturbations (embeddings) — using the same
+strict canon as tools/driver_check.py. A pass here means the oracle
+twin captures the operator's semantics, not just its behavior on one
+dataset. First run caught 9 real cross-engine hazards (empty-doc
+array_to_string NULLs, NULL sort-order divergence, DuckDB integer-//
+truncation, Spark's backward sequence()).
 """
 
 import importlib.util
@@ -179,6 +183,82 @@ def test_random_events_match_oracle(spark, event_corpora, qname):
         con.execute(
             "CREATE VIEW events AS SELECT * FROM "
             f"'{sf_dir}/events.parquet'"
+        )
+        want = canon_frame(con.execute(spec.sql).df())
+        assert got == want, f"{qname} diverged on {sf_dir}"
+
+
+def _random_embeddings(seed: int, n: int = 80, dim: int = 16) -> pd.DataFrame:
+    """Embeddings with a zero vector (cosine is engine-divergent below
+    every registered threshold: Spark scores it 0, DuckDB -1 — both
+    excluded), exact duplicates (cosine exactly 1.0), and near-duplicate
+    perturbations around the 0.35 pair threshold."""
+    rng = random.Random(seed)
+    rows = []
+    vecs = []
+    for i in range(n):
+        kind = rng.randrange(10)
+        if i == 0:
+            v = [0.0] * dim  # zero vector
+        elif kind == 0 and vecs:
+            v = list(rng.choice(vecs))  # exact duplicate
+        elif kind == 1 and vecs:
+            v = [x + rng.uniform(-0.01, 0.01) for x in rng.choice(vecs)]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        vecs.append(v)
+        rows.append(
+            {
+                "vec_id": i,
+                "label": rng.choice(["a", "b", "c"]),
+                "embedding": [float(x) for x in v],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+EMB_QUERIES = [
+    "q72_embedding_near_dups",
+    "q73_vector_norms_by_label",
+    "q75_embedding_centroids",
+    "q78_embedding_quantize",
+    "q134_semantic_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def emb_corpora(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = []
+    for seed in (3, 77):
+        d = tmp_path_factory.mktemp(f"emb{seed}")
+        pdf = _random_embeddings(seed)
+        # list<float> column, matching the driver-generated schema
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(pdf.vec_id, pa.int64()),
+                "label": pa.array(pdf.label, pa.string()),
+                "embedding": pa.array(
+                    pdf.embedding.tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+        out.append(str(d))
+    return out
+
+
+@pytest.mark.parametrize("qname", EMB_QUERIES)
+def test_random_embeddings_match_oracle(spark, emb_corpora, qname):
+    spec = all_queries()[qname]
+    for sf_dir in emb_corpora:
+        got = canon_frame(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_dir}/embeddings.parquet'"
         )
         want = canon_frame(con.execute(spec.sql).df())
         assert got == want, f"{qname} diverged on {sf_dir}"
