@@ -89,10 +89,14 @@ def q61_quality_features(spark: SparkSession, sf_dir: str):
 
 
 def _lang_sql_score(lang: str, words: tuple[str, ...]) -> str:
+    # COALESCE: a NULL text's score must be 0, not NULL — otherwise the
+    # CASE chain's NULL comparisons skip every WHEN and fall through to
+    # the ELSE language instead of the documented zero/tie default 'en'
+    # (Spark's when(best.score > 0) already treats NULL as the default)
     arr = ",".join(f"'{w}'" for w in words)
     return (
-        f"LEN(list_filter(regexp_extract_all(lower(text), '\\S+'), "
-        f"t -> list_contains([{arr}], t))) AS s_{lang}"
+        f"COALESCE(LEN(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+        f"t -> list_contains([{arr}], t))), 0) AS s_{lang}"
     )
 
 

@@ -43,7 +43,7 @@ def _random_corpus(seed: int, n_docs: int = 60) -> pd.DataFrame:
     rows = []
     texts = []
     for i in range(n_docs):
-        kind = rng.randrange(10)
+        kind = rng.randrange(12)
         if kind == 0:
             text = ""  # empty doc
         elif kind == 1:
@@ -52,18 +52,21 @@ def _random_corpus(seed: int, n_docs: int = 60) -> pd.DataFrame:
             text = rng.choice(texts)  # exact duplicate of an earlier doc
         elif kind == 3:
             text = " ".join([rng.choice(WORDS)] * rng.randrange(5, 30))  # runs
+        elif kind == 4:
+            text = None  # NULL text
         else:
             text = " ".join(
                 rng.choice(WORDS) for _ in range(rng.randrange(3, 40))
             )
-        texts.append(text)
+        if text is not None:
+            texts.append(text)
         rows.append(
             {
                 "doc_id": i,
                 "text": text,
                 "lang": rng.choice(["en", "de", "es"]),
                 "source": rng.choice(["web", "book", "code"]),
-                "n_chars": len(text),
+                "n_chars": len(text) if text is not None else 0,
             }
         )
     return pd.DataFrame(rows)
