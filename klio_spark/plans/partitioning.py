@@ -53,6 +53,42 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def overwrite_bucketed_table(
+    df: DataFrame, table: str, key: str, buckets: int = 32
+) -> DataFrame:
+    """write_bucketed with same-session re-run safety, returning the
+    re-read table.
+
+    A table dir left behind by a PREVIOUS session's metastore is invisible
+    to this one, and saveAsTable(overwrite) refuses to claim the orphaned
+    location — drop both the catalog entry and the directory first (the
+    same recovery the minhash bucket_table path does in
+    functions/dedup.py). Only file-scheme warehouses are swept; object
+    stores don't leave local orphans."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    quoted = ".".join(f"`{p}`" for p in table.split("."))
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+    parts = table.split(".")
+    if len(parts) <= 2:
+        wh = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        )
+        if wh.scheme in ("", "file"):
+            db = (
+                parts[0] if len(parts) == 2
+                else spark.catalog.currentDatabase()
+            ).lower()
+            tbl = parts[-1].lower()
+            rel = tbl if db == "default" else os.path.join(f"{db}.db", tbl)
+            shutil.rmtree(os.path.join(wh.path, rel), ignore_errors=True)
+    write_bucketed(df, table, key, buckets)
+    return spark.table(quoted)
+
+
 def repartition_for_udf(df: DataFrame, n: int | None = None, *cols: str) -> DataFrame:
     """Explicit repartition in front of a heavy UDF stage.
 

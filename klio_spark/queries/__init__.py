@@ -104,7 +104,8 @@ _VERIFY_FIRST = [
     "q131_trigger_upstream_batch", "q132_simhash_portable",
     "q133_dedup_survivors", "q134_semantic_dedup", "q135_bm25_topk",
     "q136_substring_dedup", "q137_span_corruption", "q138_vocab_coverage",
-    "q139_psi_drift",
+    "q139_psi_drift", "q140_kmeans_assign", "q141_bigram_lm_score",
+    "q142_time_decay_score", "q143_skew_profile", "q144_inverted_index_topk",
 ]
 
 _R2_GREEN = [

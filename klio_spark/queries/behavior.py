@@ -1287,3 +1287,54 @@ def q139_psi_drift(spark: SparkSession, sf_dir: str):
         F.col("qb").cast("bigint").alias("qb_ppm"),
         ((F.col("pa") - F.col("qb")) * iln).cast("bigint").alias("psi_contrib"),
     )
+
+
+@register(
+    "q142_time_decay_score",
+    """
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+    r AS (
+      SELECT user_id,
+             CAST(FLOOR(1000000.0 * value * exp(
+                  -(CAST(tmax - epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                  / 7.0)) AS BIGINT) AS iscore
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(iscore) AS BIGINT) AS score_micros
+    FROM r GROUP BY user_id
+    ORDER BY score_micros DESC, user_id LIMIT 20
+    """,
+    doc="exponentially time-decayed engagement score (half-life-style "
+    "recency weighting — the feature-engineering primitive behind "
+    "recommendation freshness and churn features): each event "
+    "contributes value·exp(-age/7d) measured against the table's max "
+    "timestamp, floor-integerized at 1e6 PER ROW so the per-user sum is "
+    "exact integer arithmetic in any order. Ages are differences of "
+    "epoch-micros BIGINTs, so the NTZ-vs-LTZ session offset cancels "
+    "(module doc). The plan is one scan + broadcast 1-row max + hash "
+    "agg on user_id, and the top-20 rides TakeOrderedAndProject — "
+    "per-partition heaps, no global sort, no driver traffic beyond "
+    "k rows.",
+)
+def q142_time_decay_score(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    us = F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)")
+    mx = e.agg(F.max(us).alias("tmax"))
+    r = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("value")
+            * F.exp(
+                -((F.col("tmax") - us).cast("double") / 86400000000.0) / 7.0
+            )
+        )
+        .cast("bigint")
+        .alias("iscore"),
+    )
+    per = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("iscore").cast("bigint").alias("score_micros"),
+    )
+    return per.orderBy(F.desc("score_micros"), F.asc("user_id")).limit(20)

@@ -550,3 +550,184 @@ def q138_vocab_coverage(spark: SparkSession, sf_dir: str):
             .alias("oov_bp"),
         )
     )
+
+
+@register(
+    "q141_bigram_lm_score",
+    r"""
+    WITH tk AS (
+      SELECT source, doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    t AS (
+      SELECT source, doc_id,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN range(1, len(toks))]) AS bg
+      FROM tk
+    ),
+    dc AS (SELECT source, doc_id, bg, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+    bgc AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS cnt FROM dc GROUP BY bg),
+    m AS (SELECT split_part(bg, ' ', 1) AS w1,
+                 CAST(SUM(cnt) AS BIGINT) AS tot1
+          FROM bgc GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS vsz FROM bgc),
+    w AS (
+      SELECT bg,
+             CAST(FLOOR(1000000.0 * ln(
+                  (CAST(tot1 AS DOUBLE) + vsz) / (CAST(cnt AS DOUBLE) + 1.0)))
+                  AS BIGINT) AS iw
+      FROM bgc JOIN m ON split_part(bgc.bg, ' ', 1) = m.w1 CROSS JOIN v
+    ),
+    per AS (
+      SELECT dc.source, dc.doc_id,
+             CAST(SUM(dc.c * w.iw) AS BIGINT) AS s,
+             CAST(SUM(dc.c) AS BIGINT) AS nt
+      FROM dc JOIN w USING (bg) GROUP BY 1, 2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS sum_inll,
+           CAST(SUM(s // nt) AS BIGINT) AS sum_avg_inll
+    FROM per GROUP BY source
+    """,
+    doc="bigram-LM fluency scoring (the conditional upgrade of q96's "
+    "unigram rarity — CCNet's quality signal with one token of context): "
+    "every in-order bigram scores -ln P(w2|w1) under the corpus bigram "
+    "model with add-one smoothing over the second-token vocabulary, "
+    "P = (c(w1,w2)+1)/(c(w1,·)+V). The weight is integerized at 1e6 per "
+    "DISTINCT bigram type, so per-doc sums are exact integer arithmetic "
+    "in any partition/order; iw ≥ 0 by construction (c(w1,w2) ≤ c(w1,·), "
+    "V ≥ 1), so Spark's truncating div and DuckDB's floor-div agree. The "
+    "corpus-side plan is one ordered-bigram explode (zip of adjacent "
+    "tokens — no self-join) + hash aggs; the weight table grows with the "
+    "bigram LEXICON, not the corpus, and rejoins WITHOUT a broadcast hint "
+    "— a web-scale bigram vocabulary outgrows broadcast, so AQE picks the "
+    "strategy per run. Docs with <2 tokens carry no bigram evidence and "
+    "drop out of the per-doc stage in both engines.",
+)
+def q141_bigram_lm_score(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = (
+        d.withColumn("_toks", tx.tokens(F.lower(F.col("text"))))
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("_toks") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(_toks) - 1), "
+                        "i -> concat(_toks[i-1], ' ', _toks[i]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bg"),
+        )
+    )
+    dc = t.groupBy("source", "doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bgc = dc.groupBy("bg").agg(F.sum("c").cast("bigint").alias("cnt"))
+    w1 = F.split(F.col("bg"), " ", 2)[0]
+    m = bgc.groupBy(w1.alias("w1")).agg(
+        F.sum("cnt").cast("bigint").alias("tot1")
+    )
+    v = bgc.agg(
+        F.countDistinct(F.split(F.col("bg"), " ", 2)[1]).alias("vsz")
+    )
+    w = (
+        bgc.join(m, w1 == m["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("tot1").cast("double") + F.col("vsz"))
+                    / (F.col("cnt").cast("double") + 1.0)
+                )
+            )
+            .cast("bigint")
+            .alias("iw"),
+        )
+    )
+    per = (
+        dc.join(w, "bg")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("iw")).cast("bigint").alias("s"),
+            F.sum("c").cast("bigint").alias("nt"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("s").cast("bigint").alias("sum_inll"),
+        F.sum(F.expr("s div nt")).cast("bigint").alias("sum_avg_inll"),
+    )
+
+
+_Q144_TERMS = ("data", "value")  # co-occur at every test sf → non-empty top-10
+
+
+@register(
+    "q144_inverted_index_topk",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    p AS (SELECT tok, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    q AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score,
+             COUNT(DISTINCT tok) AS nt
+      FROM p WHERE tok IN {_Q144_TERMS!r} GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, score
+    FROM q WHERE nt = 2
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="build-once/query-many text retrieval (the q129/IVF "
+    "materialization pattern applied to keyword search): the postings "
+    "table (tok, doc_id, tf) is WRITTEN bucketed by token "
+    "(plans.partitioning.overwrite_bucketed_table), and the conjunctive "
+    "query ('data' AND 'value', tf-sum ranking, top-10) runs entirely "
+    "against the index read-back — the documents table is scanned once "
+    "at build, never at query time, and the IN-filter on the bucket "
+    "column prunes the scan to the matching buckets. AND semantics = "
+    "distinct-term count equals the query arity; ranking is exact "
+    "integer tf sums with doc_id tie-break. The oracle recomputes the "
+    "same answer from raw documents, so a hash match proves the "
+    "persisted index loses nothing. BM25 weighting of the same postings "
+    "is q135's claim; this row owns the index lifecycle.",
+)
+def q144_inverted_index_topk(spark: SparkSession, sf_dir: str):
+    from klio_spark.plans.partitioning import overwrite_bucketed_table
+
+    (d,) = load(spark, sf_dir, "documents")
+    postings = (
+        d.select(
+            "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idx = overwrite_bucketed_table(
+        postings, "q144_inv_index", "tok", buckets=8
+    )
+    hits = (
+        idx.filter(F.col("tok").isin(*_Q144_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("score"),
+            F.countDistinct("tok").alias("_nt"),
+        )
+        .filter(F.col("_nt") == len(_Q144_TERMS))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score")
+    )

@@ -227,3 +227,52 @@ def q115_table_profile(spark: SparkSession, sf_dir: str):
         ),
         "n_rows",
     )
+
+
+@register(
+    "q143_skew_profile",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt
+          FROM c),
+    r AS (SELECT user_id, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn
+          FROM c)
+    SELECT r.user_id, CAST(r.cnt AS BIGINT) AS cnt,
+           CAST(r.cnt * 10000 // s.total AS BIGINT) AS share_bp,
+           s.n_keys,
+           (s.max_cnt * s.n_keys > 4 * s.total) AS skew_flagged
+    FROM r CROSS JOIN s WHERE r.rn <= 5
+    """,
+    doc="shuffle-key skew diagnostics — the planning input for the "
+    "salted-join path (q35) and AQE skew thresholds: per-key cardinality "
+    "profile of the events join key, reporting the 5 hottest keys with "
+    "their share in integer basis points, the distinct-key count, and a "
+    "skew verdict (hottest key > 4x the mean key). At scale this is one "
+    "hash agg on the key (the same shuffle the real join would pay, "
+    "minus the payload) + a 1-row stats broadcast; the top-5 rides "
+    "TakeOrderedAndProject over key-count pairs, so nothing "
+    "corpus-sized reaches the driver. Run it BEFORE a big join: "
+    "skew_flagged=true is the signal to salt or raise AQE's skewed-"
+    "partition factor.",
+)
+def q143_skew_profile(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(5)
+    return top.crossJoin(F.broadcast(s)).select(
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.expr("(cnt * 10000) div total").cast("bigint").alias("share_bp"),
+        "n_keys",
+        (F.col("max_cnt") * F.col("n_keys") > 4 * F.col("total")).alias(
+            "skew_flagged"
+        ),
+    )

@@ -185,6 +185,107 @@ def q107_ann_quality(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q140_kmeans_assign",
+    """
+    WITH ex AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS v
+      FROM ex GROUP BY label, i
+    ),
+    vecs AS (
+      SELECT label AS c_label, list(v ORDER BY i) AS vec
+      FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.c_label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          c.vec), 6) AS cos
+      FROM embeddings e CROSS JOIN vecs c
+    ),
+    best AS (
+      SELECT vec_id, true_label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, c_label ASC) AS rn
+      FROM scored
+    )
+    SELECT true_label AS label, c_label AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM best WHERE rn = 1 GROUP BY 1, 2
+    """,
+    doc="k-means E-step / nearest-prototype classification: assign every "
+    "vector to its max-cosine label centroid (the q75/q121 floor-"
+    "integerized centroids — deterministic doubles in both engines), "
+    "emit the label × assigned-label confusion counts. The argmax is a "
+    "map-side fold over the broadcast k-row centroid array (one struct "
+    "accumulator per row, NO per-vector shuffle and no row explosion — "
+    "the window-rank formulation would shuffle n×k rows; this plan "
+    "shuffles only the k² confusion cells), so a 1000-executor "
+    "assignment pass is a single corpus scan after a label-sized "
+    "centroid agg. Ties break toward the smaller centroid label at "
+    "6-digit-rounded cosine in both engines.",
+)
+def q140_kmeans_assign(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "_v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("_v").cast("double") * 1000000.0).cast("long")
+                ).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    vecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("vec")
+    )
+    # one row holding all k centroids; fold order can't matter because the
+    # (cos desc, label asc) comparison is a strict total order
+    cents = vecs.agg(
+        F.collect_list(
+            F.struct(F.col("label").alias("c_label"), "vec")
+        ).alias("_cents")
+    )
+
+    def _better(acc, c):
+        cos = F.round(cosine_sim(F.col("embedding"), c["vec"]), 6)
+        take = (cos > acc["cos"]) | (
+            (cos == acc["cos"]) & (c["c_label"] < acc["lab"])
+        )
+        return F.when(
+            take, F.struct(cos.alias("cos"), c["c_label"].alias("lab"))
+        ).otherwise(acc)
+
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("label"),
+            F.aggregate(
+                "_cents",
+                F.struct(
+                    F.lit(-2.0).alias("cos"),
+                    F.lit(None).cast("int").alias("lab"),
+                ),
+                _better,
+            )["lab"].alias("assigned_label"),
+        )
+    )
+    return assigned.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+
+
+@register(
     "q72_embedding_near_dups",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
