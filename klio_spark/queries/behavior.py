@@ -1338,3 +1338,57 @@ def q142_time_decay_score(spark: SparkSession, sf_dir: str):
         F.sum("iscore").cast("bigint").alias("score_micros"),
     )
     return per.orderBy(F.desc("score_micros"), F.asc("user_id")).limit(20)
+
+
+@register(
+    "q145_scd2_intervals",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_s,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS value_cents,
+             event_id
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           t_s AS valid_from_s,
+           LEAD(t_s) OVER w AS valid_to_s,
+           (LEAD(t_s) OVER w IS NULL) AS is_current,
+           value_cents
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+    """,
+    doc="SCD type-2 history build (the dimension-versioning half of the "
+    "CDC surface — q111 answers 'what is the row now', this answers "
+    "'what was it when'): each change event opens a version valid until "
+    "the next change, closed by LEAD over (user_id, ts); the open "
+    "version carries NULL valid_to and is_current=true. All measures "
+    "integer (epoch seconds, cents), and the version/lead/current "
+    "columns come from ONE window over one user_id shuffle — the same "
+    "exchange a downstream as-of join (q15) against the history would "
+    "reuse. Ties break on event_id, so replayed changelogs produce "
+    "byte-identical history.",
+)
+def q145_scd2_intervals(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    # NULL-ts changelog rows carry no ordering information, and the two
+    # engines disagree on where ASC puts NULLs (Spark first, DuckDB
+    # last) — exclude them in both
+    p = e.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.expr(_SECS.format(c="ts")).alias("t_s"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("value_cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+    return p.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("t_s").alias("valid_from_s"),
+        F.lead("t_s").over(w).alias("valid_to_s"),
+        F.lead("t_s").over(w).isNull().alias("is_current"),
+        "value_cents",
+    )

@@ -280,3 +280,79 @@ def q99_kll_quantile_ranks(spark: SparkSession, sf_dir: str):
             "kll_p95_rank_ok"
         ),
     )
+
+
+@register(
+    "q146_rolling_distinct_hll",
+    """
+    WITH ev AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ev),
+    x AS (
+      SELECT days.d AS day, ev.user_id
+      FROM days JOIN ev ON ev.d BETWEEN days.d - 6 AND days.d
+    )
+    SELECT day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_rolling_distinct,
+           TRUE AS hll_within_5pct
+    FROM x GROUP BY day
+    """,
+    doc="rolling 7-day distinct users from MERGED daily HLL sketches — "
+    "the overlapping-window case where mergeability pays 7× over exact: "
+    "the fact table is aggregated ONCE into one 4 KB sketch per day, and "
+    "every window answer is a union of 7 sketches (each event fans out "
+    "to the ≤7 window ends it serves — an integer-day explode, no range "
+    "join, no re-scan per window; exact COUNT(DISTINCT) must instead "
+    "carry every (window, user) pair through the shuffle). The exact "
+    "answer rides along as referee with the q98 envelope-boolean "
+    "pattern: the oracle emits TRUE, so the hash match IS the ±5% "
+    "accuracy claim (deterministic — DataSketches hashing is seeded). "
+    "Day ids are epoch-day BIGINTs; windows exist only for days present "
+    "in the data (the distinct-day spine).",
+)
+def q146_rolling_distinct_hll(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    ev = e.select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " div 86400000000"
+        ).alias("d"),
+        "user_id",
+    )
+    days = ev.select("d").distinct()
+    # sketch arm: one fact-table agg to daily sketches, then each daily
+    # sketch fans out to the ≤7 windows it serves and merges per window
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    sk = (
+        daily.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day"),
+            "_sk",
+        )
+        .join(days.withColumnRenamed("d", "day"), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"))
+    )
+    # exact referee: same window membership, distinct user per window
+    exact = (
+        ev.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day"),
+            "user_id",
+        )
+        .join(days.withColumnRenamed("d", "day"), "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id")
+            .cast("bigint")
+            .alias("exact_rolling_distinct")
+        )
+    )
+    return exact.join(sk, "day").select(
+        "day",
+        "exact_rolling_distinct",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("exact_rolling_distinct"))
+            <= 0.05 * F.col("exact_rolling_distinct")
+        ).alias("hll_within_5pct"),
+    )

@@ -84,6 +84,8 @@ QUERIES = [
     "q136_substring_dedup",
     "q137_span_corruption",
     "q138_vocab_coverage",
+    "q141_bigram_lm_score",
+    "q144_inverted_index_topk",
 ]
 
 
@@ -162,6 +164,10 @@ EVENT_QUERIES = [
     "q124_funnel_windowed",
     "q126_bounce_rate",
     "q139_psi_drift",
+    "q142_time_decay_score",
+    "q143_skew_profile",
+    "q145_scd2_intervals",
+    "q146_rolling_distinct_hll",
 ]
 
 

@@ -293,3 +293,37 @@ def test_simhash_candidates_stream_not_collect(spark, sf_dir, specs):
     # scale) — the locked property is join-vs-giant-row
     assert "Join" in s, s[:3000]
     assert "collect_list" not in s.lower(), s[:3000]
+
+
+def test_q140_assignment_is_mapside_fold(spark, sf_dir, specs):
+    """The nearest-centroid argmax must be a per-row fold over the
+    broadcast centroid array — no Window rank (that formulation shuffles
+    n×k scored rows) and no exchange keyed on vec_id anywhere."""
+    df = specs["q140_kmeans_assign"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "(1) Window" not in s and ") Window" not in s, s[:3000]
+    assert "vec_id" not in s.lower().replace("read", ""), s[:3000]
+
+
+def test_q144_index_query_prunes_buckets(spark, sf_dir, specs):
+    """The conjunctive-query read of the persisted inverted index must
+    scan only the buckets holding the query terms (bucket pruning on the
+    IN filter), and the only exchange is the per-doc score agg."""
+    df = specs["q144_inverted_index_topk"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "Bucketed: true" in s, s[:3000]
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", s)
+    assert m and int(m.group(1)) < int(m.group(2)), s[:3000]
+    assert plans.num_shuffles(df) == 1, s[:3000]
+
+
+def test_q146_fact_aggregated_before_window_fanout(spark, sf_dir, specs):
+    """The sketch arm must fan daily SKETCHES out to windows (≤7 rows per
+    day), never raw events: the explode over the window ends has to sit
+    above the daily hll_sketch_agg, so the shuffled volume is
+    days×sketches, not events×7."""
+    df = specs["q146_rolling_distinct_hll"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "hll_sketch_agg" in s and "hll_union_agg" in s, s[:3000]
