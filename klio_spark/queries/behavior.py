@@ -1392,3 +1392,70 @@ def q145_scd2_intervals(spark: SparkSession, sf_dir: str):
         F.lead("t_s").over(w).isNull().alias("is_current"),
         "value_cents",
     )
+
+
+@register(
+    "q147_incremental_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    """,
+    doc="incremental materialized-rollup maintenance (the pattern that "
+    "keeps a 100 TB dashboard table fresh without rescanning history): "
+    "the Spark side deliberately computes the rollup as BASE ⊕ DELTA — "
+    "events at or before the temporal midpoint are aggregated into a "
+    "'yesterday' table, the newer slice into a delta, and the two merge "
+    "by full-outer key combine (counts and integer cent-sums are "
+    "associative, so the merge is exact) — while the oracle computes "
+    "the same rollup directly over all events. The hash match IS the "
+    "incremental-maintenance correctness claim: base+delta loses "
+    "nothing. At scale only the delta slice is scanned per refresh; "
+    "the base rides from the previous materialization. NULL-ts rows "
+    "are excluded on both sides (they belong to no time slice).",
+)
+def q147_incremental_rollup(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    us = F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)")
+    e = e.filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        us.alias("_us"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("_cents"),
+    )
+    mid = e.agg(
+        F.expr("(min(_us) + (max(_us) - min(_us)) div 2)").alias("tmid")
+    )
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("_cents").cast("bigint").alias("sum_cents"),
+        )
+
+    tagged = e.crossJoin(F.broadcast(mid))
+    base = agg(tagged.filter(F.col("_us") <= F.col("tmid")))
+    delta = agg(tagged.filter(F.col("_us") > F.col("tmid")))
+    return (
+        base.withColumnRenamed("n_events", "_nb")
+        .withColumnRenamed("sum_cents", "_sb")
+        .join(
+            delta.withColumnRenamed("n_events", "_nd").withColumnRenamed(
+                "sum_cents", "_sd"
+            ),
+            "event_type",
+            "full_outer",
+        )
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("_nb"), F.lit(0))
+                + F.coalesce(F.col("_nd"), F.lit(0))
+            ).cast("bigint").alias("n_events"),
+            (
+                F.coalesce(F.col("_sb"), F.lit(0))
+                + F.coalesce(F.col("_sd"), F.lit(0))
+            ).cast("bigint").alias("sum_cents"),
+        )
+    )

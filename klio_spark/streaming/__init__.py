@@ -339,6 +339,89 @@ def stateful_retention(
     )
 
 
+def stateful_sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Watermark-driven sessionizer — the custom-stateful twin of q51's
+    batch gaps-and-islands (and of the built-in ``session_windows``, which
+    can only aggregate; this emits a CLOSED-session record, the shape a
+    downstream join wants). State per user = (start, last, n_events).
+
+    Two close paths:
+      * in-stream: an event more than ``gap`` after the open session's
+        last event closes it immediately and opens a new one;
+      * timeout: when the EVENT-TIME watermark passes last+gap, the open
+        session closes with no further input — GroupStateTimeout.
+        EventTimeTimeout, the slot that distinguishes a sessionizer from
+        the NoTimeout state machines above (a user who never returns
+        still gets their session emitted, checkpoint-durable).
+
+    Emitted rows are final (append mode): a session emits exactly once,
+    on close. NaT timestamps are skipped. Micro-batch events sort by
+    time before folding — the same arrival-order relaxation as
+    stateful_funnel for cross-batch stragglers."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            s0, s1, n = state.get
+            out.append((key[0], s0, s1, n))
+            state.remove()
+        else:
+            evs = []
+            for pdf in pdfs:
+                for ts in pdf[ts_col]:
+                    t = pd.Timestamp(ts)
+                    if t is not pd.NaT and not pd.isna(t):
+                        evs.append(int(t.value // 1000))
+            evs.sort()
+            s0, s1, n = state.get if state.exists else (None, None, 0)
+            for tm in evs:
+                if s0 is None:
+                    s0, s1, n = tm, tm, 1
+                elif tm - s1 <= gap_us:
+                    s1, n = max(s1, tm), n + 1
+                else:
+                    out.append((key[0], s0, s1, n))
+                    s0, s1, n = tm, tm, 1
+            if s0 is not None:
+                state.update((s0, s1, n))
+                # event-time timeout takes epoch MILLIS, must exceed the
+                # current watermark (it does: s1 is in this batch or the
+                # state predates it)
+                state.setTimeoutTimestamp(s1 // 1000 + gap_minutes * 60000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    user_col, "session_start_us", "session_end_us", "n_events"
+                ],
+            )
+
+    key_type = df.schema[user_col].dataType.simpleString()
+    return (
+        df.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"{user_col} {key_type}, session_start_us long,"
+                " session_end_us long, n_events long"
+            ),
+            stateStructType="s0 long, s1 long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def write_stream_text(
     df: DataFrame,
     path: str,

@@ -168,6 +168,7 @@ EVENT_QUERIES = [
     "q143_skew_profile",
     "q145_scd2_intervals",
     "q146_rolling_distinct_hll",
+    "q147_incremental_rollup",
 ]
 
 

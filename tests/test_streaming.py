@@ -438,3 +438,51 @@ def test_bloom_blocklist_filters_stream_map_side(spark, stream_in, tmp_path):
         for line in f.read_text().splitlines()
     )
     assert lines == ["e2", "e4"]
+
+
+def test_stateful_sessionize_gap_close_and_watermark_timeout(spark, tmp_path):
+    """Sessions close two ways: in-stream when a later event exceeds the
+    gap (user 1), and by EVENT-TIME TIMEOUT when the watermark passes
+    last+gap with no further events (user 2 — emitted in a later batch
+    they never appear in). The open session (user 1's second) must NOT
+    emit."""
+    import datetime as dt
+
+    edir = tmp_path / "sess"
+    (edir / "p").mkdir(parents=True)
+    schema = "user_id long, ts timestamp"
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_sessionize(stream),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/sout"
+            ),
+            str(tmp_path / "ckpt-sess"),
+        )
+        q.awaitTermination(60)
+
+    # b1: user 1 two close events (one open session), user 2 one event
+    run([(1, t(0, 0)), (1, t(0, 1)), (2, t(0, 0))])
+    # b2: user 1 at 2:00 — >30 min gap closes session 1 in-stream and
+    # opens a second; watermark after this batch = 2:00 - 30m = 1:30
+    run([(1, t(2, 0))])
+    # b3: only user 3 — user 2's timeout (0:30) < watermark (1:30) fires
+    run([(3, t(3, 0))])
+
+    rows = spark.read.parquet(f"{tmp_path}/sout").collect()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in rows
+    }
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    assert (1, us(t(0, 0)), us(t(0, 1)), 2) in got
+    assert (2, us(t(0, 0)), us(t(0, 0)), 1) in got
+    # user 1's 2:00 session and user 3's 3:00 session are still open
+    assert not [r for r in rows if r.session_start_us >= us(t(2, 0))]
+    assert len(got) == 2
