@@ -17,8 +17,6 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -256,46 +254,11 @@ def minhash_lsh_dedup(
         F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("_sh")
     )
     if bucket_table is not None:
-        spark = df.sparkSession
-        # a table dir left behind by a PREVIOUS session's metastore is
-        # invisible to this one, and saveAsTable(overwrite) refuses to
-        # claim the orphaned location — drop both the entry and the dir.
-        # Quote each dotted part separately: quoting the whole name would
-        # turn db.tbl into one default-db identifier (wrong table, and a
-        # no-op drop for the intended one).
-        quoted = ".".join(f"`{p}`" for p in bucket_table.split("."))
-        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
-        parts = bucket_table.split(".")
-        if len(parts) <= 2:
-            import shutil
-            from urllib.parse import urlparse
+        from klio_spark.plans.partitioning import overwrite_bucketed_table
 
-            wh = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            )
-            if wh.scheme in ("", "file"):
-                # an unqualified name resolves against the session's
-                # CURRENT database, not necessarily default — mirror
-                # that here or the orphan dir survives under
-                # <warehouse>/<db>.db/ and the overwrite still fails
-                db = (
-                    parts[0] if len(parts) == 2
-                    else spark.catalog.currentDatabase()
-                ).lower()
-                tbl = parts[-1].lower()
-                rel = (
-                    tbl if db == "default" else os.path.join(f"{db}.db", tbl)
-                )
-                shutil.rmtree(
-                    os.path.join(wh.path, rel), ignore_errors=True
-                )
-        (
-            base_plan.write.mode("overwrite")
-            .bucketBy(n_buckets, id_col)
-            .sortBy(id_col)
-            .saveAsTable(bucket_table)
+        base = overwrite_bucketed_table(
+            base_plan, bucket_table, id_col, n_buckets
         )
-        base = df.sparkSession.table(bucket_table)
     else:
         base = base_plan.persist()
     sig = base.withColumn("_sig", _signature_from_hash_col(F.col("_sh"), num_hashes))
@@ -530,6 +493,31 @@ def ngram_jaccard_pairs(
     Jaccard then UNDERCOUNTS by at most (dropped shingles)/union per
     pair — exact when max_df is None (the oracle setting).
     """
+    pair_counts = _shingle_pair_counts(
+        df, text_col, id_col, n=n, max_df=max_df
+    )
+    return (
+        pair_counts.withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shared pair machinery: (id_a, id_b, _na, _nb, _inter) with
+    id_a < id_b, one row per doc pair sharing ≥1 shingle. Jaccard and
+    containment are both pure arithmetic over these three counts."""
     base = df.select(
         F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
     ).withColumn("_size", F.size("_sh"))
@@ -571,15 +559,38 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    return (
-        pair_counts.withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("_na") + F.col("_nb") - F.col("_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return pair_counts
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed excerpt detection: containment C(src→dst) =
+    |src∩dst| / |src| ≥ threshold flags src as a (near-)subset of dst —
+    quotes, excerpts, and wrapper pages that symmetric Jaccard misses
+    (a paragraph quoted inside a long page has high containment but
+    tiny Jaccard). Same posting-list machinery as Jaccard (cost ∝
+    overlap, not n²); the undirected pair counts expand into both
+    directions by pure column arithmetic, so the directed view costs no
+    extra shuffle."""
+    pc = _shingle_pair_counts(df, text_col, id_col, n=n, max_df=max_df)
+    a2b = pc.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        (F.col("_inter").cast("double") / F.col("_na")).alias("containment"),
     )
+    b2a = pc.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        (F.col("_inter").cast("double") / F.col("_nb")).alias("containment"),
+    )
+    return a2b.unionByName(b2a).filter(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------------------------------

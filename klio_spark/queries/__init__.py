@@ -107,7 +107,8 @@ _VERIFY_FIRST = [
     "q139_psi_drift", "q140_kmeans_assign", "q141_bigram_lm_score",
     "q142_time_decay_score", "q143_skew_profile", "q144_inverted_index_topk",
     "q145_scd2_intervals", "q146_rolling_distinct_hll",
-    "q147_incremental_rollup",
+    "q147_incremental_rollup", "q148_transition_matrix", "q149_dau_mau",
+    "q150_length_outliers", "q151_shingle_containment",
 ]
 
 _R2_GREEN = [

@@ -1337,7 +1337,10 @@ def q142_time_decay_score(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("iscore").cast("bigint").alias("score_micros"),
     )
-    return per.orderBy(F.desc("score_micros"), F.asc("user_id")).limit(20)
+    # asc_nulls_last matches DuckDB's ASC default at the LIMIT boundary
+    return per.orderBy(
+        F.desc("score_micros"), F.asc_nulls_last("user_id")
+    ).limit(20)
 
 
 @register(
@@ -1453,9 +1456,132 @@ def q147_incremental_rollup(spark: SparkSession, sf_dir: str):
                 F.coalesce(F.col("_nb"), F.lit(0))
                 + F.coalesce(F.col("_nd"), F.lit(0))
             ).cast("bigint").alias("n_events"),
-            (
+            # SUM's null semantics under merge: NULL only when BOTH slices
+            # are NULL (side absent, or present with all-NULL values —
+            # either way that slice contributed no non-NULL value). A bare
+            # coalesce-to-0 would turn an all-NULL event_type into 0 and
+            # diverge from the direct-aggregation oracle.
+            F.when(
+                F.col("_sb").isNull() & F.col("_sd").isNull(),
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(
                 F.coalesce(F.col("_sb"), F.lit(0))
                 + F.coalesce(F.col("_sd"), F.lit(0))
-            ).cast("bigint").alias("sum_cents"),
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
         )
+    )
+
+
+@register(
+    "q148_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE ts IS NOT NULL
+    ),
+    c AS (
+      SELECT prev AS prev_type, event_type AS next_type,
+             COUNT(*) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n_transitions,
+           CAST(c.n * 10000 // t.tot AS BIGINT) AS prob_bp
+    FROM c JOIN t USING (prev_type)
+    """,
+    doc="per-user event-type Markov transition matrix with probabilities "
+    "in integer basis points — the session-flow profile (where do users "
+    "go after a view?) behind next-action models and funnel design. One "
+    "exchange on user_id serves the LAG (ties broken by event_id — the "
+    "deterministic-window rule the suite standardizes on); the pair agg "
+    "is map-side combinable over at most |types|² keys, and the "
+    "per-prev totals join is a broadcast of that tiny matrix. NULL-ts "
+    "rows are excluded (no position in the sequence); NULL user_id "
+    "forms its own partition identically in both engines.",
+)
+def q148_transition_matrix(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        e.filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    c = s.groupBy(
+        F.col("prev").alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.expr("(n * 10000) div tot").cast("bigint").alias("prob_bp"),
+    )
+
+
+@register(
+    "q149_dau_mau",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    mau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      FROM (SELECT DISTINCT day FROM du) d
+      JOIN du u ON u.day BETWEEN d.day - 27 AND d.day
+      GROUP BY d.day
+    )
+    SELECT datediff('day', DATE '1970-01-01', dau.day) AS day_id,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(dau.dau * 10000 // mau.mau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN mau USING (day)
+    """,
+    doc="DAU / trailing-28-day MAU stickiness ledger, ratio in integer "
+    "basis points. The oracle writes the natural range join; the Spark "
+    "side replaces it with the q120 sliding-window shape — each "
+    "(day, user) pair fans out to the 28 window-anchor days via "
+    "sequence()+explode, then one distinct-count per anchor — because a "
+    "non-equi range join degrades to nested-loop at scale while the "
+    "fan-out is a fixed 28× of the (day,user) DISTINCT pairs (already "
+    "tiny relative to raw events) and keeps everything in hash "
+    "exchanges. Inner join back to observed days drops the synthetic "
+    "anchors sequence() invents past the corpus edge. Days are emitted "
+    "as epoch-day integers (the suite's date rule: pandas renders a "
+    "DuckDB DATE as midnight timestamp, so raw DATE columns can never "
+    "hash-match).",
+)
+def q149_dau_mau(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    du = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    anchors = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 27), interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    mau = anchors.groupBy("day").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return dau.join(mau, "day").select(
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("day_id"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.expr("(dau * 10000) div mau").cast("bigint").alias("stickiness_bp"),
     )

@@ -266,7 +266,10 @@ def q143_skew_profile(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.max("cnt").cast("bigint").alias("max_cnt"),
     )
-    top = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(5)
+    # asc_nulls_last matches DuckDB's ASC default (NULLS LAST); Spark's
+    # bare asc is NULLS FIRST, which would flip the rank-5 boundary when
+    # a NULL user_id group ties there.
+    top = c.orderBy(F.desc("cnt"), F.asc_nulls_last("user_id")).limit(5)
     return top.crossJoin(F.broadcast(s)).select(
         "user_id",
         F.col("cnt").cast("bigint").alias("cnt"),
@@ -275,4 +278,50 @@ def q143_skew_profile(spark: SparkSession, sf_dir: str):
         (F.col("max_cnt") * F.col("n_keys") > 4 * F.col("total")).alias(
             "skew_flagged"
         ),
+    )
+
+
+@register(
+    "q150_length_outliers",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n, SUM(n_chars) AS sm,
+             SUM(n_chars * n_chars) AS sq
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN s USING (source)
+    WHERE CAST(d.n_chars * s.n - s.sm AS DOUBLE)
+          * CAST(d.n_chars * s.n - s.sm AS DOUBLE)
+          > 4.0 * (CAST(s.n AS DOUBLE) * CAST(s.sq AS DOUBLE)
+                   - CAST(s.sm AS DOUBLE) * CAST(s.sm AS DOUBLE))
+    """,
+    doc="per-source document-length outliers (|x - mean| > 2 sigma) — "
+    "the scrape-anomaly screen (truncated fetches, concatenated pages, "
+    "boilerplate explosions) run per source because length is "
+    "source-relative. No float mean/stddev subtraction: the z>2 test is "
+    "cross-multiplied to (n*x - sum)^2 > 4*(n*sumsq - sum^2), with the "
+    "integer parts computed EXACTLY (bigint on Spark, hugeint in the "
+    "oracle) and each factor cast to double individually before the "
+    "final IEEE multiply-compare, so both engines round the same tree "
+    "the same way (the q122 trick). One scan aggregates the ≤|sources| "
+    "stat rows; the rejoin broadcasts them — a map-side filter at any "
+    "scale.",
+)
+def q150_length_outliers(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sm"),
+        F.sum(F.expr("n_chars * n_chars")).alias("sq"),
+    )
+    z = F.expr("CAST(n_chars * n - sm AS DOUBLE)")
+    rhs = 4.0 * (
+        F.col("n").cast("double") * F.col("sq").cast("double")
+        - F.col("sm").cast("double") * F.col("sm").cast("double")
+    )
+    return (
+        d.join(F.broadcast(s), "source")
+        .filter(z * z > rhs)
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
     )

@@ -500,3 +500,34 @@ def q136_substring_dedup(spark: SparkSession, sf_dir: str):
             F.coalesce("max_span", F.lit(0)).alias("max_span"),
         )
     )
+
+
+@register(
+    "q151_shingle_containment",
+    f"""
+    WITH {SHINGLE_PAIRS_CTE}
+    SELECT id_a AS id_src, id_b AS id_dst,
+           CAST(inter AS DOUBLE) / na AS containment
+    FROM pairs
+    WHERE inter > 0 AND CAST(inter AS DOUBLE) / na >= 0.5
+    UNION ALL
+    SELECT id_b AS id_src, id_a AS id_dst,
+           CAST(inter AS DOUBLE) / nb AS containment
+    FROM pairs
+    WHERE inter > 0 AND CAST(inter AS DOUBLE) / nb >= 0.5
+    """,
+    doc="directed shingle-containment pairs (|src∩dst|/|src| ≥ 0.5) — "
+    "excerpt/quote/wrapper detection: a short doc reproduced inside a "
+    "longer one has high containment but tiny symmetric Jaccard, so a "
+    "Jaccard-only dedup pass keeps both copies and the training set "
+    "still memorizes the excerpt. Same two-shuffle posting-list "
+    "machinery as q65 (cost ∝ true overlap, not n²); both directions "
+    "derive from the one undirected pair-count table by column "
+    "arithmetic — no extra exchange. The division is a single IEEE op "
+    "on identical integer operands, bit-identical across engines.",
+)
+def q151_shingle_containment(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    return dd.shingle_containment_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5
+    ).select("id_src", "id_dst", "containment")

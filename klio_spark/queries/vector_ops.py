@@ -266,6 +266,10 @@ def q140_kmeans_assign(spark: SparkSession, sf_dir: str):
             take, F.struct(cos.alias("cos"), c["c_label"].alias("lab"))
         ).otherwise(acc)
 
+    # the accumulator's label field must match the table's label dtype
+    # (int on the TPC-H-ish corpus, string on the randomized one) or the
+    # when() branches disagree and analysis fails
+    label_type = e.schema["label"].dataType
     assigned = (
         e.crossJoin(F.broadcast(cents))
         .select(
@@ -274,7 +278,7 @@ def q140_kmeans_assign(spark: SparkSession, sf_dir: str):
                 "_cents",
                 F.struct(
                     F.lit(-2.0).alias("cos"),
-                    F.lit(None).cast("int").alias("lab"),
+                    F.lit(None).cast(label_type).alias("lab"),
                 ),
                 _better,
             )["lab"].alias("assigned_label"),

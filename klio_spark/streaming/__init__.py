@@ -382,15 +382,25 @@ def stateful_sessionize(
                     if t is not pd.NaT and not pd.isna(t):
                         evs.append(int(t.value // 1000))
             evs.sort()
-            s0, s1, n = state.get if state.exists else (None, None, 0)
-            for tm in evs:
+            # Fold the carried state session and this batch's events as
+            # intervals sorted by start. An admitted straggler older than
+            # the carried s0 must move the session start BACK (within gap)
+            # or form its own, already-closed, older session (beyond gap);
+            # folding only on s1 would swallow it into the newer session
+            # and emit a start that postdates a member event.
+            items = [(tm, tm, 1) for tm in evs]
+            if state.exists:
+                items.append(state.get)
+            items.sort()
+            s0, s1, n = None, None, 0
+            for t0, t1, cnt in items:
                 if s0 is None:
-                    s0, s1, n = tm, tm, 1
-                elif tm - s1 <= gap_us:
-                    s1, n = max(s1, tm), n + 1
+                    s0, s1, n = t0, t1, cnt
+                elif t0 - s1 <= gap_us:
+                    s1, n = max(s1, t1), n + cnt
                 else:
                     out.append((key[0], s0, s1, n))
-                    s0, s1, n = tm, tm, 1
+                    s0, s1, n = t0, t1, cnt
             if s0 is not None:
                 state.update((s0, s1, n))
                 # event-time timeout takes epoch MILLIS, must exceed the

@@ -86,6 +86,8 @@ QUERIES = [
     "q138_vocab_coverage",
     "q141_bigram_lm_score",
     "q144_inverted_index_topk",
+    "q150_length_outliers",
+    "q151_shingle_containment",
 ]
 
 
@@ -123,7 +125,9 @@ def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
     base = 1_700_000_000_000_000  # epoch micros
     rows = []
     for i in range(n):
-        user = rng.randrange(12)
+        # rare NULL user_id: stresses NULLS FIRST/LAST divergence at
+        # top-k tie boundaries (q142/q143) and NULL group keys
+        user = rng.randrange(12) if rng.randrange(40) else None
         if rng.randrange(50) == 0:
             ts = None
         else:
@@ -131,20 +135,30 @@ def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
             if rng.randrange(5) == 0 and rows:
                 prev = rows[rng.randrange(len(rows))]
                 ts = prev["_us"] if prev["_us"] is not None else ts  # tie
+        etype = rng.choice(
+            ["view"] * 6 + ["click"] * 3 + ["purchase", "refund"]
+        )
+        # 'refund' value is ALWAYS NULL: an all-NULL SUM group probes the
+        # coalesce-vs-NULL merge semantics (q147); other types go NULL
+        # occasionally too
+        value = (
+            None
+            if etype == "refund" or rng.randrange(60) == 0
+            else round(rng.uniform(0, 100), 2)
+        )
         rows.append(
             {
                 "event_id": n - i,  # ids descend: storage order != time
                 "_us": ts,
                 "user_id": user,
-                "event_type": rng.choice(
-                    ["view"] * 6 + ["click"] * 3 + ["purchase"]
-                ),
-                "value": round(rng.uniform(0, 100), 2),
+                "event_type": etype,
+                "value": value,
                 "props": '{"k": %d}' % rng.randrange(5),
             }
         )
     pdf = pd.DataFrame(rows)
     pdf["ts"] = pd.to_datetime(pdf.pop("_us"), unit="us")
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
     return pdf
 
 
@@ -169,6 +183,8 @@ EVENT_QUERIES = [
     "q145_scd2_intervals",
     "q146_rolling_distinct_hll",
     "q147_incremental_rollup",
+    "q148_transition_matrix",
+    "q149_dau_mau",
 ]
 
 
@@ -233,6 +249,9 @@ EMB_QUERIES = [
     "q75_embedding_centroids",
     "q78_embedding_quantize",
     "q134_semantic_dedup",
+    # label-type agnosticism: the random corpus uses STRING labels where
+    # the driver corpus uses ints — q140's argmax accumulator must adapt
+    "q140_kmeans_assign",
 ]
 
 

@@ -486,3 +486,45 @@ def test_stateful_sessionize_gap_close_and_watermark_timeout(spark, tmp_path):
     # user 1's 2:00 session and user 3's 3:00 session are still open
     assert not [r for r in rows if r.session_start_us >= us(t(2, 0))]
     assert len(got) == 2
+
+
+def test_stateful_sessionize_admitted_straggler_extends_start(
+    spark, tmp_path
+):
+    """A cross-batch straggler ABOVE the watermark but BEFORE the carried
+    session start must move the session start back (interval fold), not
+    be swallowed with an unchanged start — the emitted record would
+    otherwise claim n=2 while excluding the straggler's timestamp."""
+    import datetime as dt
+
+    edir = tmp_path / "sess2"
+    (edir / "p").mkdir(parents=True)
+    schema = "user_id long, ts timestamp"
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_sessionize(stream),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/sout2"
+            ),
+            str(tmp_path / "ckpt-sess2"),
+        )
+        q.awaitTermination(60)
+
+    # b1: user 1 at 1:00 -> watermark after b1 = 0:30
+    run([(1, t(1, 0))])
+    # b2: straggler at 0:45 (admitted: > 0:30) + 3:00 closes the session
+    run([(1, t(0, 45)), (1, t(3, 0))])
+
+    rows = spark.read.parquet(f"{tmp_path}/sout2").collect()
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in rows
+    }
+    assert got == {(1, us(t(0, 45)), us(t(1, 0)), 2)}
