@@ -580,17 +580,30 @@ def shingle_containment_pairs(
     directions by pure column arithmetic, so the directed view costs no
     extra shuffle."""
     pc = _shingle_pair_counts(df, text_col, id_col, n=n, max_df=max_df)
-    a2b = pc.select(
-        F.col("id_a").alias("id_src"),
-        F.col("id_b").alias("id_dst"),
-        (F.col("_inter").cast("double") / F.col("_na")).alias("containment"),
+    # both directions from ONE pass: a union of two projections would
+    # recompute the whole posting-list pipeline per branch (Spark plans
+    # are trees, not DAGs) — explode a 2-element struct array instead
+    both = pc.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_src"),
+                    F.col("id_b").alias("id_dst"),
+                    (F.col("_inter").cast("double") / F.col("_na")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_src"),
+                    F.col("id_a").alias("id_dst"),
+                    (F.col("_inter").cast("double") / F.col("_nb")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("_d")
     )
-    b2a = pc.select(
-        F.col("id_b").alias("id_src"),
-        F.col("id_a").alias("id_dst"),
-        (F.col("_inter").cast("double") / F.col("_nb")).alias("containment"),
-    )
-    return a2b.unionByName(b2a).filter(F.col("containment") >= threshold)
+    return both.select("_d.*").filter(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------------------------------
