@@ -407,3 +407,118 @@ def q131_trigger_upstream_batch(spark: SparkSession, sf_dir: str):
         F.col("force").alias("is_force"),
         F.col("ping").alias("is_ping"),
     )
+
+
+_PR_ITERS = 3
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration as SQL CTEs (r{i} from r{i-1})."""
+    return f"""
+    it{i} AS (
+      SELECT e.b AS node, SUM(r{i - 1}.score // deg.deg) AS s
+      FROM e JOIN r{i - 1} ON e.a = r{i - 1}.node
+             JOIN deg ON e.a = deg.node
+      GROUP BY e.b
+    ),
+    r{i} AS (
+      SELECT deg.node,
+             (150000000 // nn.n) + (85 * COALESCE(it{i}.s, 0)) // 100
+               AS score
+      FROM deg LEFT JOIN it{i} USING (node) CROSS JOIN nn
+    )"""
+
+
+@register(
+    "q152_pagerank",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY a),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT node, 1000000000 // nn.n AS score
+           FROM deg CROSS JOIN nn),
+    """
+    + ",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))
+    + f"""
+    SELECT node AS partkey, CAST(score AS BIGINT) AS score_ppb
+    FROM (SELECT node, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rnk
+          FROM r{_PR_ITERS})
+    WHERE rnk <= 20
+    """,
+    doc="PageRank over the part co-purchase MULTIgraph (3 fixed "
+    "iterations, damping 0.85; parallel edges weight the walk by "
+    "co-purchase frequency), top-20 by final rank — the "
+    "graph-centrality shape behind product affinity and link-quality "
+    "scoring. Every arithmetic step is INTEGER (scores in "
+    "parts-per-billion, integer-div contribution splits, 85/100 "
+    "damping), so both engines walk bit-identical score sequences and "
+    "the oracle is the same computation with the loop UNROLLED into "
+    "CTEs. The edge list expands basket posting lists (one orderkey "
+    "exchange + codegen double-explode — no two-sided self-join "
+    "shuffle, fan-out bounded by basket size); per iteration the score "
+    "table broadcasts into the edge join and the agg is map-side "
+    "combined on the destination key — the classic distributed "
+    "PageRank shape. Edges persist across iterations, scores are "
+    "16-byte rows, the final top-20 is TakeOrderedAndProject, not a "
+    "global sort. Dangling nodes cannot exist (every node has an edge "
+    "by construction).",
+)
+def q152_pagerank(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    # collect_set = per-basket distinct in the SAME exchange the basket
+    # grouping needs — one shuffle where distinct()-then-groupBy paid two
+    e = (
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .persist()
+    )
+    # nodes is the PART dimension — orders of magnitude below the edge
+    # count — so the per-iteration score table broadcasts into the edge
+    # join (map-side, the big edge set never reshuffles) and deg rides
+    # inside r to avoid a second join. On a web-scale graph where nodes
+    # outgrow broadcast, drop the hint and the same plan runs as a
+    # shuffle join on the node key.
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("1000000000 div n").alias("score"), "deg"
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(F.broadcast(r.withColumnRenamed("node", "a")), "a")
+            .select(
+                F.col("b").alias("node"), F.expr("score div deg").alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            deg.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    "(150000000 div n) + (85 * COALESCE(s, 0)) div 100"
+                ).alias("score"),
+                "deg",
+            )
+        )
+    return (
+        r.orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+        .select(
+            F.col("node").alias("partkey"),
+            F.col("score").cast("bigint").alias("score_ppb"),
+        )
+    )

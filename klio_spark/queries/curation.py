@@ -731,3 +731,67 @@ def q144_inverted_index_topk(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= 10)
         .select("rank", "doc_id", "score")
     )
+
+
+@register(
+    "q153_weighted_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE n_chars > 0
+    ),
+    w AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM d
+    ),
+    tot AS (SELECT source, SUM(n_chars) AS wtot FROM d GROUP BY source),
+    picks AS (
+      SELECT source, j, (j * wtot) // 5 AS p
+      FROM tot CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS j)
+    )
+    SELECT p.source, CAST(p.j AS BIGINT) AS slot, w.doc_id,
+           CAST(w.n_chars AS BIGINT) AS n_chars
+    FROM picks p JOIN w ON w.source = p.source
+    WHERE p.p >= w.cum - w.n_chars AND p.p < w.cum
+    """,
+    doc="length-weighted systematic sample, 5 docs per source: positions "
+    "j*W/5 (exact integer arithmetic) land in the per-source cumulative-"
+    "weight ladder, selecting each doc with probability proportional to "
+    "n_chars — the training-mixture sampler that needs NO random numbers "
+    "and NO libm (exponential-key A-ES would hinge on cross-engine "
+    "ln/pow ULP agreement; integer systematic sampling is bit-exact and "
+    "replay-stable by construction). One window cumsum per source (the "
+    "same source exchange the mixture queries reuse), a ≤5×|sources| "
+    "pick table broadcast back, and the range test is a map-side filter "
+    "— no fact-side shuffle beyond the cumsum at any corpus size. "
+    "Selection is doc_id-order canonical, so corpus re-partitioning "
+    "cannot change the sample.",
+)
+def q153_weighted_sample(spark: SparkSession, sf_dir: str):
+    (doc,) = load(spark, sf_dir, "documents")
+    d = doc.filter(F.col("n_chars") > 0).select("doc_id", "source", "n_chars")
+    w = d.withColumn(
+        "cum",
+        F.sum("n_chars").over(
+            Window.partitionBy("source").orderBy("doc_id")
+        ),
+    )
+    tot = d.groupBy("source").agg(F.sum("n_chars").alias("wtot"))
+    picks = tot.select(
+        "source",
+        F.explode(F.expr("sequence(0, 4)")).alias("j"),
+        "wtot",
+    ).select("source", "j", F.expr("(j * wtot) div 5").alias("p"))
+    return (
+        w.join(F.broadcast(picks), "source")
+        .filter(
+            (F.col("p") >= F.col("cum") - F.col("n_chars"))
+            & (F.col("p") < F.col("cum"))
+        )
+        .select(
+            "source",
+            F.col("j").cast("bigint").alias("slot"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

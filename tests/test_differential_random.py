@@ -88,6 +88,7 @@ QUERIES = [
     "q144_inverted_index_topk",
     "q150_length_outliers",
     "q151_shingle_containment",
+    "q153_weighted_sample",
 ]
 
 
