@@ -339,6 +339,63 @@ def stateful_retention(
     )
 
 
+def stateful_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user event-type transition emitter across micro-batches — the
+    streaming twin of q148's batch transition matrix: state = the last
+    event (time, type) per user; each arriving event emits one
+    (prev_type, next_type) transition row, which a downstream streaming
+    agg counts into the live matrix.
+
+    State is two scalars per user (checkpoint-durable, O(users)).
+    Within a batch events sort by (time, event id) — the same
+    deterministic tie-break as the batch query; a cross-batch straggler
+    older than the carried last event still emits in arrival order (the
+    documented streaming relaxation, as in stateful_funnel). NaT
+    timestamps are skipped (no position in the sequence)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        evs = []
+        for pdf in pdfs:
+            for ts, eid, et in zip(
+                pdf[ts_col], pdf["event_id"], pdf[type_col]
+            ):
+                t = pd.Timestamp(ts)
+                if t is not pd.NaT and not pd.isna(t):
+                    evs.append((int(t.value // 1000), int(eid), str(et)))
+        evs.sort()
+        prev_t, prev_e = state.get if state.exists else (-1, None)
+        out = []
+        for tm, _eid, et in evs:
+            if prev_e is not None:
+                out.append((key[0], prev_e, et, tm))
+            prev_t, prev_e = tm, et
+        state.update((prev_t, prev_e))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[user_col, "prev_type", "next_type", "ts_micros"],
+            )
+
+    key_type = df.schema[user_col].dataType.simpleString()
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{user_col} {key_type}, prev_type string, next_type string,"
+            " ts_micros long"
+        ),
+        stateStructType="t long, e string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_sessionize(
     df: DataFrame,
     user_col: str = "user_id",

@@ -5,6 +5,7 @@ import json
 import pathlib
 
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from klio_spark import envelope as env
@@ -528,3 +529,54 @@ def test_stateful_sessionize_admitted_straggler_extends_start(
         for r in rows
     }
     assert got == {(1, us(t(0, 45)), us(t(1, 0)), 2)}
+
+
+def test_stateful_transitions_matches_batch_matrix(spark, tmp_path):
+    """stateful_transitions across two micro-batches (state carries the
+    last event over the checkpoint boundary) must emit exactly the
+    transitions q148's batch LAG window derives from the same events."""
+    import datetime as dt
+
+    edir = tmp_path / "trans"
+    (edir / "p").mkdir(parents=True)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    b1 = [(1, 1, "view", t(0)), (2, 1, "click", t(1)), (3, 2, "view", t(0))]
+    b2 = [(4, 1, "purchase", t(2)), (5, 2, "click", t(3)), (6, 3, "view", t(4))]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_transitions(stream),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/tout"
+            ),
+            str(tmp_path / "ckpt-trans"),
+        )
+        q.awaitTermination(60)
+
+    run(b1)
+    run(b2)
+
+    got = sorted(
+        (r.user_id, r.prev_type, r.next_type)
+        for r in spark.read.parquet(f"{tmp_path}/tout").collect()
+    )
+    # batch referee: LAG over the full event set
+    full = spark.createDataFrame(b1 + b2, schema)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        (r.user_id, r.prev, r.event_type)
+        for r in full.withColumn(
+            "prev", F.lag("event_type").over(w)
+        ).filter(F.col("prev").isNotNull()).collect()
+    )
+    assert got == want
+    # user 1's cross-batch transition (click -> purchase) proves the
+    # state survived the checkpoint boundary
+    assert (1, "click", "purchase") in got
