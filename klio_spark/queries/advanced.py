@@ -464,9 +464,10 @@ def _pr_iter_sql(i: int) -> str:
     "shuffle, fan-out bounded by basket size); per iteration the score "
     "table broadcasts into the edge join and the agg is map-side "
     "combined on the destination key — the classic distributed "
-    "PageRank shape. Edges persist across iterations, scores are "
-    "16-byte rows, the final top-20 is TakeOrderedAndProject, not a "
-    "global sort. Dangling nodes cannot exist (every node has an edge "
+    "PageRank shape. The edge exchange is computed once and shared "
+    "across iterations via ReusedExchange (no persist — nothing lingers "
+    "in the session cache), scores are 16-byte rows, the final top-20 "
+    "is TakeOrderedAndProject, not a global sort. Dangling nodes cannot exist (every node has an edge "
     "by construction).",
 )
 def q152_pagerank(spark: SparkSession, sf_dir: str):
@@ -479,7 +480,6 @@ def q152_pagerank(spark: SparkSession, sf_dir: str):
         .select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .persist()
     )
     # nodes is the PART dimension — orders of magnitude below the edge
     # count — so the per-iteration score table broadcasts into the edge
@@ -489,7 +489,7 @@ def q152_pagerank(spark: SparkSession, sf_dir: str):
     # shuffle join on the node key.
     deg = e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).persist()
+    )
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     r = deg.crossJoin(F.broadcast(nn)).select(
         "node", F.expr("1000000000 div n").alias("score"), "deg"

@@ -344,39 +344,45 @@ def stateful_transitions(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    id_col: str | None = "event_id",
 ) -> DataFrame:
     """Per-user event-type transition emitter across micro-batches — the
     streaming twin of q148's batch transition matrix: state = the last
-    event (time, type) per user; each arriving event emits one
+    event type per user; each arriving event emits one
     (prev_type, next_type) transition row, which a downstream streaming
     agg counts into the live matrix.
 
-    State is two scalars per user (checkpoint-durable, O(users)).
-    Within a batch events sort by (time, event id) — the same
-    deterministic tie-break as the batch query; a cross-batch straggler
-    older than the carried last event still emits in arrival order (the
-    documented streaming relaxation, as in stateful_funnel). NaT
-    timestamps are skipped (no position in the sequence)."""
+    State is ONE scalar per user (checkpoint-durable, O(users)), written
+    only when a batch carries valid events. Within a batch events sort
+    by (time, id_col) — the same deterministic tie-break as the batch
+    query; pass ``id_col=None`` for streams without an id column
+    (arrival order breaks ties). A cross-batch straggler older than the
+    carried last event still emits in arrival order (the documented
+    streaming relaxation, as in stateful_funnel). NaT timestamps are
+    skipped (no position in the sequence); a NULL id sorts first among
+    ties, matching the batch window's NULLS FIRST."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         evs = []
         for pdf in pdfs:
-            for ts, eid, et in zip(
-                pdf[ts_col], pdf["event_id"], pdf[type_col]
-            ):
+            ids = pdf[id_col] if id_col is not None else [0] * len(pdf)
+            for ts, eid, et in zip(pdf[ts_col], ids, pdf[type_col]):
                 t = pd.Timestamp(ts)
                 if t is not pd.NaT and not pd.isna(t):
-                    evs.append((int(t.value // 1000), int(eid), str(et)))
+                    ik = -(2**63) if pd.isna(eid) else int(eid)
+                    evs.append((int(t.value // 1000), ik, str(et)))
+        if not evs:
+            return
         evs.sort()
-        prev_t, prev_e = state.get if state.exists else (-1, None)
+        (prev_e,) = state.get if state.exists else (None,)
         out = []
-        for tm, _eid, et in evs:
+        for tm, _ik, et in evs:
             if prev_e is not None:
                 out.append((key[0], prev_e, et, tm))
-            prev_t, prev_e = tm, et
-        state.update((prev_t, prev_e))
+            prev_e = et
+        state.update((prev_e,))
         if out:
             yield pd.DataFrame(
                 out,
@@ -390,7 +396,7 @@ def stateful_transitions(
             f"{user_col} {key_type}, prev_type string, next_type string,"
             " ts_micros long"
         ),
-        stateStructType="t long, e string",
+        stateStructType="e string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
