@@ -1585,3 +1585,69 @@ def q149_dau_mau(spark: SparkSession, sf_dir: str):
         F.col("mau").cast("bigint").alias("mau"),
         F.expr("(dau * 10000) div mau").cast("bigint").alias("stickiness_bp"),
     )
+
+
+@register(
+    "q154_time_weighted_avg",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    iv AS (
+      SELECT user_id, cents, (nxt - us) // 1000000 AS dur_s
+      FROM s WHERE nxt IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id, SUM(cents * dur_s) AS wsum, SUM(dur_s) AS dsum
+      FROM iv GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(dsum AS BIGINT) AS held_s,
+           (CAST(wsum AS DOUBLE) / 100.0) / CAST(dsum AS DOUBLE) AS twap
+    FROM agg WHERE dsum > 0
+    """,
+    doc="time-weighted average value per user (the TWAP shape: each "
+    "observation holds until the next one, so its weight is the holding "
+    "duration, not the sample count — the correct average for "
+    "irregularly sampled gauges/prices). One user_id window computes "
+    "LEAD holding intervals (same exchange as every per-user temporal "
+    "query); weights are exact integers (cents × whole seconds, "
+    "overflow-audited), and the final twap is two IEEE divisions on "
+    "identical operands. Zero-duration histories are excluded on both "
+    "engines (dsum=0 would be 0/0). NULL ts/value rows hold nothing.",
+)
+def q154_time_weighted_avg(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+            F.lead(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(w)
+            .alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "user_id", "cents",
+            F.expr("(nxt - us) div 1000000").alias("dur_s"),
+        )
+    )
+    agg = s.groupBy("user_id").agg(
+        F.sum(F.expr("cents * dur_s")).alias("wsum"),
+        F.sum("dur_s").alias("dsum"),
+    )
+    return agg.filter(F.col("dsum") > 0).select(
+        "user_id",
+        F.col("dsum").cast("bigint").alias("held_s"),
+        (
+            (F.col("wsum").cast("double") / F.lit(100.0))
+            / F.col("dsum").cast("double")
+        ).alias("twap"),
+    )

@@ -186,6 +186,7 @@ EVENT_QUERIES = [
     "q147_incremental_rollup",
     "q148_transition_matrix",
     "q149_dau_mau",
+    "q154_time_weighted_avg",
 ]
 
 
