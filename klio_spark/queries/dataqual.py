@@ -325,3 +325,70 @@ def q150_length_outliers(spark: SparkSession, sf_dir: str):
         .filter(z * z > rhs)
         .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
+
+
+@register(
+    "q155_winsorize",
+    """
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS lo,
+             ROUND(quantile_cont(value, 0.95), 6) AS hi
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type, b.lo, b.hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v.value < b.lo OR v.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(FLOOR(LEAST(GREATEST(v.value, b.lo), b.hi) * 100.0)
+                         AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS winsor_mean
+    FROM v JOIN b USING (event_type)
+    GROUP BY v.event_type, b.lo, b.hi
+    """,
+    doc="per-type winsorization (clip at p05/p95) with the clipped mean — "
+    "the outlier-robust normalization step before any scale-sensitive "
+    "model feature. Two passes by nature: an exact percentile agg (tiny "
+    "result, broadcast back) then one clip-and-aggregate scan; at 100 TB "
+    "the first pass swaps to the KLL sketch (q99) without changing the "
+    "join shape. The thresholds are rounded at 6 digits on BOTH engines "
+    "(the q07 interpolation rule) so the clip boundary is the identical "
+    "double everywhere; clipped sums are integerized per row before "
+    "summation.",
+)
+def q155_winsorize(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select("event_type", "value")
+    b = v.groupBy("event_type").agg(
+        F.round(
+            F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))[0], 6
+        ).alias("lo"),
+        F.round(
+            F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))[1], 6
+        ).alias("hi"),
+    )
+    clip = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi"))
+                ).cast("long")
+            ).cast("bigint").alias("n_clipped"),
+            (
+                F.sum(F.floor(clip * 100.0).cast("bigint")).cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("winsor_mean"),
+        )
+        .select(
+            "event_type", "lo", "hi", "n", "n_clipped", "winsor_mean"
+        )
+    )

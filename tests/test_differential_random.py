@@ -187,6 +187,7 @@ EVENT_QUERIES = [
     "q148_transition_matrix",
     "q149_dau_mau",
     "q154_time_weighted_avg",
+    "q155_winsorize",
 ]
 
 
