@@ -495,6 +495,93 @@ def stateful_sessionize(
     )
 
 
+def incremental_minhash_dedup(
+    df: DataFrame,
+    *,
+    state_dir: str,
+    novel_dir: str,
+    dup_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> StreamingQuery:
+    """Ingestion-time near-dup gate with PERSISTENT memory — the
+    streaming face of the minhash stack (functions/dedup.py): every
+    micro-batch is LSH-banded with the same signature/banding config as
+    the batch operator (one S-curve governs both), checked against the
+    persisted band table AND against lower-id docs in the same batch
+    (keep-first, the minhash_lsh_dedup policy), then novel docs land in
+    ``novel_dir``, duplicates in ``dup_dir``, and the novel docs' bands
+    APPEND to ``state_dir`` so later batches — and later runs — remember
+    them.
+
+    Scale shape: the probe is a semi-join on 8-byte band hashes (at
+    100 TB the state table is bucketed by band hash, q129's build-once
+    layout, so the probe co-partitions); document text never joins
+    anything. The state append is idempotent-by-semantics: a replayed
+    batch can only re-append band rows that are already present, and a
+    duplicated band entry changes no future verdict — so exactly-once
+    holds for the OUTPUT dirs (keyed by Spark's checkpointed batch ids)
+    while the state table only ever errs toward a few redundant rows.
+    Band verdicts are candidate-level (the standard LSH decision); run
+    the q66-style exact verify downstream where precision matters."""
+    import os
+
+    from klio_spark.functions.dedup import (
+        band_hashes,
+        minhash_signature,
+        shingles,
+    )
+
+    rows = num_hashes // bands
+
+    def batch_fn(batch, batch_id):
+        spark = batch.sparkSession
+        bands_df = batch.select(
+            F.col(id_col),
+            F.explode(
+                band_hashes(
+                    minhash_signature(
+                        shingles(F.col(text_col), shingle_n), num_hashes
+                    ),
+                    bands,
+                    rows,
+                )
+            ).alias("bh"),
+        )
+        dups = None
+        if os.path.isdir(state_dir):
+            seen = spark.read.parquet(state_dir).select("bh")
+            dups = (
+                bands_df.join(F.broadcast(seen), "bh", "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+        firsts = bands_df.groupBy("bh").agg(F.min(id_col).alias("_minid"))
+        batch_dups = (
+            bands_df.join(firsts, "bh")
+            .filter(F.col(id_col) > F.col("_minid"))
+            .select(id_col)
+            .distinct()
+        )
+        dups = batch_dups if dups is None else dups.union(batch_dups).distinct()
+        dups = dups.persist()
+        batch.join(dups, id_col, "left_semi").write.mode("append").parquet(
+            dup_dir
+        )
+        novel = batch.join(dups, id_col, "left_anti")
+        novel.write.mode("append").parquet(novel_dir)
+        bands_df.join(dups, id_col, "left_anti").write.mode(
+            "append"
+        ).parquet(state_dir)
+        dups.unpersist()
+
+    return foreach_batch_sink(df, batch_fn, checkpoint)
+
+
 def write_stream_text(
     df: DataFrame,
     path: str,

@@ -580,3 +580,60 @@ def test_stateful_transitions_matches_batch_matrix(spark, tmp_path):
     # user 1's cross-batch transition (click -> purchase) proves the
     # state survived the checkpoint boundary
     assert (1, "click", "purchase") in got
+
+
+def test_incremental_minhash_dedup_remembers_across_batches(
+    spark, tmp_path
+):
+    """Ingestion dedup with persistent memory: batch 1 establishes the
+    band table (within-batch near-dups collapse keep-first); batch 2's
+    duplicate of a batch-1 doc is caught VIA THE STATE TABLE, not via
+    anything in its own batch; a fresh run (new checkpoint) against the
+    same state dir still remembers everything."""
+    docs1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different text about spark shuffles and parquet"),
+    ]
+    docs2 = [
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+        (5, "fresh novel content that matches nothing seen before here"),
+    ]
+    sdir = tmp_path / "in"
+    (sdir / "p").mkdir(parents=True)
+    schema = "doc_id long, text string"
+    dirs = dict(
+        state_dir=str(tmp_path / "state"),
+        novel_dir=str(tmp_path / "novel"),
+        dup_dir=str(tmp_path / "dup"),
+    )
+
+    def run(batch_rows, ckpt):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(sdir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(sdir / "p"))
+        q = st.incremental_minhash_dedup(
+            stream, checkpoint=str(tmp_path / ckpt), **dirs
+        )
+        q.awaitTermination(120)
+
+    run(docs1, "ck1")
+    novel = {r.doc_id for r in spark.read.parquet(dirs["novel_dir"]).collect()}
+    dup = {r.doc_id for r in spark.read.parquet(dirs["dup_dir"]).collect()}
+    assert novel == {1, 3} and dup == {2}
+
+    run(docs2, "ck1")
+    novel = {r.doc_id for r in spark.read.parquet(dirs["novel_dir"]).collect()}
+    dup = {r.doc_id for r in spark.read.parquet(dirs["dup_dir"]).collect()}
+    assert novel == {1, 3, 5} and dup == {2, 4}
+
+    # a FRESH run (new checkpoint — replays the whole input) against the
+    # same state: docs 1 and 3 now hit their own remembered bands, so
+    # nothing new lands in novel_dir and every replayed doc quarantines
+    run([], "ck2")
+    novel2 = {
+        r.doc_id for r in spark.read.parquet(dirs["novel_dir"]).collect()
+    }
+    dup2 = {r.doc_id for r in spark.read.parquet(dirs["dup_dir"]).collect()}
+    assert novel2 == {1, 3, 5} and dup2 == {1, 2, 3, 4, 5}
