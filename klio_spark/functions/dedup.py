@@ -208,6 +208,35 @@ def band_hashes(sig_col: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _check_banding(num_hashes: int, bands: int) -> None:
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be >= 1 and divide num_hashes "
+            f"({num_hashes}): rows=0 would make every band hash a "
+            "constant (all docs collide), and a non-divisible split "
+            "silently drops trailing hashes, changing the S-curve"
+        )
+
+
+def text_band_hashes(
+    text_col: Column,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> Column:
+    """Text → LSH band-hash array in one expression — the EXACT
+    composition minhash_lsh_dedup uses (shingle_hashes → multiply-shift
+    signature → xxhash64 band slices), so band tables built here and by
+    the batch operator are interchangeable: the streaming ingest gate
+    can be seeded from a batch-built table and vice versa."""
+    _check_banding(num_hashes, bands)
+    sig = _signature_from_hash_col(
+        shingle_hashes(text_col, shingle_n), num_hashes
+    )
+    return band_hashes(sig, bands, num_hashes // bands)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two shingle arrays (verification step)."""
     inter = F.size(F.array_intersect(a, b))
@@ -248,6 +277,7 @@ def minhash_lsh_dedup(
         exchange on the corpus side, and the shingle pass runs exactly
         once regardless of executor cache pressure.
     """
+    _check_banding(num_hashes, bands)
     rows = num_hashes // bands
     # everything downstream operates on 8-byte hashes (shingle_hashes)
     base_plan = df.select(

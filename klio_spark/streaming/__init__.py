@@ -502,6 +502,7 @@ def incremental_minhash_dedup(
     novel_dir: str,
     dup_dir: str,
     checkpoint: str,
+    seed_dir: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
@@ -509,54 +510,80 @@ def incremental_minhash_dedup(
     shingle_n: int = 3,
 ) -> StreamingQuery:
     """Ingestion-time near-dup gate with PERSISTENT memory — the
-    streaming face of the minhash stack (functions/dedup.py): every
-    micro-batch is LSH-banded with the same signature/banding config as
-    the batch operator (one S-curve governs both), checked against the
-    persisted band table AND against lower-id docs in the same batch
-    (keep-first, the minhash_lsh_dedup policy), then novel docs land in
+    streaming face of the minhash stack: every micro-batch is LSH-banded
+    with text_band_hashes (the IDENTICAL composition minhash_lsh_dedup
+    uses), probed against the persisted band table AND against lower-id
+    docs in the same batch (keep-first), then novel docs land in
     ``novel_dir``, duplicates in ``dup_dir``, and the novel docs' bands
-    APPEND to ``state_dir`` so later batches — and later runs — remember
-    them.
+    append to ``state_dir`` so later batches remember them.
 
-    Scale shape: the probe is a semi-join on 8-byte band hashes (at
-    100 TB the state table is bucketed by band hash, q129's build-once
-    layout, so the probe co-partitions); document text never joins
-    anything. The state append is idempotent-by-semantics: a replayed
-    batch can only re-append band rows that are already present, and a
-    duplicated band entry changes no future verdict — so exactly-once
-    holds for the OUTPUT dirs (keyed by Spark's checkpointed batch ids)
-    while the state table only ever errs toward a few redundant rows.
-    Band verdicts are candidate-level (the standard LSH decision); run
-    the q66-style exact verify downstream where precision matters."""
-    import os
+    Exactly-once: every write goes to a deterministic
+    ``batch-<batch_id>`` subdir with mode=overwrite (the
+    trigger_upstream pattern), and the probe excludes the current
+    batch's own subdir by file path — a crash-retry reproduces
+    byte-identical outputs instead of classifying its own docs as
+    duplicates. ``state_dir``/``novel_dir``/``dup_dir`` are therefore
+    OWNED by one checkpoint lineage (batch ids restart at 0 under a new
+    checkpoint and would collide on the subdir names). To carry memory
+    into a NEW stream — or to seed from a batch-built band table
+    (minhash_lsh_dedup's bucket_table, q129) — pass ``seed_dir``: a
+    read-only band table (column ``bh``) that is always probed, never
+    excluded, never written. Read the output dirs with
+    ``option("recursiveFileLookup", "true")``.
 
-    from klio_spark.functions.dedup import (
-        band_hashes,
-        minhash_signature,
-        shingles,
+    Scale shape: the probe is a semi-join on 8-byte band hashes — AQE
+    sizes it (broadcast while the state fits, shuffle join after it
+    outgrows memory; at 100 TB compact the state into q129's bucketed
+    layout and pass it as seed_dir so the probe co-partitions).
+    Document text never joins anything. Band verdicts are
+    candidate-level (the standard LSH decision); run the q66-style
+    exact verify downstream where precision matters."""
+    from pyspark.errors import AnalysisException
+
+    from klio_spark.functions.dedup import text_band_hashes
+
+    band_col = text_band_hashes(
+        F.col(text_col),
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
     )
 
-    rows = num_hashes // bands
+    def read_bands(spark, d):
+        # hadoop-FS existence check (driver-local os.path would be
+        # always-False on hdfs/s3a/dbfs); empty or half-written dirs
+        # read as no-state instead of killing the stream
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(d)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        try:
+            return spark.read.option("recursiveFileLookup", "true").parquet(d)
+        except AnalysisException:
+            return None
 
     def batch_fn(batch, batch_id):
         spark = batch.sparkSession
+        # banding (the shingle+signature work) feeds four jobs — compute
+        # it once
         bands_df = batch.select(
-            F.col(id_col),
-            F.explode(
-                band_hashes(
-                    minhash_signature(
-                        shingles(F.col(text_col), shingle_n), num_hashes
-                    ),
-                    bands,
-                    rows,
-                )
-            ).alias("bh"),
-        )
+            F.col(id_col), F.explode(band_col).alias("bh")
+        ).persist()
+        seen = read_bands(spark, state_dir)
+        if seen is not None:
+            # a replayed attempt must not probe its own prior write
+            seen = seen.filter(
+                ~F.input_file_name().contains(f"/batch-{batch_id}/")
+            )
+        if seed_dir is not None:
+            seed = read_bands(spark, seed_dir)
+            if seed is not None:
+                seed = seed.select("bh")
+                seen = seed if seen is None else seen.select("bh").union(seed)
         dups = None
-        if os.path.isdir(state_dir):
-            seen = spark.read.parquet(state_dir).select("bh")
+        if seen is not None:
             dups = (
-                bands_df.join(F.broadcast(seen), "bh", "left_semi")
+                bands_df.join(seen.select("bh"), "bh", "left_semi")
                 .select(id_col)
                 .distinct()
             )
@@ -567,17 +594,21 @@ def incremental_minhash_dedup(
             .select(id_col)
             .distinct()
         )
-        dups = batch_dups if dups is None else dups.union(batch_dups).distinct()
-        dups = dups.persist()
-        batch.join(dups, id_col, "left_semi").write.mode("append").parquet(
-            dup_dir
+        dups = (
+            batch_dups if dups is None else dups.union(batch_dups).distinct()
         )
-        novel = batch.join(dups, id_col, "left_anti")
-        novel.write.mode("append").parquet(novel_dir)
+        dups = dups.persist()
+        batch.join(dups, id_col, "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{dup_dir}/batch-{batch_id}")
+        batch.join(dups, id_col, "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{novel_dir}/batch-{batch_id}")
         bands_df.join(dups, id_col, "left_anti").write.mode(
-            "append"
-        ).parquet(state_dir)
+            "overwrite"
+        ).parquet(f"{state_dir}/batch-{batch_id}")
         dups.unpersist()
+        bands_df.unpersist()
 
     return foreach_batch_sink(df, batch_fn, checkpoint)
 

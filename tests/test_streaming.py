@@ -588,8 +588,10 @@ def test_incremental_minhash_dedup_remembers_across_batches(
     """Ingestion dedup with persistent memory: batch 1 establishes the
     band table (within-batch near-dups collapse keep-first); batch 2's
     duplicate of a batch-1 doc is caught VIA THE STATE TABLE, not via
-    anything in its own batch; a fresh run (new checkpoint) against the
-    same state dir still remembers everything."""
+    anything in its own batch; a NEW stream seeded from the old state
+    (seed_dir) still remembers everything; and a simulated crash-retry
+    of a batch (same batch id, state already written) reproduces the
+    same verdicts instead of quarantining its own docs."""
     docs1 = [
         (1, "the quick brown fox jumps over the lazy dog again and again"),
         (2, "the quick brown fox jumps over the lazy dog again and again"),
@@ -602,38 +604,73 @@ def test_incremental_minhash_dedup_remembers_across_batches(
     sdir = tmp_path / "in"
     (sdir / "p").mkdir(parents=True)
     schema = "doc_id long, text string"
-    dirs = dict(
-        state_dir=str(tmp_path / "state"),
-        novel_dir=str(tmp_path / "novel"),
-        dup_dir=str(tmp_path / "dup"),
-    )
 
-    def run(batch_rows, ckpt):
-        spark.createDataFrame(batch_rows, schema).write.mode(
-            "append"
-        ).parquet(str(sdir / "p"))
+    def dirset(name):
+        return dict(
+            state_dir=str(tmp_path / name / "state"),
+            novel_dir=str(tmp_path / name / "novel"),
+            dup_dir=str(tmp_path / name / "dup"),
+        )
+
+    def read_ids(d):
+        return {
+            r.doc_id
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(d)
+            .collect()
+        }
+
+    def run(batch_rows, ckpt, dirs, **kw):
+        if batch_rows:
+            spark.createDataFrame(batch_rows, schema).write.mode(
+                "append"
+            ).parquet(str(sdir / "p"))
         stream = spark.readStream.schema(schema).parquet(str(sdir / "p"))
         q = st.incremental_minhash_dedup(
-            stream, checkpoint=str(tmp_path / ckpt), **dirs
+            stream, checkpoint=str(tmp_path / ckpt), **dirs, **kw
         )
         q.awaitTermination(120)
 
-    run(docs1, "ck1")
-    novel = {r.doc_id for r in spark.read.parquet(dirs["novel_dir"]).collect()}
-    dup = {r.doc_id for r in spark.read.parquet(dirs["dup_dir"]).collect()}
-    assert novel == {1, 3} and dup == {2}
+    d1 = dirset("run1")
+    run(docs1, "ck1", d1)
+    assert read_ids(d1["novel_dir"]) == {1, 3}
+    assert read_ids(d1["dup_dir"]) == {2}
 
-    run(docs2, "ck1")
-    novel = {r.doc_id for r in spark.read.parquet(dirs["novel_dir"]).collect()}
-    dup = {r.doc_id for r in spark.read.parquet(dirs["dup_dir"]).collect()}
-    assert novel == {1, 3, 5} and dup == {2, 4}
+    run(docs2, "ck1", d1)
+    assert read_ids(d1["novel_dir"]) == {1, 3, 5}
+    assert read_ids(d1["dup_dir"]) == {2, 4}
 
-    # a FRESH run (new checkpoint — replays the whole input) against the
-    # same state: docs 1 and 3 now hit their own remembered bands, so
-    # nothing new lands in novel_dir and every replayed doc quarantines
-    run([], "ck2")
-    novel2 = {
-        r.doc_id for r in spark.read.parquet(dirs["novel_dir"]).collect()
-    }
-    dup2 = {r.doc_id for r in spark.read.parquet(dirs["dup_dir"]).collect()}
-    assert novel2 == {1, 3, 5} and dup2 == {1, 2, 3, 4, 5}
+    # NEW stream (fresh checkpoint + fresh dirs) seeded from run1's
+    # band table: the replayed corpus all hits seed bands -> everything
+    # quarantines, nothing novel
+    d2 = dirset("run2")
+    run([], "ck2", d2, seed_dir=d1["state_dir"])
+    assert read_ids(d2["dup_dir"]) == {1, 2, 3, 4, 5}
+    assert spark.read.option("recursiveFileLookup", "true").parquet(
+        d2["novel_dir"]
+    ).count() == 0
+
+    # crash-retry simulation on run1: batch 0's state subdir is already
+    # on disk; replaying ids 1-3 as batch 0 must exclude that subdir
+    # from its probe (path filter) and reproduce novel={1,3}, dup={2}
+    import pathlib
+    import shutil
+
+    for d in (d1["novel_dir"], d1["dup_dir"]):
+        shutil.rmtree(pathlib.Path(d) / "batch-0")
+    # re-run batch 0 through a throwaway checkpoint so foreachBatch
+    # assigns batch_id=0 again while run1's state (incl. its own
+    # batch-0 bands AND batch-1 bands from docs2) is in place. Doc 5's
+    # batch-1 bands must not disqualify docs 1-3 (no overlap), and
+    # batch-0's own bands must be invisible to the probe.
+    (sdir2 := tmp_path / "in2" / "p").mkdir(parents=True)
+    spark.createDataFrame(docs1, schema).write.mode("append").parquet(
+        str(sdir2)
+    )
+    stream = spark.readStream.schema(schema).parquet(str(sdir2))
+    q = st.incremental_minhash_dedup(
+        stream, checkpoint=str(tmp_path / "ck-retry"), **d1
+    )
+    q.awaitTermination(120)
+    assert read_ids(d1["novel_dir"]) == {1, 3, 5}
+    assert read_ids(d1["dup_dir"]) == {2, 4}
