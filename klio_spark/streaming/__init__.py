@@ -613,6 +613,31 @@ def incremental_minhash_dedup(
     return foreach_batch_sink(df, batch_fn, checkpoint)
 
 
+def compact_dedup_state(
+    spark,
+    state_dir: str,
+    seed_table: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Compact an incremental_minhash_dedup state dir (many small
+    per-batch parquet subdirs) into ONE bucketed band table — the q129
+    build-once layout — and return it. Pass the table's warehouse path
+    (or re-read via spark.table) as the next stream's ``seed_dir``/probe
+    side: bucketed by ``bh``, the semi-join probe co-partitions instead
+    of shuffling the accumulated history every micro-batch. Run it
+    between stream restarts (the state dir is owned by a checkpoint
+    lineage; compaction belongs at lineage boundaries)."""
+    from klio_spark.plans.partitioning import overwrite_bucketed_table
+
+    state = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(state_dir)
+        .select("bh")
+        .distinct()
+    )
+    return overwrite_bucketed_table(state, seed_table, "bh", n_buckets)
+
+
 def write_stream_text(
     df: DataFrame,
     path: str,

@@ -674,3 +674,30 @@ def test_incremental_minhash_dedup_remembers_across_batches(
     q.awaitTermination(120)
     assert read_ids(d1["novel_dir"]) == {1, 3, 5}
     assert read_ids(d1["dup_dir"]) == {2, 4}
+
+
+def test_compact_dedup_state_roundtrip(spark, tmp_path):
+    """Compaction folds the per-batch state subdirs into one bucketed
+    band table whose distinct bh set is unchanged — the probe side for
+    the next lineage."""
+    sdir = tmp_path / "state"
+    for bid, vals in enumerate([[1, 2, 3], [3, 4]]):
+        spark.createDataFrame(
+            [(v, v * 100) for v in vals], "bh long, doc_id long"
+        ).write.mode("overwrite").parquet(str(sdir / f"batch-{bid}"))
+    compacted = st.compact_dedup_state(
+        spark, str(sdir), "compact_seed_test", n_buckets=4
+    )
+    assert {r.bh for r in compacted.collect()} == {1, 2, 3, 4}
+    # bucketed layout: re-read via the catalog, grouping on bh needs no
+    # exchange
+    plan = (
+        spark.table("compact_seed_test")
+        .groupBy("bh")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    spark.sql("DROP TABLE IF EXISTS compact_seed_test")
