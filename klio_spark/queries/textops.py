@@ -531,3 +531,65 @@ def q151_shingle_containment(spark: SparkSession, sf_dir: str):
     return dd.shingle_containment_pairs(
         d, "text", "doc_id", n=3, threshold=0.5
     ).select("id_src", "id_dst", "containment")
+
+
+@register(
+    "q156_token_entropy",
+    """
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t != '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+    s AS (
+      SELECT source, SUM(c) AS total, COUNT(*) AS n_types,
+             SUM(CAST(FLOOR(1000000.0 * c * ln(CAST(c AS DOUBLE)))
+                      AS BIGINT)) AS sl
+      FROM c GROUP BY source
+    )
+    SELECT source, CAST(total AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(CAST(FLOOR(1000000.0 * ln(CAST(total AS DOUBLE))) AS BIGINT)
+                - sl // total AS BIGINT) AS entropy_micronats
+    FROM s WHERE total > 0
+    """,
+    doc="Shannon entropy of the token distribution per source, in "
+    "integer micro-nats — the lexical-diversity screen (template-"
+    "generated or boilerplate-heavy sources score low; natural text "
+    "high) that complements the per-doc repetition gates (q79). Uses "
+    "H = ln(N) - (Σ c·ln c)/N so the only transcendental is ln of an "
+    "identical double on both engines, floor-integerized per token TYPE "
+    "before the sum (the q139 discipline); everything after is exact "
+    "int64. One explode + two hash aggs, all map-side combinable; "
+    "nothing corpus-sized leaves the token-count exchange.",
+)
+def q156_token_entropy(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    tok = d.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(tx.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    c = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(1000000.0 * c * ln(CAST(c AS DOUBLE)))"
+                " AS BIGINT)"
+            )
+        ).alias("sl"),
+    )
+    return s.filter(F.col("total") > 0).select(
+        "source",
+        F.col("total").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        (
+            F.expr(
+                "CAST(FLOOR(1000000.0 * ln(CAST(total AS DOUBLE)))"
+                " AS BIGINT)"
+            )
+            - F.expr("sl div total")
+        ).alias("entropy_micronats"),
+    )

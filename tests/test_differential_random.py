@@ -89,6 +89,7 @@ QUERIES = [
     "q150_length_outliers",
     "q151_shingle_containment",
     "q153_weighted_sample",
+    "q156_token_entropy",
 ]
 
 
