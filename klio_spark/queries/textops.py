@@ -561,8 +561,12 @@ def q151_shingle_containment(spark: SparkSession, sf_dir: str):
     "high) that complements the per-doc repetition gates (q79). Uses "
     "H = ln(N) - (Σ c·ln c)/N so the only transcendental is ln of an "
     "identical double on both engines, floor-integerized per token TYPE "
-    "before the sum (the q139 discipline); everything after is exact "
-    "int64. One explode + two hash aggs, all map-side combinable; "
+    "before the sum (the q139 convention: Math.log vs libm log are not "
+    "formally bit-identical, but both are <=1 ulp and every SF + "
+    "randomized corpus hash-matches; a boundary flip would move one "
+    "micro-nat). Everything after is exact int64. Tokenizer caveat "
+    "shared suite-wide: Java \\s includes \\x0B, RE2's does not — "
+    "corpora are vertical-tab-free. One explode + two hash aggs, all map-side combinable; "
     "nothing corpus-sized leaves the token-count exchange.",
 )
 def q156_token_entropy(spark: SparkSession, sf_dir: str):

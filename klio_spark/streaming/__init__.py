@@ -526,9 +526,11 @@ def incremental_minhash_dedup(
     OWNED by one checkpoint lineage (batch ids restart at 0 under a new
     checkpoint and would collide on the subdir names). To carry memory
     into a NEW stream — or to seed from a batch-built band table
-    (minhash_lsh_dedup's bucket_table, q129) — pass ``seed_dir``: a
-    read-only band table (column ``bh``) that is always probed, never
-    excluded, never written. Read the output dirs with
+    (minhash_lsh_dedup's bucket_table, q129) — pass ``seed_dir``: a read-only band
+    source (column ``bh``) that is always probed, never excluded, never
+    written. A CATALOG TABLE NAME (no path separator) reads via
+    spark.table and keeps its bucketing — a compact_dedup_state table
+    co-partitions the probe; a path string reads as plain parquet. Read the output dirs with
     ``option("recursiveFileLookup", "true")``.
 
     Scale shape: the probe is a semi-join on 8-byte band hashes — AQE
@@ -576,7 +578,12 @@ def incremental_minhash_dedup(
                 ~F.input_file_name().contains(f"/batch-{batch_id}/")
             )
         if seed_dir is not None:
-            seed = read_bands(spark, seed_dir)
+            if "/" not in seed_dir:
+                # catalog table: the read keeps the bucket spec, so the
+                # probe's build side arrives pre-partitioned on bh
+                seed = spark.table(seed_dir)
+            else:
+                seed = read_bands(spark, seed_dir)
             if seed is not None:
                 seed = seed.select("bh")
                 seen = seed if seen is None else seen.select("bh").union(seed)
@@ -621,10 +628,11 @@ def compact_dedup_state(
 ) -> DataFrame:
     """Compact an incremental_minhash_dedup state dir (many small
     per-batch parquet subdirs) into ONE bucketed band table — the q129
-    build-once layout — and return it. Pass the table's warehouse path
-    (or re-read via spark.table) as the next stream's ``seed_dir``/probe
-    side: bucketed by ``bh``, the semi-join probe co-partitions instead
-    of shuffling the accumulated history every micro-batch. Run it
+    build-once layout — and return it. Pass the TABLE NAME as the next
+    stream's ``seed_dir``: incremental_minhash_dedup reads catalog
+    names via spark.table, which keeps the bucket spec, so the probe
+    co-partitions instead of shuffling the accumulated history every
+    micro-batch (a path read would discard bucketing). Run it
     between stream restarts (the state dir is owned by a checkpoint
     lineage; compaction belongs at lineage boundaries)."""
     from klio_spark.plans.partitioning import overwrite_bucketed_table
@@ -634,6 +642,10 @@ def compact_dedup_state(
         .parquet(state_dir)
         .select("bh")
         .distinct()
+        # one file per bucket: without this, every shuffle partition
+        # writes a file per bucket it holds (up to partitions x buckets
+        # small files — worse fragmentation than the input)
+        .repartition(n_buckets, "bh")
     )
     return overwrite_bucketed_table(state, seed_table, "bh", n_buckets)
 

@@ -685,19 +685,50 @@ def test_compact_dedup_state_roundtrip(spark, tmp_path):
         spark.createDataFrame(
             [(v, v * 100) for v in vals], "bh long, doc_id long"
         ).write.mode("overwrite").parquet(str(sdir / f"batch-{bid}"))
-    compacted = st.compact_dedup_state(
-        spark, str(sdir), "compact_seed_test", n_buckets=4
-    )
-    assert {r.bh for r in compacted.collect()} == {1, 2, 3, 4}
-    # bucketed layout: re-read via the catalog, grouping on bh needs no
-    # exchange
-    plan = (
-        spark.table("compact_seed_test")
-        .groupBy("bh")
-        .count()
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Exchange" not in plan
-    spark.sql("DROP TABLE IF EXISTS compact_seed_test")
+    try:
+        compacted = st.compact_dedup_state(
+            spark, str(sdir), "compact_seed_test", n_buckets=4
+        )
+        assert {r.bh for r in compacted.collect()} == {1, 2, 3, 4}
+        # bucketed layout: re-read via the catalog, grouping on bh
+        # needs no exchange
+        plan = (
+            spark.table("compact_seed_test")
+            .groupBy("bh")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        # the table NAME is a valid seed: one batch through a gate
+        # seeded by catalog name quarantines a doc whose bands are only
+        # in the compacted table... (bh values here are synthetic, so
+        # just assert the table-name branch resolves and probes)
+        tdir = sdir.parent / "seedrun"
+        (tdir / "in").mkdir(parents=True)
+        import pyspark.sql.functions as SF  # noqa: N812
+
+        spark.createDataFrame(
+            [(9, "some text here")], "doc_id long, text string"
+        ).write.mode("append").parquet(str(tdir / "in"))
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(tdir / "in")
+        )
+        q = st.incremental_minhash_dedup(
+            stream,
+            state_dir=str(tdir / "state"),
+            novel_dir=str(tdir / "novel"),
+            dup_dir=str(tdir / "dup"),
+            checkpoint=str(tdir / "ck"),
+            seed_dir="compact_seed_test",
+        )
+        q.awaitTermination(120)
+        novel = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tdir / "novel"))
+            .collect()
+        )
+        assert {r.doc_id for r in novel} == {9}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS compact_seed_test")
