@@ -116,3 +116,64 @@ def test_retry_semantics(fail_times, tries):
             raised = True
         assert raised
         assert calls["n"] == tries
+
+
+def _sig_np(hashes, num_hashes=32):
+    """Reference signature via the same multiply-shift params the Spark
+    kernel uses (dedup._signature_from_hash_col's math, minus Arrow)."""
+    a, b = _minhash_params(num_hashes)
+    hv = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        perm = hv[:, None] * a[None, :] + b[None, :]
+    return perm.min(axis=0).astype(np.int64)
+
+
+@given(
+    h1=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=40),
+    h2=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=40),
+)
+@settings(max_examples=40, deadline=None)
+def test_minhash_union_is_elementwise_min(h1, h2):
+    """THE property that makes MinHash distributable: the signature of a
+    union is the element-wise min of the parts' signatures — partial
+    signatures computed per partition merge exactly (map-side combine is
+    lossless)."""
+    su = _sig_np(h1 + h2)
+    # the kernel takes the min in UNSIGNED space (perm.min precedes the
+    # int64 reinterpretation), so the merge law lives there too — an
+    # int64-space min over the reinterpreted signatures would be wrong
+    merged = np.minimum(
+        _sig_np(h1).astype(np.uint64), _sig_np(h2).astype(np.uint64)
+    ).astype(np.int64)
+    np.testing.assert_array_equal(su, merged)
+
+
+@given(
+    h=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=60),
+)
+@settings(max_examples=40, deadline=None)
+def test_minhash_order_and_duplicate_invariance(h):
+    """Signatures are set functions: shuffle order, duplicate elements —
+    the signature must not move (shingle multiplicity and partition
+    layout cannot change near-dup verdicts)."""
+    rng = np.random.default_rng(7)
+    shuffled = list(np.array(h)[rng.permutation(len(h))])
+    np.testing.assert_array_equal(_sig_np(h), _sig_np(shuffled))
+    np.testing.assert_array_equal(_sig_np(h), _sig_np(h + h))
+
+
+@given(
+    same=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=4, max_size=40)
+)
+@settings(max_examples=25, deadline=None)
+def test_identical_sets_always_collide_every_band(same):
+    """j=1 pairs must be recalled by EVERY band (the S-curve's right
+    edge is exactly 1) — identical signatures slice into identical
+    bands."""
+    s1, s2 = _sig_np(same), _sig_np(list(reversed(same)))
+    bands, rows = 8, 4
+    for bnd in range(bands):
+        np.testing.assert_array_equal(
+            s1[bnd * rows : (bnd + 1) * rows],
+            s2[bnd * rows : (bnd + 1) * rows],
+        )
