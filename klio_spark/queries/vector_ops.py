@@ -471,3 +471,88 @@ def q121_centroid_similarity(spark: SparkSession, sf_dir: str):
             ).cast("bigint").alias("dot_micros"),
         )
     )
+
+
+@register(
+    "q157_int8_ann_topk",
+    """
+    WITH m AS (
+      SELECT MAX(list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE))))) AS ma
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR((CAST(x AS DOUBLE) * 127.0) / m.ma)
+                         AS BIGINT)) AS qv
+      FROM embeddings CROSS JOIN m
+    ),
+    q AS (SELECT vec_id, qv FROM qz WHERE vec_id < 10),
+    c AS (SELECT vec_id, qv FROM qz WHERE vec_id >= 10),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum([q.qv[i] * c.qv[i]
+                       FOR i IN range(1, len(q.qv) + 1)]) AS dot
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot, rank
+    FROM (SELECT query_id, neighbor_id, dot,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot DESC, neighbor_id) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+    doc="similarity search over int8-QUANTIZED embeddings (q78's exact "
+    "quantizer: floor(x*127/global-max-abs)) — the serving-side memory/"
+    "bandwidth trade, 4x smaller vectors scanned per query. Unlike the "
+    "float ANN queries (rounded cosine), the int8 dot products are "
+    "EXACT integers on both engines — no rounding anywhere — so the "
+    "oracle is bit-exact by construction. Same plan shape as q70: "
+    "broadcast quantized queries x one corpus scan, integer dot in a "
+    "JVM zip_with/aggregate fold, per-query top-5 via WindowGroupLimit. "
+    "The scale scalar rides a broadcast cross join (never a collect).",
+)
+def q157_int8_ann_topk(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    ma = e.select(
+        F.max(
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            )
+        ).alias("ma")
+    )
+    qz = e.crossJoin(F.broadcast(ma)).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 127.0 / F.col("ma")).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    q = F.broadcast(
+        qz.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("_q")
+        )
+    )
+    c = qz.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("_c")
+    )
+    dot = F.aggregate(
+        F.zip_with("_q", "_c", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(c).select(
+        "query_id", "neighbor_id", dot.alias("dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )

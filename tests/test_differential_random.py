@@ -256,6 +256,7 @@ EMB_QUERIES = [
     # label-type agnosticism: the random corpus uses STRING labels where
     # the driver corpus uses ints — q140's argmax accumulator must adapt
     "q140_kmeans_assign",
+    "q157_int8_ann_topk",
 ]
 
 
