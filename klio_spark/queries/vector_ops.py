@@ -478,7 +478,8 @@ def q121_centroid_similarity(spark: SparkSession, sf_dir: str):
     """
     WITH m AS (
       SELECT MAX(list_max(list_transform(embedding,
-                                         x -> abs(CAST(x AS DOUBLE))))) AS ma
+                                         x -> abs(CAST(x AS DOUBLE))))) AS ma,
+             MAX(len(embedding)) AS dim
       FROM embeddings
     ),
     qz AS (
@@ -487,6 +488,7 @@ def q121_centroid_similarity(spark: SparkSession, sf_dir: str):
                x -> CAST(FLOOR((CAST(x AS DOUBLE) * 127.0) / m.ma)
                          AS BIGINT)) AS qv
       FROM embeddings CROSS JOIN m
+      WHERE m.ma > 0 AND len(embedding) = m.dim AND m.dim > 0
     ),
     q AS (SELECT vec_id, qv FROM qz WHERE vec_id < 10),
     c AS (SELECT vec_id, qv FROM qz WHERE vec_id >= 10),
@@ -512,7 +514,11 @@ def q121_centroid_similarity(spark: SparkSession, sf_dir: str):
     "oracle is bit-exact by construction. Same plan shape as q70: "
     "broadcast quantized queries x one corpus scan, integer dot in a "
     "JVM zip_with/aggregate fold, per-query top-5 via WindowGroupLimit. "
-    "The scale scalar rides a broadcast cross join (never a collect).",
+    "The scale scalar rides a broadcast cross join (never a collect). "
+    "Guards where the engines' edge semantics part ways: ragged vectors "
+    "are excluded (zip_with null-pads and the fold propagates NULL; "
+    "DuckDB's OOB index skips the term), as is a zero scale (x/0.0 is "
+    "NULL in DuckDB, NaN in Spark).",
 )
 def q157_int8_ann_topk(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "embeddings")
@@ -521,16 +527,25 @@ def q157_int8_ann_topk(spark: SparkSession, sf_dir: str):
             F.array_max(
                 F.transform("embedding", lambda x: F.abs(x.cast("double")))
             )
-        ).alias("ma")
+        ).alias("ma"),
+        F.max(F.size("embedding")).alias("dim"),
     )
-    qz = e.crossJoin(F.broadcast(ma)).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 127.0 / F.col("ma")).cast(
-                "long"
-            ),
-        ).alias("qv"),
+    qz = (
+        e.crossJoin(F.broadcast(ma))
+        .filter(
+            (F.col("ma") > 0)
+            & (F.size("embedding") == F.col("dim"))
+            & (F.col("dim") > 0)
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * 127.0 / F.col("ma")
+                ).cast("long"),
+            ).alias("qv"),
+        )
     )
     q = F.broadcast(
         qz.filter(F.col("vec_id") < 10).select(
