@@ -177,6 +177,14 @@ def cmd_job_profile(args) -> int:
       memory — tracemalloc top allocation sites (the reference's
                per-line memory profiler, stdlib edition)
       wall   — repeated timed runs (timeit mode), min/mean/max
+      line   — per-line wall time of the DRIVER-SIDE user run() (the
+               reference's line_profiler mode, profile.py:91-130,
+               stdlib sys.settrace edition). Time on a line includes
+               its callees (line_profiler semantics); only run.py
+               frames are traced, so Spark internals add no overhead.
+               Driver-side means plan CONSTRUCTION: a slow line here is
+               a slow loop building the plan, not executor time — use
+               cpu/wall for end-to-end cost.
     """
     from klio_spark import envelope as env
 
@@ -242,8 +250,67 @@ def cmd_job_profile(args) -> int:
             mean_sec=round(sum(times) / len(times), 3),
             max_sec=round(max(times), 3),
         )
+    elif args.what == "line":
+        import inspect
+        import linecache
+        import sys as _sys
+
+        target_file = inspect.getsourcefile(inspect.unwrap(user_run))
+        hits: dict[int, list] = {}
+        frame_state: dict[int, tuple] = {}
+
+        def local_trace(frame, event, arg):
+            now = time.perf_counter()
+            st = frame_state.get(id(frame))
+            if st is not None:
+                rec = hits.setdefault(st[0], [0, 0.0])
+                rec[0] += 1
+                rec[1] += now - st[1]
+            if event == "line":
+                frame_state[id(frame)] = (frame.f_lineno, time.perf_counter())
+            else:
+                frame_state.pop(id(frame), None)
+            return local_trace
+
+        def global_trace(frame, event, arg):
+            # trace ONLY frames from the user's run.py — Spark/py4j
+            # frames return None and run untraced at full speed
+            if frame.f_code.co_filename == target_file:
+                return local_trace
+            return None
+
+        _sys.settrace(global_trace)
+        try:
+            t0 = time.perf_counter()
+            n = run_once()
+            wall = time.perf_counter() - t0
+        finally:
+            _sys.settrace(None)
+        lines = sorted(
+            hits.items(), key=lambda kv: kv[1][1], reverse=True
+        )[:20]
+        print(f"Per-line wall time, {os.path.basename(target_file)}:")
+        print(f"  {'line':>5} {'hits':>7} {'time_ms':>9}  source")
+        for lineno, (cnt, tsec) in lines:
+            src = linecache.getline(target_file, lineno).rstrip()
+            print(f"  {lineno:>5} {cnt:>7} {tsec * 1e3:>9.2f}  {src}")
+        report.update(
+            output_rows=n,
+            wall_sec=round(wall, 3),
+            file=target_file,
+            lines=[
+                {
+                    "line": lineno,
+                    "hits": cnt,
+                    "time_ms": round(tsec * 1e3, 3),
+                }
+                for lineno, (cnt, tsec) in lines
+            ],
+        )
     else:
-        raise SystemExit(f"unknown --what {args.what!r} (cpu|memory|wall)")
+        raise SystemExit(
+            f"unknown --what {args.what!r} (cpu|memory|wall|line)"
+        )
     wall = report.get("wall_sec") or report.get("mean_sec") or 0
     if wall:
         report["elements_per_sec"] = round(len(elements) / wall, 1)
@@ -716,7 +783,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("-O", "--override", action="append", default=[])
         if name == "profile":
             sp.add_argument("--input-file", default=None)
-            sp.add_argument("--what", default="cpu", choices=["cpu", "memory", "wall"])
+            sp.add_argument(
+                "--what",
+                default="cpu",
+                choices=["cpu", "memory", "wall", "line"],
+            )
             sp.add_argument("--iterations", type=int, default=3)
             sp.add_argument("elements", nargs="*")
         if name == "verify":

@@ -255,6 +255,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     bucket_table: str | None = None,
     n_buckets: int = 32,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -262,6 +263,20 @@ def minhash_lsh_dedup(
     b=16,r=4 puts the S-curve knee near j≈0.5 with high recall at 0.7.
     The self-join carries only (id, band value); shingle arrays rejoin
     just for the verify step, keyed by id.
+
+    ``bucket_cap`` bounds the width of any single aggregation row
+    WITHOUT changing the result (lossless, unlike q68's df-cut, which
+    may drop pairs): a count window on the band key — the same exchange
+    the candidate groupBy needs, buffered in WindowExec's spillable row
+    array — splits buckets into narrow (≤ cap, expanded via the
+    collect_list double-explode: one O(cap²)-bounded row each) and wide
+    (> cap: a degenerate boilerplate cluster whose collect_list row
+    would grow O(N) structs in ONE task's agg heap — instead streamed
+    through a sort-merge self-join on the band key, whose per-key
+    buffers spill to disk, the simhash_near_dups strategy). The counted
+    band stream persists (24 B/row) because three consumers read it;
+    ``bucket_cap=None`` restores the single-path plan (one consumer, no
+    cache) for corpora known to be boilerplate-free.
 
     Materialization: the shingle-hash intermediate feeds BOTH candidate
     generation and the verify rejoin, so it must not be recomputed.
@@ -303,15 +318,49 @@ def minhash_lsh_dedup(
     # bucket's id list, a double explode emits its id<id pairs. vs the
     # banded self-join this saves an exchange AND runs the fused
     # signature UDF once instead of once per join side.
-    cand = (
-        banded.groupBy("_band", "_bhash")
-        .agg(F.collect_list(F.col(id_col)).alias("xs"))
-        .filter(F.size("xs") > 1)
-        .select(F.explode("xs").alias("id_a"), "xs")
-        .select("id_a", F.explode("xs").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    if bucket_cap is None:
+        cand = (
+            banded.groupBy("_band", "_bhash")
+            .agg(F.collect_list(F.col(id_col)).alias("xs"))
+            .filter(F.size("xs") > 1)
+            .select(F.explode("xs").alias("id_a"), "xs")
+            .select("id_a", F.explode("xs").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+    else:
+        # width-split (see docstring): count window rides the groupBy's
+        # own exchange; singleton buckets (the vast majority) drop
+        # before any aggregation; persist because narrow + both wide
+        # join sides consume the counted stream
+        wc = Window.partitionBy("_band", "_bhash")
+        counted = (
+            banded.withColumn("_w", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_w") > 1)
+            .persist()
+        )
+        narrow_pairs = (
+            counted.filter(F.col("_w") <= bucket_cap)
+            .groupBy("_band", "_bhash")
+            .agg(F.collect_list(F.col(id_col)).alias("xs"))
+            .select(F.explode("xs").alias("id_a"), "xs")
+            .select("id_a", F.explode("xs").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        wide = counted.filter(F.col("_w") > bucket_cap).select(
+            "_band", "_bhash", id_col
+        )
+        wide_pairs = (
+            wide.select("_band", "_bhash", F.col(id_col).alias("id_a"))
+            .join(
+                wide.select("_band", "_bhash", F.col(id_col).alias("id_b")),
+                ["_band", "_bhash"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = narrow_pairs.unionByName(wide_pairs).distinct()
     sh = base
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
@@ -336,6 +385,24 @@ def md5_token_hash(t: Column) -> Column:
     oracle — unlike xxhash64, whose bits only Spark can produce. 15 hex
     chars = 60 bits, safely inside int64 for both engines' casts."""
     return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def md5_token_hash64(t: Column) -> Column:
+    """Engine-portable FULL-WIDTH 64-bit token hash: the first 16 hex
+    chars of md5, reinterpreted as a signed int64.
+
+    A single conv() of 16 hex chars can exceed int64 and Spark's string→
+    long cast would NULL it, so the value builds from two exact 32-bit
+    halves: ``shiftleft(hi, 32) | lo`` wraps to the signed
+    reinterpretation in Java two's complement. DuckDB replicates it as
+    ``hi::HUGEINT * 2^32 + lo`` followed by an explicit ≥2^63 → −2^64
+    signed wrap — bit-for-bit identical (verified over the golden
+    tokens in tests). This gives the production 64-bit simhash a full
+    cross-engine differential oracle; :func:`md5_token_hash` (60-bit)
+    remains for engines without a 128-bit intermediate."""
+    hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def simhash(

@@ -39,6 +39,23 @@ def salted_join(
     return out.drop("_salt")
 
 
+def session_table_name(spark, base: str) -> str:
+    """Session-scoped catalog table name: ``base_<8-hex>`` keyed on the
+    Spark applicationId.
+
+    Build-once/query-many queries (q129/q144 index materialization,
+    streaming dedup state) need a STABLE name within a session so the
+    second call reuses the first build, but a fixed global name lets two
+    sessions sharing a warehouse (parallel test runs, concurrent
+    drivers) DROP + rmtree each other's index mid-query. applicationId
+    is unique per SparkSession lifecycle and constant across calls —
+    exactly that scope."""
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    return f"{base}_{hashlib.md5(app.encode()).hexdigest()[:8]}"
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
 ) -> None:

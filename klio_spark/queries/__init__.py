@@ -75,59 +75,73 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # verification-scheduling decision: front-load the entries with the LEAST
 # official evidence.
 #
-#   1. _VERIFY_FIRST — verification debt going into round 3: 12 entries no
-#      driver run has ever checked, 13 that were red in round 1 (since fixed
-#      and replica-verified, but the official record still shows red), and
-#      q71/q74 which reported `no_oracle` in round 2 (now reparameterized to
-#      oracle-checkable exact configs).
+#   1. _VERIFY_FIRST — verification debt going into round 4: the 7 entries
+#      no driver run has ever checked (q152-q157 landed at positions 51+ in
+#      round 3 and fell outside the window — exactly the eviction mode this
+#      comment warns about — plus q67, whose oracle is NEW this round: it
+#      was `no_oracle`/rows-only through r3 and now runs the production
+#      64-bit simhash on md5_token_hash64 with a full DuckDB twin), then
+#      every query whose Spark side or oracle CHANGED in round 4 (LSH
+#      bucket-width cap: q66/q106/q129; session-scoped index tables:
+#      q129/q144; floor-div epoch bucketing: q108/q145/q146; decimal
+#      moment sums: q150) — all replica-green locally, but the driver
+#      record is what counts.
 #   2. Everything else in import order — this is where NEW queries land
-#      automatically (they are neither in the prefix nor round-2 green).
-#   3. _R2_GREEN — the 48 entries driver round 2 just hash-verified; a
-#      repeat truncation costs the least information here.
+#      automatically (they are neither in the prefix nor in _DRIVER_GREEN).
+#   3. _DRIVER_GREEN — entries already hash-verified by a driver round
+#      (r1-r3 cumulative) and untouched since; a repeat truncation costs
+#      the least information here.
 _VERIFY_FIRST = [
-    # never driver-verified (green in judge replica)
-    "q32_cube", "q34_window_range_frame", "q35_salted_join", "q48_string_agg",
-    "q49_corr_covar", "q68_jaccard_capped_df", "q69_top_bigrams",
-    "q75_embedding_centroids", "q76_binary_meta", "q77_bpe_token_count",
-    "q102_unpivot", "q106_minhash_lsh_recall",
-    # red in driver round 1, fixed since, never officially re-checked
-    "q04_conditional_agg", "q15_asof_join", "q42_math_funcs", "q45_array_agg",
-    "q50_events_hourly", "q51_sessionization", "q52_events_json_props",
-    "q53_tumbling_window_batch", "q54_pivot", "q56_time_rollup_multigrain",
-    "q60_token_stats", "q66_minhash_lsh_dedup", "q67_simhash_dedup",
-    # `no_oracle` rows in round 2, now exact-parameterized with oracles
-    "q71_ann_lsh_topk", "q74_ann_ivf_topk",
-    # round-3 additions — never driver-verified, pinned inside the
-    # ~50-entry truncation window (without pinning, later additions push
-    # earlier ones out: q130/q131 landed at positions 55-56)
-    "q129_minhash_bucket_table", "q130_interval_join_batch",
-    "q131_trigger_upstream_batch", "q132_simhash_portable",
-    "q133_dedup_survivors", "q134_semantic_dedup", "q135_bm25_topk",
-    "q136_substring_dedup", "q137_span_corruption", "q138_vocab_coverage",
-    "q139_psi_drift", "q140_kmeans_assign", "q141_bigram_lm_score",
-    "q142_time_decay_score", "q143_skew_profile", "q144_inverted_index_topk",
+    # never driver-verified
+    "q152_pagerank", "q153_weighted_sample", "q154_time_weighted_avg",
+    "q155_winsorize", "q156_token_entropy", "q157_int8_ann_topk",
+    "q67_simhash_dedup",
+    # new in round 4
+    "q158_compaction_plan", "q159_zonemap_pruning",
+    # changed in round 4 — re-verify
+    "q66_minhash_lsh_dedup", "q106_minhash_lsh_recall",
+    "q129_minhash_bucket_table", "q144_inverted_index_topk",
     "q145_scd2_intervals", "q146_rolling_distinct_hll",
-    "q147_incremental_rollup", "q148_transition_matrix", "q149_dau_mau",
-    "q150_length_outliers", "q151_shingle_containment",
+    "q108_event_funnel", "q150_length_outliers",
 ]
 
-_R2_GREEN = [
-    "q108_event_funnel", "q109_retention_cohorts", "q110_activity_runs",
-    "q111_cdc_merge", "q113_keep_latest", "q114_interval_overlap_join",
-    "q112_negative_sampling", "q116_latency_histogram", "q117_ab_experiment",
-    "q119_growth_accounting", "q120_sliding_window_counts",
-    "q122_anomalous_hours", "q123_revenue_share_bp", "q124_funnel_windowed",
-    "q125_copurchase_pairs", "q126_bounce_rate", "q127_hierarchy_depth",
-    "q128_weighted_median", "q70_ann_bruteforce_topk", "q107_ann_quality",
-    "q72_embedding_near_dups", "q73_vector_norms_by_label",
+_DRIVER_GREEN = [
+    "q139_psi_drift", "q142_time_decay_score", "q147_incremental_rollup",
+    "q148_transition_matrix", "q149_dau_mau", "q71_ann_lsh_topk", "q74_ann_ivf_topk",
+    "q140_kmeans_assign", "q134_semantic_dedup", "q133_dedup_survivors",
+    "q137_span_corruption", "q135_bm25_topk", "q138_vocab_coverage", "q141_bigram_lm_score",
+    "q143_skew_profile", "q32_cube", "q34_window_range_frame", "q35_salted_join",
+    "q48_string_agg", "q49_corr_covar", "q69_top_bigrams", "q76_binary_meta",
+    "q77_bpe_token_count", "q75_embedding_centroids", "q60_token_stats",
+    "q61_quality_features", "q62_lang_id", "q63_fingerprint", "q64_exact_dedup",
+    "q65_ngram_jaccard_pairs", "q68_jaccard_capped_df", "q132_simhash_portable",
+    "q136_substring_dedup", "q151_shingle_containment", "q44_string_funcs2",
+    "q45_array_agg", "q46_calendar_funcs", "q09_arg_min_max", "q47_regexp_filter",
+    "q08_grouped_pandas_udaf", "q80_prologue_routing", "q81_recipients_routing",
+    "q82_audit_log", "q84_udf_quarantine", "q83_payload_roundtrip", "q14_nonequi_self_join",
+    "q15_asof_join", "q24_ntile_percent_rank", "q43_null_scalars", "q53_tumbling_window_batch",
+    "q56_time_rollup_multigrain", "q54_pivot", "q102_unpivot", "q55_above_group_avg",
+    "q130_interval_join_batch", "q131_trigger_upstream_batch", "q01_pricing_summary",
+    "q02_revenue_by_nation", "q03_group_stats", "q04_conditional_agg", "q05_rollup",
+    "q06_count_distinct", "q07_median_percentile", "q10_semi_join", "q11_anti_join",
+    "q12_outer_join_coalesce", "q13_cogroup_counts", "q20_window_topn_per_group",
+    "q21_window_running_sum", "q22_window_lag_lead", "q23_top_items_global",
+    "q30_union_distinct_intersect_except", "q31_drop_duplicates", "q40_string_funcs",
+    "q41_date_funcs", "q42_math_funcs", "q50_events_hourly", "q51_sessionization",
+    "q52_events_json_props", "q109_retention_cohorts", "q110_activity_runs",
+    "q111_cdc_merge", "q113_keep_latest", "q114_interval_overlap_join", "q112_negative_sampling",
+    "q116_latency_histogram", "q117_ab_experiment", "q119_growth_accounting",
+    "q120_sliding_window_counts", "q122_anomalous_hours", "q123_revenue_share_bp",
+    "q124_funnel_windowed", "q125_copurchase_pairs", "q126_bounce_rate",
+    "q127_hierarchy_depth", "q128_weighted_median", "q70_ann_bruteforce_topk",
+    "q107_ann_quality", "q72_embedding_near_dups", "q73_vector_norms_by_label",
     "q121_centroid_similarity", "q57_gap_fill", "q78_embedding_quantize",
     "q79_repetition_quality", "q85_dedup_clusters", "q87_contamination",
     "q88_stratified_sample", "q89_heavy_hitters", "q90_sequence_packing",
-    "q91_passage_dedup", "q92_domain_mixture", "q86_hash_split",
-    "q118_mixture_resample", "q93_pii_redaction", "q94_quality_filter",
-    "q95_doc_chunking", "q96_lm_rarity_score", "q97_tfidf_top_terms",
-    "q98_hll_distinct_rollup", "q101_theta_set_ops", "q100_bloom_semi_join",
-    "q99_kll_quantile_ranks", "q103_quality_constraints",
+    "q91_passage_dedup", "q92_domain_mixture", "q86_hash_split", "q118_mixture_resample",
+    "q93_pii_redaction", "q94_quality_filter", "q95_doc_chunking", "q96_lm_rarity_score",
+    "q97_tfidf_top_terms", "q98_hll_distinct_rollup", "q101_theta_set_ops",
+    "q100_bloom_semi_join", "q99_kll_quantile_ranks", "q103_quality_constraints",
     "q105_fuzzy_name_match", "q104_snapshot_diff", "q115_table_profile",
 ]
 
@@ -146,17 +160,18 @@ def all_queries() -> dict[str, QuerySpec]:
         envelope_ops,
         advanced,
         relational,
+        maintenance,
     )
 
     ordered: dict[str, QuerySpec] = {}
     for name in _VERIFY_FIRST:
         if name in _REGISTRY:
             ordered[name] = _REGISTRY[name]
-    r2 = set(_R2_GREEN)
+    r2 = set(_DRIVER_GREEN)
     for name, spec in _REGISTRY.items():
         if name not in ordered and name not in r2:
             ordered[name] = spec
-    for name in _R2_GREEN:
+    for name in _DRIVER_GREEN:
         if name in _REGISTRY and name not in ordered:
             ordered[name] = _REGISTRY[name]
     return ordered

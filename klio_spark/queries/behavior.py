@@ -33,7 +33,18 @@ from klio_spark.queries import load, register
 # TIMESTAMP_NTZ (see load()), which unix_micros rejects — cast first.
 # q108 consumes only DIFFERENCES of these, so a session-timezone offset
 # introduced by the NTZ→LTZ cast cancels out.
-_SECS = "CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS BIGINT) div 1000000"
+#
+# FLOOR division, not Spark's truncate-toward-zero `div`: the DuckDB
+# oracles write `//` (floor), and the two disagree on negative epochs
+# (pre-1970 timestamps). Shifting by the year-1 epoch offset
+# (62135596800000000 µs, an exact multiple of 1000000) makes the
+# numerator non-negative for every timestamp Spark can represent, so
+# `div` == floor — all arithmetic stays exact bigint (max shifted value
+# ≈ 3.2e17 ≪ 2^63).
+_SECS = (
+    "((CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS BIGINT)"
+    " + 62135596800000000) div 1000000 - 62135596800)"
+)
 
 
 @register(
@@ -1263,30 +1274,13 @@ def q139_psi_drift(spark: SparkSession, sf_dir: str):
         F.sum(F.col("_first").cast("int")).cast("bigint").alias("ca"),
         F.sum((~F.col("_first")).cast("int")).cast("bigint").alias("cb"),
     )
-    n = c.agg(
-        F.sum("ca").cast("bigint").alias("na"),
-        F.sum("cb").cast("bigint").alias("nb"),
-    )
-    s = (
-        c.crossJoin(F.broadcast(n))
-        .withColumn("pa", F.expr("(1000000 * ca) div na"))
-        .withColumn("qb", F.expr("(1000000 * cb) div nb"))
-        # cut on the INTEGERIZED shares, not raw counts: a sub-ppm share
-        # floors to 0 and ln(0) diverges between engines (see doc)
-        .filter((F.col("pa") > 0) & (F.col("qb") > 0))
-    )
-    iln = F.floor(
-        F.lit(1000000.0)
-        * F.log(F.col("pa").cast("double") / F.col("qb").cast("double"))
-    ).cast("bigint")
-    return s.select(
-        "event_type",
-        "ca",
-        "cb",
-        F.col("pa").cast("bigint").alias("pa_ppm"),
-        F.col("qb").cast("bigint").alias("qb_ppm"),
-        ((F.col("pa") - F.col("qb")) * iln).cast("bigint").alias("psi_contrib"),
-    )
+    # the PSI finalize is the SHARED kernel (functions/drift.py): the
+    # streaming monitor (streaming/__init__.py streaming_psi_drift)
+    # finalizes its live counts through this exact function, so this
+    # query's DuckDB oracle verifies the streaming math too
+    from klio_spark.functions.drift import psi_from_counts
+
+    return psi_from_counts(c, "event_type")
 
 
 @register(

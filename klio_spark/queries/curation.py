@@ -703,7 +703,10 @@ _Q144_TERMS = ("data", "value")  # co-occur at every test sf → non-empty top-1
     "is q135's claim; this row owns the index lifecycle.",
 )
 def q144_inverted_index_topk(spark: SparkSession, sf_dir: str):
-    from klio_spark.plans.partitioning import overwrite_bucketed_table
+    from klio_spark.plans.partitioning import (
+        overwrite_bucketed_table,
+        session_table_name,
+    )
 
     (d,) = load(spark, sf_dir, "documents")
     postings = (
@@ -713,8 +716,10 @@ def q144_inverted_index_topk(spark: SparkSession, sf_dir: str):
         .groupBy("tok", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # session-scoped name: concurrent sessions sharing a warehouse must
+    # not DROP each other's index out from under a running query
     idx = overwrite_bucketed_table(
-        postings, "q144_inv_index", "tok", buckets=8
+        postings, session_table_name(spark, "q144_inv_index"), "tok", buckets=8
     )
     hits = (
         idx.filter(F.col("tok").isin(*_Q144_TERMS))

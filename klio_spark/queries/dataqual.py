@@ -310,10 +310,17 @@ def q143_skew_profile(spark: SparkSession, sf_dir: str):
 )
 def q150_length_outliers(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
+    # decimal(38,0) is Spark's counterpart of the HUGEINT DuckDB's SUM
+    # promotes to: the square and both sums stay exact (no int64 wrap,
+    # no ANSI abort) for any corpus whose totals fit 38 digits, and
+    # decimal aggregation is order-independent so the hash stays stable
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("n_chars").alias("sm"),
-        F.sum(F.expr("n_chars * n_chars")).alias("sq"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sm"),
+        F.sum(
+            F.col("n_chars").cast("decimal(19,0)")
+            * F.col("n_chars").cast("decimal(19,0)")
+        ).alias("sq"),
     )
     z = F.expr("CAST(n_chars * n - sm AS DOUBLE)")
     rhs = 4.0 * (

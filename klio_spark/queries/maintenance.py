@@ -1,0 +1,207 @@
+"""Table-maintenance operators: compaction planning and zone-map
+(data-skipping) pruning — the housekeeping surface a 100 TB lakehouse
+deployment runs nightly.
+
+Neither has a reference twin (klio delegates storage to GCS/BQ); they are
+extension rows in the SURVEY §2.9 spirit: the two operations that keep a
+petabyte parquet estate scannable (small-files compaction) and
+prunable (min/max stats), expressed as exact-integer plans a DuckDB
+oracle verifies hash-for-hash.
+
+Determinism rules as per the queries module doc: every measure integer,
+floor-division only on non-negative numerators (Spark `div` truncates
+toward zero while the oracle's `//` floors — numerators here are
+cumulative sums of filtered-positive sizes, so the two agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from klio_spark.queries import load, register
+
+_TARGET = 20_000  # compaction target bin size (chars stand in for bytes)
+
+
+@register(
+    "q158_compaction_plan",
+    f"""
+    WITH f AS (
+      SELECT doc_id AS file_id, source, n_chars AS sz
+      FROM documents WHERE n_chars > 0
+    ),
+    c AS (
+      SELECT file_id, source, sz,
+             SUM(sz) OVER (PARTITION BY source
+                           ORDER BY sz DESC, file_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f
+    ),
+    b AS (
+      SELECT file_id, source, sz, (cum - 1) // {_TARGET} AS bin FROM c
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+           CAST(MIN(file_id) AS BIGINT) AS first_file,
+           CAST(MAX(file_id) AS BIGINT) AS last_file
+    FROM b GROUP BY source, bin
+    """,
+    doc="small-files compaction planner (the OPTIMIZE/rewrite step every "
+    "parquet estate needs: a 100 TB table ingested in small increments "
+    "degrades into millions of KB-files whose open/footer overhead "
+    "dominates scans): files (stand-in: documents, size = n_chars) are "
+    "assigned to target-size output bins per partition (source) by "
+    "cumulative-fill — sort by size DESC with id tie-break, running sum, "
+    "bin = (cum-1) div target — the deterministic, ONE-window "
+    "formulation of bin packing (first-fit-decreasing's sequential scan "
+    "cannot distribute; cumulative-fill gives the same ≈target bins and "
+    "is a single per-partition sort). All integer: sizes are filtered "
+    "positive so the truncating div equals the oracle's floor div. The "
+    "plan per source is one exchange + one window + one agg that reuses "
+    "the window's partitioning; at scale 'source' is the table "
+    "partition key, so the planner shuffles file METADATA (one row per "
+    "file), never data.",
+)
+def q158_compaction_plan(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    f = d.filter(F.col("n_chars") > 0).select(
+        F.col("doc_id").alias("file_id"), "source", F.col("n_chars").alias("sz")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("sz"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = f.withColumn("cum", F.sum("sz").over(w)).withColumn(
+        "bin", F.expr(f"(cum - 1) div {_TARGET}")
+    )
+    return b.groupBy("source", F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("sz").cast("bigint").alias("bin_bytes"),
+        F.min("file_id").cast("bigint").alias("first_file"),
+        F.max("file_id").cast("bigint").alias("last_file"),
+    )
+
+
+_ZLO, _ZHI = 10.0, 50.0  # the range predicate the zone maps answer
+_BLK = 1000  # rows per synthetic block ("file")
+
+
+@register(
+    "q159_zonemap_pruning",
+    f"""
+    WITH e AS (
+      SELECT event_id, value, event_id // {_BLK} AS blk
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    z AS (
+      SELECT blk, MIN(value) AS lo, MAX(value) AS hi,
+             COUNT(*) AS n
+      FROM e GROUP BY blk
+    ),
+    cls AS (
+      SELECT blk, n,
+             CASE WHEN lo >= {_ZLO} AND hi < {_ZHI} THEN 2
+                  WHEN hi < {_ZLO} OR lo >= {_ZHI} THEN 0
+                  ELSE 1 END AS c
+      FROM z
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS full_blocks,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS partial_blocks,
+             CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pruned_blocks,
+             CAST(SUM(CASE WHEN c = 2 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_from_stats
+      FROM cls
+    ),
+    scan AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_from_scan
+      FROM e JOIN cls USING (blk)
+      WHERE cls.c = 1 AND e.value >= {_ZLO} AND e.value < {_ZHI}
+    ),
+    direct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS direct_rows
+      FROM e WHERE value >= {_ZLO} AND value < {_ZHI}
+    )
+    SELECT a.n_blocks, a.full_blocks, a.partial_blocks, a.pruned_blocks,
+           a.rows_from_stats, s.rows_from_scan,
+           a.rows_from_stats + s.rows_from_scan AS total_rows,
+           (a.rows_from_stats + s.rows_from_scan = d.direct_rows)
+             AS lossless
+    FROM agg a CROSS JOIN scan s CROSS JOIN direct d
+    """,
+    doc="zone-map (min/max data-skipping) pruning — the stats-table "
+    "pattern behind every lakehouse range scan (parquet row-group "
+    "stats, Delta file stats): per-block min/max/count zone maps are "
+    "built once (stand-in blocks: event_id div 1000 ≈ files), a range "
+    "predicate classifies each block full/partial/pruned from STATS "
+    "ALONE, fully-covered blocks answer from their counts without "
+    "touching rows, only partial blocks rescan (broadcast semi-join on "
+    "the tiny partial-block id set), and the `lossless` envelope "
+    "boolean proves stats+scan equals the direct filter on BOTH "
+    "engines — the same referee pattern as q98/q147. At 100 TB the z "
+    "frame is the persisted stats table (q98's sketch-table "
+    "lifecycle); the fact table is scanned once to build it and only "
+    "partial blocks thereafter.",
+)
+def q159_zonemap_pruning(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select("event_id", "value", F.expr(f"event_id div {_BLK}").alias("blk"))
+    z = e.groupBy("blk").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cls = z.select(
+        "blk",
+        "n",
+        F.when((F.col("lo") >= _ZLO) & (F.col("hi") < _ZHI), 2)
+        .when((F.col("hi") < _ZLO) | (F.col("lo") >= _ZHI), 0)
+        .otherwise(1)
+        .alias("c"),
+    )
+    agg = cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("full_blocks"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("partial_blocks"),
+        F.sum((F.col("c") == 0).cast("int")).cast("bigint").alias("pruned_blocks"),
+        F.sum(F.when(F.col("c") == 2, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_from_stats"),
+    )
+    partial = cls.filter(F.col("c") == 1).select("blk")
+    scan = (
+        e.join(F.broadcast(partial), "blk", "left_semi")
+        .filter((F.col("value") >= _ZLO) & (F.col("value") < _ZHI))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_from_scan"))
+    )
+    direct = e.filter(
+        (F.col("value") >= _ZLO) & (F.col("value") < _ZHI)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("direct_rows"))
+    return (
+        agg.crossJoin(F.broadcast(scan))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "n_blocks",
+            "full_blocks",
+            "partial_blocks",
+            "pruned_blocks",
+            "rows_from_stats",
+            "rows_from_scan",
+            (F.col("rows_from_stats") + F.col("rows_from_scan")).alias(
+                "total_rows"
+            ),
+            (
+                F.col("rows_from_stats") + F.col("rows_from_scan")
+                == F.col("direct_rows")
+            ).alias("lossless"),
+        )
+    )

@@ -314,10 +314,14 @@ def q99_kll_quantile_ranks(spark: SparkSession, sf_dir: str):
 )
 def q146_rolling_distinct_hll(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
+    # floor division matching the oracle's `//` even pre-1970: the year-1
+    # epoch shift (62135596800000000 µs = 719162 whole days) keeps the
+    # numerator non-negative, so truncating `div` equals floor — exact
+    # bigint throughout (the _SECS convention in queries/behavior.py)
     ev = e.select(
         F.expr(
-            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
-            " div 86400000000"
+            "(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " + 62135596800000000) div 86400000000 - 719162"
         ).alias("d"),
         "user_id",
     )

@@ -276,6 +276,8 @@ def q66_minhash_lsh_dedup(spark: SparkSession, sf_dir: str):
     "output as q66, same exact-pairs oracle.",
 )
 def q129_minhash_bucket_table(spark: SparkSession, sf_dir: str):
+    from klio_spark.plans.partitioning import session_table_name
+
     (d,) = load(spark, sf_dir, "documents")
     return dd.minhash_lsh_dedup(
         d,
@@ -285,7 +287,9 @@ def q129_minhash_bucket_table(spark: SparkSession, sf_dir: str):
         num_hashes=64,
         bands=16,
         threshold=0.3,
-        bucket_table="q129_mh_buckets",  # lands in spark-warehouse/ (job dir)
+        # session-scoped name in spark-warehouse/ (job dir): concurrent
+        # sessions must not DROP each other's bucket table mid-query
+        bucket_table=session_table_name(spark, "q129_mh_buckets"),
         n_buckets=8,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -330,15 +334,69 @@ def q106_minhash_lsh_recall(spark: SparkSession, sf_dir: str):
 
 @register(
     "q67_simhash_dedup",
-    None,  # xxhash64-based bits are engine-specific → rows-only check
+    """
+    WITH th AS (
+      SELECT doc_id,
+             CAST(CASE WHEN v >= 9223372036854775808
+                       THEN v - 18446744073709551616 ELSE v END
+                  AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                    AS HUGEINT) * 4294967296
+               + CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS v
+        FROM (SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t != '')) AS tok
+              FROM documents)
+      )
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(range(64)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(CASE WHEN s >= 9223372036854775808
+                       THEN s - 18446744073709551616 ELSE s END
+                  AS BIGINT) AS simhash
+      FROM (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << bit
+                        ELSE 0 END) AS s
+        FROM votes GROUP BY doc_id
+      )
+    ),
+    sh0 AS (
+      -- token-less / NULL-text docs vanish from th (nothing to unnest)
+      -- but Spark's vote UDF assigns them signature 0 — mirror that
+      SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sh s USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
     doc="64-bit SimHash near-dups within hamming≤8 via block pigeonhole "
-    "bucketing; verification = bit_count(a^b). Rows-only here because "
-    "only Spark can produce xxhash64 bits — the full pipeline semantics "
-    "are oracle-checked by q132, the md5-hash twin DuckDB replicates.",
+    "bucketing; verification = bit_count(a^b). The per-token hash is "
+    "md5_token_hash64 — the PRODUCTION bit-width (64), built from two "
+    "exact 32-bit md5 halves so DuckDB re-derives the whole pipeline "
+    "bit-for-bit (signed wrap via HUGEINT): bit votes, signature "
+    "packing incl. the sign bit, 9-block pigeonhole losslessness, and "
+    "the hamming verify are all hash-checked, not rows-only. The "
+    "xxhash64 default (same pipeline, engine-native hash) is covered "
+    "by tests/test_dedup.py; q132 keeps the 60-bit single-conv "
+    "variant.",
 )
 def q67_simhash_dedup(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
-    return dd.simhash_near_dups(d, "text", "doc_id", max_hamming=8)
+    return dd.simhash_near_dups(
+        d, "text", "doc_id", max_hamming=8, token_hash=dd.md5_token_hash64
+    )
 
 
 @register(

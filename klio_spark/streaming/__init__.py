@@ -360,7 +360,10 @@ def stateful_transitions(
     carried last event still emits in arrival order (the documented
     streaming relaxation, as in stateful_funnel). NaT timestamps are
     skipped (no position in the sequence); a NULL id sorts first among
-    ties, matching the batch window's NULLS FIRST."""
+    ties, matching the batch window's NULLS FIRST. A NULL event_type is
+    preserved as NULL (q148 LAG semantics): it emits as a NULL
+    next_type and suppresses the following event's transition — never
+    the string 'None'."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -372,10 +375,18 @@ def stateful_transitions(
                 t = pd.Timestamp(ts)
                 if t is not pd.NaT and not pd.isna(t):
                     ik = -(2**63) if pd.isna(eid) else int(eid)
-                    evs.append((int(t.value // 1000), ik, str(et)))
+                    # NULL event_type passes through as None — NOT
+                    # str()-coerced to 'None' — so X→NULL transitions
+                    # emit with a NULL next_type and NULL→Y transitions
+                    # are dropped (prev None), exactly matching q148's
+                    # batch LAG + `prev IS NOT NULL` semantics
+                    ev = None if pd.isna(et) else str(et)
+                    evs.append((int(t.value // 1000), ik, ev))
         if not evs:
             return
-        evs.sort()
+        # sort on (time, id) only — the batch window's ORDER BY; the
+        # type must not act as a tie-break (None isn't comparable anyway)
+        evs.sort(key=lambda x: (x[0], x[1]))
         (prev_e,) = state.get if state.exists else (None,)
         out = []
         for tm, _ik, et in evs:
@@ -669,6 +680,135 @@ def write_stream_text(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_kafka(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint: str,
+    wire_format: str = "proto",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """KlioWriteToPubSub's production twin (io.py:660-702): envelope →
+    wire bytes → Kafka record value.
+
+    ``wire_format="proto"`` publishes real KlioMessage protobuf
+    (envelope.to_proto_wire → raw bytes in the Kafka value, never a
+    string round-trip that would corrupt non-UTF-8 protobuf), so an
+    unmodified reference klio job can consume the topic; ``"json"``
+    publishes the JSON wire lines trigger_upstream uses between
+    klio-spark jobs. Exactly-once to the checkpoint horizon comes from
+    Structured Streaming's offset tracking (the reference's
+    ack-deadline machinery, pubsub_message_manager.py:47-314).
+    Requires the spark-sql-kafka package on the classpath — the
+    marker-gated integration test (tests/test_kafka_integration.py)
+    skips where it is absent."""
+    if wire_format == "proto":
+        from klio_spark.envelope import to_proto_wire
+
+        out = to_proto_wire(df)
+    else:
+        from klio_spark.envelope import to_wire
+
+        out = to_wire(df)
+    writer = (
+        out.select(F.col("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_psi_drift(
+    df: DataFrame,
+    reference: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live population-stability monitor — the streaming twin of q139.
+
+    The stream's category mix accumulates in Spark's built-in
+    incremental streaming aggregation (complete-mode groupBy count:
+    state = one int64 per category, checkpoint-durable, resumed across
+    restarts), and each trigger finalizes PSI against the static
+    ``reference`` frame (key_col, ca) through
+    :func:`klio_spark.functions.drift.psi_from_counts` — the EXACT
+    kernel q139's DuckDB oracle hash-verifies every round, so the
+    streaming monitor's arithmetic carries the batch query's
+    correctness evidence. ``sink(psi_df, batch_id)`` receives the
+    per-category contribution frame (psi_contrib in 1e-12 units, exact
+    int64).
+
+    A category absent from one side floors to 0 ppm and is excluded by
+    the kernel (q139's documented cut); the full-outer join keeps novel
+    live categories in the comparison totals, exactly like the batch
+    split. At scale the state and the finalize are both
+    |categories|-sized — nothing re-scans history."""
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    ref = reference.select(key_col, F.col("ca").cast("bigint").alias("ca"))
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        from klio_spark.functions.drift import psi_from_counts
+
+        c = ref.join(batch.select(key_col, "cb"), key_col, "full").select(
+            key_col,
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+        sink(psi_from_counts(c, key_col), batch_id)
+
+    writer = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def rolling_distinct_sketch(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window approximate distinct — the streaming twin of
+    q146's rolling 7-day HLL rollup.
+
+    The same Datasketches HLL the batch query merges runs INSIDE the
+    streaming aggregation: each event updates the ≤ window/slide open
+    window sketches it serves (state = one ~4 KB sketch per open
+    window, bounded by the watermark — an exact streaming
+    COUNT(DISTINCT) would instead buffer every (window, user) pair),
+    and a window emits once, on watermark close (append mode). HLL
+    register state is a deterministic, order-independent function of
+    the element SET, so a closed window's estimate equals the batch
+    rollup over the same membership bit-for-bit — which is what the
+    checkpoint-restart test asserts against the q146 kernel."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"))
+        .agg(F.hll_sketch_agg(id_col).alias("_sk"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.hll_sketch_estimate("_sk").cast("bigint").alias(
+                "approx_distinct"
+            ),
+        )
+    )
 
 
 def foreach_batch_sink(

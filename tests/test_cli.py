@@ -90,6 +90,24 @@ def test_job_profile(spark, job_dir, capsys):
     assert "cumulative" in out  # cProfile table printed
 
 
+def test_job_profile_line_mode(spark, job_dir, capsys):
+    """--what line: per-line wall table of the driver-side run() — lines
+    attributed to the user's run.py, hit counts >= 1, and the JSON
+    report carries the same rows the table prints."""
+    rc = cli.main(
+        ["job", "profile", "--config", str(job_dir / "klio-job.yaml"),
+         "--what", "line", "x1", "x2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["what"] == "line" and payload["output_rows"] == 2
+    assert payload["file"].endswith("run.py")
+    assert payload["lines"], "at least one traced line"
+    assert all(l["hits"] >= 1 and l["time_ms"] >= 0 for l in payload["lines"])
+    assert "Per-line wall time" in out
+
+
 def test_message_publish(job_dir, tmp_path):
     # point the event input at a directory (stream-style) for publishing
     cfg = (job_dir / "klio-job.yaml").read_text().replace(

@@ -232,3 +232,41 @@ def test_embedding_near_dups_exact_vs_lsh(spark):
     assert got == {(1, 2)}
     lsh = dd.embedding_near_dups(df, "embedding", "vec_id", 0.9, use_lsh=True)
     assert {(r.id_a, r.id_b) for r in lsh.collect()} == {(1, 2)}
+
+
+def test_minhash_bucket_cap_lossless(spark, docs):
+    # cap-on (forced absurdly low so EVERY multi-bucket routes through
+    # the streamed wide-join branch) must equal cap-off exactly — the
+    # split is a physical-plan change, never a result change
+    base = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.minhash_lsh_dedup(
+            docs, "text", "doc_id", threshold=0.3, bucket_cap=None
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.minhash_lsh_dedup(
+            docs, "text", "doc_id", threshold=0.3, bucket_cap=1
+        ).collect()
+    }
+    assert capped == base and len(base) >= 2
+
+
+def test_minhash_boilerplate_corpus_bounded(spark):
+    # adversarial corpus: one boilerplate cluster where every doc shares
+    # every band bucket — the collect_list row would hold all n ids in a
+    # single aggregation buffer; the capped path streams it. Result must
+    # still be the complete n*(n-1)/2 pair set at jaccard 1.0, plus the
+    # distinct singletons contributing nothing.
+    n = 300
+    rows = [(i, "terms of service apply to all users of this site always") for i in range(n)]
+    rows += [(1000 + i, f"unique document number {i} with its own distinct words {i * 7}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.minhash_lsh_dedup(
+        df, "text", "doc_id", threshold=0.9, bucket_cap=32
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert got == want
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in out)

@@ -27,11 +27,11 @@ def test_oracle_sql_shape():
     # every oracle key is a declared query; sql is non-empty ANSI text
     assert set(oracles) <= set(qs)
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
-    # the rows-only set is small and intentional: only simhash remains
-    # (its bit-level output is irreducibly engine-specific; q66/q71/q74
-    # were reparameterized onto exact oracles in round 3)
+    # zero rows-only entries since round 4: q67 (the last holdout) now
+    # runs the production 64-bit simhash on md5_token_hash64, which
+    # DuckDB re-derives bit-for-bit via two 32-bit md5 halves
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q67_simhash_dedup"}
+    assert rows_only == set()
 
 
 def test_one_query_executes_at_smoke_scale(spark):

@@ -582,6 +582,57 @@ def test_stateful_transitions_matches_batch_matrix(spark, tmp_path):
     assert (1, "click", "purchase") in got
 
 
+def test_stateful_transitions_null_event_type(spark, tmp_path):
+    """NULL event_type must flow through as NULL, exactly like q148's
+    batch LAG: X->NULL transitions emit (next_type NULL), NULL->Y
+    transitions are suppressed (prev NULL), and the string 'None' never
+    appears. The NULL crosses a micro-batch boundary via state."""
+    import datetime as dt
+
+    edir = tmp_path / "transnull"
+    (edir / "p").mkdir(parents=True)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    b1 = [(1, 1, "view", t(0)), (2, 1, None, t(1))]
+    b2 = [(3, 1, "click", t(2)), (4, 1, "purchase", t(3))]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_transitions(stream),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/toutnull"
+            ),
+            str(tmp_path / "ckpt-transnull"),
+        )
+        q.awaitTermination(60)
+
+    run(b1)
+    run(b2)
+
+    got = sorted(
+        (r.user_id, r.prev_type, r.next_type)
+        for r in spark.read.parquet(f"{tmp_path}/toutnull").collect()
+    )
+    full = spark.createDataFrame(b1 + b2, schema)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        (r.user_id, r.prev, r.event_type)
+        for r in full.withColumn(
+            "prev", F.lag("event_type").over(w)
+        ).filter(F.col("prev").isNotNull()).collect()
+    )
+    assert got == want
+    # the batch semantics concretely: view->NULL emitted, NULL->click
+    # suppressed, click->purchase emitted, and no 'None' strings
+    assert got == [(1, "click", "purchase"), (1, "view", None)]
+
+
 def test_incremental_minhash_dedup_remembers_across_batches(
     spark, tmp_path
 ):
@@ -732,3 +783,139 @@ def test_compact_dedup_state_roundtrip(spark, tmp_path):
         assert {r.doc_id for r in novel} == {9}
     finally:
         spark.sql("DROP TABLE IF EXISTS compact_seed_test")
+
+
+def test_streaming_psi_drift_matches_batch_kernel(spark, tmp_path):
+    """streaming_psi_drift's finalize IS q139's oracle-verified kernel:
+    the live monitor output must equal psi_from_counts applied batch-side
+    to (reference ⟗ cumulative stream counts) — including after a
+    checkpoint restart, which must resume the cumulative counts, and for
+    a novel live-only category (enters totals; excluded rows floor to
+    0 ppm on one side)."""
+    import datetime as dt
+
+    from klio_spark.functions.drift import psi_from_counts
+
+    edir = tmp_path / "psi"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, event_type string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+    ref = spark.createDataFrame(
+        [("view", 600), ("click", 300), ("purchase", 100)],
+        "event_type string, ca long",
+    )
+    b1 = [(i, "view", t0) for i in range(30)] + [
+        (100 + i, "click", t0) for i in range(10)
+    ]
+    b2 = [(200 + i, "purchase", t0) for i in range(5)] + [
+        (300 + i, "novel_type", t0) for i in range(55)
+    ]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.streaming_psi_drift(
+            stream,
+            ref,
+            lambda psi, bid: psi.write.mode("overwrite").parquet(
+                f"{tmp_path}/psiout"
+            ),
+            str(tmp_path / "ckpt-psi"),
+        )
+        q.awaitTermination(60)
+
+    def batch_referee(rows):
+        live = (
+            spark.createDataFrame(rows, schema)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        )
+        c = ref.join(live, "event_type", "full").select(
+            "event_type",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+        return {
+            (r.event_type, r.ca, r.cb, r.pa_ppm, r.qb_ppm, r.psi_contrib)
+            for r in psi_from_counts(c).collect()
+        }
+
+    run(b1)
+    got1 = {
+        tuple(r) for r in spark.read.parquet(f"{tmp_path}/psiout").collect()
+    }
+    assert got1 == batch_referee(b1)
+
+    run(b2)  # restart: cumulative counts must include b1's
+    got2 = {
+        tuple(r) for r in spark.read.parquet(f"{tmp_path}/psiout").collect()
+    }
+    assert got2 == batch_referee(b1 + b2)
+    # novel_type has ca=0 → pa_ppm floors to 0 → excluded row, but its
+    # 55 events must have entered the comparison total (they shift every
+    # qb_ppm); prove the exclusion actually happened
+    assert not any(t[0] == "novel_type" for t in got2)
+
+
+def test_rolling_distinct_sketch_closes_windows_exactly(spark, tmp_path):
+    """rolling_distinct_sketch across a checkpoint restart: closed
+    sliding windows must carry the same estimate the batch HLL rollup
+    computes over the same membership (register state is an
+    order-independent function of the element set), and windows only
+    emit once the watermark passes their end."""
+    import datetime as dt
+
+    edir = tmp_path / "roll"
+    (edir / "p").mkdir(parents=True)
+    schema = "user_id long, ts timestamp"
+    day = lambda d, u: (u, dt.datetime(2024, 1, d))  # noqa: E731
+    b1 = [day(1, 1), day(1, 2), day(2, 2), day(2, 3)]
+    b2 = [day(3, 3), day(3, 4), day(3, 5)]
+    flush1 = [(999, dt.datetime(2024, 2, 1))]
+    flush2 = [(998, dt.datetime(2024, 2, 10))]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.rolling_distinct_sketch(
+                stream, "ts", "user_id", window="3 days", slide="1 day"
+            ),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/rollout"
+            ),
+            str(tmp_path / "ckpt-roll"),
+        )
+        q.awaitTermination(60)
+
+    run(b1)
+    run(b2)      # restart: day-1/2 sketch state must survive
+    run(flush1)  # advances watermark past the data windows
+    run(flush2)  # emission batch for windows flush1 unlocked
+
+    out = spark.read.parquet(f"{tmp_path}/rollout").collect()
+    got = {
+        (r.window_start, r.window_end): r.approx_distinct for r in out
+    }
+    # every 3-day window overlapping days 1-3 has closed by now
+    full = spark.createDataFrame(b1 + b2, schema)
+    jan = dt.datetime(2024, 1, 1)
+    want_windows = [
+        (jan + dt.timedelta(days=o), jan + dt.timedelta(days=o + 3))
+        for o in range(-2, 3)
+    ]
+    for ws, we in want_windows:
+        referee = full.filter(
+            (F.col("ts") >= ws) & (F.col("ts") < we)
+        ).agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("bigint")
+            .alias("n")
+        ).collect()[0].n
+        assert got[(ws, we)] == referee, (ws, we)
+    # sanity on actual distinct membership: days 1-3 hold users 1-5
+    assert got[(jan, jan + dt.timedelta(days=3))] == 5

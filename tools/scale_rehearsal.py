@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Scale rehearsal: run the heavy dedup/ANN/graph stack at an amplified
+scale factor and record the scaling curve.
+
+The driver ships testdata up to sf0.1; every plan audit so far is at
+that scale. This tool amplifies sf0.1 by K× (default 10 → "sf1") into
+``.scale/sf1/`` under the repo and times the stack at both scales, so a
+super-linear query (an uncapped bucket, a non-broadcast join that stops
+being broadcastable, a driver collect that grows with N) shows up as a
+ratio well above K before it shows up as a 100 TB incident.
+
+Amplification preserves each workload's STRUCTURE instead of distorting
+it with K exact copies:
+  * documents — copy k Caesar-shifts the alphabet (translate(), a cheap
+    JVM bijection): token equality WITHIN a copy is preserved exactly
+    (same near-dup clusters, same shingle distribution), while tokens
+    across copies differ (no artificial K-wide cross-copy duplicate
+    clusters that would blow up pair outputs superlinearly and make the
+    timing curve meaningless). doc_id shifts by k*ID_STRIDE.
+  * embeddings — copy k adds a deterministic offset to the first two
+    components (breaks cross-copy exact-duplicate vectors; within-copy
+    geometry intact); vec_id shifts.
+  * events — user_id/event_id shift by k*ID_STRIDE; timestamps are kept
+    (10× the events over the same time range — how a bigger deployment
+    actually looks).
+  * orders/lineitem — o_orderkey/l_orderkey shift; part/customer keys
+    are kept (same catalog, more orders — q152's graph gains edge
+    weight, not artificial nodes).
+Dimension tables copy through unchanged.
+
+Usage:
+    python tools/scale_rehearsal.py [--factor 10] [--queries q65,q66,...]
+
+Prints one JSON line with per-query seconds at each scale and the
+time ratio; linear-with-log scaling means ratio ≈ factor (shuffles are
+O(N log N) at worst); anything far above warrants a plan fix.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ID_STRIDE = 1_000_000_000
+
+DEFAULT_QUERIES = [
+    "q65_ngram_jaccard_pairs",
+    "q66_minhash_lsh_dedup",
+    "q85_dedup_clusters",
+    "q106_minhash_lsh_recall",
+    "q129_minhash_bucket_table",
+    "q144_inverted_index_topk",
+    "q152_pagerank",
+    "q67_simhash_dedup",
+    "q134_semantic_dedup",
+    "q70_ann_bruteforce_topk",
+]
+
+CAESAR_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def caesar(k: int) -> str:
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    up = lo.upper()
+    s = k % 26
+    return lo[s:] + lo[:s] + up[s:] + up[:s]
+
+
+def amplify(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst_dir, exist_ok=True)
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        dst = os.path.join(dst_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        if t in ("region", "nation", "customer", "supplier", "part"):
+            out = df
+        else:
+            copies = []
+            for k in range(factor):
+                c = df
+                if t == "documents":
+                    c = c.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(k * ID_STRIDE)
+                    ).withColumn(
+                        "text",
+                        F.translate("text", CAESAR_SRC, caesar(k)),
+                    )
+                elif t == "embeddings":
+                    c = c.withColumn(
+                        "vec_id", F.col("vec_id") + F.lit(k * ID_STRIDE)
+                    ).withColumn(
+                        "embedding",
+                        F.expr(
+                            f"transform(embedding, (x, i) -> CAST(x + "
+                            f"CASE WHEN i = 0 THEN {k} * 0.777 "
+                            f"WHEN i = 1 THEN {k} * -0.333 "
+                            f"ELSE 0.0 END AS FLOAT))"
+                        ),
+                    )
+                elif t == "events":
+                    for col in ("event_id", "user_id"):
+                        if col in c.columns:
+                            c = c.withColumn(
+                                col, F.col(col) + F.lit(k * ID_STRIDE)
+                            )
+                elif t == "orders":
+                    c = c.withColumn(
+                        "o_orderkey", F.col("o_orderkey") + F.lit(k * ID_STRIDE)
+                    )
+                elif t == "lineitem":
+                    c = c.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + F.lit(k * ID_STRIDE)
+                    )
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        # write as a single parquet FILE path (load() reads a path, and
+        # a directory of part files works identically)
+        out.repartition(8).write.mode("overwrite").parquet(dst)
+        print(f"amplified {t}", file=sys.stderr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="only time the amplified scale")
+    args = ap.parse_args()
+
+    from klio_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-rehearsal")
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", f"x{args.factor}",
+    )
+    amplify(spark, args.src, dst, args.factor)
+
+    from klio_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [n for n in args.queries.split(",") if n]
+    result = {"factor": args.factor, "queries": {}}
+    for name in names:
+        spec = qs[name]
+        entry = {}
+        for label, d in (("base", args.src), ("scaled", dst)):
+            if label == "base" and args.skip_base:
+                continue
+            t0 = time.perf_counter()
+            n = spec.fn(spark, d).count()
+            entry[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
+            entry[f"{label}_rows"] = n
+            spark.catalog.clearCache()
+        if "base_sec" in entry and entry["base_sec"] > 0:
+            entry["ratio"] = round(entry["scaled_sec"] / entry["base_sec"], 2)
+        result["queries"][name] = entry
+        print(f"{name}: {entry}", file=sys.stderr)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
