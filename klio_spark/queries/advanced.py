@@ -322,8 +322,11 @@ def q55_above_group_avg(spark: SparkSession, sf_dir: str):
          r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS rts
                FROM events WHERE event_type = 'click')
     SELECT l.user_id AS user_id, COUNT(*) AS n_pairs,
-           CAST(SUM(epoch_us(l.lts) // 1000000
-                    - epoch_us(r.rts) // 1000000) AS BIGINT) AS sum_lag_secs
+           -- year-1 shift: DuckDB's integer // truncates toward zero
+           -- (like Spark div); both sides FLOOR by shifting non-negative
+           CAST(SUM((epoch_us(l.lts) + 62135596800000000) // 1000000
+                    - (epoch_us(r.rts) + 62135596800000000) // 1000000)
+                AS BIGINT) AS sum_lag_secs
     FROM l JOIN r
       ON l.user_id = r.user_id
      AND r.rts <= l.lts AND r.rts > l.lts - INTERVAL 10 MINUTE
@@ -357,10 +360,16 @@ def q130_interval_join_batch(spark: SparkSession, sf_dir: str):
         j.select(
             F.col("l.user_id").alias("user_id"),
             # CAST AS TIMESTAMP first: a vanilla session reads the parquet
-            # column as TIMESTAMP_NTZ, which unix_micros rejects
+            # column as TIMESTAMP_NTZ, which unix_micros rejects.
+            # Each side floors SEPARATELY (the oracle's `//`), so the
+            # year-1 shift makes truncating `div` equal floor even for
+            # pre-1970 timestamps (the _SECS convention in behavior.py);
+            # the constant offsets cancel in the difference.
             F.expr(
-                "unix_micros(CAST(l.ts AS TIMESTAMP)) div 1000000"
-                " - unix_micros(CAST(r.ts AS TIMESTAMP)) div 1000000"
+                "(unix_micros(CAST(l.ts AS TIMESTAMP)) + 62135596800000000)"
+                " div 1000000"
+                " - (unix_micros(CAST(r.ts AS TIMESTAMP)) + 62135596800000000)"
+                " div 1000000"
             ).alias("_lag"),
         )
         .groupBy("user_id")

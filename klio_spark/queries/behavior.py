@@ -76,16 +76,16 @@ _SECS = (
            CAST(0 AS BIGINT) AS sum_lag_secs FROM s1
     UNION ALL
     SELECT '2_view', COUNT(*),
-           CAST(COALESCE(SUM(epoch_us(t) // 1000000
-                             - epoch_us(t0) // 1000000), 0) AS BIGINT) FROM s2
+           CAST(COALESCE(SUM((epoch_us(t) + 62135596800000000) // 1000000
+                             - (epoch_us(t0) + 62135596800000000) // 1000000), 0) AS BIGINT) FROM s2
     UNION ALL
     SELECT '3_click', COUNT(*),
-           CAST(COALESCE(SUM(epoch_us(t) // 1000000
-                             - epoch_us(t0) // 1000000), 0) AS BIGINT) FROM s3
+           CAST(COALESCE(SUM((epoch_us(t) + 62135596800000000) // 1000000
+                             - (epoch_us(t0) + 62135596800000000) // 1000000), 0) AS BIGINT) FROM s3
     UNION ALL
     SELECT '4_purchase', COUNT(*),
-           CAST(COALESCE(SUM(epoch_us(t) // 1000000
-                             - epoch_us(t0) // 1000000), 0) AS BIGINT) FROM s4
+           CAST(COALESCE(SUM((epoch_us(t) + 62135596800000000) // 1000000
+                             - (epoch_us(t0) + 62135596800000000) // 1000000), 0) AS BIGINT) FROM s4
     """,
     doc="Ordered conversion funnel signup→view→click→purchase: stage k "
     "reaches users whose earliest qualifying event strictly FOLLOWS their "
@@ -1342,7 +1342,8 @@ def q142_time_decay_score(spark: SparkSession, sf_dir: str):
     """
     WITH p AS (
       SELECT user_id,
-             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_s,
+             CAST((epoch_us(ts) + 62135596800000000) // 1000000
+                  - 62135596800 AS BIGINT) AS t_s,
              CAST(FLOOR(value * 100.0) AS BIGINT) AS value_cents,
              event_id
       FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL

@@ -286,7 +286,10 @@ def q99_kll_quantile_ranks(spark: SparkSession, sf_dir: str):
     "q146_rolling_distinct_hll",
     """
     WITH ev AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, user_id
+      -- year-1 shift (719162 days): floor bucketing pre-1970 too —
+      -- DuckDB integer // truncates toward zero exactly like Spark div
+      SELECT CAST((epoch_us(ts) + 62135596800000000) // 86400000000
+                  - 719162 AS BIGINT) AS d, user_id
       FROM events
     ),
     days AS (SELECT DISTINCT d FROM ev),

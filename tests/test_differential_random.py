@@ -118,13 +118,19 @@ def test_random_corpus_matches_oracle(spark, corpora, qname):
         assert got == want, f"{qname} diverged on {sf_dir}"
 
 
-def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
+def _random_events(
+    seed: int, n: int = 400, base: int = 1_700_000_000_000_000
+) -> pd.DataFrame:
     """Events with the adversarial shapes the fixed table lacks: exact
     timestamp TIES within a user (stresses deterministic window
     tie-breaks), out-of-order ids, a few NULL timestamps, and a skewed
-    type mix."""
+    type mix. ``base`` is the corpus's epoch-micros anchor: the
+    pre-epoch corpus anchors 6 days BEFORE 1970 so timestamps straddle
+    epoch 0 — the regime where truncate-toward-zero `div` and the
+    oracle's floor `//` disagree unless every epoch bucketing uses the
+    year-1-shift floor-division convention (queries/behavior.py _SECS).
+    """
     rng = random.Random(seed)
-    base = 1_700_000_000_000_000  # epoch micros
     rows = []
     for i in range(n):
         # rare NULL user_id: stresses NULLS FIRST/LAST divergence at
@@ -133,7 +139,13 @@ def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
         if rng.randrange(50) == 0:
             ts = None
         else:
-            ts = base + rng.randrange(0, 14 * 24 * 3600) * 1_000_000
+            # sub-second micros: whole-second timestamps would mask
+            # truncate-vs-floor divergence in epoch-second bucketing
+            ts = (
+                base
+                + rng.randrange(0, 14 * 24 * 3600) * 1_000_000
+                + rng.randrange(1_000_000)
+            )
             if rng.randrange(5) == 0 and rows:
                 prev = rows[rng.randrange(len(rows))]
                 ts = prev["_us"] if prev["_us"] is not None else ts  # tie
@@ -195,9 +207,12 @@ EVENT_QUERIES = [
 @pytest.fixture(scope="module")
 def event_corpora(tmp_path_factory):
     out = []
-    for seed in (5, 99):
+    pre_epoch = -6 * 24 * 3600 * 1_000_000  # 1969-12-26, straddles 0
+    for seed, base in ((5, 1_700_000_000_000_000),
+                       (99, 1_700_000_000_000_000),
+                       (7, pre_epoch)):
         d = tmp_path_factory.mktemp(f"ev{seed}")
-        _random_events(seed).to_parquet(
+        _random_events(seed, base=base).to_parquet(
             os.path.join(d, "events.parquet"), index=False
         )
         out.append(str(d))

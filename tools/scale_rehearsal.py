@@ -17,9 +17,10 @@ it with K exact copies:
     across copies differ (no artificial K-wide cross-copy duplicate
     clusters that would blow up pair outputs superlinearly and make the
     timing curve meaningless). doc_id shifts by k*ID_STRIDE.
-  * embeddings — copy k adds a deterministic offset to the first two
-    components (breaks cross-copy exact-duplicate vectors; within-copy
-    geometry intact); vec_id shifts.
+  * embeddings — copy k applies a deterministic random rotation
+    (orthogonal: within-copy norms/cosines exactly preserved,
+    cross-copy cosines decorrelate to the corpus background rate);
+    vec_id shifts.
   * events — user_id/event_id shift by k*ID_STRIDE; timestamps are kept
     (10× the events over the same time range — how a bigger deployment
     actually looks).
@@ -61,14 +62,46 @@ DEFAULT_QUERIES = [
     "q70_ann_bruteforce_topk",
 ]
 
-CAESAR_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+CAESAR_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
 
 
 def caesar(k: int) -> str:
+    """Per-copy character bijection: letter rotation × digit rotation —
+    260 distinct members, so copies stay pairwise-distinct up to
+    factor 260 (letters alone repeat at k=26, which would reintroduce
+    exact cross-copy duplicate text for k >= 26)."""
     lo = "abcdefghijklmnopqrstuvwxyz"
     up = lo.upper()
+    dg = "0123456789"
     s = k % 26
-    return lo[s:] + lo[:s] + up[s:] + up[:s]
+    d = (k // 26) % 10
+    return lo[s:] + lo[:s] + up[s:] + up[:s] + dg[d:] + dg[:d]
+
+
+def _make_rotator(k: int, dim: int):
+    """Arrow UDF applying copy-k's deterministic random rotation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(1_000 + k)
+    a = rng.standard_normal((dim, dim))
+    q, r = np.linalg.qr(a)
+    q = (q * np.sign(np.diag(r))).astype(np.float32)  # det-stable QR
+
+    def rot(s):
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+            else:
+                out.append((np.asarray(v, dtype=np.float32) @ q.T))
+        return pd.Series(out)
+
+    # explicit annotations: `from __future__ import annotations` turns
+    # inline hints into strings pandas_udf cannot resolve here
+    rot.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(rot, "array<float>")
 
 
 def amplify(spark, src_dir: str, dst_dir: str, factor: int) -> None:
@@ -100,15 +133,24 @@ def amplify(spark, src_dir: str, dst_dir: str, factor: int) -> None:
                 elif t == "embeddings":
                     c = c.withColumn(
                         "vec_id", F.col("vec_id") + F.lit(k * ID_STRIDE)
-                    ).withColumn(
-                        "embedding",
-                        F.expr(
-                            f"transform(embedding, (x, i) -> CAST(x + "
-                            f"CASE WHEN i = 0 THEN {k} * 0.777 "
-                            f"WHEN i = 1 THEN {k} * -0.333 "
-                            f"ELSE 0.0 END AS FLOAT))"
-                        ),
                     )
+                    if k > 0:
+                        dim = df.selectExpr(
+                            "max(size(embedding)) AS d"
+                        ).first().d
+                        # per-copy deterministic random ROTATION (QR of a
+                        # seeded gaussian): an orthogonal transform, so
+                        # within-copy geometry (norms, pairwise cosines,
+                        # near-dup clusters) is EXACTLY preserved, while
+                        # cross-copy cosines decorrelate. NB sign flips
+                        # are NOT enough: the corpus has axis-aligned
+                        # cluster structure that reflections map onto
+                        # itself, manufacturing quadratic cross-copy
+                        # near-dup clusters (measured: 103× pair growth
+                        # at 10× data); a generic rotation does not.
+                        c = c.withColumn(
+                            "embedding", _make_rotator(k, dim)(F.col("embedding"))
+                        )
                 elif t == "events":
                     for col in ("event_id", "user_id"):
                         if col in c.columns:
