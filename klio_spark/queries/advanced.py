@@ -531,3 +531,96 @@ def q152_pagerank(spark: SparkSession, sf_dir: str):
             F.col("score").cast("bigint").alias("score_ppb"),
         )
     )
+
+
+@register(
+    "q160_triangle_count",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      -- orient every edge from lower (degree, id) to higher: each
+      -- triangle is counted exactly once, and a node's out-degree is
+      -- bounded by its DEGENERACY-ordered rank, not its raw degree
+      SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v
+    ),
+    w AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM o e1 JOIN o e2 ON e1.t = e2.s
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+           CAST((SELECT COUNT(*) FROM w JOIN o e3
+                 ON w.a = e3.s AND w.c = e3.t) AS BIGINT) AS n_triangles
+    """,
+    doc="distributed triangle counting over the part co-purchase graph "
+    "(the graph-density / community-structure probe behind cluster "
+    "coefficient and spam-farm detection): edges orient from the "
+    "(degree, id)-SMALLER endpoint to the larger, wedges form by "
+    "joining oriented edges head-to-tail, and a closing third edge "
+    "confirms each triangle exactly once. The orientation is the "
+    "standard distributed-triangle trick: out-neighborhoods are "
+    "bounded by ~sqrt(m) under degree ordering, so the wedge join "
+    "(the only superlinear step) generates O(m^1.5) rows worst-case "
+    "instead of sum(deg^2) — a hub with a million basket partners "
+    "contributes wedges only through its few HIGHER-degree peers, "
+    "never its own fan-out squared. All three joins are equi joins on "
+    "node keys (hash exchanges, AQE-balanceable); counts ride one "
+    "scalar row. n_edges/n_wedges ride along so a mismatch localizes "
+    "to edge build, orientation, or closure.",
+)
+def q160_triangle_count(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    w = e1.join(e2, "b").select("a", "b", "c")
+    e3 = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = w.join(e3, ["a", "c"])
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nw = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    nt = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return (
+        ne.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nt))
+        .select("n_edges", "n_wedges", "n_triangles")
+    )

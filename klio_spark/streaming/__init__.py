@@ -413,6 +413,79 @@ def stateful_transitions(
     )
 
 
+def stateful_scd2(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming SCD type-2 history builder — the stateful twin of
+    q145's batch LEAD window: each change event CLOSES the key's open
+    version (emitting the finished validity interval) and opens the
+    next one in state.
+
+    State per key = (version_no, valid_from_s, value_cents) — three
+    scalars, checkpoint-durable. Emitted rows are final (append mode):
+    a version emits exactly once, when the change that closes it
+    arrives; the OPEN version lives only in state (a batch q145 run
+    over the same events shows it as the is_current row — the
+    documented streaming relaxation, since append mode cannot retract
+    an open row later). Within a batch events sort by (ts, id) — the
+    batch window's exact ORDER BY; a cross-batch straggler older than
+    the open version folds in arrival order (the stateful_funnel
+    relaxation). NaT timestamps are skipped; values integerize to
+    cents via floor(value*100) exactly like the batch query."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        evs = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                t = pd.Timestamp(ts)
+                if t is not pd.NaT and not pd.isna(t):
+                    ik = -(2**63) if pd.isna(eid) else int(eid)
+                    cents = (
+                        None if pd.isna(val) else int(math.floor(val * 100.0))
+                    )
+                    # t.value is NANOseconds since epoch → whole seconds
+                    evs.append((int(t.value // 1_000_000_000), ik, cents))
+        if not evs:
+            return
+        evs.sort(key=lambda x: (x[0], x[1]))
+        ver, vfrom, cents = state.get if state.exists else (0, None, None)
+        out = []
+        for t_s, _ik, c in evs:
+            if ver > 0:
+                out.append((key[0], ver, vfrom, t_s, False, cents))
+            ver += 1
+            vfrom, cents = t_s, c
+        state.update((ver, vfrom, cents))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    key_col, "version", "valid_from_s", "valid_to_s",
+                    "is_current", "value_cents",
+                ],
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, version long, valid_from_s long,"
+            " valid_to_s long, is_current boolean, value_cents long"
+        ),
+        stateStructType="ver long, vfrom long, cents long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_sessionize(
     df: DataFrame,
     user_col: str = "user_id",

@@ -327,3 +327,49 @@ def test_q146_fact_aggregated_before_window_fanout(spark, sf_dir, specs):
     df = specs["q146_rolling_distinct_hll"].fn(spark, sf_dir)
     s = plans.plan_str(df)
     assert "hll_sketch_agg" in s and "hll_union_agg" in s, s[:3000]
+
+
+def test_q158_compaction_plan_one_exchange(spark, sf_dir, specs):
+    """The planner shuffles file METADATA once: the per-source window sort
+    and the bin aggregation must share the one hash exchange on source —
+    a second exchange would mean the agg re-partitions what the window
+    already clustered."""
+    df = specs["q158_compaction_plan"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert s.count("Exchange hashpartitioning") <= 1, s[:3000]
+    assert "Cartesian" not in s and "NestedLoop" not in s
+
+
+def test_q159_zonemap_partial_scan_broadcasts(spark, sf_dir, specs):
+    """The partial-block rescan must reach the fact rows via BROADCAST
+    HASH semi-join on the tiny partial-block id set (never a shuffled
+    join of the fact table against block stats). The single-row scalar
+    frames (scan count, direct count) legitimately combine via broadcast
+    nested-loop cross joins — 1-row build sides — so only a true
+    CartesianProduct (both sides shuffled) is banned."""
+    df = specs["q159_zonemap_pruning"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert "BroadcastHashJoin LeftSemi" in s, s[:3000]
+    assert "CartesianProduct" not in s, s[:3000]
+
+
+def test_minhash_cap_split_shares_band_exchange(spark, sf_dir, specs):
+    """The round-4 bucket-width cap must not add an exchange: the count
+    window, the narrow collect_list groupBy, and the wide self-join all
+    consume the SAME hash exchange on the band key (persisted once). The
+    wide branch must be a real equi join (spillable), never a nested
+    loop."""
+    from klio_spark.functions import dedup as dd
+
+    (d,) = __import__("klio_spark.queries", fromlist=["load"]).load(
+        spark, sf_dir, "documents"
+    )
+    df = dd.minhash_lsh_dedup(
+        d, "text", "doc_id", threshold=0.3, bucket_cap=64
+    )
+    s = plans.plan_str(df)
+    assert "Cartesian" not in s and "NestedLoop" not in s, s[:3000]
+    # banded rows exchange on the band key at most twice across the whole
+    # split (cache build + at most one downstream re-use), never once per
+    # consumer
+    assert s.count("Exchange hashpartitioning(_band") <= 2, s[:3000]

@@ -919,3 +919,79 @@ def test_rolling_distinct_sketch_closes_windows_exactly(spark, tmp_path):
         assert got[(ws, we)] == referee, (ws, we)
     # sanity on actual distinct membership: days 1-3 hold users 1-5
     assert got[(jan, jan + dt.timedelta(days=3))] == 5
+
+
+def test_stateful_scd2_closed_versions_match_batch(spark, tmp_path):
+    """stateful_scd2 across a checkpoint restart: the closed versions it
+    emits must equal q145's batch LEAD-window history restricted to
+    closed rows (valid_to NOT NULL) — same version numbers, intervals,
+    and cent values — with the open version living in state (the
+    documented append-mode relaxation)."""
+    import datetime as dt
+
+    edir = tmp_path / "scd2"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, user_id long, value double, ts timestamp"
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    b1 = [(1, 1, 10.01, t(0)), (2, 1, 20.02, t(5)), (3, 2, 5.5, t(1))]
+    b2 = [(4, 1, 30.0, t(9)), (5, 2, None, t(7))]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_scd2(stream),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/scdout"
+            ),
+            str(tmp_path / "ckpt-scd2"),
+        )
+        q.awaitTermination(60)
+
+    run(b1)
+    run(b2)  # restart: user 1's open v2 and user 2's open v1 carry over
+
+    got = sorted(
+        (r.user_id, r.version, r.valid_from_s, r.valid_to_s,
+         r.is_current, r.value_cents)
+        for r in spark.read.parquet(f"{tmp_path}/scdout").collect()
+    )
+    # batch referee: the q145 window shape over the full changelog
+    full = spark.createDataFrame(b1 + b2, schema)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ref = (
+        full.select(
+            "user_id",
+            F.expr(
+                "(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+                " + 62135596800000000) div 1000000 - 62135596800"
+            ).alias("t_s"),
+            F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+            "event_id",
+        )
+        .select(
+            "user_id",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("t_s", "event_id")
+            ).cast("long").alias("version"),
+            F.col("t_s").alias("valid_from_s"),
+            F.lead("t_s").over(
+                W.partitionBy("user_id").orderBy("t_s", "event_id")
+            ).alias("valid_to_s"),
+            F.lead("t_s").over(
+                W.partitionBy("user_id").orderBy("t_s", "event_id")
+            ).isNull().alias("is_current"),
+            "cents",
+        )
+    )
+    want = sorted(
+        (r.user_id, r.version, r.valid_from_s, r.valid_to_s,
+         r.is_current, r.cents)
+        for r in ref.filter(~F.col("is_current")).collect()
+    )
+    assert got == want
+    # user 1 has two closed versions (10.01 then 20.02 cents), user 2 one
+    assert [g[5] for g in got if g[0] == 1] == [1001, 2002]
+    assert [g[5] for g in got if g[0] == 2] == [550]
