@@ -98,6 +98,7 @@ _VERIFY_FIRST = [
     "q67_simhash_dedup",
     # new in round 4
     "q158_compaction_plan", "q159_zonemap_pruning", "q160_triangle_count",
+    "q161_incremental_join_view", "q162_ks_drift",
     # changed in round 4 — re-verify
     "q66_minhash_lsh_dedup", "q106_minhash_lsh_recall",
     "q129_minhash_bucket_table", "q144_inverted_index_topk",

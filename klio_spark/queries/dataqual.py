@@ -10,7 +10,7 @@ the key comparing row hashes.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from klio_spark.queries import load, register
@@ -397,5 +397,105 @@ def q155_winsorize(spark: SparkSession, sf_dir: str):
         )
         .select(
             "event_type", "lo", "hi", "n", "n_clipped", "winsor_mean"
+        )
+    )
+
+
+@register(
+    "q162_ks_drift",
+    """
+    WITH e AS (
+      SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM e),
+    t AS (
+      SELECT cents,
+             CASE WHEN e.us - b.t0 < (b.t1 - b.t0) // 2
+                  THEN 0 ELSE 1 END AS half
+      FROM e CROSS JOIN b
+    ),
+    c AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM t GROUP BY cents
+    ),
+    n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+    k AS (
+      SELECT cents,
+             SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cuma,
+             SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumb
+      FROM c
+    )
+    SELECT n.na, n.nb,
+           CAST(MAX(ABS(k.cuma * n.nb - k.cumb * n.na)) AS BIGINT)
+             AS ks_scaled,
+           CAST(MIN(CASE WHEN ABS(k.cuma * n.nb - k.cumb * n.na) =
+                         (SELECT MAX(ABS(k2.cuma * n.nb - k2.cumb * n.na))
+                          FROM k k2)
+                    THEN k.cents END) AS BIGINT) AS ks_at_cents
+    FROM k CROSS JOIN n GROUP BY n.na, n.nb
+    """,
+    doc="Kolmogorov-Smirnov drift statistic over the value distribution "
+    "across the stream's temporal midpoint — the distribution-shape "
+    "companion of q139's categorical PSI (PSI sees mix shifts; KS sees "
+    "a price distribution silently doubling). KS = max |CDF_a - CDF_b| "
+    "is computed EXACTLY in integers: values floor to cents (already "
+    "exact for 2-decimal money), per-cent counts cross-multiply — "
+    "|cuma*nb - cumb*na|, the KS numerator at scale na*nb — so no "
+    "float CDF ever forms, and ks_at_cents reports the first value at "
+    "which the max gap occurs (the drift LOCATION, which triage needs). "
+    "Scale shape: the fact table collapses to one row per distinct cent "
+    "value (bounded by the value DOMAIN, not the corpus), so the "
+    "unpartitioned cumulative window — normally a red flag — runs over "
+    "a domain-bounded frame after a map-side-combinable agg; the scalar "
+    "totals broadcast.",
+)
+def q162_ks_drift(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)").alias(
+            "_us"
+        ),
+    )
+    b = e.agg(F.min("_us").alias("t0"), F.max("_us").alias("t1"))
+    t = e.crossJoin(F.broadcast(b)).select(
+        "cents",
+        (
+            F.col("_us") - F.col("t0")
+            < F.expr("(t1 - t0) div 2")
+        ).alias("_first"),
+    )
+    c = t.groupBy("cents").agg(
+        F.sum(F.col("_first").cast("int")).cast("bigint").alias("ca"),
+        F.sum((~F.col("_first")).cast("int")).cast("bigint").alias("cb"),
+    )
+    n = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = (
+        c.withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_gap", F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        )
+    )
+    mx = k.agg(F.max("_gap").alias("_mx"))
+    return (
+        k.crossJoin(F.broadcast(mx))
+        .filter(F.col("_gap") == F.col("_mx"))
+        .groupBy("na", "nb")
+        .agg(
+            F.max("_mx").cast("bigint").alias("ks_scaled"),
+            F.min("cents").cast("bigint").alias("ks_at_cents"),
         )
     )

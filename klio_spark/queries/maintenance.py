@@ -205,3 +205,107 @@ def q159_zonemap_pruning(spark: SparkSession, sf_dir: str):
             ).alias("lossless"),
         )
     )
+
+
+@register(
+    "q161_incremental_join_view",
+    """
+    WITH b_new AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 20 = 0
+                  THEN CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) + 10000
+                  ELSE CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) END AS bal_c
+      FROM customer
+    )
+    SELECT b.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           CAST(SUM(b.bal_c) AS BIGINT) AS sum_bal_cents
+    FROM orders o JOIN b_new b ON o.o_custkey = b.c_custkey
+    GROUP BY 1
+    """,
+    doc="incremental JOIN-view maintenance — the denormalized-rollup "
+    "refresh a 100 TB warehouse runs when BOTH sides change (q147 "
+    "maintains an aggregate over one table; this maintains an "
+    "aggregate over orders ⋈ customer): the Spark side deliberately "
+    "computes new_view = old_view ⊖ (orders ⋈ ΔB_old) ⊕ (orders ⋈ "
+    "ΔB_new) — customers with custkey % 20 = 0 are the 'updated' "
+    "dimension rows (balance +100.00), handled as delete+insert of "
+    "their join contributions — while the oracle joins the post-update "
+    "tables directly. The hash match proves the algebra: count/sum "
+    "aggregates are abelian-group-valued, so retract-then-assert is "
+    "exact in integer cents. At scale only the Δ-customer semi-joined "
+    "slice of orders is rescanned (broadcast semi-join on the changed "
+    "keys); old_view rides from the previous materialization.",
+)
+def q161_incremental_join_view(spark: SparkSession, sf_dir: str):
+    o, c = load(spark, sf_dir, "orders", "customer")
+    oo = o.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("bigint").alias("_pc"),
+    )
+    bal = F.floor(F.col("c_acctbal") * 100.0).cast("bigint")
+    changed = F.col("c_custkey") % 20 == 0
+    b_old = c.select("c_custkey", "c_nationkey", bal.alias("bal_c"))
+    delta_keys = c.filter(changed).select("c_custkey")
+
+    def view(b):
+        return (
+            oo.join(b, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("_pc").cast("bigint").alias("sum_price_cents"),
+                F.sum("bal_c").cast("bigint").alias("sum_bal_cents"),
+            )
+        )
+
+    old_view = view(b_old)
+    # retract the changed customers' old contributions, assert the new:
+    # only orders of changed customers are touched (broadcast semi-join)
+    od = oo.join(F.broadcast(delta_keys), F.col("o_custkey") == F.col("c_custkey")).drop("c_custkey")
+    b_delta_old = b_old.join(F.broadcast(delta_keys), "c_custkey")
+    b_delta_new = b_delta_old.withColumn("bal_c", F.col("bal_c") + F.lit(10000))
+    retract = (
+        od.join(b_delta_old, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_rn"),
+            F.sum("_pc").cast("bigint").alias("_rp"),
+            F.sum("bal_c").cast("bigint").alias("_rb"),
+        )
+    )
+    assert_ = (
+        od.join(b_delta_new, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_an"),
+            F.sum("_pc").cast("bigint").alias("_ap"),
+            F.sum("bal_c").cast("bigint").alias("_ab"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        old_view.join(retract, "c_nationkey", "full_outer")
+        .join(assert_, "c_nationkey", "full_outer")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            (
+                F.coalesce("n_orders", z)
+                - F.coalesce("_rn", z)
+                + F.coalesce("_an", z)
+            ).cast("bigint").alias("n_orders"),
+            (
+                F.coalesce("sum_price_cents", z)
+                - F.coalesce("_rp", z)
+                + F.coalesce("_ap", z)
+            ).cast("bigint").alias("sum_price_cents"),
+            (
+                F.coalesce("sum_bal_cents", z)
+                - F.coalesce("_rb", z)
+                + F.coalesce("_ab", z)
+            ).cast("bigint").alias("sum_bal_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
