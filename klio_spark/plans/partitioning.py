@@ -43,13 +43,18 @@ def session_table_name(spark, base: str) -> str:
     """Session-scoped catalog table name: ``base_<8-hex>`` keyed on the
     Spark applicationId.
 
-    Build-once/query-many queries (q129/q144 index materialization,
-    streaming dedup state) need a STABLE name within a session so the
-    second call reuses the first build, but a fixed global name lets two
-    sessions sharing a warehouse (parallel test runs, concurrent
-    drivers) DROP + rmtree each other's index mid-query. applicationId
-    is unique per SparkSession lifecycle and constant across calls —
-    exactly that scope."""
+    A fixed global name lets two sessions sharing a warehouse (parallel
+    test runs, concurrent drivers) DROP + rmtree each other's index
+    mid-query; the applicationId suffix — unique per SparkSession
+    lifecycle, constant across calls — isolates them. Note the current
+    callers still rebuild on every call (overwrite_bucketed_table drops
+    first); the stable name makes within-session reads/plans
+    deterministic and keeps a session's own re-runs self-reclaiming.
+    Trade-off accepted: dead sessions leave their suffixed dirs behind
+    (a shared warehouse needs an external sweep, e.g. `job delete` or a
+    TTL policy) — an orphan sweep here cannot distinguish a dead
+    session's table from a LIVE concurrent one, which is the exact
+    corruption this function exists to prevent."""
     import hashlib
 
     app = spark.sparkContext.applicationId

@@ -100,6 +100,7 @@ _VERIFY_FIRST = [
     "q158_compaction_plan", "q159_zonemap_pruning", "q160_triangle_count",
     "q161_incremental_join_view", "q162_ks_drift",
     # changed in round 4 — re-verify
+    "q130_interval_join_batch", "q139_psi_drift",
     "q66_minhash_lsh_dedup", "q106_minhash_lsh_recall",
     "q129_minhash_bucket_table", "q144_inverted_index_topk",
     "q145_scd2_intervals", "q146_rolling_distinct_hll",
@@ -107,7 +108,7 @@ _VERIFY_FIRST = [
 ]
 
 _DRIVER_GREEN = [
-    "q139_psi_drift", "q142_time_decay_score", "q147_incremental_rollup",
+    "q142_time_decay_score", "q147_incremental_rollup",
     "q148_transition_matrix", "q149_dau_mau", "q71_ann_lsh_topk", "q74_ann_ivf_topk",
     "q140_kmeans_assign", "q134_semantic_dedup", "q133_dedup_survivors",
     "q137_span_corruption", "q135_bm25_topk", "q138_vocab_coverage", "q141_bigram_lm_score",
@@ -122,7 +123,7 @@ _DRIVER_GREEN = [
     "q82_audit_log", "q84_udf_quarantine", "q83_payload_roundtrip", "q14_nonequi_self_join",
     "q15_asof_join", "q24_ntile_percent_rank", "q43_null_scalars", "q53_tumbling_window_batch",
     "q56_time_rollup_multigrain", "q54_pivot", "q102_unpivot", "q55_above_group_avg",
-    "q130_interval_join_batch", "q131_trigger_upstream_batch", "q01_pricing_summary",
+    "q131_trigger_upstream_batch", "q01_pricing_summary",
     "q02_revenue_by_nation", "q03_group_stats", "q04_conditional_agg", "q05_rollup",
     "q06_count_distinct", "q07_median_percentile", "q10_semi_join", "q11_anti_join",
     "q12_outer_join_coalesce", "q13_cogroup_counts", "q20_window_topn_per_group",

@@ -291,8 +291,8 @@ def q143_skew_profile(spark: SparkSession, sf_dir: str):
     )
     SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
     FROM documents d JOIN s USING (source)
-    WHERE CAST(d.n_chars * s.n - s.sm AS DOUBLE)
-          * CAST(d.n_chars * s.n - s.sm AS DOUBLE)
+    WHERE CAST(CAST(d.n_chars AS HUGEINT) * s.n - s.sm AS DOUBLE)
+          * CAST(CAST(d.n_chars AS HUGEINT) * s.n - s.sm AS DOUBLE)
           > 4.0 * (CAST(s.n AS DOUBLE) * CAST(s.sq AS DOUBLE)
                    - CAST(s.sm AS DOUBLE) * CAST(s.sm AS DOUBLE))
     """,
@@ -322,7 +322,10 @@ def q150_length_outliers(spark: SparkSession, sf_dir: str):
             * F.col("n_chars").cast("decimal(19,0)")
         ).alias("sq"),
     )
-    z = F.expr("CAST(n_chars * n - sm AS DOUBLE)")
+    # the product must go exact BEFORE the subtract: raw bigint
+    # n_chars*n wraps (Spark) or aborts (DuckDB) once max(n_chars)*rows
+    # crosses 2^63 — decimal(38,0) matches the oracle's HUGEINT
+    z = F.expr("CAST(CAST(n_chars AS DECIMAL(38,0)) * n - sm AS DOUBLE)")
     rhs = 4.0 * (
         F.col("n").cast("double") * F.col("sq").cast("double")
         - F.col("sm").cast("double") * F.col("sm").cast("double")

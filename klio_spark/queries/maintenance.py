@@ -154,7 +154,16 @@ def q159_zonemap_pruning(spark: SparkSession, sf_dir: str):
     (ev,) = load(spark, sf_dir, "events")
     e = ev.filter(
         F.col("value").isNotNull() & F.col("event_id").isNotNull()
-    ).select("event_id", "value", F.expr(f"event_id div {_BLK}").alias("blk"))
+    ).select(
+        "event_id",
+        "value",
+        # block id = event_id div 1000 on BOTH engines' truncating
+        # integer division (Spark `div`, DuckDB integer `//` — measured:
+        # both round toward zero), so negative ids land in the same
+        # block on both sides; blocks only need to be CONSISTENT, not
+        # calendar-floored, for pruning to be lossless
+        F.expr(f"event_id div {_BLK}").alias("blk"),
+    )
     z = e.groupBy("blk").agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),

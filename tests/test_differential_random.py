@@ -194,6 +194,8 @@ EVENT_QUERIES = [
     "q139_psi_drift",
     "q142_time_decay_score",
     "q143_skew_profile",
+    "q130_interval_join_batch",
+    "q162_ks_drift",
     "q145_scd2_intervals",
     "q146_rolling_distinct_hll",
     "q147_incremental_rollup",

@@ -73,8 +73,12 @@ def caesar(k: int) -> str:
     lo = "abcdefghijklmnopqrstuvwxyz"
     up = lo.upper()
     dg = "0123456789"
+    # letters and digits rotate INDEPENDENTLY (k%26, k%10): distinct
+    # pairs for k < lcm(26,10) = 130, and digit-heavy tokens (ids,
+    # prices) decorrelate from copy 1 — (k//26)%10 would leave digits
+    # identity for the whole first 26 copies
     s = k % 26
-    d = (k // 26) % 10
+    d = k % 10
     return lo[s:] + lo[:s] + up[s:] + up[:s] + dg[d:] + dg[:d]
 
 
@@ -121,6 +125,11 @@ def amplify(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             out = df
         else:
             copies = []
+            emb_dim = (
+                df.selectExpr("max(size(embedding)) AS d").first().d
+                if t == "embeddings"
+                else None
+            )
             for k in range(factor):
                 c = df
                 if t == "documents":
@@ -135,9 +144,6 @@ def amplify(spark, src_dir: str, dst_dir: str, factor: int) -> None:
                         "vec_id", F.col("vec_id") + F.lit(k * ID_STRIDE)
                     )
                     if k > 0:
-                        dim = df.selectExpr(
-                            "max(size(embedding)) AS d"
-                        ).first().d
                         # per-copy deterministic random ROTATION (QR of a
                         # seeded gaussian): an orthogonal transform, so
                         # within-copy geometry (norms, pairwise cosines,
@@ -149,7 +155,7 @@ def amplify(spark, src_dir: str, dst_dir: str, factor: int) -> None:
                         # near-dup clusters (measured: 103× pair growth
                         # at 10× data); a generic rotation does not.
                         c = c.withColumn(
-                            "embedding", _make_rotator(k, dim)(F.col("embedding"))
+                            "embedding", _make_rotator(k, emb_dim)(F.col("embedding"))
                         )
                 elif t == "events":
                     for col in ("event_id", "user_id"):
