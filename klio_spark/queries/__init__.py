@@ -98,7 +98,7 @@ _VERIFY_FIRST = [
     "q67_simhash_dedup",
     # new in round 4
     "q158_compaction_plan", "q159_zonemap_pruning", "q160_triangle_count",
-    "q161_incremental_join_view", "q162_ks_drift",
+    "q161_incremental_join_view", "q162_ks_drift", "q163_cusum_changepoint",
     # changed in round 4 — re-verify
     "q130_interval_join_batch", "q139_psi_drift",
     "q66_minhash_lsh_dedup", "q106_minhash_lsh_recall",

@@ -502,3 +502,76 @@ def q162_ks_drift(spark: SparkSession, sf_dir: str):
             F.min("cents").cast("bigint").alias("ks_at_cents"),
         )
     )
+
+
+@register(
+    "q163_cusum_changepoint",
+    """
+    WITH e AS (
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+             // 86400000000 - 719162 AS d
+      FROM events WHERE ts IS NOT NULL
+    ),
+    c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY d),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(n) AS BIGINT) AS total FROM c),
+    s AS (
+      SELECT c.d,
+             SUM(c.n * t.nd - t.total) OVER (
+               ORDER BY c.d ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM c CROSS JOIN t
+    ),
+    mx AS (SELECT MAX(ABS(cusum)) AS m FROM s)
+    SELECT t.nd AS n_days, t.total AS total_events,
+           CAST(MIN(s.d) AS BIGINT) AS change_day,
+           CAST(mx.m AS BIGINT) AS cusum_scaled
+    FROM s CROSS JOIN mx CROSS JOIN t
+    WHERE ABS(s.cusum) = mx.m
+    GROUP BY t.nd, t.total, mx.m
+    """,
+    doc="CUSUM change-point localization over daily event volume — the "
+    "WHEN of the drift trio (q139 PSI: which categories shifted; q162 "
+    "KS: how much the value distribution moved; this: the day the "
+    "level changed). The cumulative deviation from the overall mean is "
+    "computed EXACTLY by cross-multiplication — S_i = Σ(n_d·D − total) "
+    "= D·(cumsum − i·mean) in integers, no float mean ever forms — and "
+    "the change point is the day |S| peaks (Page's CUSUM with the "
+    "retrospective single-changepoint estimator). Day ids floor via "
+    "the year-1 shift (pre-1970-safe). Scale shape: the fact table "
+    "collapses to one row per DAY before the cumulative window, so "
+    "the unpartitioned cumsum runs over the bounded day domain; "
+    "scalar totals broadcast (the q162 discipline).",
+)
+def q163_cusum_changepoint(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("ts").isNotNull()).select(
+        F.expr(
+            "(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " + 62135596800000000) div 86400000000 - 719162"
+        ).alias("d")
+    )
+    c = e.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("cusum", F.sum(F.col("n") * F.col("nd") - F.col("total")).over(w))
+    )
+    mx = s.agg(F.max(F.abs(F.col("cusum"))).alias("m"))
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .filter(F.abs(F.col("cusum")) == F.col("m"))
+        .groupBy("nd", "total", "m")
+        .agg(F.min("d").cast("bigint").alias("change_day"))
+        .select(
+            F.col("nd").alias("n_days"),
+            F.col("total").alias("total_events"),
+            "change_day",
+            F.col("m").cast("bigint").alias("cusum_scaled"),
+        )
+    )

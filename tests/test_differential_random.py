@@ -80,6 +80,8 @@ QUERIES = [
     "q63_fingerprint",
     "q64_exact_dedup",
     "q65_ngram_jaccard_pairs",
+    "q67_simhash_dedup",
+    "q158_compaction_plan",
     "q132_simhash_portable",
     "q136_substring_dedup",
     "q137_span_corruption",
@@ -196,6 +198,7 @@ EVENT_QUERIES = [
     "q143_skew_profile",
     "q130_interval_join_batch",
     "q162_ks_drift",
+    "q163_cusum_changepoint",
     "q145_scd2_intervals",
     "q146_rolling_distinct_hll",
     "q147_incremental_rollup",

@@ -88,3 +88,49 @@ def test_random_graphs_match_union_find(spark):
         assert (
             _comp_map(spark, edges, driver_threshold=0) == expected
         ), f"seed {seed} (distributed path)"
+
+
+def test_q160_triangle_count_matches_bruteforce(spark, tmp_path):
+    """q160's oriented wedge-join triangle count vs a brute-force python
+    referee over seeded random basket graphs — covers shapes the fixed
+    corpus lacks (hub nodes, degree ties, singleton baskets)."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from klio_spark.queries import all_queries
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        rows = []
+        for ok in range(40):
+            basket = rng.sample(range(1, 15), rng.randrange(1, 6))
+            # a hub part in most baskets stresses the degree orientation
+            if rng.randrange(3):
+                basket.append(99)
+            for pk in basket:
+                rows.append({"l_orderkey": ok, "l_partkey": pk})
+        d = tmp_path / f"g{seed}"
+        d.mkdir()
+        pd.DataFrame(rows).to_parquet(d / "lineitem.parquet", index=False)
+
+        got = all_queries()["q160_triangle_count"].fn(spark, str(d)).collect()[0]
+
+        # brute force: distinct undirected edges, then closed triples
+        baskets = {}
+        for r in rows:
+            baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        edges = set()
+        for parts in baskets.values():
+            for a, b in itertools.combinations(sorted(parts), 2):
+                edges.add((a, b))
+        nodes = sorted({n for e in edges for n in e})
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in edges and (b, c) in edges and (a, c) in edges
+        )
+        assert got.n_triangles == tri, (seed, got, tri)
+        assert got.n_edges == len(edges)
+        assert got.n_wedges >= tri  # every triangle came from a wedge
