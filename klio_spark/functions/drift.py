@@ -18,7 +18,7 @@ unbounded PSI term; also keeps ln() total on both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,4 +56,46 @@ def psi_from_counts(c: DataFrame, key_col: str = "event_type") -> DataFrame:
         F.col("pa").cast("bigint").alias("pa_ppm"),
         F.col("qb").cast("bigint").alias("qb_ppm"),
         ((F.col("pa") - F.col("qb")) * iln).cast("bigint").alias("psi_contrib"),
+    )
+
+
+def ks_from_counts(c: DataFrame, key_col: str = "cents") -> DataFrame:
+    """Exact Kolmogorov-Smirnov statistic from per-value counts.
+
+    ``c`` carries one row per ordered value: (key_col, ca, cb) — counts
+    in the reference (a) and comparison (b) populations. Returns ONE row
+    (na, nb, ks_scaled, ks_at_<key>): ks_scaled = max |cuma·nb − cumb·na|
+    — the KS numerator at scale na·nb, computed without any float CDF —
+    and the first key value where the gap peaks (the drift LOCATION).
+    The cumulative window is unpartitioned but runs over the value
+    DOMAIN (c is already aggregated), not the corpus; scalar totals
+    broadcast. Shared by q162's batch query and
+    ``streaming.streaming_ks_drift``, so the batch oracle hash-verifies
+    the streaming monitor's arithmetic (the psi_from_counts pattern).
+    """
+    n = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = (
+        c.withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_gap",
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")),
+        )
+    )
+    mx = k.agg(F.max("_gap").alias("_mx"))
+    return (
+        k.crossJoin(F.broadcast(mx))
+        .filter(F.col("_gap") == F.col("_mx"))
+        .groupBy("na", "nb")
+        .agg(
+            F.max("_mx").cast("bigint").alias("ks_scaled"),
+            F.min(key_col).cast("bigint").alias(f"ks_at_{key_col}"),
+        )
     )

@@ -477,31 +477,13 @@ def q162_ks_drift(spark: SparkSession, sf_dir: str):
         F.sum(F.col("_first").cast("int")).cast("bigint").alias("ca"),
         F.sum((~F.col("_first")).cast("int")).cast("bigint").alias("cb"),
     )
-    n = c.agg(
-        F.sum("ca").cast("bigint").alias("na"),
-        F.sum("cb").cast("bigint").alias("nb"),
-    )
-    w = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    k = (
-        c.withColumn("cuma", F.sum("ca").over(w))
-        .withColumn("cumb", F.sum("cb").over(w))
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "_gap", F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
-        )
-    )
-    mx = k.agg(F.max("_gap").alias("_mx"))
-    return (
-        k.crossJoin(F.broadcast(mx))
-        .filter(F.col("_gap") == F.col("_mx"))
-        .groupBy("na", "nb")
-        .agg(
-            F.max("_mx").cast("bigint").alias("ks_scaled"),
-            F.min("cents").cast("bigint").alias("ks_at_cents"),
-        )
-    )
+    # the KS finalize is the SHARED kernel (functions/drift.py): the
+    # streaming monitor (streaming_ks_drift) finalizes its live counts
+    # through this exact function, so this query's DuckDB oracle
+    # verifies the streaming math too (the q139/psi pattern)
+    from klio_spark.functions.drift import ks_from_counts
+
+    return ks_from_counts(c, "cents")
 
 
 @register(

@@ -849,6 +849,132 @@ def streaming_psi_drift(
     return writer.start()
 
 
+def streaming_ks_drift(
+    df: DataFrame,
+    reference: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    key_col: str = "cents",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live Kolmogorov-Smirnov monitor — the streaming twin of q162.
+
+    The stream's value distribution accumulates as per-cent counts in
+    the built-in incremental aggregation (complete mode: state = one
+    int64 per distinct cent, bounded by the value DOMAIN, checkpoint-
+    resumed), and each trigger finalizes the exact integer KS statistic
+    against the static ``reference`` (key_col, ca) through
+    :func:`klio_spark.functions.drift.ks_from_counts` — the kernel
+    q162's DuckDB oracle hash-verifies. ``sink(ks_df, batch_id)``
+    receives the one-row (na, nb, ks_scaled, ks_at_<key>) frame.
+
+    A cent present on only one side contributes a zero count on the
+    other via the full-outer join — exactly the empirical-CDF semantics
+    of the batch split."""
+    counts = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.floor(F.col(value_col) * 100.0).cast("bigint").alias(key_col)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    ref = reference.select(key_col, F.col("ca").cast("bigint").alias("ca"))
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        from klio_spark.functions.drift import ks_from_counts
+
+        c = ref.join(batch.select(key_col, "cb"), key_col, "full").select(
+            key_col,
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+        sink(ks_from_counts(c, key_col), batch_id)
+
+    writer = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stateful_cusum(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    *,
+    target_cents: int,
+    slack_cents: int = 0,
+    threshold_cents: int,
+) -> DataFrame:
+    """Online two-sided CUSUM (Page's test) per key — the streaming-
+    native member of the drift trio (q163 localizes a change
+    RETROSPECTIVELY; this raises the alarm AS data arrives, the actual
+    production monitoring shape).
+
+    Per key, state = (S_hi, S_lo): the classic recurrences
+    ``S_hi = max(0, S_hi + (x − target − slack))`` and
+    ``S_lo = min(0, S_lo + (x − target + slack))`` over integer cents —
+    exact, replayable, 2 int64s of checkpoint-durable state. When either
+    statistic crosses ``threshold_cents`` an alarm row (key, ts_micros,
+    direction 'up'/'down', statistic_cents, n_since_reset) emits and
+    that side resets to 0 (standard restart-after-alarm). Within a
+    batch events sort by (ts, id) — the suite's deterministic order;
+    cross-batch stragglers fold in arrival order (the stateful_funnel
+    relaxation). NaT timestamps and NULL values are skipped."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        evs = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                t = pd.Timestamp(ts)
+                if t is not pd.NaT and not pd.isna(t) and not pd.isna(val):
+                    ik = -(2**63) if pd.isna(eid) else int(eid)
+                    cents = int(math.floor(val * 100.0))
+                    evs.append((int(t.value // 1000), ik, cents))
+        if not evs:
+            return
+        evs.sort(key=lambda x: (x[0], x[1]))
+        s_hi, s_lo, n = state.get if state.exists else (0, 0, 0)
+        out = []
+        for tm, _ik, x in evs:
+            n += 1
+            s_hi = max(0, s_hi + (x - target_cents - slack_cents))
+            s_lo = min(0, s_lo + (x - target_cents + slack_cents))
+            if s_hi > threshold_cents:
+                out.append((key[0], tm, "up", s_hi, n))
+                s_hi, n = 0, 0
+            if s_lo < -threshold_cents:
+                out.append((key[0], tm, "down", -s_lo, n))
+                s_lo, n = 0, 0
+        state.update((s_hi, s_lo, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    key_col, "ts_micros", "direction",
+                    "statistic_cents", "n_since_reset",
+                ],
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, ts_micros long, direction string,"
+            " statistic_cents long, n_since_reset long"
+        ),
+        stateStructType="shi long, slo long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def rolling_distinct_sketch(
     df: DataFrame,
     ts_col: str,

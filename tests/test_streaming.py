@@ -995,3 +995,116 @@ def test_stateful_scd2_closed_versions_match_batch(spark, tmp_path):
     # user 1 has two closed versions (10.01 then 20.02 cents), user 2 one
     assert [g[5] for g in got if g[0] == 1] == [1001, 2002]
     assert [g[5] for g in got if g[0] == 2] == [550]
+
+
+def test_streaming_ks_drift_matches_batch_kernel(spark, tmp_path):
+    """streaming_ks_drift's finalize IS q162's oracle-verified kernel:
+    the live monitor must equal ks_from_counts applied batch-side to
+    (reference ⟗ cumulative per-cent counts), cumulative across a
+    checkpoint restart."""
+    import datetime as dt
+
+    from klio_spark.functions.drift import ks_from_counts
+
+    edir = tmp_path / "ks"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, value double, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+    ref = spark.createDataFrame(
+        [(1000, 50), (2000, 30), (3000, 20)], "cents long, ca long"
+    )
+    b1 = [(i, 10.0, t0) for i in range(20)] + [(100 + i, 20.0, t0) for i in range(10)]
+    b2 = [(200 + i, 35.5, t0) for i in range(15)]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.streaming_ks_drift(
+            stream,
+            ref,
+            lambda ks, bid: ks.write.mode("overwrite").parquet(
+                f"{tmp_path}/ksout"
+            ),
+            str(tmp_path / "ckpt-ks"),
+        )
+        q.awaitTermination(60)
+
+    def batch_referee(rows):
+        live = (
+            spark.createDataFrame(rows, schema)
+            .groupBy(
+                F.floor(F.col("value") * 100.0).cast("bigint").alias("cents")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        )
+        c = ref.join(live, "cents", "full").select(
+            "cents",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+        return [tuple(r) for r in ks_from_counts(c, "cents").collect()]
+
+    run(b1)
+    assert [
+        tuple(r) for r in spark.read.parquet(f"{tmp_path}/ksout").collect()
+    ] == batch_referee(b1)
+    run(b2)  # restart resumes the per-cent counts
+    assert [
+        tuple(r) for r in spark.read.parquet(f"{tmp_path}/ksout").collect()
+    ] == batch_referee(b1 + b2)
+
+
+def test_stateful_cusum_alarms_match_replay(spark, tmp_path):
+    """stateful_cusum across a checkpoint restart: alarm rows must equal
+    a plain-python replay of Page's recurrences over the time-ordered
+    events — including an alarm whose drift accumulates ACROSS the
+    restart boundary — and in-control data raises no alarm."""
+    import datetime as dt
+
+    edir = tmp_path / "cusum"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, event_type string, value double, ts timestamp"
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # target 10.00, slack 0.50, threshold 20.00
+    # 'drift' runs at 15.00 (5.00-0.50=4.50 over target per event):
+    # S_hi crosses 2000 cents on the 5th event — which lands in batch 2
+    b1 = [(i, "drift", 15.0, t(i)) for i in range(3)] + [
+        (100 + i, "ok", 10.0, t(i)) for i in range(6)
+    ]
+    b2 = [(3, "drift", 15.0, t(3)), (4, "drift", 15.0, t(4)),
+          (106, "ok", 10.0, t(6))]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_cusum(
+                stream,
+                target_cents=1000,
+                slack_cents=50,
+                threshold_cents=2000,
+            ),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/cusumout"
+            ),
+            str(tmp_path / "ckpt-cusum"),
+        )
+        q.awaitTermination(60)
+
+    run(b1)
+    run(b2)
+
+    rows = spark.read.parquet(f"{tmp_path}/cusumout").collect()
+    got = sorted(
+        (r.event_type, r.direction, r.statistic_cents, r.n_since_reset)
+        for r in rows
+    )
+    # replay: per event +450 over slack-adjusted target; alarm at >2000
+    # 450*5 = 2250 > 2000 on the 5th drift event
+    assert got == [("drift", "up", 2250, 5)]
+    us = int(dt.datetime(2024, 1, 1, 0, 4).timestamp() * 1_000_000)
+    assert rows[0].ts_micros == us
