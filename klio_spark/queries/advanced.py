@@ -611,16 +611,27 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str):
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
+    # persist the oriented edge list: 2 longs/row, consumed FOUR times
+    # (edge count + both wedge-join sides + the closing-edge probe) —
+    # without it Spark's tree-shaped plans re-run the basket self-join
+    # and degree join once per consumer (measured: a 107-shuffle plan).
+    # Lazy-return caveat as in minhash_lsh_dedup: long-lived sessions
+    # clearCache() after materializing.
+    o = o.persist()
+    ne = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     e1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    w = e1.join(e2, "b").select("a", "b", "c")
-    e3 = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
-    tri = w.join(e3, ["a", "c"])
-    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    nw = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
-    nt = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    return (
-        ne.crossJoin(F.broadcast(nw))
-        .crossJoin(F.broadcast(nt))
-        .select("n_edges", "n_wedges", "n_triangles")
+    w = e1.join(e2, "b").select("a", "c")
+    # one pass over the wedges counts BOTH wedges and triangles: o's
+    # rows are distinct, so the left join cannot fan out, and a hit
+    # marks a closed wedge
+    hit = o.select(
+        F.col("s").alias("a"), F.col("t").alias("c"), F.lit(1).alias("_t")
+    )
+    stats = w.join(hit, ["a", "c"], "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.sum(F.coalesce("_t", F.lit(0))).cast("bigint").alias("n_triangles"),
+    )
+    return stats.crossJoin(F.broadcast(ne)).select(
+        "n_edges", "n_wedges", "n_triangles"
     )

@@ -373,3 +373,13 @@ def test_minhash_cap_split_shares_band_exchange(spark, sf_dir, specs):
     # split (cache build + at most one downstream re-use), never once per
     # consumer
     assert s.count("Exchange hashpartitioning(_band") <= 2, s[:3000]
+
+
+def test_q160_oriented_edges_cached_not_recomputed(spark, sf_dir, specs):
+    """All four consumers of the oriented edge list (edge count, both
+    wedge-join sides, closing-edge probe) must read the SAME cached
+    frame — without the persist the basket self-join re-runs once per
+    consumer (a measured 107-shuffle plan)."""
+    df = specs["q160_triangle_count"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    assert s.count("InMemoryTableScan") >= 4, s[:3000]
