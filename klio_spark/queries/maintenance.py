@@ -318,3 +318,69 @@ def q161_incremental_join_view(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+from klio_spark.plans.zorder import morton_expr, morton_sql  # noqa: E402
+
+_ZB = 6  # morton bits per dimension -> 4096 cells
+_ZBUCKET = 4 ** _ZB // 32  # 32 z-range "files"
+
+
+@register(
+    "q164_zorder_cells",
+    f"""
+    WITH pts AS (
+      SELECT ((o_custkey % {2 ** _ZB}) + {2 ** _ZB}) % {2 ** _ZB} AS x,
+             ((o_orderkey % {2 ** _ZB}) + {2 ** _ZB}) % {2 ** _ZB} AS y
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+    ),
+    coded AS (
+      SELECT x, y, {morton_sql('x', 'y', _ZB)} AS zkey FROM pts
+    )
+    SELECT CAST(zkey // {_ZBUCKET} AS BIGINT) AS zfile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_lo, CAST(MAX(x) AS BIGINT) AS x_hi,
+           CAST(MIN(y) AS BIGINT) AS y_lo, CAST(MAX(y) AS BIGINT) AS y_hi,
+           CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+           CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+    FROM coded GROUP BY 1
+    """,
+    doc="z-order (Morton) clustering cells — the layout math behind "
+    "Delta/Iceberg OPTIMIZE ZORDER (plans/zorder.py; the physical "
+    "file-clustering effect — every output file covering a compact "
+    "(x, y) rectangle so min/max zone maps prune on EITHER column — is "
+    "asserted on real parquet writes in tests/test_layout.py). The "
+    "Morton interleave is an unrolled integer div/mod expression "
+    "(JVM-codegen'd, no shuffle to compute), replayed bit-for-bit by "
+    "the DuckDB oracle; rows are assigned to 32 z-range 'files' "
+    "(zkey div {0}) exactly as write_zordered's repartitionByRange "
+    "would, and the per-file x/y min/max spans ARE the zone-map "
+    "envelope q159 prunes with. One exchange at write time, same as a "
+    "plain sort.".format(_ZBUCKET),
+)
+def q164_zorder_cells(spark: SparkSession, sf_dir: str):
+    (orders,) = load(spark, sf_dir, "orders")
+    m = 2 ** _ZB
+    pts = orders.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(
+        F.pmod(F.col("o_custkey"), F.lit(m)).alias("x"),
+        F.pmod(F.col("o_orderkey"), F.lit(m)).alias("y"),
+    )
+    coded = pts.withColumn("zkey", morton_expr(F.col("x"), F.col("y"), _ZB))
+    return (
+        coded.withColumn("zfile", F.expr(f"zkey div {_ZBUCKET}"))
+        .groupBy("zfile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x").cast("bigint").alias("x_lo"),
+            F.max("x").cast("bigint").alias("x_hi"),
+            F.min("y").cast("bigint").alias("y_lo"),
+            F.max("y").cast("bigint").alias("y_hi"),
+            (F.max("x") - F.min("x")).cast("bigint").alias("x_span"),
+            (F.max("y") - F.min("y")).cast("bigint").alias("y_span"),
+        )
+        .select("zfile", "n_rows", "x_lo", "x_hi", "y_lo", "y_hi",
+                "x_span", "y_span")
+    )

@@ -363,3 +363,143 @@ def q146_rolling_distinct_hll(spark: SparkSession, sf_dir: str):
             <= 0.05 * F.col("exact_rolling_distinct")
         ).alias("hll_within_5pct"),
     )
+
+
+from klio_spark.functions.countmin import (  # noqa: E402
+    build_countmin,
+    cm_bucket_sql,
+    cm_estimate,
+    merge_countmin,
+)
+
+_CM_D, _CM_W = 4, 64  # depth x width — width far below key cardinality,
+# so collisions genuinely occur and the MIN-over-rows estimate is exercised
+
+
+def _cm_counters_sql(key_expr, source_sql, depth, width):
+    """UNION ALL of per-row grouped counts — the oracle's counter table."""
+    return " UNION ALL ".join(
+        f"SELECT {r} AS cm_row, {cm_bucket_sql(key_expr, r, width)} AS cm_bucket, "
+        f"COUNT(*) AS cm_count FROM ({source_sql}) GROUP BY 2"
+        for r in range(depth)
+    )
+
+
+def _cm_probe_rb_sql(key_expr, probes_sql, depth, width):
+    return " UNION ALL ".join(
+        f"SELECT {key_expr} AS k, {r} AS cm_row, "
+        f"{cm_bucket_sql(key_expr, r, width)} AS cm_bucket FROM ({probes_sql})"
+        for r in range(depth)
+    )
+
+
+@register(
+    "q165_countmin_freq",
+    f"""
+    WITH facts AS (
+      SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    counters AS (
+      {_cm_counters_sql('user_id', 'SELECT user_id FROM facts', _CM_D, _CM_W)}
+    ),
+    probes AS (
+      SELECT DISTINCT user_id FROM facts WHERE user_id < 20
+    ),
+    probe_rb AS (
+      {_cm_probe_rb_sql('user_id', 'SELECT user_id FROM probes', _CM_D, _CM_W)}
+    ),
+    est AS (
+      SELECT p.k AS user_id, MIN(COALESCE(c.cm_count, 0)) AS cm_est
+      FROM probe_rb p LEFT JOIN counters c USING (cm_row, cm_bucket)
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS n FROM facts WHERE user_id < 20 GROUP BY 1
+    )
+    SELECT e.user_id, CAST(e.cm_est AS BIGINT) AS cm_est,
+           CAST(x.n AS BIGINT) AS exact_n,
+           e.cm_est >= x.n AS never_undercounts
+    FROM est e JOIN exact x USING (user_id)
+    """,
+    doc="count-min sketch point-frequency estimates "
+    "(functions/countmin.py): the fact table collapses to a "
+    f"{_CM_D}x{_CM_W} counter grid in ONE map-side-combinable pass "
+    "(the shuffle moves counter partials, never fact rows), probes "
+    "broadcast-join the tiny grid, and est = MIN over depth rows — "
+    "the classic (eps, delta) overestimate. Width is deliberately far "
+    "below the key cardinality so real collisions occur; the oracle "
+    "replays the identical md5 bucket math cell-for-cell, and the "
+    "`never_undercounts` column is the CM lower-bound guarantee "
+    "checked per key on both engines. Reference parity: the scale "
+    "form of klio's per-name exact metrics counters "
+    "(core/src/klio_core/metrics) for unbounded key domains.",
+)
+def q165_countmin_freq(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    facts = ev.filter(F.col("user_id").isNotNull()).select("user_id")
+    counters = build_countmin(facts, "user_id", depth=_CM_D, width=_CM_W)
+    probes = facts.filter(F.col("user_id") < 20).distinct()
+    est = cm_estimate(counters, probes, "user_id", depth=_CM_D, width=_CM_W)
+    exact = (
+        facts.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        F.col("cm_est").cast("bigint").alias("cm_est"),
+        F.col("n").cast("bigint").alias("exact_n"),
+        (F.col("cm_est") >= F.col("n")).alias("never_undercounts"),
+    )
+
+
+_CMM_D, _CMM_W = 3, 32
+
+
+@register(
+    "q166_countmin_merge",
+    f"""
+    WITH facts AS (
+      SELECT event_type FROM events
+      WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    ),
+    counters AS (
+      {_cm_counters_sql('event_type', 'SELECT event_type FROM facts',
+                        _CMM_D, _CMM_W)}
+    )
+    SELECT CAST(cm_row AS INT) AS cm_row,
+           CAST(cm_bucket AS BIGINT) AS cm_bucket,
+           CAST(cm_count AS BIGINT) AS cm_count
+    FROM counters
+    """,
+    doc="count-min additivity — the property that makes the sketch a "
+    "TABLE you maintain instead of a query you re-run: the Spark side "
+    "builds one sketch per event_id-parity half of the corpus and "
+    "cell-wise SUMS them (merge_countmin); the oracle builds straight "
+    "over the whole corpus. The hash match proves merge(build(A), "
+    "build(B)) == build(A ∪ B) counter-for-counter, which is exactly "
+    "the daily-rollup / streaming-foreachBatch refresh story: partial "
+    "sketches merge without fact rescans, the same lifecycle as the "
+    "q98/q147 HLL tables.",
+)
+def q166_countmin_merge(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    facts = ev.filter(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    ).select("event_type", "event_id")
+    halves = [
+        build_countmin(
+            facts.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).select(
+                "event_type"
+            ),
+            "event_type",
+            depth=_CMM_D,
+            width=_CMM_W,
+        )
+        for i in (0, 1)
+    ]
+    return merge_countmin(*halves).select(
+        F.col("cm_row").cast("int").alias("cm_row"),
+        F.col("cm_bucket").cast("bigint").alias("cm_bucket"),
+        F.col("cm_count").cast("bigint").alias("cm_count"),
+    )

@@ -571,3 +571,54 @@ def q157_int8_ann_topk(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "dot", "rank")
     )
+
+
+@register(
+    "q167_pq_adc_quality",
+    """
+    SELECT 'pq_adc' AS method,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+             AS n_queries,
+           TRUE AS regret_le_015
+    """,
+    doc="driver-verified accuracy claim for the product-quantization ANN "
+    "path (functions/pq.py, Jegou et al. TPAMI 2011), in its production "
+    "serving shape: per-subspace codebooks (m=8, 32 codewords) trained "
+    "on a deterministic ordered sample, corpus compressed to 8 small "
+    "ints/vector, asymmetric-distance (ADC) scan over the CODES ONLY "
+    "selects a 100-candidate shortlist, exact cosine re-rank of the "
+    "shortlist yields top-5. Regret metric as q107 (avg-cosine of "
+    "returned set within 0.15 of exact top-5's — measured worst ≤0.06 "
+    "at every test sf; set-recall is noise-dominated on near-random "
+    "embeddings). Training/encoding/scoring are all deterministic "
+    "(seeded k-means, argmin tie→lowest id), so the boolean is stable. "
+    "At 100 TB the codes table is 32x smaller than the vectors it "
+    "replaces; full vectors are touched only for queries x shortlist "
+    "rows.",
+)
+def q167_pq_adc_quality(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.pq import pq_encode, pq_topk_reranked, pq_train
+
+    (e,) = load(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    books = pq_train(corpus, m=8, k_sub=32, sample=2048)
+    codes = pq_encode(corpus, books)
+    approx = (
+        pq_topk_reranked(qs, corpus, codes, books, k=5, shortlist=100)
+        .groupBy("query_id")
+        .agg(F.avg("cosine").alias("_approx"))
+    )
+    brute = (
+        q70_ann_bruteforce_topk(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.avg("cosine").alias("_exact"))
+    )
+    return brute.join(approx, "query_id", "left").agg(
+        F.lit("pq_adc").alias("method"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (
+            F.max(F.col("_exact") - F.coalesce(F.col("_approx"), F.lit(-1.0)))
+            <= 0.15
+        ).alias("regret_le_015"),
+    )
