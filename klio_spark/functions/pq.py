@@ -35,7 +35,11 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from klio_spark.functions.similarity import _kmeans_centroids
+from klio_spark.functions.similarity import (
+    _assign_udf,
+    _kmeans_centroids,
+    _probes_udf,
+)
 
 
 def pq_train(
@@ -216,6 +220,154 @@ def pq_topk_reranked(
     short = pq_adc_topk(
         queries, codes, books, vec_col=vec_col, id_col=id_col, k=shortlist
     ).select("query_id", "neighbor_id")
+    rer = (
+        short.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("_qv"), F.col("_nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _pair_score_udf(books: np.ndarray, lut: np.ndarray):
+    """pandas UDF for probed (query, candidate) PAIRS: given the query's
+    LUT row index and the candidate's code, score = sum_j LUT[qi][j][c_j].
+
+    This is the piece that makes IVF-PQ honest: only candidates inside a
+    probed list ever reach this UDF, so the scored-pair count is
+    O(queries x probed fraction of corpus), not O(queries x corpus) —
+    unlike pq_adc_topk's full matrix scan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = books.shape[0]
+
+    def _score(qi: "pd.Series", codes: "pd.Series") -> "pd.Series":
+        q = qi.to_numpy().astype(np.int64)
+        cm = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        s = np.zeros(len(q))
+        for j in range(m):
+            s += lut[q, j, cm[:, j]]
+        return pd.Series(s)
+
+    _score.__annotations__ = {
+        "qi": pd.Series, "codes": pd.Series, "return": pd.Series,
+    }
+    return pandas_udf(_score, "double")
+
+
+def ivfpq_topk_reranked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    shortlist: int = 100,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_sub: int = 16,
+    sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale serving shape (Jegou et al.
+    TPAMI 2011 §V; what faiss calls IVFx,PQy).
+
+    Three prunes multiply:
+      1. IVF — each query probes only `n_probe`/`n_lists` of the corpus
+         (the list id is a partition column at rest, so this is
+         partition PRUNING, bytes never read);
+      2. PQ/ADC — probed candidates are scored from their m-byte codes
+         only (32x less data than the vectors) via the pair-wise LUT
+         sum, selecting a `shortlist`;
+      3. exact re-rank — full vectors are fetched for O(queries x
+         shortlist) rows only.
+
+    Exactness dial: ``n_probe == n_lists`` + ``shortlist >= |corpus|``
+    degenerates to brute force exactly (every candidate probed, ADC only
+    ORDERS the shortlist which then contains everything, re-rank is
+    exact cosine) — the oracle-checkable configuration tests assert.
+
+    Trains both quantizers on the same deterministic ordered sample;
+    fully deterministic for fixed (sample, seed).
+    """
+    samp = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in samp])
+    cents = _kmeans_centroids(mat, n_lists, seed=seed)
+    books = pq_train(
+        corpus, vec_col=vec_col, id_col=id_col, m=m, k_sub=k_sub,
+        sample=sample, seed=seed,
+    )
+
+    # one corpus pass: list assignment + PQ code, both from the vector
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _assign_udf(cents)(F.col(vec_col)).alias("_list"),
+        _encode_udf(books)(F.col(vec_col)).alias("pq_code"),
+    )
+
+    # per-query ADC LUT (queries are few and broadcast by construction)
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    mm, kk, sub = books.shape
+    lut = np.zeros((len(qids), mm, kk))
+    for j in range(mm):
+        lut[:, j, :] = qmat[:, j * sub : (j + 1) * sub] @ books[j].T
+
+    # query_id -> LUT row index as a literal map expression (queries are
+    # few by contract) — keeps the plan free of a createDataFrame RDD
+    # scan, so codegen/AQE run end-to-end (lint: rdd_roundtrip)
+    idx_map = F.create_map(
+        *[F.lit(v) for i, qid in enumerate(qids) for v in (qid, i)]
+    )
+    qdf = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        .withColumn("_qi", idx_map[F.col("query_id")].cast("int"))
+        .withColumn("_list", F.explode(_probes_udf(cents, n_probe)(F.col("_qv"))))
+        .drop("_qv")
+    )
+
+    scored = qdf.join(coded, "_list").withColumn(
+        "adc_score",
+        F.round(_pair_score_udf(books, lut)(F.col("_qi"), F.col("pq_code")), 6),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    from klio_spark.functions.vectors import cosine_sim
+
     rer = (
         short.join(
             corpus.select(

@@ -622,3 +622,139 @@ def q167_pq_adc_quality(spark: SparkSession, sf_dir: str):
             <= 0.15
         ).alias("regret_le_015"),
     )
+
+
+@register(
+    "q168_ivfpq_topk",
+    _EXACT_TOPK_ORACLE,
+    doc="IVF-PQ composed ANN (functions/pq.py ivfpq_topk_reranked; Jegou "
+    "et al. TPAMI 2011 §V, the faiss IVFx,PQy serving shape): coarse "
+    "quantizer prunes to probed lists (partition pruning at rest), "
+    "ADC over m-byte codes — scored only for PROBED pairs via the "
+    "pair-wise LUT UDF, never the full query x corpus matrix — selects "
+    "a shortlist, exact cosine re-ranks. Registered at its exactness "
+    "dial (n_probe = n_lists and shortlist > |corpus|: every candidate "
+    "is probed and survives to the exact re-rank, so the result is "
+    "provably the brute-force top-5 whatever the ADC scores say), so "
+    "the brute-force SQL is its oracle. The pruned config's recall and "
+    "the three-stage cost shape are locked in tests/test_pq.py.",
+)
+def q168_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.pq import ivfpq_topk_reranked
+
+    (e,) = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk_reranked(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") >= 10),
+        k=5,
+        shortlist=1_000_000,
+        n_lists=8,
+        n_probe=8,
+        m=8,
+        k_sub=32,
+    )
+
+
+_GRAM_Q = """
+    WITH ix AS (
+      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+             embedding
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qq AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS v
+      FROM ix
+    ),
+    gu AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS g
+      FROM qq a JOIN qq b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )"""
+
+
+@register(
+    "q170_gram_matrix",
+    _GRAM_Q
+    + """
+    SELECT i, j, CAST(g AS BIGINT) AS g FROM gu
+    """,
+    doc="distributed quantized Gram / second-moment matrix over the "
+    "embedding corpus (functions/linalg.py quantized_gram) — the "
+    "covariance pass behind PCA whitening, principal-direction drift "
+    "checks, and feature decorrelation. The ONLY distributed work is a "
+    "map-side d x d partial per Arrow batch (one numpy int64 matmul), "
+    "so the exchange carries partitions x d(d+1)/2 small integer rows "
+    "regardless of corpus size — at 1e12 rows the shuffle is still "
+    "~2080 rows per partition; partials sum in decimal(38,0). "
+    "Components quantize as FLOOR(double(x) * 1e6) — identical IEEE "
+    "doubles floor identically — so both engines sum identical "
+    "integers: hash-exact, no float-order sensitivity anywhere.",
+)
+def q170_gram_matrix(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.linalg import quantized_gram
+
+    (e,) = load(spark, sf_dir, "embeddings")
+    return quantized_gram(e, "embedding")
+
+
+_PI_ITERS = 8
+
+
+def _pi_iter_sql(k: int) -> str:
+    """One unrolled integer power-iteration round (v{k} from v{k-1}):
+    exact HUGEINT matvec, then truncating renormalization to 2^20."""
+    return f"""
+    w{k} AS (
+      SELECT f.i AS i, SUM(f.g * v{k - 1}.v) AS s
+      FROM fm f JOIN v{k - 1} ON f.j = v{k - 1}.i
+      GROUP BY f.i
+    ),
+    m{k} AS (SELECT MAX(ABS(s)) AS m FROM w{k}),
+    v{k} AS (
+      SELECT i, (s * CAST(1048576 AS HUGEINT))
+                // (CASE WHEN m < 1 THEN 1 ELSE m END) AS v
+      FROM w{k} CROSS JOIN m{k}
+    )"""
+
+
+@register(
+    "q171_power_iteration",
+    _GRAM_Q
+    + """,
+    fm AS (
+      SELECT i, j, CAST(g AS HUGEINT) AS g FROM gu
+      UNION ALL
+      SELECT j AS i, i AS j, CAST(g AS HUGEINT) AS g FROM gu WHERE i <> j
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(1048576 AS HUGEINT) AS v FROM fm),
+    """
+    + ",".join(_pi_iter_sql(k) for k in range(1, _PI_ITERS + 1))
+    + f""",
+    sgn AS (
+      SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+      FROM v{_PI_ITERS} ORDER BY ABS(v) DESC, i ASC LIMIT 1
+    )
+    SELECT i AS component, CAST(v * sgn.s AS BIGINT) AS eigvec_q
+    FROM v{_PI_ITERS} CROSS JOIN sgn
+    """,
+    doc="top principal direction of the embedding corpus by INTEGER "
+    "power iteration (functions/linalg.py top_eigvec_df; 8 rounds): "
+    "the distributed pass is q170's Gram aggregation (shuffle bounded "
+    "by d^2, corpus-size-independent); the 64x64 eigen-iteration runs "
+    "driver-side on exact Python ints — the industry-standard split, a "
+    "64x64 problem does not deserve a cluster. Every round is matvec + "
+    "truncating renormalization to 2^20, and truncating division is "
+    "sign-symmetric, so the DuckDB oracle replays the identical "
+    "HUGEINT sequence (unrolled CTEs, like q152's unrolled PageRank) "
+    "and the final deterministic sign flip (largest-|v| component "
+    "non-negative, ties to the lowest index) commutes. Hash-exact "
+    "eigenvector quantized to [-2^20, 2^20]; the float-PCA agreement "
+    "(cosine vs numpy.linalg.eigh) is asserted in tests/test_linalg.py.",
+)
+def q171_power_iteration(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.linalg import top_eigvec_df
+
+    (e,) = load(spark, sf_dir, "embeddings")
+    return top_eigvec_df(e, "embedding", dim=64, iters=_PI_ITERS)

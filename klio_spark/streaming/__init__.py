@@ -1010,6 +1010,67 @@ def rolling_distinct_sketch(
     )
 
 
+def streaming_countmin(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 64,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live count-min frequency sketch — the streaming twin of
+    q165/q166's batch counter tables (functions/countmin.py).
+
+    Each event expands to its `depth` (cm_row, cm_bucket) cells — the
+    same md5-derived ``_bucket`` expression the batch builder and the
+    DuckDB oracle replay — and the cell counts accumulate in Spark's
+    built-in incremental streaming aggregation (complete mode: state =
+    one int64 per touched cell, bounded by depth*width REGARDLESS of
+    the key cardinality — that bound is the entire point of the
+    sketch, and it is also exactly why the streaming state stays flat
+    where an exact per-key count would grow without limit).
+
+    Each trigger hands the live counter table (cm_row, cm_bucket,
+    cm_count — the same schema as build_countmin, so cm_estimate /
+    merge_countmin apply directly) to ``sink(counters, batch_id)``.
+    Because the sketch is a cell-wise-additive function of the event
+    multiset, the live table after any prefix of the stream equals the
+    batch build over that prefix counter-for-counter — including across
+    checkpoint restarts — which is what the restart test asserts
+    against the q165/q166-verified batch kernel."""
+    from klio_spark.functions.countmin import _bucket
+
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("cm_row"),
+                _bucket(key, r, width).alias("cm_bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    counters = (
+        df.filter(key.isNotNull())
+        .select(F.explode(cells).alias("rb"))
+        .groupBy("rb.cm_row", "rb.cm_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cm_count"))
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch.select("cm_row", "cm_bucket", "cm_count"), batch_id)
+
+    writer = (
+        counters.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def foreach_batch_sink(
     df: DataFrame,
     batch_fn,

@@ -116,3 +116,53 @@ def test_rerank_equals_bruteforce_when_shortlist_covers(emb):
     for g, w in zip(got_s, want_s):
         assert g["neighbor_id"] == w["neighbor_id"], (g, w)
         assert abs(g["cosine"] - w["cosine"]) < 1e-6
+
+
+def test_ivfpq_pruned_recall_and_determinism(emb):
+    """The PRUNED IVF-PQ config (n_probe < n_lists, small shortlist):
+    similarity regret vs brute force stays inside the q107-style bound,
+    and two runs return identical rows (seeded quantizers, argmin/argmax
+    tie-breaks, rounded rank keys)."""
+    from klio_spark.functions.pq import ivfpq_topk_reranked
+    from klio_spark.functions.vectors import cosine_sim
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    kw = dict(k=5, shortlist=50, n_lists=8, n_probe=3, m=8, k_sub=16,
+              sample=1024)
+    got = ivfpq_topk_reranked(queries, corpus, **kw).collect()
+    again = ivfpq_topk_reranked(queries, corpus, **kw).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(got, key=key) == sorted(again, key=key)
+
+    exact = brute_force_topk(queries, corpus, k=5).collect()
+    exact_avg = {}
+    for r in exact:
+        exact_avg.setdefault(r["query_id"], []).append(r["cosine"])
+    got_avg = {}
+    for r in got:
+        got_avg.setdefault(r["query_id"], []).append(r["cosine"])
+    assert set(got_avg) == set(exact_avg)
+    for qid, cos in exact_avg.items():
+        regret = sum(cos) / len(cos) - sum(got_avg[qid]) / len(got_avg[qid])
+        assert regret <= 0.2, (qid, regret)
+
+
+def test_ivfpq_exact_dial_equals_bruteforce(emb):
+    """n_probe == n_lists + shortlist > |corpus| degenerates to brute
+    force row-for-row — the q168 registry parameterization."""
+    from klio_spark.functions.pq import ivfpq_topk_reranked
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3).limit(80)
+    got = ivfpq_topk_reranked(
+        queries, corpus, k=5, shortlist=1000, n_lists=4, n_probe=4,
+        m=4, k_sub=8, sample=128,
+    ).collect()
+    want = brute_force_topk(queries, corpus, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    got_s, want_s = sorted(got, key=key), sorted(want, key=key)
+    assert len(got_s) == len(want_s) > 0
+    for g, w in zip(got_s, want_s):
+        assert g["neighbor_id"] == w["neighbor_id"], (g, w)
+        assert abs(g["cosine"] - w["cosine"]) < 1e-6

@@ -1108,3 +1108,61 @@ def test_stateful_cusum_alarms_match_replay(spark, tmp_path):
     assert got == [("drift", "up", 2250, 5)]
     us = int(dt.datetime(2024, 1, 1, 0, 4).timestamp() * 1_000_000)
     assert rows[0].ts_micros == us
+
+
+def test_streaming_countmin_matches_batch_kernel(spark, tmp_path):
+    """streaming_countmin across a checkpoint restart: the live counter
+    table after each phase must equal build_countmin over the cumulative
+    events cell-for-cell (the sketch is a cell-wise-additive function of
+    the event multiset, so streaming accumulation == batch build), and
+    its state stays bounded by depth*width."""
+    from klio_spark.functions.countmin import build_countmin
+
+    edir = tmp_path / "cm"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, user_id long"
+    depth, width = 3, 8
+    b1 = [(i, i % 5) for i in range(40)]
+    b2 = [(100 + i, i % 17) for i in range(60)]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.streaming_countmin(
+            stream,
+            lambda c, bid: c.write.mode("overwrite").parquet(
+                f"{tmp_path}/cmout"
+            ),
+            str(tmp_path / "ckpt-cm"),
+            key_col="user_id",
+            depth=depth,
+            width=width,
+        )
+        q.awaitTermination(60)
+
+    def batch_referee(rows):
+        return {
+            (r.cm_row, r.cm_bucket, r.cm_count)
+            for r in build_countmin(
+                spark.createDataFrame(rows, schema),
+                "user_id",
+                depth=depth,
+                width=width,
+            ).collect()
+        }
+
+    run(b1)
+    got1 = {
+        tuple(r) for r in spark.read.parquet(f"{tmp_path}/cmout").collect()
+    }
+    assert got1 == batch_referee(b1)
+    assert len(got1) <= depth * width
+
+    run(b2)  # restart: cumulative cells must include b1's
+    got2 = {
+        tuple(r) for r in spark.read.parquet(f"{tmp_path}/cmout").collect()
+    }
+    assert got2 == batch_referee(b1 + b2)
+    assert len(got2) <= depth * width
