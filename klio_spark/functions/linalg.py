@@ -1,0 +1,146 @@
+"""Distributed linear algebra for embedding analytics: quantized Gram
+matrix and integer-exact power iteration (top principal direction).
+
+The 100 TB shape (reference parity: klio has no linalg — this extends
+the embedding toolbox of functions/vectors.py the way large-scale
+training pipelines need it, e.g. PCA whitening / principal-direction
+drift checks before ANN indexing):
+
+  * the ONLY distributed pass is the Gram/second-moment aggregation —
+    each Arrow batch contributes a d x d partial (``Q^T Q`` over the
+    batch, one numpy matmul), so the shuffle moves
+    ``partitions x d(d+1)/2`` small integer rows, INDEPENDENT of corpus
+    row count. This is the canonical map-side-combine for covariance:
+    at 1e12 rows the exchange is still ~2080 rows per partition.
+  * the eigen-solve runs on the d x d result at the driver — the
+    industry-standard split (a 64x64 problem does not deserve a
+    cluster), mirroring how IVF trains its coarse quantizer on a
+    bounded sample (functions/similarity.py).
+
+Integer exactness contract (same discipline as q152's integer
+PageRank): components quantize per-row as FLOOR(x * scale) — identical
+IEEE doubles floor identically on every engine — and everything after
+is integer arithmetic. Power iteration renormalizes each round with a
+TRUNCATING integer division (DuckDB HUGEINT ``//`` semantics, exact and
+toward-zero; replicated here with exact Python ints), so a DuckDB
+oracle can replay the entire iteration bit-for-bit. Truncation is
+sign-symmetric, so the final deterministic sign flip (largest-|v|
+component positive, ties to the lowest index) commutes with it.
+
+Overflow budget: |q| <= scale * max|x|; a batch partial is bounded by
+batch_rows * (scale*max|x|)^2 (Arrow batches are bounded, so the numpy
+int64 matmul cannot wrap); the global sum accumulates in decimal(38,0)
+on the Spark side and HUGEINT in DuckDB. Matvec terms stay inside
+HUGEINT by ~15 decimal digits of headroom at d=64, scale=1e6, v-scale
+2^20.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+#: per-component quantization for the Gram pass
+GRAM_SCALE = 10**6
+#: power-iteration vector renormalization scale (2^20)
+VEC_SCALE = 1 << 20
+
+
+def quantized_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = GRAM_SCALE,
+) -> DataFrame:
+    """Upper-triangle quantized Gram matrix ``G[i][j] = sum_rows
+    floor(x_i*scale) * floor(x_j*scale)`` as (i, j, g) rows, i <= j.
+
+    One mapInPandas pass emits a d(d+1)/2-row integer partial per Arrow
+    batch (numpy int64 matmul — exact, see module overflow budget); the
+    groupBy sums partials in decimal(38,0) and returns bigint. Rows with
+    NULL vectors are skipped.
+    """
+    import pandas as pd
+
+    def part(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None and len(v)]
+            if not vecs:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            q = np.floor(x * scale).astype(np.int64)
+            g = q.T @ q  # (d, d) int64, bounded per the module budget
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"),
+                 "partial": g[iu, ju]}
+            )
+
+    parts = df.select(vec_col).mapInPandas(part, "i int, j int, partial long")
+    return (
+        parts.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("partial").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("g")
+        )
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (DuckDB ``//`` / Spark
+    ``div`` semantics) on exact Python ints."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def power_iteration(
+    gram_rows, dim: int, iters: int = 8, vec_scale: int = VEC_SCALE
+) -> list[int]:
+    """Integer-exact power iteration on a collected upper-triangle Gram
+    table (rows with .i/.j/.g) — returns the quantized top-eigenvector
+    direction as d ints in [-vec_scale, vec_scale].
+
+    v0 = all-ones * vec_scale; each round: w = G @ v (exact Python
+    ints), then v = trunc(w * vec_scale / max|w|). Deterministic sign:
+    the largest-|v| component (ties -> lowest index) is made
+    non-negative. Every step is replayable in integer SQL (HUGEINT),
+    which is how q171's oracle checks it.
+    """
+    g = [[0] * dim for _ in range(dim)]
+    for r in gram_rows:
+        g[r.i][r.j] = int(r.g)
+        g[r.j][r.i] = int(r.g)
+    v = [vec_scale] * dim
+    for _ in range(iters):
+        w = [sum(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w) or 1
+        v = [_tdiv(x * vec_scale, m) for x in w]
+    pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def top_eigvec_df(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+    scale: int = GRAM_SCALE,
+    vec_scale: int = VEC_SCALE,
+) -> DataFrame:
+    """Distributed Gram pass + driver-side integer power iteration ->
+    (component, eigvec_q) DataFrame. The collect is the d(d+1)/2-row
+    Gram table (d=64 -> 2080 rows), never corpus rows."""
+    rows = quantized_gram(df, vec_col=vec_col, scale=scale).collect()
+    v = power_iteration(rows, dim, iters=iters, vec_scale=vec_scale)
+    spark = df.sparkSession
+    arr = F.array(*[F.lit(int(x)).cast("bigint") for x in v])
+    return spark.range(dim).select(
+        F.col("id").cast("int").alias("component"),
+        F.element_at(arr, F.col("id").cast("int") + 1).alias("eigvec_q"),
+    )

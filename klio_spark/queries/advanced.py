@@ -635,3 +635,94 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str):
     return stats.crossJoin(F.broadcast(ne)).select(
         "n_edges", "n_wedges", "n_triangles"
     )
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_frontier_sql(i: int) -> str:
+    """Hop i as a CTE: neighbors of frontier i-1 not yet reached (the
+    reached set is the union of all earlier frontiers — unrolled, since
+    the Spark side's loop is unrolled into the plan the same way)."""
+    reached = " UNION ALL ".join(
+        f"SELECT node FROM f{j}" for j in range(i)
+    )
+    return f"""
+    f{i} AS (
+      SELECT DISTINCT e.b AS node
+      FROM e JOIN f{i - 1} ON e.a = f{i - 1}.node
+      WHERE NOT EXISTS (SELECT 1 FROM ({reached}) r
+                        WHERE r.node = e.b)
+    )"""
+
+
+@register(
+    "q169_bfs_khop",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    e AS (SELECT a, b FROM p GROUP BY a, b HAVING COUNT(*) >= 2),
+    f0 AS (SELECT DISTINCT a AS node FROM e WHERE a % 100 = 0),
+    """
+    + ",".join(_bfs_frontier_sql(i) for i in range(1, _BFS_HOPS + 1))
+    + f"""
+    SELECT node AS partkey, CAST(hops AS INTEGER) AS hops FROM (
+      {" UNION ALL ".join(f"SELECT node, {i} AS hops FROM f{i}" for i in range(_BFS_HOPS + 1))}
+    )
+    """,
+    doc="multi-source k-hop BFS (3 hops) over the REPEAT-co-purchase "
+    "graph (edge = parts bought together in >= 2 distinct orders — the "
+    "weight threshold that turns a basket multigraph into a sparse "
+    "affinity graph): every node's minimum hop distance from the seed "
+    "set, the neighborhood-expansion shape behind contamination radius, "
+    "influence propagation, and graph feature generation. Distributed "
+    "shape: the edge list (2 longs/row) builds once — the weight "
+    "threshold rides the same exchange that the pair groupBy needs — "
+    "and persists because each hop consumes it; each hop is ONE equi "
+    "join (frontier ⋈ edges on the source key, frontier broadcasts "
+    "while it is small, AQE switches to shuffle join when it is not) "
+    "plus a left-anti join against the reached set (monotone, grows by "
+    "the frontier each hop). Frontiers shrink geometrically on sparse "
+    "graphs, so the per-hop cost is frontier-degree-bounded, never "
+    "O(V^2); hop count is fixed (unrolled), matching the oracle's "
+    "unrolled CTE chain. Integer node ids and hop labels — hash-exact.",
+)
+def q169_bfs_khop(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+        # consumed once per hop — same persist rationale as q160's
+        # oriented edges (and the same clearCache caveat)
+        .persist()
+    )
+    frontier = (
+        e.select(F.col("a").alias("node"))
+        .filter(F.col("node") % 100 == 0)
+        .distinct()
+    )
+    dist = frontier.withColumn("hops", F.lit(0))
+    for i in range(1, _BFS_HOPS + 1):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+        )
+        dist = dist.unionByName(frontier.withColumn("hops", F.lit(i)))
+    return dist.select(
+        F.col("node").alias("partkey"), F.col("hops").cast("int").alias("hops")
+    )
