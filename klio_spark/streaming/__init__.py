@@ -1071,18 +1071,108 @@ def streaming_countmin(
     return writer.start()
 
 
+def stateful_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    n_shards: int = 8,
+    capacity: int = 16,
+) -> DataFrame:
+    """Streaming heavy hitters by SHARDED Misra-Gries — the streaming
+    twin of q89's exact batch top-k (queries/training.py).
+
+    Keys hash to ``n_shards`` disjoint shards (xxhash64 pmod), so each
+    shard's summary covers a disjoint key set and the global answer is
+    the plain union of shard summaries — no cross-shard merge math.
+    Per shard, state is a Misra-Gries summary of ``capacity`` counters
+    plus two scalars: TOTAL state is bounded by n_shards*capacity
+    entries REGARDLESS of key cardinality (the point of the sketch —
+    an exact streaming groupBy-count would grow state without limit).
+
+    Per trigger, each incoming batch's key counts fold into the summary
+    with the Agarwal et al. MERGE step: add counts, and if more than
+    ``capacity`` keys survive, subtract the (capacity+1)-th largest
+    counter from every counter and drop the non-positives (deterministic
+    regardless of iteration order — survivors are exactly the counters
+    strictly above the pivot). State tracks n (items seen) and d (the
+    cumulative subtracted mass), giving the classic exact sandwich
+    ``est <= true <= est + d`` per surviving key, and the guarantee
+    that any key with true count > d is PRESENT in the summary — the
+    restart test asserts both against an exact batch referee.
+
+    Emits the full shard summary each trigger (output mode `update`):
+    (shard, key, est, n_shard, err_bound) rows, keys as strings
+    (state-schema typing; cast back at the consumer if needed)."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("_shard"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        batch: Counter = Counter()
+        for pdf in pdfs:
+            batch.update(pdf["_key"].tolist())
+        if not batch:
+            return
+        keys, counts, n, d = (
+            state.get if state.exists else ([], [], 0, 0)
+        )
+        merged = dict(zip(keys, counts))
+        for k, c in batch.items():
+            merged[k] = merged.get(k, 0) + int(c)
+            n += int(c)
+        if len(merged) > capacity:
+            pivot = sorted(merged.values(), reverse=True)[capacity]
+            merged = {k: c - pivot for k, c in merged.items() if c > pivot}
+            d += pivot
+        ks = sorted(merged)  # deterministic state + emission order
+        state.update((ks, [merged[k] for k in ks], n, d))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(ks),
+                "key": ks,
+                "est": [merged[k] for k in ks],
+                "n_shard": [n] * len(ks),
+                "err_bound": [d] * len(ks),
+            }
+        )
+
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "shard int, key string, est long, n_shard long, err_bound long"
+        ),
+        stateStructType=(
+            "keys array<string>, counts array<long>, n long, d long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_sink(
     df: DataFrame,
     batch_fn,
     checkpoint: str,
     trigger_available_now: bool = True,
+    output_mode: str | None = None,
 ) -> StreamingQuery:
     """foreachBatch with checkpointing: the general sink adapter (used for
     bq-style/custom writers). batch_fn(batch_df, batch_id) must be
-    idempotent on batch_id for exactly-once."""
+    idempotent on batch_id for exactly-once. ``output_mode`` must match
+    the plan's stateful operator when it declares one (e.g. the
+    update-mode heavy-hitter summary)."""
     writer = df.writeStream.foreachBatch(batch_fn).option(
         "checkpointLocation", checkpoint
     )
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

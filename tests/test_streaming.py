@@ -1166,3 +1166,96 @@ def test_streaming_countmin_matches_batch_kernel(spark, tmp_path):
     }
     assert got2 == batch_referee(b1 + b2)
     assert len(got2) <= depth * width
+
+
+def test_stateful_heavy_hitters_mg_guarantees(spark, tmp_path):
+    """stateful_heavy_hitters across a checkpoint restart, against an
+    exact batch referee: (1) every key whose true cumulative count
+    exceeds its shard's err_bound is PRESENT; (2) each emitted estimate
+    satisfies est <= true <= est + err_bound; (3) state stays bounded
+    (<= capacity entries per shard); (4) restart resumes the summary,
+    so a key that only becomes heavy ACROSS the boundary is found."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    edir = tmp_path / "hh"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, user_id long"
+    # phase 1: key 1 dominant, long distinct tail to force MG evictions
+    b1 = [(i, 1) for i in range(60)] + [(1000 + i, 100 + i) for i in range(200)]
+    # phase 2: key 2 becomes heavy only cumulatively (30 + 30), more tail
+    b1 += [(5000 + i, 2) for i in range(30)]
+    b2 = [(6000 + i, 2) for i in range(30)] + [
+        (7000 + i, 400 + i) for i in range(150)
+    ]
+    n_shards, capacity = 4, 8
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_heavy_hitters(
+                stream, "user_id", n_shards=n_shards, capacity=capacity
+            ),
+            lambda b, bid: b.withColumn("bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(f"{tmp_path}/hhout"),
+            str(tmp_path / "ckpt-hh"),
+            output_mode="update",
+        )
+        q.awaitTermination(60)
+
+    def check(seen_rows):
+        # a shard only re-emits when it receives data, so its CURRENT
+        # summary is its rows at its own latest batch id
+        allrows = spark.read.parquet(f"{tmp_path}/hhout").collect()
+        latest = {}
+        for r in allrows:
+            if r.shard not in latest or r.bid > latest[r.shard]:
+                latest[r.shard] = r.bid
+        rows = [r for r in allrows if r.bid == latest[r.shard]]
+        true = Counter(str(u) for _, u in seen_rows)
+        shard_of = {
+            r.key: r.shard
+            for r in spark.createDataFrame(
+                [(k,) for k in true], "user_id string"
+            )
+            .select(
+                F.col("user_id").alias("key"),
+                F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
+                .cast("int")
+                .alias("shard"),
+            )
+            .collect()
+        }
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, {})[r.key] = r
+        for s, entries in by_shard.items():
+            assert len(entries) <= capacity, (s, len(entries))
+        emitted = {(r.shard, r.key) for r in rows}
+        for k, t in true.items():
+            s = shard_of[k]
+            if s not in by_shard:
+                continue  # summary wiped entirely (all-ties eviction)
+            d = next(iter(by_shard[s].values())).err_bound
+            if t > d:
+                assert (s, k) in emitted, (k, t, d)
+            if (s, k) in emitted:
+                est = by_shard[s][k].est
+                assert est <= t <= est + d, (k, est, t, d)
+        return by_shard
+
+    run(b1)
+    check(b1)
+    run(b2)
+    by_shard = check(b1 + b2)
+    # key 2 (30 + 30 = 60 occurrences) must be found post-restart
+    s2 = [
+        r for entries in by_shard.values() for r in entries.values()
+        if r.key == "2"
+    ]
+    assert s2 and s2[0].est <= 60 <= s2[0].est + s2[0].err_bound
