@@ -144,3 +144,95 @@ def top_eigvec_df(
         F.col("id").cast("int").alias("component"),
         F.element_at(arr, F.col("id").cast("int") + 1).alias("eigvec_q"),
     )
+
+
+def lloyd_iterations(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = GRAM_SCALE,
+) -> DataFrame:
+    """Distributed Lloyd (k-means) refinement, integer-exact — the
+    k-means TRAINING step (functions/similarity.py trains its coarse
+    quantizers on a bounded driver-side sample; this is the full-corpus
+    refinement a production pipeline runs on top).
+
+    Per iteration, the distributed pass is: assignment — each point's
+    squared distance to all k centroids as ONE codegen'd expression
+    (zip_with/aggregate over the quantized vector against k literal
+    arrays: no UDF, no join, no shuffle) — then ONE exchange: the
+    per-(cluster, component) sum/count aggregation (posexplode feeds
+    partial aggregation, so the shuffle carries k*d partials per
+    partition, never corpus rows). Between iterations only the k x d
+    centroid table returns to the driver (the same bounded-collect
+    shape as IVF's trained quantizer).
+
+    Exactness: components quantize as FLOOR(double(x)*scale); distances
+    and sums are exact integers; new centroid components are truncating
+    integer divisions (sum div n). Argmin tie-breaks to the lowest
+    centroid id (array_position finds the FIRST minimum). Every step is
+    replayable in integer SQL — q172's oracle. Seeding: the k lowest
+    ``id_col`` rows (deterministic). Emptied clusters drop on both
+    engines identically.
+
+    Returns (cluster, component, centroid_q, n) after ``iters`` rounds.
+    """
+    qvec = F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+            "bigint"
+        ),
+    )
+    pts = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), qvec.alias("_q"))
+    )
+    seed = pts.orderBy(id_col).limit(k).collect()
+    cents = [(i, [int(v) for v in r["_q"]]) for i, r in enumerate(seed)]
+
+    agg = None
+    for it in range(iters):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        "_q",
+                        F.array(*[F.lit(v).cast("bigint") for v in vec]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                for _cid, vec in cents
+            ]
+        )
+        cid_of_pos = F.array(*[F.lit(cid) for cid, _vec in cents])
+        asg = pts.withColumn(
+            "_c",
+            F.element_at(
+                cid_of_pos,
+                F.array_position(dists, F.array_min(dists)).cast("int"),
+            ),
+        )
+        agg = (
+            asg.select("_c", F.posexplode("_q").alias("i", "v"))
+            .groupBy("_c", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        if it < iters - 1:
+            rows = agg.collect()  # k*d bounded
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in rows:
+                by_cid.setdefault(r["_c"], {})[r.i] = _tdiv(int(r.s), int(r.n))
+            cents = [
+                (cid, [comp[i] for i in sorted(comp)])
+                for cid, comp in sorted(by_cid.items())
+            ]
+    return agg.select(
+        F.col("_c").alias("cluster"),
+        F.col("i").cast("int").alias("component"),
+        F.expr("s div n").alias("centroid_q"),
+        F.col("n").cast("bigint").alias("n"),
+    )

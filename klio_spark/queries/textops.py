@@ -655,3 +655,69 @@ def q156_token_entropy(spark: SparkSession, sf_dir: str):
             - F.expr("sl div total")
         ).alias("entropy_micronats"),
     )
+
+
+@register(
+    "q173_bpe_merge_scores",
+    """
+    WITH t AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+    p AS (
+      SELECT unnest(CASE WHEN length(w) >= 2
+                    THEN list_transform(generate_series(1, length(w) - 1),
+                                        i -> substr(w, i, 2))
+                    ELSE [] END) AS pair,
+             c
+      FROM wc
+    ),
+    agg AS (SELECT pair, SUM(c) AS cnt FROM p GROUP BY pair)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT pair, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+          FROM agg)
+    WHERE rank <= 20
+    """,
+    doc="one BPE-training merge round: score every adjacent character "
+    "pair by corpus frequency (weighted by word count) and rank the "
+    "top-20 merge candidates — the inner loop of tokenizer training "
+    "(Sennrich et al. 2016), run the way a distributed trainer runs "
+    "it: tokenize (JVM split), collapse the corpus to the DISTINCT-word "
+    "count table first (one exchange; the pair explosion then runs on "
+    "unique words, not occurrences — on web corpora that is a 100-1000x "
+    "fan-out saving since word frequency is zipfian), emit each word's "
+    "adjacent pairs as 2-char substrings via a codegen'd "
+    "transform/sequence (no UDF), and weight-sum per pair with map-side "
+    "partial aggregation. Top-20 is a WindowGroupLimit, not a global "
+    "sort. Integer counts, count-desc/pair-asc tie-break — hash-exact.",
+)
+def q173_bpe_merge_scores(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "c",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("pair", F.col("cnt").cast("bigint").alias("cnt"), "rank")
+    )

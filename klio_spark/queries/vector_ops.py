@@ -758,3 +758,79 @@ def q171_power_iteration(spark: SparkSession, sf_dir: str):
 
     (e,) = load(spark, sf_dir, "embeddings")
     return top_eigvec_df(e, "embedding", dim=64, iters=_PI_ITERS)
+
+
+_LLOYD_ITERS = 2
+
+
+def _lloyd_iter_sql(i: int) -> str:
+    """One unrolled Lloyd round from centroid table c{i-1}: exact
+    integer distances, argmin with (dist, cid) tie-break, per-(cluster,
+    component) sum/count, truncating-division centroid update."""
+    return f"""
+    d{i} AS (
+      SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS dist
+      FROM qq q JOIN c{i - 1} c ON q.i = c.i
+      GROUP BY q.vec_id, c.cid
+    ),
+    a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cid ASC) AS rn
+        FROM d{i})
+      WHERE rn = 1
+    ),
+    g{i} AS (
+      SELECT a.cid, q.i, SUM(q.v) AS s, COUNT(*) AS n
+      FROM qq q JOIN a{i} a USING (vec_id)
+      GROUP BY a.cid, q.i
+    ),
+    c{i} AS (SELECT cid, i, s // n AS v FROM g{i})"""
+
+
+@register(
+    "q172_lloyd_kmeans",
+    """
+    WITH pts AS (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qq AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS v
+      FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                   embedding
+            FROM pts)
+    ),
+    seed AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM pts ORDER BY vec_id LIMIT 8
+    ),
+    c0 AS (SELECT s.cid, q.i, q.v FROM seed s JOIN qq q USING (vec_id)),
+    """
+    + ",".join(_lloyd_iter_sql(i) for i in range(1, _LLOYD_ITERS + 1))
+    + f"""
+    SELECT cid AS cluster, CAST(i - 1 AS INTEGER) AS component,
+           CAST(s // n AS BIGINT) AS centroid_q, CAST(n AS BIGINT) AS n
+    FROM g{_LLOYD_ITERS}
+    """,
+    doc="distributed Lloyd k-means refinement (2 rounds, k=8; "
+    "functions/linalg.py lloyd_iterations) — the full-corpus k-means "
+    "TRAINING step on top of the sample-seeded quantizers the ANN/IVF "
+    "stack uses. Per round the assignment is ONE codegen'd expression "
+    "(zip_with/aggregate squared distance against k literal centroid "
+    "arrays — no UDF, no join) and the update is ONE exchange whose "
+    "partial aggregation carries k*d (cluster, component) sums per "
+    "partition, never corpus rows; between rounds only the k x d "
+    "centroid table visits the driver (the bounded-collect shape of "
+    "IVF training). All arithmetic is exact integers (FLOOR(double*1e6) "
+    "quantization, truncating-div centroid updates, argmin tie-break "
+    "to the lowest cid), so the DuckDB oracle replays both rounds "
+    "bit-for-bit with unrolled CTEs.",
+)
+def q172_lloyd_kmeans(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.linalg import lloyd_iterations
+
+    (e,) = load(spark, sf_dir, "embeddings")
+    return lloyd_iterations(e, "embedding", "vec_id", k=8, iters=_LLOYD_ITERS)
