@@ -1010,6 +1010,57 @@ def rolling_distinct_sketch(
     )
 
 
+def streaming_quantile_sketch(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 200,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live per-group KLL quantile sketches — the streaming member of
+    the quantile story (q99 per-query, sketch_table.py persisted
+    tables), completing the streaming sketch family: HLL
+    (rolling_distinct_sketch), count-min (streaming_countmin),
+    Misra-Gries (stateful_heavy_hitters), KLL (this).
+
+    The SAME built-in Datasketches KLL aggregate the batch table
+    builder uses (functions/sketch_table.py write_quantile_sketches)
+    runs inside the incremental streaming aggregation, complete mode:
+    state is one ~KB sketch binary per group — bounded by group
+    cardinality and k, NEVER by event count, where an exact streaming
+    percentile would buffer every value. Each trigger hands the live
+    sketch table (group, kll_sketch binary — the same schema as the
+    batch builder, so quantile_rollup-style merges apply directly) to
+    ``sink(sketches, batch_id)``.
+
+    KLL is a mergeable rank sketch with a published ±epsilon(k) rank
+    guarantee; compaction is randomized, so the restart test asserts
+    the RANK guarantee of the live sketch's quantiles against the
+    exact cumulative distribution (not bit-equality, which the HLL and
+    count-min twins can and do assert)."""
+    sketches = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.kll_sketch_agg_double(value_col, F.lit(k)).alias("kll_sketch")
+        )
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch.select(group_col, "kll_sketch"), batch_id)
+
+    writer = (
+        sketches.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_countmin(
     df: DataFrame,
     sink,

@@ -1259,3 +1259,60 @@ def test_stateful_heavy_hitters_mg_guarantees(spark, tmp_path):
         if r.key == "2"
     ]
     assert s2 and s2[0].est <= 60 <= s2[0].est + s2[0].err_bound
+
+
+def test_streaming_quantile_sketch_rank_guarantee(spark, tmp_path):
+    """streaming_quantile_sketch across a checkpoint restart: the live
+    KLL table's median per group must satisfy the rank guarantee
+    against the exact cumulative values (true normalized rank of the
+    returned value within epsilon(k=200) ~ 1.65%, asserted with slack),
+    and the restart must accumulate phase-1 values (a phase-2-only
+    sketch would place phase-1's shifted median far off)."""
+    from pyspark.sql import functions as F
+
+    edir = tmp_path / "kll"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, event_type string, value double"
+    # group 'a': phase 1 values 0..999, phase 2 values 5000..5499 —
+    # cumulative median ~ 725 lives in phase-1 data
+    b1 = [(i, "a", float(i)) for i in range(1000)]
+    b2 = [(10_000 + i, "a", 5000.0 + i) for i in range(500)]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.streaming_quantile_sketch(
+            stream,
+            lambda b, bid: b.write.mode("overwrite").parquet(
+                f"{tmp_path}/kllout"
+            ),
+            str(tmp_path / "ckpt-kll"),
+            group_col="event_type",
+            value_col="value",
+        )
+        q.awaitTermination(60)
+
+    def median_est():
+        t = spark.read.parquet(f"{tmp_path}/kllout")
+        return t.select(
+            F.kll_sketch_get_quantile_double(
+                F.col("kll_sketch"), F.lit(0.5)
+            ).alias("m")
+        ).collect()[0].m
+
+    def true_rank(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    run(b1)
+    vals1 = [v for _, _, v in b1]
+    assert abs(true_rank(vals1, median_est()) - 0.5) <= 0.05
+
+    run(b2)
+    vals = vals1 + [v for _, _, v in b2]
+    m = median_est()
+    assert abs(true_rank(vals, m) - 0.5) <= 0.05
+    # the cumulative median is in phase-1 territory (< 1000): proves the
+    # restart resumed phase-1 sketch state rather than starting fresh
+    assert m < 1000.0, m
