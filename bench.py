@@ -91,8 +91,23 @@ def main() -> int:
     # full-map line got head-truncated and parsed as null. Persist the full
     # per-query map to a file, and print a compact summary line LAST —
     # total + top-10 slowest — guaranteed under the capture window.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as f:
+    local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    if only and os.path.exists(local):
+        # subset run: refresh only the measured entries — don't clobber
+        # the last full map (the round ledger compares against it)
+        try:
+            with open(local) as f:
+                merged = json.load(f)
+            merged["queries"].update(timings)
+            merged["value"] = round(
+                sum(t for t in merged["queries"].values() if t > 0), 3
+            )
+            full = merged
+        except (json.JSONDecodeError, KeyError):
+            pass
+    with open(local, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     top10 = dict(
         sorted(((k, v) for k, v in timings.items() if v > 0),
