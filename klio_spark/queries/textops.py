@@ -721,3 +721,46 @@ def q173_bpe_merge_scores(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= 20)
         .select("pair", F.col("cnt").cast("bigint").alias("cnt"), "rank")
     )
+
+
+@register(
+    "q174_text_normalize",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           md5(norm) AS norm_md5
+    FROM (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+                    regexp_replace(text, '[\x00-\x1F\x7F]+', '', 'g'),
+                    '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    """,
+    doc="C4/Gopher-style text normalization pass: strip control "
+    "characters, collapse whitespace runs to single spaces, trim — the "
+    "first stage of every web-corpus ingest, run entirely as chained "
+    "JVM regexp_replace (whole-stage codegen, zero Python). Verified "
+    "by content: per-doc raw/normalized char counts plus the md5 of "
+    "the normalized text, which both engines must reproduce "
+    "byte-for-byte (Java and RE2 agree on the \\x00-\\x1F\\x7F class "
+    "and \\s = [ \\t\\n\\r\\f\\x0B]). Narrow, shuffle-free, and "
+    "pushdown-friendly — at 100 TB this is a pure map stage that "
+    "pipelines into whatever consumes it.",
+)
+def q174_text_normalize(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[\x00-\x1F\x7F]+", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
