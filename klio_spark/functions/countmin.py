@@ -131,3 +131,53 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cm_count", F.lit(0))).alias("cm_est"))
     )
+
+
+def cm_filter_heavy(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """EXACT heavy-key counts via a count-min pre-filter — the two-pass
+    pattern that replaces a full groupBy over an unbounded key domain.
+
+    Pass 1 builds the counter grid (one map-side-combinable aggregation,
+    shuffle = counter partials). Pass 2 re-scans the fact table and
+    drops every row whose key's estimate is below ``threshold`` BEFORE
+    any per-key shuffle: the estimate is computed with ``depth``
+    broadcast joins against the tiny grid (map-side, no fact exchange),
+    so only candidate rows — true heavy keys plus collision false
+    positives — reach the exact groupBy. CM never undercounts, so a key
+    with true count >= threshold always survives the filter: the final
+    HAVING on the exact count makes the result EXACTLY equal to the
+    full groupBy's, which is what the q175 oracle asserts.
+
+    At 100 TB this is the difference between shuffling 1e12 rows by a
+    1e11-cardinality key and shuffling only the heavy slice; the grid
+    width tunes the false-positive volume (eps = e/width of total
+    count leaks past the filter per row in expectation).
+    """
+    key = F.col(key_col)
+    filtered = df.filter(key.isNotNull())
+    counters = build_countmin(filtered, key_col, depth=depth, width=width)
+    out = filtered
+    for r in range(depth):
+        cr = (
+            counters.filter(F.col("cm_row") == r)
+            .select(
+                F.col("cm_bucket").alias(f"_b{r}"),
+                F.col("cm_count").alias(f"_c{r}"),
+            )
+        )
+        out = out.withColumn(f"_b{r}", _bucket(key, r, width)).join(
+            F.broadcast(cr), f"_b{r}", "left"
+        )
+    est = F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0)) for r in range(depth)])
+    cand = out.filter(est >= F.lit(threshold)).select(key_col)
+    return (
+        cand.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

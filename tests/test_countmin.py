@@ -77,3 +77,43 @@ def test_bucket_hash_matches_duckdb(spark):
             f"SELECT {cm_bucket_sql(str(k), 2, WIDTH)} AS b"
         ).fetchone()[0]
         assert got[k] == want, k
+
+
+def test_cm_filter_heavy_exact_and_selective(spark):
+    """cm_filter_heavy == plain groupBy+HAVING on a skewed corpus
+    (answer transparency: CM never undercounts, HAVING cleans false
+    positives), and the pre-filter actually DROPS the long tail before
+    the exact aggregation (selectivity — the point of the pattern)."""
+    from klio_spark.functions.countmin import build_countmin, cm_filter_heavy, _bucket
+
+    rows = (
+        [(1,)] * 500 + [(2,)] * 200 + [(3,)] * 100
+        + [(100 + i,) for i in range(400)]  # 400 singleton keys
+    )
+    df = spark.createDataFrame(rows, "user_id bigint")
+    got = {
+        (r.user_id, r.cnt)
+        for r in cm_filter_heavy(
+            df, "user_id", threshold=100, depth=3, width=32
+        ).collect()
+    }
+    assert got == {(1, 500), (2, 200), (3, 100)}
+
+    # selectivity: count candidate rows surviving the broadcast filter
+    counters = build_countmin(df, "user_id", depth=3, width=32)
+    key = F.col("user_id")
+    out = df
+    for r in range(3):
+        cr = (
+            counters.filter(F.col("cm_row") == r)
+            .select(F.col("cm_bucket").alias(f"_b{r}"),
+                    F.col("cm_count").alias(f"_c{r}"))
+        )
+        out = out.withColumn(f"_b{r}", _bucket(key, r, 32)).join(
+            F.broadcast(cr), f"_b{r}", "left"
+        )
+    est = F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0)) for r in range(3)])
+    n_cand = out.filter(est >= 100).count()
+    # the three heavy keys' 800 rows must pass; the 400-singleton tail
+    # mostly drops (collisions admit a bounded leak)
+    assert 800 <= n_cand < 1100, n_cand
