@@ -1646,3 +1646,103 @@ def q154_time_weighted_avg(spark: SparkSession, sf_dir: str):
             / F.col("dsum").cast("double")
         ).alias("twap"),
     )
+
+
+@register(
+    "q176_pit_scd2_join",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST((epoch_us(ts) + 62135596800000000) // 1000000
+                  - 62135596800 AS BIGINT) AS t_s,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS value_cents,
+             event_id
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    v AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+             t_s AS valid_from_s,
+             LEAD(t_s) OVER w AS valid_to_s,
+             value_cents
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+    ),
+    c AS (
+      SELECT user_id, event_id,
+             CAST((epoch_us(ts) + 62135596800000000) // 1000000
+                  - 62135596800 AS BIGINT) AS t_s
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+    )
+    SELECT c.event_id, c.user_id, c.t_s, v.version, v.value_cents
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND v.valid_from_s <= c.t_s
+     AND (v.valid_to_s IS NULL OR c.t_s < v.valid_to_s)
+    """,
+    doc="point-in-time join against SCD2 history — the CONSUMER of "
+    "q145's versioned dimension (every click resolves the purchase "
+    "version that was valid at its event time; the "
+    "'no-future-leakage' join every training-feature pipeline needs). "
+    "The oracle states it as the declarative BETWEEN range join; the "
+    "Spark side runs the SCALABLE form — version-start rows and fact "
+    "rows union into ONE user_id exchange and a single forward-fill "
+    "window (last non-null version at or before each fact, version "
+    "rows sorted before same-timestamp facts for inclusive-start "
+    "semantics, same-timestamp versions resolved to the newest — "
+    "exactly the rows the interval predicate admits, since a "
+    "superseded same-second version has valid_to = t and fails "
+    "t < valid_to). No range-join explosion, no per-interval fan-out; "
+    "this is q15's as-of machinery applied to versioned dimensions, "
+    "the shape that holds when both sides are 1e11 rows. All-integer "
+    "outputs — hash-exact.",
+)
+def q176_pit_scd2_join(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    base = e.filter(F.col("ts").isNotNull())
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(_SECS.format(c="ts")).alias("t_s"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("value_cents"),
+        "event_id",
+    )
+    wv = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+    starts = p.select(
+        "user_id",
+        F.col("t_s").alias("t"),
+        F.lit(0).alias("_tag"),
+        F.row_number().over(wv).cast("bigint").alias("version"),
+        "value_cents",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.expr(_SECS.format(c="ts")).alias("t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.lit(None).cast("bigint").alias("value_cents"),
+        "event_id",
+    )
+    u = starts.unionByName(clicks)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "_tag", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # fill version+value as ONE struct: filling them independently would
+    # pair a NULL-valued version's number with an OLDER version's value
+    ver_struct = F.when(
+        F.col("_tag") == 0, F.struct("version", "value_cents")
+    )
+    filled = F.last(ver_struct, ignorenulls=True).over(wf)
+    return (
+        u.withColumn("_f", filled)
+        .filter((F.col("_tag") == 1) & F.col("_f").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("t_s"),
+            F.col("_f.version").alias("version"),
+            F.col("_f.value_cents").alias("value_cents"),
+        )
+    )
