@@ -101,6 +101,41 @@ def interval_join(
     return l.join(r, cond)
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — :func:`interval_join`
+    plus unmatched-left emission: a left row with no right match within
+    its interval emits (left, NULL right) once its match window can no
+    longer be satisfied, i.e. when the watermark passes left_ts + upper.
+
+    This is the 'did the expected response ever arrive' shape (order
+    without shipment, request without ack) that an inner join silently
+    drops. The time-bound join condition is what makes outer
+    stream-stream joins legal in Structured Streaming: the engine can
+    prove when a buffered left row is definitively unmatched and evict
+    it, so state stays bounded by the watermark horizon exactly as in
+    the inner form. NULL-completed rows arrive LATE by construction
+    (only after the watermark passes), which the test drives with a
+    trailing watermark-advancing batch."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") - F.expr(lower))
+        & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}") - F.expr(upper))
+    )
+    return l.join(r, cond, "left_outer")
+
+
 def session_windows(
     df: DataFrame,
     ts_col: str,

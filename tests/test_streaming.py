@@ -1316,3 +1316,67 @@ def test_streaming_quantile_sketch_rank_guarantee(spark, tmp_path):
     # the cumulative median is in phase-1 territory (< 1000): proves the
     # restart resumed phase-1 sketch state rather than starting fresh
     assert m < 1000.0, m
+
+
+def test_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched pairs emit like
+    the inner join; a left row with no right match emits with NULLs
+    only after the watermark proves no match can arrive. The final
+    far-future batch advances the watermark past every left row's
+    match window to flush the NULL-completed rows."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    cdir, edir = tmp_path / "clicks", tmp_path / "errors"
+    (cdir / "p").mkdir(parents=True), (edir / "p").mkdir(parents=True)
+
+    def write(d, rows, schema):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(d / "p")
+        )
+
+    # user 1's error has a click 5 min before (match); user 2's error
+    # has no click at all (must emit with NULL cts)
+    write(cdir, [(1, m(0))], "user_id long, cts timestamp")
+    write(edir, [(1, m(5)), (2, m(6))], "user_id long, ets timestamp")
+
+    def run():
+        cstream = spark.readStream.schema(
+            "user_id long, cts timestamp"
+        ).parquet(str(cdir / "p"))
+        estream = spark.readStream.schema(
+            "user_id long, ets timestamp"
+        ).parquet(str(edir / "p"))
+        joined = st.interval_join_outer(
+            estream, cstream, "user_id", "ets", "cts",
+            upper="interval 20 minutes", watermark="10 minutes",
+        ).select(F.col("l.user_id").alias("user_id"), "ets", "cts")
+        q = st.foreach_batch_sink(
+            joined,
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/joined"
+            ),
+            str(tmp_path / "ckpt-ijo"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    # watermark-advancing batches on BOTH streams (hours later), then a
+    # second pass so the state-store eviction emits the NULL row
+    write(cdir, [(99, m(600))], "user_id long, cts timestamp")
+    write(edir, [(99, m(600))], "user_id long, ets timestamp")
+    run()
+    write(cdir, [(98, m(1200))], "user_id long, cts timestamp")
+    write(edir, [(98, m(1200))], "user_id long, ets timestamp")
+    run()
+
+    rows = spark.read.parquet(f"{tmp_path}/joined").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ets.minute if r.ets else None,
+             r.cts.minute if r.cts else None)
+        )
+    assert (5, 0) in by_user[1]
+    assert (6, None) in by_user[2], by_user
