@@ -304,3 +304,62 @@ def q75_embedding_centroids(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+@register(
+    "q177_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(CAST(l_linestatus AS VARCHAR), 'ALL') AS linestatus,
+           COALESCE(CAST(YEAR(CAST(l_shipdate AS DATE)) AS VARCHAR), 'ALL')
+             AS ship_year,
+           CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                + GROUPING(YEAR(CAST(l_shipdate AS DATE))) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS (
+      (l_returnflag, l_linestatus),
+      (l_returnflag, YEAR(CAST(l_shipdate AS DATE))),
+      (l_linestatus),
+      ()
+    )
+    """,
+    doc="arbitrary GROUPING SETS (the general form behind q05's rollup "
+    "and q32's cube): four hand-picked grouping combinations — "
+    "(flag, mode), (flag, year), (mode), grand total — computed in ONE "
+    "scan via a single Expand node feeding one hash aggregate, with "
+    "GROUPING() bits composed into the grouping_id that disambiguates "
+    "a real NULL dimension value from an 'ALL' rollup line. This is "
+    "the cheapest way to serve a dashboard's fixed set of pivot views "
+    "at 100 TB: one fact pass, map-side partials per set, versus one "
+    "scan per view. Both engines share the SQL text verbatim "
+    "(spark.sql), so the check covers Spark's SQL-surface parsing of "
+    "grouping sets as well as the values.",
+)
+def q177_grouping_sets(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("q177_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(CAST(l_linestatus AS STRING), 'ALL') AS linestatus,
+               COALESCE(CAST(YEAR(CAST(l_shipdate AS DATE)) AS STRING),
+                        'ALL') AS ship_year,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(YEAR(CAST(l_shipdate AS DATE))) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM q177_lineitem
+        GROUP BY GROUPING SETS (
+          (l_returnflag, l_linestatus),
+          (l_returnflag, YEAR(CAST(l_shipdate AS DATE))),
+          (l_linestatus),
+          ()
+        )
+        """
+    )

@@ -1157,6 +1157,25 @@ def streaming_countmin(
     return writer.start()
 
 
+def mg_fold(
+    merged: dict, batch: dict, capacity: int, d: int
+) -> tuple[dict, int]:
+    """One Misra-Gries merge step (Agarwal et al. 2013): add the batch's
+    counts into the summary; if more than ``capacity`` keys survive,
+    subtract the (capacity+1)-th largest counter from every counter and
+    drop the non-positives. Returns (summary, cumulative subtracted
+    mass d). Pure kernel — property-tested in tests/test_properties.py;
+    the exact sandwich est <= true <= est + d and
+    present-if-true-count > d both follow from it."""
+    for k, c in batch.items():
+        merged[k] = merged.get(k, 0) + int(c)
+    if len(merged) > capacity:
+        pivot = sorted(merged.values(), reverse=True)[capacity]
+        merged = {k: c - pivot for k, c in merged.items() if c > pivot}
+        d += pivot
+    return merged, d
+
+
 def stateful_heavy_hitters(
     df: DataFrame,
     key_col: str = "user_id",
@@ -1209,14 +1228,8 @@ def stateful_heavy_hitters(
         keys, counts, n, d = (
             state.get if state.exists else ([], [], 0, 0)
         )
-        merged = dict(zip(keys, counts))
-        for k, c in batch.items():
-            merged[k] = merged.get(k, 0) + int(c)
-            n += int(c)
-        if len(merged) > capacity:
-            pivot = sorted(merged.values(), reverse=True)[capacity]
-            merged = {k: c - pivot for k, c in merged.items() if c > pivot}
-            d += pivot
+        n += sum(int(c) for c in batch.values())
+        merged, d = mg_fold(dict(zip(keys, counts)), batch, capacity, d)
         ks = sorted(merged)  # deterministic state + emission order
         state.update((ks, [merged[k] for k in ks], n, d))
         yield pd.DataFrame(

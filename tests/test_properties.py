@@ -177,3 +177,40 @@ def test_identical_sets_always_collide_every_band(same):
             s1[bnd * rows : (bnd + 1) * rows],
             s2[bnd * rows : (bnd + 1) * rows],
         )
+
+
+@given(
+    stream=st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    cuts=st.lists(st.integers(1, 399), max_size=6),
+    capacity=st.integers(2, 12),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_fold_invariants(stream, cuts, capacity):
+    """mg_fold over ANY batching of ANY stream: summary size stays
+    <= capacity; every estimate satisfies est <= true <= est + d; every
+    key with true count > d is present; and d is batching-independent
+    only in its GUARANTEE, not its value — so the invariants are
+    asserted per-fold, not vs a canonical run."""
+    from collections import Counter
+
+    from klio_spark.streaming import mg_fold
+
+    bounds = sorted({c for c in cuts if c < len(stream)})
+    batches, prev = [], 0
+    for b in bounds + [len(stream)]:
+        if b > prev:
+            batches.append(stream[prev:b])
+            prev = b
+    summary, d = {}, 0
+    seen = []
+    for batch in batches:
+        seen += batch
+        summary, d = mg_fold(summary, Counter(batch), capacity, d)
+        true = Counter(seen)
+        assert len(summary) <= capacity
+        for k, est in summary.items():
+            assert est >= 1
+            assert est <= true[k] <= est + d, (k, est, true[k], d)
+        for k, t in true.items():
+            if t > d:
+                assert k in summary, (k, t, d)
