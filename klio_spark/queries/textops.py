@@ -764,3 +764,57 @@ def q174_text_normalize(spark: SparkSession, sf_dir: str):
         F.length(norm).cast("bigint").alias("n_chars_norm"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+@register(
+    "q178_phrase_search",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+    FROM p
+    WHERE toks[i] = 'table' AND toks[i + 1] = 'hash'
+    GROUP BY doc_id
+    """,
+    doc="positional phrase search ('table hash'): the position-aware "
+    "retrieval primitive conjunctive term lookup (q144) cannot express "
+    "— a doc containing both words does NOT match unless they are "
+    "ADJACENT. Spark side runs the real positional-postings mechanics: "
+    "tokenize once, keep only the two query terms' postings (the "
+    "filter rides the explode, so the exchange carries the two terms' "
+    "(doc, pos) rows, not the corpus), then one equi join on doc_id "
+    "with the pos+1 adjacency predicate inside the co-partition — the "
+    "same plan a persisted positional index serves, minus the "
+    "build-once read (q144 shows that half). The oracle scans token "
+    "arrays directly, so the check proves the postings join computes "
+    "exactly document-order adjacency. Integer hit counts and "
+    "positions — hash-exact.",
+)
+def q178_phrase_search(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t1, t2 = "table", "hash"
+    posts = d.select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(t1, t2))
+    a = posts.filter(F.col("tok") == t1).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = posts.filter(F.col("tok") == t2).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    hits = a.join(b, "doc_id").filter(F.col("pb") == F.col("pa") + 1)
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.min("pa").cast("bigint").alias("first_pos"),
+    )
