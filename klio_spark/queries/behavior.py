@@ -1746,3 +1746,85 @@ def q176_pit_scd2_join(spark: SparkSession, sf_dir: str):
             F.col("_f.value_cents").alias("value_cents"),
         )
     )
+
+
+_EWMA_K = 8  # lags; weight of lag k is 2^(K-1-k)
+
+
+@register(
+    "q179_ewma_features",
+    f"""
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+             CAST((epoch_us(ts) + 62135596800000000) // 1000000
+                  - 62135596800 AS BIGINT) AS t_s
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT user_id, event_id, t_s,
+             {", ".join(
+                 f"LAG(cents, {k}) OVER w AS c{k}" for k in range(_EWMA_K)
+             )}
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST({" + ".join(
+               f"COALESCE(c{k} * {1 << (_EWMA_K - 1 - k)}, 0)"
+               for k in range(_EWMA_K)
+           )} AS BIGINT) AS ewma_num,
+           CAST({" + ".join(
+               f"CASE WHEN c{k} IS NULL THEN 0 ELSE {1 << (_EWMA_K - 1 - k)} END"
+               for k in range(_EWMA_K)
+           )} AS BIGINT) AS ewma_den
+    FROM lagged
+    """,
+    doc="truncated exponentially-weighted activity feature per event "
+    "(alpha = 1/2, horizon 8): the decayed-engagement feature column "
+    "every behavioral model consumes, stated EXACTLY — weight of lag k "
+    "is the integer 2^(7-k), the numerator/denominator pair is exact "
+    "(the caller divides at serving time), so no float recursion or "
+    "exp() enters the pipeline and both engines emit identical "
+    "integers. One user_id window with 8 LAGs (ONE exchange + one "
+    "sort serves all lags — Spark fuses same-window functions into a "
+    "single WindowExec); at stream start the available-lag mask "
+    "shortens the denominator, matching online-EWMA warmup. The "
+    "recursive EWMA definition is deliberately truncated: an untruncated "
+    "recurrence is sequential per key, while the K-term form is "
+    "windowable and distributed — the standard production tradeoff.",
+)
+def q179_ewma_features(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    p = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        F.expr(_SECS.format(c="ts")).alias("t_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+    lags = [F.lag("cents", k).over(w) for k in range(_EWMA_K)]
+    num = sum(
+        (
+            F.coalesce(
+                lags[k] * F.lit(1 << (_EWMA_K - 1 - k)), F.lit(0)
+            )
+            for k in range(_EWMA_K)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(lags[k].isNull(), 0).otherwise(
+                F.lit(1 << (_EWMA_K - 1 - k))
+            )
+            for k in range(_EWMA_K)
+        ),
+        F.lit(0),
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+    )
