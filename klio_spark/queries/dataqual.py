@@ -557,3 +557,101 @@ def q163_cusum_changepoint(spark: SparkSession, sf_dir: str):
             F.col("m").cast("bigint").alias("cusum_scaled"),
         )
     )
+
+
+@register(
+    "q180_mad_outliers",
+    """
+    WITH v AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
+      FROM documents
+    ),
+    r1 AS (
+      SELECT source, doc_id, x,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT source, x AS med FROM r1 WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT v.source, v.doc_id, v.x, ABS(v.x - m.med) AS adev, m.med
+      FROM v JOIN med m USING (source)
+    ),
+    r2 AS (
+      SELECT source, adev, med,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY adev, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT source, med, adev AS mad FROM r2 WHERE rn = (n + 1) // 2
+    )
+    SELECT d.source, CAST(m.med AS BIGINT) AS med,
+           CAST(m.mad AS BIGINT) AS mad,
+           CAST(COUNT(*) FILTER (
+             WHERE ABS(d.x - m.med) * 10000 > 3 * 14826 * m.mad
+           ) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dev d JOIN mad m USING (source)
+    GROUP BY d.source, m.med, m.mad
+    """,
+    doc="robust outlier screen via median absolute deviation — the "
+    "screen that survives the contamination that wrecks q150's "
+    "mean/stddev z-test (one 10 GB document shifts a mean; it cannot "
+    "shift a median). Medians are EXACT lower-middle order statistics "
+    "(row_number = (n+1)//2 with doc_id tie-break) rather than "
+    "interpolated percentiles, because Spark and DuckDB interpolate "
+    "even-count medians differently — the order-statistic definition "
+    "is engine-portable and integer-exact, and the 1.4826 consistency "
+    "constant enters as the integer cross-multiplication "
+    "|x-med|*10000 > 3*14826*mad, so no float ever forms. Cost shape: "
+    "two (source)-window passes (rank to find each median) + one "
+    "broadcast-back join each — at 100 TB medians-by-key would move "
+    "to the persisted KLL tables (sketch_table.py) with this exact "
+    "query as the referee.",
+)
+def q180_mad_outliers(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    v = d.select("source", "doc_id", F.col("n_chars").cast("bigint").alias("x"))
+    w1 = Window.partitionBy("source").orderBy("x", "doc_id")
+    wn = Window.partitionBy("source")
+    r1 = v.select(
+        "source", "x",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "source", F.col("x").alias("med")
+    )
+    dev = v.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    w2 = Window.partitionBy("source").orderBy("adev", "doc_id")
+    r2 = dev.select(
+        "source", "adev", "med",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "source", F.col("adev").alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "source")
+    return out.groupBy("source", "med", "mad").agg(
+        F.sum(
+            (
+                F.abs(F.col("x") - F.col("med")) * 10000
+                > 3 * 14826 * F.col("mad")
+            ).cast("bigint")
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).select(
+        "source",
+        F.col("med").cast("bigint").alias("med"),
+        F.col("mad").cast("bigint").alias("mad"),
+        "n_outliers",
+        "n_docs",
+    )
