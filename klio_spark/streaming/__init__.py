@@ -1010,6 +1010,82 @@ def stateful_cusum(
     )
 
 
+def stateful_ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha_log2: int = 1,
+) -> DataFrame:
+    """Exact online EWMA per key — the UNtruncated twin of q179's
+    batch feature (q179 truncates the recurrence at 8 lags because the
+    full recurrence is sequential per key and therefore not windowable;
+    in streaming state, sequential-per-key is exactly the execution
+    model, so the exact form costs one int64 of state).
+
+    alpha = 1/2^alpha_log2; values quantize to cents and the running
+    mean lives scaled by 2^20:
+
+        y_0 = x_0 * 2^20
+        y_t = (x_t * 2^20 + (2^a - 1) * y_{t-1}) div 2^a
+
+    — truncating integer division, so the sequence is exactly
+    replayable (the restart test replays it in plain Python across the
+    checkpoint boundary). Emits one row per event with the
+    post-update value; divide by 2^20 at serving time. Within a batch
+    events sort by (ts, id); NaT/NULL rows are skipped (the
+    stateful_cusum conventions)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    two_a = 1 << alpha_log2
+    scale = 1 << 20
+
+    def update(key, pdfs, state: GroupState):
+        evs = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                t = pd.Timestamp(ts)
+                if t is not pd.NaT and not pd.isna(t) and not pd.isna(val):
+                    ik = -(2**63) if pd.isna(eid) else int(eid)
+                    cents = int(math.floor(val * 100.0))
+                    evs.append((int(t.value // 1000), ik, cents))
+        if not evs:
+            return
+        evs.sort(key=lambda x: (x[0], x[1]))
+        (y, n) = state.get if state.exists else (0, 0)
+        out = []
+        for tm, eid, x in evs:
+            if n == 0:
+                y = x * scale
+            else:
+                num = x * scale + (two_a - 1) * y
+                q = abs(num) // two_a
+                y = q if num >= 0 else -q
+            n += 1
+            out.append((key[0], eid, tm, y, n))
+        state.update((y, n))
+        yield pd.DataFrame(
+            out,
+            columns=[key_col, id_col, "ts_micros", "ewma_scaled", "n_seen"],
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, {id_col} long, ts_micros long,"
+            " ewma_scaled long, n_seen long"
+        ),
+        stateStructType="y long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def rolling_distinct_sketch(
     df: DataFrame,
     ts_col: str,

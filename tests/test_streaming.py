@@ -1380,3 +1380,58 @@ def test_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path):
         )
     assert (5, 0) in by_user[1]
     assert (6, None) in by_user[2], by_user
+
+
+def test_stateful_ewma_matches_python_replay(spark, tmp_path):
+    """stateful_ewma across a checkpoint restart equals a plain-Python
+    replay of the exact integer recurrence over the time-ordered
+    cumulative events — including values straddling the restart
+    boundary — and the first event seeds y = x * 2^20."""
+    import datetime as dt
+    import math
+
+    edir = tmp_path / "ewma"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, user_id long, value double, ts timestamp"
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    b1 = [(1, 7, 10.0, t(0)), (2, 7, 14.5, t(1)), (3, 8, 3.25, t(0))]
+    b2 = [(4, 7, 2.0, t(2)), (5, 8, 9.0, t(1))]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_ewma(stream, "user_id", "ts", "value", "event_id"),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/ewmaout"
+            ),
+            str(tmp_path / "ckpt-ewma"),
+        )
+        q.awaitTermination(60)
+
+    run(b1)
+    run(b2)
+
+    def replay(rows):
+        out = {}
+        state = {}
+        for eid, uid, val, ts in sorted(rows, key=lambda r: (r[3], r[0])):
+            x = int(math.floor(val * 100.0))
+            y, n = state.get(uid, (0, 0))
+            if n == 0:
+                y = x << 20
+            else:
+                num = (x << 20) + y
+                q = abs(num) // 2
+                y = q if num >= 0 else -q
+            state[uid] = (y, n + 1)
+            out[eid] = y
+        return out
+
+    want = replay(b1 + b2)
+    rows = spark.read.parquet(f"{tmp_path}/ewmaout").collect()
+    got = {r.event_id: r.ewma_scaled for r in rows}
+    assert got == want
+    assert got[1] == int(math.floor(10.0 * 100.0)) << 20
