@@ -1699,7 +1699,11 @@ def q154_time_weighted_avg(spark: SparkSession, sf_dir: str):
 )
 def q176_pit_scd2_join(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
-    base = e.filter(F.col("ts").isNotNull())
+    # NULL user_id rows drop: the oracle's equi join never matches NULL
+    # keys, while a window PARTITION BY groups NULLs together — without
+    # this filter a NULL-user click would forward-fill from a NULL-user
+    # purchase (caught by the randomized differential corpus)
+    base = e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     p = base.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.expr(_SECS.format(c="ts")).alias("t_s"),

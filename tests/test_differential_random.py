@@ -92,6 +92,15 @@ QUERIES = [
     "q151_shingle_containment",
     "q153_weighted_sample",
     "q156_token_entropy",
+    # round-4 wave: normalization (NULL/unicode text), BPE pair scoring
+    # (empty/single-char tokens), phrase adjacency (absent terms ->
+    # must be empty on BOTH engines), MAD medians (EVEN group counts —
+    # the interpolation-divergence class the order-statistic definition
+    # exists to avoid)
+    "q173_bpe_merge_scores",
+    "q174_text_normalize",
+    "q178_phrase_search",
+    "q180_mad_outliers",
 ]
 
 
@@ -206,6 +215,15 @@ EVENT_QUERIES = [
     "q149_dau_mau",
     "q154_time_weighted_avg",
     "q155_winsorize",
+    # round-4 wave: PIT join (NULL values inside versions, ts ties),
+    # EWMA lags (NULL value/ts skips, tie ordering), count-min build +
+    # merge and the CM-filtered exact screen (NULL keys, sub-threshold
+    # corpora -> empty on BOTH engines)
+    "q176_pit_scd2_join",
+    "q179_ewma_features",
+    "q165_countmin_freq",
+    "q166_countmin_merge",
+    "q175_cm_filtered_heavy_keys",
 ]
 
 
@@ -277,6 +295,10 @@ EMB_QUERIES = [
     # the driver corpus uses ints — q140's argmax accumulator must adapt
     "q140_kmeans_assign",
     "q157_int8_ann_topk",
+    # round-4 wave: Gram on dim-16 vectors incl. the zero vector and
+    # exact duplicates; Lloyd on string-labeled, zero-vector corpora
+    "q170_gram_matrix",
+    "q172_lloyd_kmeans",
 ]
 
 
