@@ -338,3 +338,85 @@ def test_random_embeddings_match_oracle(spark, emb_corpora, qname):
         )
         want = canon_frame(con.execute(spec.sql).df())
         assert got == want, f"{qname} diverged on {sf_dir}"
+
+
+def _random_lineitem(seed: int, n_orders: int = 120) -> pd.DataFrame:
+    """Lineitem with the shapes the fixed table lacks: NULL dimension
+    values (a REAL NULL l_returnflag must stay distinguishable from a
+    grouping-sets 'ALL' line — the grouping_id's whole job), NULL
+    shipdates, single-item baskets (no co-purchase edges), repeated
+    (order, part) rows, and price ties."""
+    rng = random.Random(seed)
+    rows = []
+    for ok in range(n_orders):
+        n_items = rng.choice([1, 1, 2, 2, 3, 4, 6])
+        for ln in range(1, n_items + 1):
+            ship = (
+                None
+                if rng.randrange(15) == 0
+                else pd.Timestamp("2023-01-01")
+                + pd.Timedelta(days=rng.randrange(0, 500))
+            )
+            rows.append(
+                {
+                    "l_orderkey": ok,
+                    "l_partkey": rng.randrange(30),  # dense: graph forms
+                    "l_suppkey": rng.randrange(10),
+                    "l_linenumber": ln,
+                    "l_quantity": float(rng.randrange(1, 10)),
+                    "l_extendedprice": rng.choice(
+                        [10.0, 10.0, round(rng.uniform(1, 500), 2)]
+                    ),
+                    "l_discount": round(rng.uniform(0, 0.1), 2),
+                    "l_tax": 0.05,
+                    "l_returnflag": rng.choice(["A", "N", "R", None]),
+                    "l_linestatus": rng.choice(["O", "F", None]),
+                    "l_shipdate": ship,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["l_linenumber"] = pdf["l_linenumber"].astype("int32")
+    # micros, not pandas-default nanos: Spark reads TIMESTAMP(NANOS)
+    # parquet only under the nanosAsLong legacy flag (the fixed corpus
+    # is micros; match it)
+    pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+    return pdf
+
+
+LINEITEM_QUERIES = [
+    # NULL dims: a real NULL l_returnflag row must not merge with the
+    # rollup 'ALL' line — gid keeps them apart on both engines
+    "q177_grouping_sets",
+    # single-item baskets (edge-free parts), dense repeat co-purchases
+    "q169_bfs_khop",
+    "q160_triangle_count",
+    # price ties in the non-equi pair spread
+    "q14_nonequi_self_join",
+    "q128_weighted_median",
+]
+
+
+@pytest.fixture(scope="module")
+def lineitem_corpora(tmp_path_factory):
+    out = []
+    for seed in (3, 77):
+        d = tmp_path_factory.mktemp(f"li{seed}")
+        _random_lineitem(seed).to_parquet(
+            os.path.join(d, "lineitem.parquet"), index=False
+        )
+        out.append(str(d))
+    return out
+
+
+@pytest.mark.parametrize("qname", LINEITEM_QUERIES)
+def test_random_lineitem_matches_oracle(spark, lineitem_corpora, qname):
+    spec = all_queries()[qname]
+    for sf_dir in lineitem_corpora:
+        got = canon_frame(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{sf_dir}/lineitem.parquet'"
+        )
+        want = canon_frame(con.execute(spec.sql).df())
+        assert got == want, f"{qname} diverged on {sf_dir}"
