@@ -128,15 +128,18 @@ def power_iteration(
 def top_eigvec_df(
     df: DataFrame,
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     iters: int = 8,
     scale: int = GRAM_SCALE,
     vec_scale: int = VEC_SCALE,
 ) -> DataFrame:
     """Distributed Gram pass + driver-side integer power iteration ->
     (component, eigvec_q) DataFrame. The collect is the d(d+1)/2-row
-    Gram table (d=64 -> 2080 rows), never corpus rows."""
+    Gram table (d=64 -> 2080 rows), never corpus rows. ``dim`` defaults
+    to the dimension the Gram table exhibits."""
     rows = quantized_gram(df, vec_col=vec_col, scale=scale).collect()
+    if dim is None:
+        dim = max(r.i for r in rows) + 1 if rows else 0
     v = power_iteration(rows, dim, iters=iters, vec_scale=vec_scale)
     spark = df.sparkSession
     arr = F.array(*[F.lit(int(x)).cast("bigint") for x in v])

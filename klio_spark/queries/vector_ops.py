@@ -704,15 +704,19 @@ _PI_ITERS = 8
 
 def _pi_iter_sql(k: int) -> str:
     """One unrolled integer power-iteration round (v{k} from v{k-1}):
-    exact HUGEINT matvec, then truncating renormalization to 2^20."""
+    exact HUGEINT matvec, then truncating renormalization to 2^20.
+    ``w{k}`` is referenced twice (max-norm + renormalize), so it MUST be
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, which doubles
+    the plan per round — 2^iters re-evaluations of the Gram subtree
+    (measured: 518 s at dim 64 / 8 rounds; 0.6 s materialized)."""
     return f"""
-    w{k} AS (
+    w{k} AS MATERIALIZED (
       SELECT f.i AS i, SUM(f.g * v{k - 1}.v) AS s
       FROM fm f JOIN v{k - 1} ON f.j = v{k - 1}.i
       GROUP BY f.i
     ),
     m{k} AS (SELECT MAX(ABS(s)) AS m FROM w{k}),
-    v{k} AS (
+    v{k} AS MATERIALIZED (
       SELECT i, (s * CAST(1048576 AS HUGEINT))
                 // (CASE WHEN m < 1 THEN 1 ELSE m END) AS v
       FROM w{k} CROSS JOIN m{k}
@@ -723,7 +727,7 @@ def _pi_iter_sql(k: int) -> str:
     "q171_power_iteration",
     _GRAM_Q
     + """,
-    fm AS (
+    fm AS MATERIALIZED (
       SELECT i, j, CAST(g AS HUGEINT) AS g FROM gu
       UNION ALL
       SELECT j AS i, i AS j, CAST(g AS HUGEINT) AS g FROM gu WHERE i <> j
@@ -757,7 +761,7 @@ def q171_power_iteration(spark: SparkSession, sf_dir: str):
     from klio_spark.functions.linalg import top_eigvec_df
 
     (e,) = load(spark, sf_dir, "embeddings")
-    return top_eigvec_df(e, "embedding", dim=64, iters=_PI_ITERS)
+    return top_eigvec_df(e, "embedding", iters=_PI_ITERS)
 
 
 _LLOYD_ITERS = 2

@@ -298,6 +298,7 @@ EMB_QUERIES = [
     # round-4 wave: Gram on dim-16 vectors incl. the zero vector and
     # exact duplicates; Lloyd on string-labeled, zero-vector corpora
     "q170_gram_matrix",
+    "q171_power_iteration",
     "q172_lloyd_kmeans",
 ]
 
