@@ -105,8 +105,16 @@ def main() -> int:
                 sum(t for t in merged["queries"].values() if t > 0), 3
             )
             full = merged
-        except (json.JSONDecodeError, KeyError):
-            pass
+        except (json.JSONDecodeError, KeyError) as e:
+            # a corrupt ledger must NOT be silently replaced by a partial
+            # map (an --only run's `full` holds placeholders for every
+            # unmeasured query) — fail loudly and keep the file untouched
+            print(
+                f"# FATAL: {local} unreadable in subset run ({e}); "
+                "refusing to overwrite the full ledger with a partial map",
+                file=sys.stderr,
+            )
+            return 1
     with open(local, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     top10 = dict(

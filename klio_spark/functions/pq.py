@@ -18,8 +18,10 @@ fetched (if at all) for a final exact re-rank of the shortlist.
 Scale shape mirrors ivf_topk: codebooks train driver-side on a small
 deterministic sample (m independent k-means — tiny), broadcast to
 executors; encoding is one Arrow-vectorized pass over the corpus;
-ADC scoring broadcasts the per-query LUTs and scans only the codes
-column. Composes with IVF (IVF-PQ): partition by coarse list id, PQ
+ADC scoring joins the query DataFrame against the codes scan and
+builds each LUT executor-side from the codebook closure — no query
+ever collects to the driver, so the query side scales past driver
+memory. Composes with IVF (IVF-PQ): partition by coarse list id, PQ
 within lists — both pieces exist here independently.
 
 Accuracy is quantization-bounded, not exact, so there is no hash-exact
@@ -61,7 +63,13 @@ def pq_train(
     each codeword is rescaled to the mean norm of its assigned training
     subvectors. Deterministic for fixed (sample, seed).
     """
-    samp = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    samp = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in samp])
     d = mat.shape[1]
     if d % m:
@@ -118,8 +126,10 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Corpus -> (neighbor_id, pq_code array<int>). The compressed
-    representation: m small ints per vector instead of D floats."""
-    return corpus.select(
+    representation: m small ints per vector instead of D floats.
+    NULL embeddings are dropped (they have no codes; same convention
+    as ivf_topk's list assignment)."""
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         _encode_udf(books)(F.col(vec_col)).alias("pq_code"),
     )
@@ -136,47 +146,28 @@ def pq_adc_topk(
     score_round: int | None = 6,
 ) -> DataFrame:
     """ADC top-k over the codes table: score(q, x) ~= q . recon(x)
-    = sum_j LUT_q[j][code_j], computed entirely from the m-byte codes.
+    = sum_j <q_sub_j, codeword(code_j)>, computed entirely from the
+    m-byte codes.
 
-    The query side explodes to (query_id, j, code, partial) rows ONLY
-    conceptually — in practice the LUT rides inside a broadcast map
-    keyed by (query, subspace, code) and the candidate scan does m
-    array lookups per row via a vectorized UDF. Here we keep it
-    DataFrame-native: queries are few (broadcast), so we precompute
-    each query's full LUT driver-side and score with one Arrow pass
-    over the codes.
+    The query side never touches the driver: the queries DataFrame
+    joins (broadcast by default) against the codes scan and each pair
+    is scored by an Arrow-vectorized UDF that gathers the m codewords
+    from the broadcast codebook closure — the per-query LUT is implicit
+    in the gather, built executor-side batch by batch. A query set of
+    any size streams through in Arrow chunks; nothing is collected.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    m, k_sub, sub = books.shape
-    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    qids = np.array([r[0] for r in qrows])
-    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    # LUT[qi, j, c] = <q_sub_j, codeword_c>
-    lut = np.zeros((len(qids), m, k_sub))
-    for j in range(m):
-        lut[:, j, :] = qmat[:, j * sub : (j + 1) * sub] @ books[j].T
-
-    def _score(codes_s: "pd.Series") -> "pd.Series":
-        cm = np.stack(codes_s.to_numpy()).astype(np.int64)  # (n, m)
-        n = len(cm)
-        scores = np.zeros((n, len(qids)))
-        for j in range(m):
-            scores += lut[:, j, :][:, cm[:, j]].T  # (n, nq)
-        return pd.Series(list(scores))
-
-    _score.__annotations__ = {"codes_s": pd.Series, "return": pd.Series}
-    score_udf = pandas_udf(_score, "array<double>")
-
-    scored = codes.select(
-        "neighbor_id", F.posexplode(score_udf("pq_code")).alias("_qi", "adc_score")
-    )
-    qmap = F.create_map(
-        *[F.lit(v) for pair in enumerate(qids.tolist()) for v in pair]
-    )
-    scored = scored.select(
-        qmap[F.col("_qi")].alias("query_id"), "neighbor_id", "adc_score"
+    scored = codes.crossJoin(
+        F.broadcast(
+            queries.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+            )
+        )
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _adc_pair_score_udf(books)(F.col("_qv"), F.col("pq_code")).alias(
+            "adc_score"
+        ),
     )
     if score_round is not None:
         scored = scored.withColumn("adc_score", F.round("adc_score", score_round))
@@ -251,29 +242,41 @@ def pq_topk_reranked(
     )
 
 
-def _pair_score_udf(books: np.ndarray, lut: np.ndarray):
-    """pandas UDF for probed (query, candidate) PAIRS: given the query's
-    LUT row index and the candidate's code, score = sum_j LUT[qi][j][c_j].
+def _adc_pair_score_udf(books: np.ndarray):
+    """pandas UDF for (query vector, candidate code) PAIRS: score =
+    sum_j <q_sub_j, codeword(c_j)>, the codewords gathered from the
+    codebook that rides the UDF closure (tiny: m x k_sub x D/m floats
+    — same broadcast-derivation trick as srp_signatures'
+    hyperplanes, similarity.py).
 
-    This is the piece that makes IVF-PQ honest: only candidates inside a
-    probed list ever reach this UDF, so the scored-pair count is
-    O(queries x probed fraction of corpus), not O(queries x corpus) —
-    unlike pq_adc_topk's full matrix scan."""
+    Building the LUT executor-side per Arrow batch instead of
+    driver-side per collected query is what lets the query side be a
+    DataFrame of ANY size: in pq_adc_topk every (query, candidate)
+    pair flows through here after a broadcast join; in IVF-PQ only
+    candidates inside a probed list do, so the scored-pair count is
+    O(queries x probed fraction of corpus), not O(queries x corpus).
+    Per-subspace partials accumulate in the same j order the LUT
+    formulation used, so scores are reproducible run to run."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    m = books.shape[0]
+    m, k_sub, sub = books.shape
 
-    def _score(qi: "pd.Series", codes: "pd.Series") -> "pd.Series":
-        q = qi.to_numpy().astype(np.int64)
+    def _score(qv: "pd.Series", codes: "pd.Series") -> "pd.Series":
+        qm = np.stack(qv.to_numpy()).astype(np.float64)  # (n, D)
         cm = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
-        s = np.zeros(len(q))
+        # batches repeat each query across its candidates — build the
+        # LUT once per UNIQUE query in the batch (u << n), then score
+        # is m table lookups per row instead of D multiplies
+        uq, uidx = np.unique(qm, axis=0, return_inverse=True)
+        s = np.zeros(len(qm))
         for j in range(m):
-            s += lut[q, j, cm[:, j]]
+            lut_j = uq[:, j * sub : (j + 1) * sub] @ books[j].T  # (u, k)
+            s += lut_j[uidx, cm[:, j]]
         return pd.Series(s)
 
     _score.__annotations__ = {
-        "qi": pd.Series, "codes": pd.Series, "return": pd.Series,
+        "qv": pd.Series, "codes": pd.Series, "return": pd.Series,
     }
     return pandas_udf(_score, "double")
 
@@ -301,7 +304,8 @@ def ivfpq_topk_reranked(
          (the list id is a partition column at rest, so this is
          partition PRUNING, bytes never read);
       2. PQ/ADC — probed candidates are scored from their m-byte codes
-         only (32x less data than the vectors) via the pair-wise LUT
+         only (32x less data than the vectors) via the pair-wise
+         codebook-gather UDF
          sum, selecting a `shortlist`;
       3. exact re-rank — full vectors are fetched for O(queries x
          shortlist) rows only.
@@ -314,7 +318,13 @@ def ivfpq_topk_reranked(
     Trains both quantizers on the same deterministic ordered sample;
     fully deterministic for fixed (sample, seed).
     """
-    samp = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    samp = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in samp])
     cents = _kmeans_centroids(mat, n_lists, seed=seed)
     books = pq_train(
@@ -323,39 +333,33 @@ def ivfpq_topk_reranked(
     )
 
     # one corpus pass: list assignment + PQ code, both from the vector
-    coded = corpus.select(
+    coded = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         _assign_udf(cents)(F.col(vec_col)).alias("_list"),
         _encode_udf(books)(F.col(vec_col)).alias("pq_code"),
     )
 
-    # per-query ADC LUT (queries are few and broadcast by construction)
-    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    qids = [r[0] for r in qrows]
-    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    mm, kk, sub = books.shape
-    lut = np.zeros((len(qids), mm, kk))
-    for j in range(mm):
-        lut[:, j, :] = qmat[:, j * sub : (j + 1) * sub] @ books[j].T
-
-    # query_id -> LUT row index as a literal map expression (queries are
-    # few by contract) — keeps the plan free of a createDataFrame RDD
-    # scan, so codegen/AQE run end-to-end (lint: rdd_roundtrip)
-    idx_map = F.create_map(
-        *[F.lit(v) for i, qid in enumerate(qids) for v in (qid, i)]
-    )
+    # the query side stays a DataFrame end to end: probes explode it to
+    # (query_id, _qv, _list) and the broadcast list-join meets the coded
+    # corpus; ADC scores come from the codebook-closure gather UDF.
+    # Nothing funnels through the driver, so the query set can be
+    # arbitrarily large (drop the broadcast hint if it outgrows one —
+    # the same plan runs as a shuffle join on _list).
     qdf = F.broadcast(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         )
-        .withColumn("_qi", idx_map[F.col("query_id")].cast("int"))
-        .withColumn("_list", F.explode(_probes_udf(cents, n_probe)(F.col("_qv"))))
-        .drop("_qv")
+        .withColumn(
+            "_list", F.explode(_probes_udf(cents, n_probe)(F.col("_qv")))
+        )
     )
 
     scored = qdf.join(coded, "_list").withColumn(
         "adc_score",
-        F.round(_pair_score_udf(books, lut)(F.col("_qi"), F.col("pq_code")), 6),
+        F.round(
+            _adc_pair_score_udf(books)(F.col("_qv"), F.col("pq_code")), 6
+        ),
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id")

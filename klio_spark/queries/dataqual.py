@@ -564,7 +564,7 @@ def q163_cusum_changepoint(spark: SparkSession, sf_dir: str):
     """
     WITH v AS (
       SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     r1 AS (
       SELECT source, doc_id, x,
@@ -616,7 +616,11 @@ def q163_cusum_changepoint(spark: SparkSession, sf_dir: str):
 )
 def q180_mad_outliers(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
-    v = d.select("source", "doc_id", F.col("n_chars").cast("bigint").alias("x"))
+    # NULL n_chars would silently shift the median-rank row cross-engine
+    # (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST) — filter explicitly
+    v = d.filter(F.col("n_chars").isNotNull()).select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("x")
+    )
     w1 = Window.partitionBy("source").orderBy("x", "doc_id")
     wn = Window.partitionBy("source")
     r1 = v.select(

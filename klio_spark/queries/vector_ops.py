@@ -631,7 +631,8 @@ def q167_pq_adc_quality(spark: SparkSession, sf_dir: str):
     "et al. TPAMI 2011 §V, the faiss IVFx,PQy serving shape): coarse "
     "quantizer prunes to probed lists (partition pruning at rest), "
     "ADC over m-byte codes — scored only for PROBED pairs via the "
-    "pair-wise LUT UDF, never the full query x corpus matrix — selects "
+    "pair-wise codebook-gather UDF (executor-side LUTs, no driver "
+    "query collect), never the full query x corpus matrix — selects "
     "a shortlist, exact cosine re-ranks. Registered at its exactness "
     "dial (n_probe = n_lists and shortlist > |corpus|: every candidate "
     "is probed and survives to the exact re-rank, so the result is "

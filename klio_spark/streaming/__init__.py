@@ -115,7 +115,11 @@ def interval_join_outer(
     """Stream-stream LEFT OUTER interval join — :func:`interval_join`
     plus unmatched-left emission: a left row with no right match within
     its interval emits (left, NULL right) once its match window can no
-    longer be satisfied, i.e. when the watermark passes left_ts + upper.
+    longer be satisfied. Because matching rights PRECEDE the left row
+    (the condition admits right_ts in (left_ts - upper, left_ts - lower]),
+    a left row is definitively unmatched — and the NULL-completed row can
+    be emitted — once the watermark passes left_ts - lower, the latest
+    timestamp a matching right could carry.
 
     This is the 'did the expected response ever arrive' shape (order
     without shipment, request without ack) that an inner join silently
@@ -1240,9 +1244,10 @@ def mg_fold(
     counts into the summary; if more than ``capacity`` keys survive,
     subtract the (capacity+1)-th largest counter from every counter and
     drop the non-positives. Returns (summary, cumulative subtracted
-    mass d). Pure kernel — property-tested in tests/test_properties.py;
+    mass d). The input dict is copied, never mutated. Pure kernel — property-tested in tests/test_properties.py;
     the exact sandwich est <= true <= est + d and
     present-if-true-count > d both follow from it."""
+    merged = dict(merged)
     for k, c in batch.items():
         merged[k] = merged.get(k, 0) + int(c)
     if len(merged) > capacity:

@@ -166,3 +166,45 @@ def test_ivfpq_exact_dial_equals_bruteforce(emb):
     for g, w in zip(got_s, want_s):
         assert g["neighbor_id"] == w["neighbor_id"], (g, w)
         assert abs(g["cosine"] - w["cosine"]) < 1e-6
+
+
+def test_adc_query_side_is_distributed(spark):
+    """The ADC query side must scale past a driver-comfortable collect:
+    a 2,000-query DataFrame streams through the broadcast join +
+    codebook-gather UDF (functions/pq.py _adc_pair_score_udf) without
+    any driver-side query materialization. Asserts (a) every query gets
+    exactly k ranked rows, (b) sampled queries' ADC top-1 equals the
+    numpy referee on the reconstructed corpus — the lossless-codebook
+    corpus makes the referee exact."""
+    rng = np.random.default_rng(11)
+    dim, m, k_sub = 8, 2, 4
+    books = rng.normal(size=(m, k_sub, dim // m))
+    rows = []
+    i = 0
+    for a in range(k_sub):
+        for b in range(k_sub):
+            v = np.concatenate([books[0, a], books[1, b]])
+            rows.append((100 + i, [float(x) for x in v]))
+            i += 1
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    nq = 2000
+    qmat = rng.normal(size=(nq, dim))
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in qmat[i]]) for i in range(nq)],
+        "vec_id bigint, embedding array<float>",
+    )
+    codes = pq_encode(corpus, books)
+    got = pq_adc_topk(queries, codes, books, k=3, score_round=None)
+    per_q = {
+        r["query_id"]: r["neighbor_id"]
+        for r in got.filter(F.col("rank") == 1).collect()
+    }
+    assert len(per_q) == nq
+    assert got.count() == nq * 3
+    stored = {r["vec_id"]: np.array(r["embedding"]) for r in corpus.collect()}
+    ids = sorted(stored)
+    cm = np.stack([stored[i] for i in ids])
+    for qi in (0, 499, 999, 1499, 1999):
+        scores = cm @ qmat[qi]
+        best = ids[int(np.argmax(scores))]
+        assert per_q[qi] == best, (qi, per_q[qi], best)
