@@ -473,7 +473,10 @@ def _pr_iter_sql(i: int) -> str:
     "shuffle, fan-out bounded by basket size); per iteration the score "
     "table broadcasts into the edge join and the agg is map-side "
     "combined on the destination key — the classic distributed "
-    "PageRank shape. The edge exchange is computed once and shared "
+    "PageRank shape. The broadcast is a LEVER, not a hard-coded hint: "
+    "pagerank_topk(broadcast_scores=True|False|'auto') falls back to a "
+    "shuffle hash join on the node key for graphs whose node set "
+    "outgrows broadcast, hash-identical by test. The edge exchange is computed once and shared "
     "across iterations via ReusedExchange (no persist — nothing lingers "
     "in the session cache), scores are 16-byte rows, the final top-20 "
     "is TakeOrderedAndProject, not a global sort. Dangling nodes cannot exist (every node has an edge "
@@ -481,6 +484,34 @@ def _pr_iter_sql(i: int) -> str:
 )
 def q152_pagerank(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
+    return pagerank_topk(l, broadcast_scores=True)
+
+
+def pagerank_topk(
+    l,
+    *,
+    iters: int = _PR_ITERS,
+    topn: int = 20,
+    broadcast_scores: bool | str = "auto",
+):
+    """Integer PageRank over the part co-purchase multigraph; see the
+    q152 registration docstring for the full semantics.
+
+    ``broadcast_scores`` picks the per-iteration score-join strategy:
+
+    * ``True`` — hint ``F.broadcast`` on the score table. Right when
+      nodes are a dimension (here: parts), orders of magnitude below
+      the edge count: the big edge set never reshuffles.
+    * ``False`` — force a shuffle hash join on the node key (the
+      web-scale shape: a node set that outgrows executor broadcast
+      memory would OOM the driver under the hint). Bit-identical
+      results — only the physical strategy moves, which
+      tests/test_plans.py proves by hash-comparing both paths.
+    * ``'auto'`` — no hint; Catalyst/AQE chooses from its runtime size
+      estimate of the aggregated score table (AQE converts to
+      broadcast when it fits ``spark.sql.autoBroadcastJoinThreshold``).
+      The safe default when the node/edge ratio is unknown.
+    """
     # collect_set = per-basket distinct in the SAME exchange the basket
     # grouping needs — one shuffle where distinct()-then-groupBy paid two
     e = (
@@ -490,12 +521,15 @@ def q152_pagerank(spark: SparkSession, sf_dir: str):
         .select("a", F.explode("ps").alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
-    # nodes is the PART dimension — orders of magnitude below the edge
-    # count — so the per-iteration score table broadcasts into the edge
-    # join (map-side, the big edge set never reshuffles) and deg rides
-    # inside r to avoid a second join. On a web-scale graph where nodes
-    # outgrow broadcast, drop the hint and the same plan runs as a
-    # shuffle join on the node key.
+
+    def _score_side(df):
+        if broadcast_scores is True:
+            return F.broadcast(df)
+        if broadcast_scores is False:
+            return df.hint("shuffle_hash")
+        return df
+
+    # deg rides inside r to avoid a second join per iteration
     deg = e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -503,9 +537,9 @@ def q152_pagerank(spark: SparkSession, sf_dir: str):
     r = deg.crossJoin(F.broadcast(nn)).select(
         "node", F.expr("1000000000 div n").alias("score"), "deg"
     )
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contrib = (
-            e.join(F.broadcast(r.withColumnRenamed("node", "a")), "a")
+            e.join(_score_side(r.withColumnRenamed("node", "a")), "a")
             .select(
                 F.col("b").alias("node"), F.expr("score div deg").alias("c")
             )
@@ -525,7 +559,7 @@ def q152_pagerank(spark: SparkSession, sf_dir: str):
         )
     return (
         r.orderBy(F.desc("score"), F.asc("node"))
-        .limit(20)
+        .limit(topn)
         .select(
             F.col("node").alias("partkey"),
             F.col("score").cast("bigint").alias("score_ppb"),

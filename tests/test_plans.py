@@ -383,3 +383,27 @@ def test_q160_oriented_edges_cached_not_recomputed(spark, sf_dir, specs):
     df = specs["q160_triangle_count"].fn(spark, sf_dir)
     s = plans.plan_str(df)
     assert s.count("InMemoryTableScan") >= 4, s[:3000]
+
+
+def test_pagerank_broadcast_lever_forced_shuffle_identical(spark, sf_dir):
+    """q152's per-iteration score broadcast is a LEVER, not a hard-coded
+    hint (pagerank_topk broadcast_scores=True|False|'auto'): on a graph
+    whose node set outgrows broadcast, False runs the same declared plan
+    as a shuffle hash join on the node key. Asserts (a) the forced-
+    shuffle plan really contains a ShuffledHashJoin and one fewer
+    broadcast than the hinted plan, (b) the two paths are row-for-row
+    identical — only the physical strategy moves."""
+    from klio_spark.queries.advanced import pagerank_topk
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hinted = pagerank_topk(l, iters=1, broadcast_scores=True)
+    shuffled = pagerank_topk(l, iters=1, broadcast_scores=False)
+    p_hint = hinted._jdf.queryExecution().executedPlan().toString()
+    p_shuf = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in p_shuf
+    assert p_hint.count("BroadcastHashJoin") > p_shuf.count(
+        "BroadcastHashJoin"
+    )
+    got_h = [(r["partkey"], r["score_ppb"]) for r in hinted.collect()]
+    got_s = [(r["partkey"], r["score_ppb"]) for r in shuffled.collect()]
+    assert got_h == got_s and len(got_h) == 20
