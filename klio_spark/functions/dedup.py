@@ -256,6 +256,7 @@ def minhash_lsh_dedup(
     bucket_table: str | None = None,
     n_buckets: int = 32,
     bucket_cap: int | None = 1024,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -266,17 +267,28 @@ def minhash_lsh_dedup(
 
     ``bucket_cap`` bounds the width of any single aggregation row
     WITHOUT changing the result (lossless, unlike q68's df-cut, which
-    may drop pairs): a count window on the band key — the same exchange
-    the candidate groupBy needs, buffered in WindowExec's spillable row
-    array — splits buckets into narrow (≤ cap, expanded via the
-    collect_list double-explode: one O(cap²)-bounded row each) and wide
-    (> cap: a degenerate boilerplate cluster whose collect_list row
-    would grow O(N) structs in ONE task's agg heap — instead streamed
-    through a sort-merge self-join on the band key, whose per-key
-    buffers spill to disk, the simhash_near_dups strategy). The counted
-    band stream persists (24 B/row) because three consumers read it;
-    ``bucket_cap=None`` restores the single-path plan (one consumer, no
-    cache) for corpora known to be boilerplate-free.
+    may drop pairs): bucket widths split the band stream into narrow
+    (≤ cap, expanded via the collect_list double-explode: one
+    O(cap²)-bounded row each) and wide (> cap: a degenerate boilerplate
+    cluster whose collect_list row would grow O(N) structs in ONE
+    task's agg heap — instead streamed through a sort-merge self-join
+    on the band key, whose per-key buffers spill to disk, the
+    simhash_near_dups strategy). ``bucket_cap=None`` restores the
+    single-path plan (one consumer, no cache) for corpora known to be
+    boilerplate-free.
+
+    ``cap_strategy`` picks how widths are computed (identical results,
+    hash-compared in tests/test_dedup.py):
+      * ``'window'`` (default) — a count window riding the band-key
+        exchange, buffered in WindowExec's spillable row array; only
+        collision rows persist. A/B'd against 'rejoin' interleaved on
+        one host (BASELINE.md round-5 ledger): tie at sf0.1, ~15%
+        faster at 10×, so it stays the default.
+      * ``'rejoin'`` — groupBy-count on the band key joined back onto
+        the persisted band stream: the count agg is map-side combined
+        and nothing sorts the band rows, but the full band stream
+        (singletons included) must cache and the join re-reads it —
+        prefer when sort spill, not storage, is the scarce resource.
 
     Materialization: the shingle-hash intermediate feeds BOTH candidate
     generation and the verify rejoin, so it must not be recomputed.
@@ -329,16 +341,31 @@ def minhash_lsh_dedup(
             .distinct()
         )
     else:
-        # width-split (see docstring): count window rides the groupBy's
-        # own exchange; singleton buckets (the vast majority) drop
-        # before any aggregation; persist because narrow + both wide
-        # join sides consume the counted stream
-        wc = Window.partitionBy("_band", "_bhash")
-        counted = (
-            banded.withColumn("_w", F.count(F.lit(1)).over(wc))
-            .filter(F.col("_w") > 1)
-            .persist()
-        )
+        # width-split (see docstring). 'rejoin': the banded stream
+        # persists (not the joined result) because BOTH the sizes agg
+        # and the join consume it — without the cache the fused
+        # signature UDF would run twice; downstream consumers (narrow
+        # groupBy + two wide join sides) re-read the cache and share
+        # the sizes exchange via ReusedExchange within one execution.
+        # 'window': singleton rows drop pre-persist, so only collision
+        # rows cache, but WindowExec sorts the full band stream.
+        if cap_strategy == "rejoin":
+            banded = banded.persist()
+            sizes = (
+                banded.groupBy("_band", "_bhash")
+                .agg(F.count(F.lit(1)).alias("_w"))
+                .filter(F.col("_w") > 1)
+            )
+            counted = banded.join(sizes, ["_band", "_bhash"])
+        elif cap_strategy == "window":
+            wc = Window.partitionBy("_band", "_bhash")
+            counted = (
+                banded.withColumn("_w", F.count(F.lit(1)).over(wc))
+                .filter(F.col("_w") > 1)
+                .persist()
+            )
+        else:
+            raise ValueError(f"unknown cap_strategy {cap_strategy!r}")
         narrow_pairs = (
             counted.filter(F.col("_w") <= bucket_cap)
             .groupBy("_band", "_bhash")

@@ -270,3 +270,20 @@ def test_minhash_boilerplate_corpus_bounded(spark):
     want = {(a, b) for a in range(n) for b in range(a + 1, n)}
     assert got == want
     assert all(abs(r.jaccard - 1.0) < 1e-12 for r in out)
+
+
+def test_minhash_cap_strategies_identical(spark, docs):
+    """'window' (default) and 'rejoin' are two physical strategies for
+    the SAME width split — results must be set-identical at a cap low
+    enough that both narrow and wide branches carry rows."""
+    got = {}
+    for strat in ("window", "rejoin"):
+        got[strat] = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dd.minhash_lsh_dedup(
+                docs, "text", "doc_id", threshold=0.3,
+                bucket_cap=2, cap_strategy=strat,
+            ).collect()
+        }
+        spark.catalog.clearCache()
+    assert got["window"] == got["rejoin"] and len(got["window"]) >= 2
