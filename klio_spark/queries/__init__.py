@@ -75,39 +75,43 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # verification-scheduling decision: front-load the entries with the LEAST
 # official evidence.
 #
-#   1. _VERIFY_FIRST — verification debt going into round 4: the 7 entries
-#      no driver run has ever checked (q152-q157 landed at positions 51+ in
-#      round 3 and fell outside the window — exactly the eviction mode this
-#      comment warns about — plus q67, whose oracle is NEW this round: it
-#      was `no_oracle`/rows-only through r3 and now runs the production
-#      64-bit simhash on md5_token_hash64 with a full DuckDB twin), then
-#      every query whose Spark side or oracle CHANGED in round 4 (LSH
-#      bucket-width cap: q66/q106/q129; session-scoped index tables:
-#      q129/q144; floor-div epoch bucketing: q108/q145/q146; decimal
-#      moment sums: q150) — all replica-green locally, but the driver
-#      record is what counts.
+#   1. _VERIFY_FIRST — going into round 5 the cumulative r1-r4 records
+#      cover all 164 pre-round-5 entries green, so the debt is exactly
+#      what round 5 touched: the NEW q181, then every query whose Spark
+#      side or oracle CHANGED this round (ADC/PQ executor-side LUT
+#      rework: q167/q168; q180's NULL n_chars guard on both engines;
+#      q152's pagerank_topk broadcast_scores refactor; the LSH cap
+#      strategy refactor around q66/q106/q129) — all replica-green
+#      locally, but the driver record is what counts.
 #   2. Everything else in import order — this is where NEW queries land
 #      automatically (they are neither in the prefix nor in _DRIVER_GREEN).
 #   3. _DRIVER_GREEN — entries already hash-verified by a driver round
-#      (r1-r3 cumulative) and untouched since; a repeat truncation costs
+#      (r1-r4 cumulative) and untouched since; a repeat truncation costs
 #      the least information here.
 _VERIFY_FIRST = [
-    # never driver-verified
-    "q152_pagerank", "q153_weighted_sample", "q154_time_weighted_avg",
-    "q155_winsorize", "q156_token_entropy", "q157_int8_ann_topk",
-    "q67_simhash_dedup",
-    # new in round 4
-    "q158_compaction_plan", "q159_zonemap_pruning", "q160_triangle_count",
-    "q161_incremental_join_view", "q162_ks_drift", "q163_cusum_changepoint",
-    # changed in round 4 — re-verify
-    "q130_interval_join_batch", "q139_psi_drift",
+    # new in round 5
+    "q181_misra_gries_heavy_hitters",
+    # changed in round 5 — re-verify
+    "q167_pq_adc_quality", "q168_ivfpq_topk", "q180_mad_outliers",
+    "q152_pagerank",
     "q66_minhash_lsh_dedup", "q106_minhash_lsh_recall",
-    "q129_minhash_bucket_table", "q144_inverted_index_topk",
-    "q145_scd2_intervals", "q146_rolling_distinct_hll",
-    "q108_event_funnel", "q150_length_outliers",
+    "q129_minhash_bucket_table",
 ]
 
 _DRIVER_GREEN = [
+    # rotated in after round 4 verified them (CORRECTNESS_r04.json)
+    "q153_weighted_sample", "q154_time_weighted_avg",
+    "q155_winsorize", "q156_token_entropy", "q157_int8_ann_topk",
+    "q67_simhash_dedup", "q158_compaction_plan", "q159_zonemap_pruning",
+    "q160_triangle_count", "q161_incremental_join_view", "q162_ks_drift",
+    "q163_cusum_changepoint", "q130_interval_join_batch", "q139_psi_drift",
+    "q144_inverted_index_topk", "q145_scd2_intervals",
+    "q146_rolling_distinct_hll", "q108_event_funnel", "q150_length_outliers",
+    "q176_pit_scd2_join", "q179_ewma_features", "q170_gram_matrix",
+    "q171_power_iteration", "q172_lloyd_kmeans", "q165_countmin_freq",
+    "q166_countmin_merge", "q175_cm_filtered_heavy_keys",
+    "q177_grouping_sets", "q173_bpe_merge_scores", "q174_text_normalize",
+    "q178_phrase_search", "q169_bfs_khop", "q164_zorder_cells",
     "q142_time_decay_score", "q147_incremental_rollup",
     "q148_transition_matrix", "q149_dau_mau", "q71_ann_lsh_topk", "q74_ann_ivf_topk",
     "q140_kmeans_assign", "q134_semantic_dedup", "q133_dedup_survivors",

@@ -535,3 +535,159 @@ def q175_cm_filtered_heavy_keys(spark: SparkSession, sf_dir: str):
     return cm_filter_heavy(
         ev.select("user_id"), "user_id", threshold=80, depth=4, width=128
     )
+
+
+def _mg_pivot_cte(k: int, cap: int) -> str:
+    """One unrolled Misra-Gries compression step in SQL: pivot = the
+    (cap+1)-th largest count of summary m{k} per shard (0 when ≤ cap
+    keys — a multiset order statistic, tie-order-independent), survivors
+    = keys strictly above the pivot, decremented by it."""
+    return f"""
+    p{k} AS (
+      SELECT shard, COALESCE(MAX(CASE WHEN rn = {cap + 1} THEN c END), 0)
+               AS pv
+      FROM (SELECT shard, c,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC)
+                     AS rn
+            FROM m{k})
+      GROUP BY shard
+    ),
+    s{k} AS (
+      SELECT m.shard, m.key, m.c - p.pv AS c
+      FROM m{k} m JOIN p{k} p USING (shard)
+      WHERE m.c > p.pv
+    )"""
+
+
+_MG_SHARDS, _MG_CHUNKS, _MG_CAP = 4, 3, 8
+
+_MG_ORACLE = (
+    f"""
+    WITH base AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_MG_SHARDS} AS shard,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_MG_CHUNKS} AS chunk,
+             user_id AS key
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    c0 AS (SELECT shard, key, COUNT(*) AS c FROM base WHERE chunk = 0
+           GROUP BY shard, key),
+    c1 AS (SELECT shard, key, COUNT(*) AS c FROM base WHERE chunk = 1
+           GROUP BY shard, key),
+    c2 AS (SELECT shard, key, COUNT(*) AS c FROM base WHERE chunk = 2
+           GROUP BY shard, key),
+    m1 AS (SELECT * FROM c0),"""
+    + _mg_pivot_cte(1, _MG_CAP)
+    + """,
+    m2 AS (SELECT shard, key, SUM(c) AS c
+           FROM (SELECT * FROM s1 UNION ALL SELECT * FROM c1)
+           GROUP BY shard, key),"""
+    + _mg_pivot_cte(2, _MG_CAP)
+    + """,
+    m3 AS (SELECT shard, key, SUM(c) AS c
+           FROM (SELECT * FROM s2 UNION ALL SELECT * FROM c2)
+           GROUP BY shard, key),"""
+    + _mg_pivot_cte(3, _MG_CAP)
+    + """,
+    shards AS (SELECT DISTINCT shard FROM base),
+    err AS (
+      SELECT sh.shard,
+             COALESCE(p1.pv, 0) + COALESCE(p2.pv, 0) + COALESCE(p3.pv, 0)
+               AS d
+      FROM shards sh
+      LEFT JOIN p1 ON sh.shard = p1.shard
+      LEFT JOIN p2 ON sh.shard = p2.shard
+      LEFT JOIN p3 ON sh.shard = p3.shard
+    ),
+    truth AS (SELECT shard, key, COUNT(*) AS true_cnt FROM base
+              GROUP BY shard, key)
+    SELECT s.shard, s.key, CAST(s.c AS BIGINT) AS est,
+           CAST(e.d AS BIGINT) AS err_bound,
+           CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           s.c <= t.true_cnt AS sandwich_lo,
+           t.true_cnt <= s.c + e.d AS sandwich_hi
+    FROM s3 s
+    JOIN err e USING (shard)
+    JOIN truth t USING (shard, key)
+    """
+)
+
+
+@register(
+    "q181_misra_gries_heavy_hitters",
+    _MG_ORACLE,
+    doc="Batch Misra-Gries heavy hitters — the driver-oracle-checked "
+    "registry twin of the streaming sharded summary "
+    "(streaming/__init__.py stateful_heavy_hitters), running the SAME "
+    "mg_fold kernel (Agarwal et al. 2013 merge step). Keys shard by a "
+    "portable md5 hash (disjoint key sets — union is the global "
+    "answer); rows chunk 3 ways by event_id hash and each shard folds "
+    "its per-chunk EXACT counts in chunk order: merge-add, then if "
+    "more than `capacity` keys survive subtract the (capacity+1)-th "
+    "largest counter from all and drop non-positives. The oracle "
+    "UNROLLS the fold into CTEs (the q152-PageRank technique): pivots "
+    "are multiset order statistics, so every arithmetic step is "
+    "integer and tie-order-independent — both engines walk bit-"
+    "identical summaries. Emits per surviving key the estimate, the "
+    "cumulative subtracted mass d, the exact count, and the classic "
+    "sandwich est <= true <= est + d as booleans the hash check "
+    "proves. Scale shape: chunk counts are one map-side-combined "
+    "groupBy (never raw events into Python); the fold state is "
+    "<= capacity entries/shard REGARDLESS of key cardinality — at "
+    "100 TB raise n_shards, keep capacity, and the summary stays "
+    "shards x capacity rows while an exact top-k would shuffle every "
+    "distinct key.",
+)
+def q181_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str):
+    import pandas as pd
+
+    from klio_spark.functions.dedup import md5_token_hash
+    from klio_spark.streaming import mg_fold
+
+    (e,) = load(spark, sf_dir, "events")
+    base = e.filter(F.col("user_id").isNotNull()).select(
+        (md5_token_hash(F.col("user_id").cast("string")) % _MG_SHARDS)
+        .alias("shard"),
+        (md5_token_hash(F.col("event_id").cast("string")) % _MG_CHUNKS)
+        .alias("chunk"),
+        F.col("user_id").alias("key"),
+    )
+    chunk_counts = base.groupBy("shard", "chunk", "key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        merged, d = {}, 0
+        for ch in range(_MG_CHUNKS):
+            sub = pdf[pdf["chunk"] == ch]
+            merged, d = mg_fold(
+                merged, dict(zip(sub["key"], sub["cnt"])), _MG_CAP, d
+            )
+        ks = sorted(merged)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])] * len(ks),
+                "key": [int(k) for k in ks],
+                "est": [int(merged[k]) for k in ks],
+                "err_bound": [int(d)] * len(ks),
+            }
+        )
+
+    summary = chunk_counts.groupBy("shard").applyInPandas(
+        fold, "shard bigint, key bigint, est bigint, err_bound bigint"
+    )
+    truth = base.groupBy("shard", "key").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return summary.join(truth, ["shard", "key"]).select(
+        "shard",
+        "key",
+        "est",
+        "err_bound",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        (F.col("est") <= F.col("true_cnt")).alias("sandwich_lo"),
+        (F.col("true_cnt") <= F.col("est") + F.col("err_bound")).alias(
+            "sandwich_hi"
+        ),
+    )
