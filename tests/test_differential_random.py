@@ -66,10 +66,19 @@ def _random_corpus(seed: int, n_docs: int = 60) -> pd.DataFrame:
                 "text": text,
                 "lang": rng.choice(["en", "de", "es"]),
                 "source": rng.choice(["web", "book", "code"]),
-                "n_chars": len(text) if text is not None else 0,
+                # NULL text carries NULL n_chars (not a 0 coercion) —
+                # the metadata shape that uncovers cross-engine NULL
+                # sort-order divergence in median/rank queries (the
+                # class q180's explicit NULL filter exists for)
+                "n_chars": len(text) if text is not None else None,
             }
         )
-    return pd.DataFrame(rows)
+    pdf = pd.DataFrame(rows)
+    # nullable Int64 keeps the parquet column int64-with-nulls; plain
+    # None would coerce the whole column to float64 and change the
+    # SCHEMA under every consumer (a pandas artifact, not a data shape)
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    return pdf
 
 
 # documents-only queries whose semantics the random corpus stresses
@@ -224,6 +233,11 @@ EVENT_QUERIES = [
     "q165_countmin_freq",
     "q166_countmin_merge",
     "q175_cm_filtered_heavy_keys",
+    # round-5: batch Misra-Gries fold (NULL keys dropped identically;
+    # skewed key counts force the pivot-subtract step; small corpora
+    # leave some shard×chunk combinations empty — the fold and the
+    # unrolled oracle CTEs must agree on every absent-chunk branch)
+    "q181_misra_gries_heavy_hitters",
 ]
 
 
