@@ -41,9 +41,17 @@ def debug_message(
     return df.mapInPandas(run, schema=df.schema)
 
 
-def set_trace(df: DataFrame) -> DataFrame:  # pragma: no cover - interactive
-    """Drop into pdb on the first batch (KlioSetTrace parity). Only
-    meaningful in local mode — executors have no tty on a cluster."""
+def set_trace(df: DataFrame, debugger=None) -> DataFrame:
+    """Drop into pdb on the first batch of each partition (KlioSetTrace
+    parity — reference helpers.py:523-533). Only meaningful in local
+    mode — executors have no tty on a cluster.
+
+    ``debugger`` is an injectable zero-arg callable fired at the break
+    point; it defaults to launching pdb. The indirection exists so the
+    operator's plumbing (fires exactly once per partition, before the
+    first batch, pass-through identity) is testable without a tty —
+    tests ship a marker-writing callable through the closure
+    (test_sinks_and_misc.test_set_trace_fires_and_passes_through)."""
     import pandas as pd  # noqa: F401
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -51,9 +59,12 @@ def set_trace(df: DataFrame) -> DataFrame:  # pragma: no cover - interactive
         for pdf in batches:
             if first:
                 first = False
-                import pdb
+                if debugger is not None:
+                    debugger()
+                else:  # pragma: no cover - interactive
+                    import pdb
 
-                pdb.Pdb(stdout=sys.stdout).set_trace()
+                    pdb.Pdb(stdout=sys.stdout).set_trace()
             yield pdf
 
     return df.mapInPandas(run, schema=df.schema)

@@ -124,6 +124,30 @@ def test_debug_message_passthrough(spark, caplog):
     assert debug_message(df, enabled=False) is df
 
 
+def test_set_trace_fires_and_passes_through(spark, tmp_path):
+    """KlioSetTrace parity (reference helpers.py:523-533): the break
+    fires exactly once per partition, before the first batch, and the
+    stage is a pass-through. The injectable debugger writes a marker
+    file through the closure — same plumbing pdb uses, minus the tty."""
+    from klio_spark.operators.debug import set_trace
+
+    marker = tmp_path / "trace_hits"
+    marker.mkdir()
+
+    def fake_debugger(d=str(marker)):
+        import os
+        import uuid
+
+        open(os.path.join(d, uuid.uuid4().hex), "w").write("hit")
+
+    df = env.from_elements(spark, ["t1", "t2", "t3"]).repartition(2)
+    out = set_trace(df, debugger=fake_debugger)
+    assert sorted(r.element for r in out.collect()) == ["t1", "t2", "t3"]
+    hits = list(marker.iterdir())
+    # one break per non-empty partition, never per row
+    assert 1 <= len(hits) <= 2
+
+
 def test_profile_decorator_hook():
     calls = []
 

@@ -42,6 +42,21 @@ def main() -> int:
     oq = {k: v for k, v in old["queries"].items() if v > 0}
     nq = {k: v for k, v in new["queries"].items() if v > 0}
 
+    # host normalization (round-5 ledger): when both records carry the
+    # frozen-control ratio vs the pinned round-4 reference host, divide
+    # the new side's times by the RELATIVE host factor so per-query
+    # ratios compare code, not neighbor load. Records without controls
+    # (r1-r4) compare raw, as before.
+    host = None
+    if old.get("control_ratio") and new.get("control_ratio"):
+        host = new["control_ratio"] / old["control_ratio"]
+        print(
+            f"host factor new/old = {host:.3f} "
+            f"(controls {old['control_ratio']} -> {new['control_ratio']}); "
+            "ratios below are host-normalized"
+        )
+        nq = {k: v / host for k, v in nq.items()}
+
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     shared = sorted(set(oq) & set(nq))
