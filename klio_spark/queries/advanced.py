@@ -727,6 +727,27 @@ def _bfs_frontier_sql(i: int) -> str:
 )
 def q169_bfs_khop(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
+    return khop_bfs(l)
+
+
+def khop_bfs(
+    l,
+    *,
+    min_weight: int = 2,
+    hops: int = _BFS_HOPS,
+    seed_mod: int = 100,
+):
+    """Multi-source k-hop BFS over the repeat-co-purchase graph; see the
+    q169 registration docstring for semantics and plan shape.
+
+    ``min_weight`` is the corpus-depth dial the 10×/100× rehearsals
+    flagged: at a fixed catalog, more orders push every pair over a
+    fixed threshold and the graph saturates (BASELINE.md round-5
+    rehearsal: output pinned at 20,000 rows from 10× onward). A deeper
+    corpus should raise it in proportion to orders-per-part so edge
+    density — and with it the frontier-degree bound on per-hop cost —
+    stays constant. The registered q169 pins min_weight=2 to match its
+    unrolled oracle CTE chain."""
     li = l.select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     e = (
@@ -737,7 +758,7 @@ def q169_bfs_khop(spark: SparkSession, sf_dir: str):
         )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
+        .filter(F.col("w") >= min_weight)
         .select("a", "b")
         # consumed once per hop — same persist rationale as q160's
         # oriented edges (and the same clearCache caveat)
@@ -745,11 +766,11 @@ def q169_bfs_khop(spark: SparkSession, sf_dir: str):
     )
     frontier = (
         e.select(F.col("a").alias("node"))
-        .filter(F.col("node") % 100 == 0)
+        .filter(F.col("node") % seed_mod == 0)
         .distinct()
     )
     dist = frontier.withColumn("hops", F.lit(0))
-    for i in range(1, _BFS_HOPS + 1):
+    for i in range(1, hops + 1):
         frontier = (
             frontier.join(e, frontier["node"] == e["a"])
             .select(F.col("b").alias("node"))
