@@ -144,6 +144,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     k: int = 10,
     score_round: int | None = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ADC top-k over the codes table: score(q, x) ~= q . recon(x)
     = sum_j <q_sub_j, codeword(code_j)>, computed entirely from the
@@ -155,13 +156,19 @@ def pq_adc_topk(
     from the broadcast codebook closure — the per-query LUT is implicit
     in the gather, built executor-side batch by batch. A query set of
     any size streams through in Arrow chunks; nothing is collected.
+
+    ``broadcast_queries`` is a LEVER, not a hard-coded hint (the q152
+    PageRank lesson): True fits the serving shape (queries << corpus —
+    the codes scan never moves); False drops the hint for a query side
+    that outgrows executor broadcast memory, degrading to a partitioned
+    cartesian — at that scale prefer ivfpq_topk_reranked, whose list
+    join prunes the pair space instead.
     """
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
     scored = codes.crossJoin(
-        F.broadcast(
-            queries.filter(F.col(vec_col).isNotNull()).select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-            )
-        )
+        F.broadcast(q) if broadcast_queries else q
     ).select(
         "query_id",
         "neighbor_id",
@@ -295,6 +302,7 @@ def ivfpq_topk_reranked(
     k_sub: int = 16,
     sample: int = 2048,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the composed billion-scale serving shape (Jegou et al.
     TPAMI 2011 §V; what faiss calls IVFx,PQy).
@@ -340,12 +348,12 @@ def ivfpq_topk_reranked(
     )
 
     # the query side stays a DataFrame end to end: probes explode it to
-    # (query_id, _qv, _list) and the broadcast list-join meets the coded
-    # corpus; ADC scores come from the codebook-closure gather UDF.
-    # Nothing funnels through the driver, so the query set can be
-    # arbitrarily large (drop the broadcast hint if it outgrows one —
-    # the same plan runs as a shuffle join on _list).
-    qdf = F.broadcast(
+    # (query_id, _qv, _list) and the list-join meets the coded corpus;
+    # ADC scores come from the codebook-closure gather UDF. Nothing
+    # funnels through the driver, so the query set can be arbitrarily
+    # large — broadcast_queries=False drops the hint and the same plan
+    # runs as a shuffle join on _list.
+    qdf = (
         queries.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -354,6 +362,8 @@ def ivfpq_topk_reranked(
             "_list", F.explode(_probes_udf(cents, n_probe)(F.col("_qv")))
         )
     )
+    if broadcast_queries:
+        qdf = F.broadcast(qdf)
 
     scored = qdf.join(coded, "_list").withColumn(
         "adc_score",

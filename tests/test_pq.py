@@ -208,3 +208,39 @@ def test_adc_query_side_is_distributed(spark):
         scores = cm @ qmat[qi]
         best = ids[int(np.argmax(scores))]
         assert per_q[qi] == best, (qi, per_q[qi], best)
+
+
+def test_ivfpq_broadcast_lever_shuffle_fallback_identical(emb):
+    """broadcast_queries=False must run the list join as a shuffle join
+    (no broadcast of the query side) and return identical rows — the
+    same lever discipline as pagerank_topk's broadcast_scores."""
+    from klio_spark.functions.pq import ivfpq_topk_reranked
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3).limit(100)
+    kw = dict(k=3, shortlist=500, n_lists=4, n_probe=4, m=4, k_sub=8)
+    spark = emb.sparkSession
+    # at test sizes Catalyst auto-broadcasts from size stats regardless
+    # of the hint; disable the threshold so the plans show the HINT's
+    # effect — exactly the regime the lever exists for (a query side
+    # too big for Catalyst to broadcast on its own)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = ivfpq_topk_reranked(queries, corpus, **kw)
+        shuffled = ivfpq_topk_reranked(
+            queries, corpus, broadcast_queries=False, **kw
+        )
+        p_hint = hinted._jdf.queryExecution().executedPlan().toString()
+        p_shuf = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert p_hint.count("BroadcastHashJoin") > p_shuf.count(
+            "BroadcastHashJoin"
+        )
+        key = lambda r: (r["query_id"], r["rank"])
+        got_h = sorted(hinted.collect(), key=key)
+        got_s = sorted(shuffled.collect(), key=key)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert [(r["query_id"], r["neighbor_id"]) for r in got_h] == [
+        (r["query_id"], r["neighbor_id"]) for r in got_s
+    ] and len(got_h) == 9
