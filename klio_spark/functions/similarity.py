@@ -30,17 +30,23 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query row.
 
     Output: query_id, neighbor_id, cosine — ties broken by neighbor_id so
     results are fully deterministic (oracle-comparable).
+
+    ``broadcast_queries``: the hint fits the serving shape (queries <<
+    corpus); False drops it for a query side beyond executor broadcast
+    memory (partitioned cartesian — inherent to the exact all-pairs
+    semantics; prune with IVF/LSH/PQ instead at that scale).
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = q.crossJoin(c).withColumn(
         "cosine", cosine_sim(F.col("_qv"), F.col("_cv"))
@@ -157,6 +163,7 @@ def ivf_topk(
     sample: int = 2048,
     seed: int = 42,
     rank_round: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_lists
     centroids (trained on a deterministic sample), probe the n_probe
@@ -189,13 +196,13 @@ def ivf_topk(
         F.col(vec_col).alias("_cv"),
         assign_udf(F.col(vec_col)).alias("_list"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            F.explode(probes_udf(F.col(vec_col))).alias("_list"),
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes_udf(F.col(vec_col))).alias("_list"),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     cand = q.join(c, "_list").withColumn(
         "cosine", cosine_sim(F.col("_qv"), F.col("_cv"))
     )
@@ -267,6 +274,7 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     k: int = 10,
     n_probe: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k over a prebuilt IVF index (see build_ivf_index).
 
@@ -289,13 +297,13 @@ def ivf_topk_indexed(
     # session. The probes UDF therefore evaluates twice over the QUERY
     # batch (probed-set collect + the join) — query batches are small by
     # contract; the corpus side is untouched either way.
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            F.explode(probes_udf(F.col(vec_col))).alias("_list"),
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes_udf(F.col(vec_col))).alias("_list"),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     probed = [r[0] for r in q.select("_list").distinct().collect()]
     c = (
         spark.read.parquet(index_path)
@@ -490,6 +498,7 @@ def lsh_topk(
     tables: int = 8,
     seed: int = 42,
     rank_round: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: bucket-join queries→corpus across `tables`
     signature tables, exact cosine re-rank within candidates.
@@ -515,7 +524,9 @@ def lsh_topk(
             ).alias("_table", "_sig"),
         )
 
-    q = F.broadcast(signed(queries, "query_id", "_qv"))
+    q = signed(queries, "query_id", "_qv")
+    if broadcast_queries:
+        q = F.broadcast(q)
     c = signed(corpus, "neighbor_id", "_cv")
     cand = (
         q.join(c, ["_table", "_sig"])
