@@ -674,11 +674,15 @@ def q181_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str):
             }
         )
 
+    # one pass over raw events total: the exact referee counts are the
+    # SUM of the per-chunk counts — a second-level agg over the tiny
+    # count table, not a rescan (and not a second md5 pass)
+    chunk_counts = chunk_counts.persist()
     summary = chunk_counts.groupBy("shard").applyInPandas(
         fold, "shard bigint, key bigint, est bigint, err_bound bigint"
     )
-    truth = base.groupBy("shard", "key").agg(
-        F.count(F.lit(1)).alias("true_cnt")
+    truth = chunk_counts.groupBy("shard", "key").agg(
+        F.sum("cnt").alias("true_cnt")
     )
     return summary.join(truth, ["shard", "key"]).select(
         "shard",

@@ -24,10 +24,10 @@ from klio_spark.queries import load, register
                FROM embeddings WHERE vec_id >= 10)
     SELECT query_id, neighbor_id, cosine, rank
     FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+                 ROUND((CASE WHEN list_dot_product(q.v, q.v) = 0 OR list_dot_product(c.v, c.v) = 0 THEN 0.0 ELSE list_cosine_similarity(q.v, c.v) END), 6) AS cosine,
                  ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                   ORDER BY ROUND((CASE WHEN list_dot_product(q.v, q.v) = 0 OR list_dot_product(c.v, c.v) = 0 THEN 0.0 ELSE list_cosine_similarity(q.v, c.v) END), 6) DESC,
                             c.vec_id) AS rank
           FROM q CROSS JOIN c)
     WHERE rank <= 5
@@ -65,10 +65,10 @@ _EXACT_TOPK_ORACLE = """
                FROM embeddings WHERE vec_id >= 10)
     SELECT query_id, neighbor_id, cosine, rank
     FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+                 ROUND((CASE WHEN list_dot_product(q.v, q.v) = 0 OR list_dot_product(c.v, c.v) = 0 THEN 0.0 ELSE list_cosine_similarity(q.v, c.v) END), 6) AS cosine,
                  ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                   ORDER BY ROUND((CASE WHEN list_dot_product(q.v, q.v) = 0 OR list_dot_product(c.v, c.v) = 0 THEN 0.0 ELSE list_cosine_similarity(q.v, c.v) END), 6) DESC,
                             c.vec_id) AS rank
           FROM q CROSS JOIN c)
     WHERE rank <= 5
@@ -203,8 +203,12 @@ def q107_ann_quality(spark: SparkSession, sf_dir: str):
     ),
     scored AS (
       SELECT e.vec_id, e.label AS true_label, c.c_label,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                          c.vec), 6) AS cos
+             ROUND((CASE
+               WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[])) = 0
+                 OR list_dot_product(c.vec, c.vec) = 0 THEN 0.0
+               ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           c.vec) END), 6) AS cos
       FROM embeddings e CROSS JOIN vecs c
     ),
     best AS (
@@ -294,9 +298,9 @@ def q140_kmeans_assign(spark: SparkSession, sf_dir: str):
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+           ROUND((CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END), 6) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+    WHERE ROUND((CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END), 6) >= 0.35
     """,
     doc="embedding-cosine near-dup pairs (exact twin of the LSH path in "
     "functions.dedup.embedding_near_dups).",
@@ -321,7 +325,7 @@ def q72_embedding_near_dups(spark: SparkSession, sf_dir: str):
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM v a JOIN v b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+      WHERE ROUND((CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END), 6) >= 0.35
     ),
     ed AS (SELECT id_a AS a, id_b AS b FROM p
            UNION SELECT id_b, id_a FROM p),

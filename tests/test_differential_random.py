@@ -314,6 +314,11 @@ EMB_QUERIES = [
     "q170_gram_matrix",
     "q171_power_iteration",
     "q172_lloyd_kmeans",
+    # round-5: IVF-PQ at the exactness dial (oracle = brute force) over
+    # a corpus with a zero vector, exact duplicates, and near-duplicate
+    # cosine ties — probes the executor-side ADC gather + re-rank
+    # tie-breaks after the query-collect removal
+    "q168_ivfpq_topk",
 ]
 
 
