@@ -309,6 +309,12 @@ EMB_QUERIES = [
     # the driver corpus uses ints — q140's argmax accumulator must adapt
     "q140_kmeans_assign",
     "q157_int8_ann_topk",
+    # full-scan ANN arms must tolerate the zero QUERY vector (all-tie
+    # cosines -> neighbor_id order on both engines); pruned arms
+    # (q71/q74) are deliberately absent — a zero query ties with the
+    # whole corpus, so any bucket/list pruning legitimately returns a
+    # different (equally-scored) top-k than the global referee
+    "q70_ann_bruteforce_topk",
     # round-4 wave: Gram on dim-16 vectors incl. the zero vector and
     # exact duplicates; Lloyd on string-labeled, zero-vector corpora
     "q170_gram_matrix",
