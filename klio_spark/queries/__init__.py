@@ -96,6 +96,12 @@ _VERIFY_FIRST = [
     "q152_pagerank",
     "q66_minhash_lsh_dedup", "q106_minhash_lsh_recall",
     "q129_minhash_bucket_table",
+    # oracles zero-guarded in round 5 (cosine-of-zero convention)
+    "q70_ann_bruteforce_topk", "q71_ann_lsh_topk", "q74_ann_ivf_topk",
+    "q72_embedding_near_dups", "q134_semantic_dedup",
+    "q121_centroid_similarity",
+    # q169's Spark side refactored into khop_bfs (same plan)
+    "q169_bfs_khop",
 ]
 
 _DRIVER_GREEN = [
@@ -111,10 +117,10 @@ _DRIVER_GREEN = [
     "q171_power_iteration", "q172_lloyd_kmeans", "q165_countmin_freq",
     "q166_countmin_merge", "q175_cm_filtered_heavy_keys",
     "q177_grouping_sets", "q173_bpe_merge_scores", "q174_text_normalize",
-    "q178_phrase_search", "q169_bfs_khop", "q164_zorder_cells",
+    "q178_phrase_search", "q164_zorder_cells",
     "q142_time_decay_score", "q147_incremental_rollup",
-    "q148_transition_matrix", "q149_dau_mau", "q71_ann_lsh_topk", "q74_ann_ivf_topk",
-    "q140_kmeans_assign", "q134_semantic_dedup", "q133_dedup_survivors",
+    "q148_transition_matrix", "q149_dau_mau", 
+    "q140_kmeans_assign", "q133_dedup_survivors",
     "q137_span_corruption", "q135_bm25_topk", "q138_vocab_coverage", "q141_bigram_lm_score",
     "q143_skew_profile", "q32_cube", "q34_window_range_frame", "q35_salted_join",
     "q48_string_agg", "q49_corr_covar", "q69_top_bigrams", "q76_binary_meta",
@@ -139,9 +145,9 @@ _DRIVER_GREEN = [
     "q116_latency_histogram", "q117_ab_experiment", "q119_growth_accounting",
     "q120_sliding_window_counts", "q122_anomalous_hours", "q123_revenue_share_bp",
     "q124_funnel_windowed", "q125_copurchase_pairs", "q126_bounce_rate",
-    "q127_hierarchy_depth", "q128_weighted_median", "q70_ann_bruteforce_topk",
-    "q107_ann_quality", "q72_embedding_near_dups", "q73_vector_norms_by_label",
-    "q121_centroid_similarity", "q57_gap_fill", "q78_embedding_quantize",
+    "q127_hierarchy_depth", "q128_weighted_median", 
+    "q107_ann_quality", "q73_vector_norms_by_label",
+    "q57_gap_fill", "q78_embedding_quantize",
     "q79_repetition_quality", "q85_dedup_clusters", "q87_contamination",
     "q88_stratified_sample", "q89_heavy_hitters", "q90_sequence_packing",
     "q91_passage_dedup", "q92_domain_mixture", "q86_hash_split", "q118_mixture_resample",
