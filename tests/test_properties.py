@@ -205,7 +205,12 @@ def test_misra_gries_fold_invariants(stream, cuts, capacity):
     seen = []
     for batch in batches:
         seen += batch
+        passed_in = summary
+        snapshot = dict(summary)
         summary, d = mg_fold(summary, Counter(batch), capacity, d)
+        # purity: the passed-in summary is copied, never mutated
+        # (ADVICE r4 — a caller retaining the old dict must see it intact)
+        assert passed_in == snapshot
         true = Counter(seen)
         assert len(summary) <= capacity
         for k, est in summary.items():
