@@ -818,3 +818,67 @@ def q178_phrase_search(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         F.min("pa").cast("bigint").alias("first_pos"),
     )
+
+
+_VG_BUCKET = 50
+
+
+@register(
+    "q182_vocab_growth",
+    f"""
+    WITH toks AS (
+      SELECT d.doc_id, lower(t.w) AS w
+      FROM documents d,
+           unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+      WHERE d.text IS NOT NULL AND t.w <> ''
+    ),
+    first_seen AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w
+    ),
+    buckets AS (
+      SELECT CAST(first_doc // {_VG_BUCKET} AS BIGINT) AS bucket,
+             COUNT(*) AS new_words
+      FROM first_seen GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(new_words AS BIGINT) AS new_words,
+           CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_vocab
+    FROM buckets
+    """,
+    doc="vocabulary growth curve (Heaps'-law diagnostic): distinct-"
+    "vocabulary size as the corpus grows in doc_id order, bucketed "
+    f"every {_VG_BUCKET} docs — the corpus-health check that tells a "
+    "training pipeline whether new data still contributes new tokens "
+    "or has gone stale/duplicative (a flattening curve = diminishing "
+    "vocabulary returns; a super-Heaps jump = an injected domain or "
+    "encoding corruption). Distributed shape: the cumulative-distinct "
+    "problem (naively a quadratic running COUNT(DISTINCT) over "
+    "prefixes) becomes ONE word-keyed exchange: a word's contribution "
+    "to the curve is fully determined by its FIRST occurrence "
+    "(min doc_id per word — map-side combinable), and the running sum "
+    "then runs over the tiny bucket table, never the token stream. "
+    "Token stream itself is a codegen'd split/explode — no Python. "
+    "All-integer output, exact on both engines.",
+)
+def q182_vocab_growth(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(tx.tokens(F.lower(F.col("text")))).alias("w"),
+        )
+    )
+    first_seen = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    buckets = first_seen.groupBy(
+        F.expr(f"first_doc div {_VG_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_words"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.select(
+        "bucket",
+        F.col("new_words").cast("bigint").alias("new_words"),
+        F.sum("new_words").over(w).cast("bigint").alias("cum_vocab"),
+    )

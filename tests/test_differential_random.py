@@ -110,6 +110,9 @@ QUERIES = [
     "q174_text_normalize",
     "q178_phrase_search",
     "q180_mad_outliers",
+    # round-5: vocabulary growth (unicode lowercasing parity, empty/NULL
+    # docs contribute no tokens, duplicate docs add no new vocabulary)
+    "q182_vocab_growth",
 ]
 
 
