@@ -882,3 +882,64 @@ def q182_vocab_growth(spark: SparkSession, sf_dir: str):
         F.col("new_words").cast("bigint").alias("new_words"),
         F.sum("new_words").over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+@register(
+    "q183_shingle_novelty",
+    f"""
+    WITH {shingle_cte()},
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    first AS (SELECT s, MIN(doc_id) AS fd FROM ex GROUP BY s)
+    SELECT CAST(e.doc_id // 50 AS BIGINT) AS bucket,
+           CAST(COUNT(*) FILTER (WHERE f.fd = e.doc_id) AS BIGINT)
+             AS novel_shingles,
+           CAST(COUNT(*) AS BIGINT) AS total_shingles,
+           CAST(COUNT(*) FILTER (WHERE f.fd = e.doc_id) * 10000
+                // COUNT(*) AS BIGINT) AS novelty_bp
+    FROM ex e JOIN first f ON e.s = f.s
+    GROUP BY 1
+    """,
+    doc="shingle novelty profile: per 50-doc bucket (doc_id order), the "
+    "share of distinct 3-gram shingles never seen in ANY earlier "
+    "document — the freshness/memorization diagnostic behind 'is new "
+    "data still new' (a collapsing novelty_bp curve = the crawl is "
+    "re-reading itself; a spike = an injected domain). Same "
+    "first-occurrence trick as q182 scaled to n-grams: novelty is "
+    "fully determined by each shingle's global MIN(doc_id) — one "
+    "shingle-keyed exchange (map-side combinable) whose partitioning "
+    "the rejoin then REUSES (no second shingle shuffle) — never a "
+    "quadratic prefix scan. Spark operates on 8-byte blake2b shingle "
+    "hashes (the q66 convention: hash-set novelty equals string-set "
+    "novelty up to 2^-64 collisions — the driver hash check proves "
+    "equality on real corpora against the string-based oracle); "
+    "novelty_bp is integer basis points (integer // both engines). "
+    "Shares the one canonical shingler definition "
+    "(queries/_fragments.py shingle_cte) with every near-dup oracle.",
+)
+def q183_shingle_novelty(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(dd.shingle_hashes(F.col("text"), 3)).alias("h"),
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    joined = sh.join(first, "h")
+    return (
+        joined.groupBy(
+            F.expr("doc_id div 50").cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.sum((F.col("fd") == F.col("doc_id")).cast("bigint")).alias(
+                "novel_shingles"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("total_shingles"),
+        )
+        .select(
+            "bucket",
+            "novel_shingles",
+            "total_shingles",
+            F.expr("novel_shingles * 10000 div total_shingles")
+            .cast("bigint")
+            .alias("novelty_bp"),
+        )
+    )

@@ -113,6 +113,10 @@ QUERIES = [
     # round-5: vocabulary growth (unicode lowercasing parity, empty/NULL
     # docs contribute no tokens, duplicate docs add no new vocabulary)
     "q182_vocab_growth",
+    # round-5: shingle novelty (exact-duplicate docs contribute zero
+    # novel shingles; NULL/empty docs share the '' shingle — first one
+    # claims it; short-doc single-shingle rule)
+    "q183_shingle_novelty",
 ]
 
 
