@@ -91,7 +91,7 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 _VERIFY_FIRST = [
     # new in round 5
     "q181_misra_gries_heavy_hitters", "q182_vocab_growth",
-    "q183_shingle_novelty",
+    "q183_shingle_novelty", "q184_source_overlap_matrix",
     # changed in round 5 — re-verify
     "q167_pq_adc_quality", "q168_ivfpq_topk", "q180_mad_outliers",
     "q152_pagerank",

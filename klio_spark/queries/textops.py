@@ -943,3 +943,77 @@ def q183_shingle_novelty(spark: SparkSession, sf_dir: str):
             .alias("novelty_bp"),
         )
     )
+
+
+@register(
+    "q184_source_overlap_matrix",
+    f"""
+    WITH {shingle_cte(", source")},
+    ssd AS (
+      SELECT DISTINCT source, s
+      FROM (SELECT source, unnest(shingles) AS s FROM sh)
+    ),
+    src AS (SELECT source, COUNT(*) AS n_shingles FROM ssd GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles,
+           CAST(MIN(sa.n_shingles) AS BIGINT) AS n_a,
+           CAST(MIN(sb.n_shingles) AS BIGINT) AS n_b,
+           CAST(COUNT(*) * 10000 // LEAST(MIN(sa.n_shingles),
+                                          MIN(sb.n_shingles)) AS BIGINT)
+             AS containment_bp
+    FROM ssd a
+    JOIN ssd b ON a.s = b.s AND a.source < b.source
+    JOIN src sa ON sa.source = a.source
+    JOIN src sb ON sb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+    doc="cross-source contamination matrix: for every source pair, the "
+    "count of distinct 3-gram shingles BOTH contain and the overlap "
+    "coefficient in basis points (shared / min(|A|,|B|) — the "
+    "containment normalization that flags a small source copied "
+    "wholesale into a big one, where Jaccard would dilute it). The "
+    "provenance diagnostic behind 'which crawl re-publishes which' "
+    "and train/eval cross-source leakage. Shape: the (source, shingle) "
+    "DISTINCT table is the only big intermediate (one exchange, "
+    "map-side combinable); the pair join runs shingle-keyed on that "
+    "deduplicated table — fan-out per shingle is bounded by the "
+    "SOURCE count (tiny), never the document count, so no shingle "
+    "hotspot can go quadratic in docs. Spark side joins 8-byte "
+    "blake2b shingle hashes (q66 convention) against the canonical "
+    "string-shingler oracle; all-integer output.",
+)
+def q184_source_overlap_matrix(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    ssd = d.select(
+        "source",
+        F.explode(dd.shingle_hashes(F.col("text"), 3)).alias("h"),
+    ).distinct()
+    src = ssd.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = ssd.select(F.col("source").alias("source_a"), "h")
+    b = ssd.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(src.select(F.col("source").alias("source_a"),
+                                   F.col("n_shingles").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("source").alias("source_b"),
+                                   F.col("n_shingles").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "shared_shingles",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("shared_shingles * 10000 div least(n_a, n_b)")
+            .cast("bigint")
+            .alias("containment_bp"),
+        )
+    )

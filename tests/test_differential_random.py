@@ -117,6 +117,9 @@ QUERIES = [
     # novel shingles; NULL/empty docs share the '' shingle — first one
     # claims it; short-doc single-shingle rule)
     "q183_shingle_novelty",
+    # round-5: source overlap (sources sharing only the '' shingle via
+    # empty/NULL docs still pair; a-z source tie-break ordering)
+    "q184_source_overlap_matrix",
 ]
 
 
