@@ -1412,3 +1412,50 @@ def trigger_upstream(
     return foreach_batch_sink(
         rewritten, publish, checkpoint, trigger_available_now
     )
+
+
+def streaming_vocab_growth(
+    df: DataFrame,
+    text_col: str,
+    checkpoint_dir: str,
+    sink,
+    *,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live vocabulary growth — the streaming twin of q182's batch
+    Heaps'-law curve (queries/textops.py q182_vocab_growth).
+
+    Tokens explode from the text stream and a stateful
+    ``dropDuplicates`` on the word emits each distinct word EXACTLY
+    ONCE across the whole stream (checkpoint-backed — a word first
+    seen before a crash is not re-emitted after restart). Each
+    trigger's sink batch therefore contains precisely the words first
+    seen in that trigger: ``sink(new_words_df, batch_id)`` receives
+    (w) rows whose count is the trigger's vocabulary contribution, and
+    the running total across batches is the same curve q182 computes
+    over doc order — which the restart test asserts word-for-word.
+
+    State = one entry per DISTINCT word ever seen. That is the same
+    sublinear-in-corpus (Heaps-law) footprint the batch first-occurrence
+    table has, and the right state bound for a vocabulary monitor: it
+    grows only when the answer itself grows. (For a bounded-state
+    approximation under adversarial vocabularies, the rolling-distinct
+    HLL monitor — streaming_distinct_sketch — is the companion op.)
+    """
+    from klio_spark.functions.text import tokens
+
+    words = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    ).dropDuplicates(["w"])
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch, batch_id)
+
+    writer = (
+        words.writeStream.outputMode("append")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

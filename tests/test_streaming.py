@@ -1435,3 +1435,47 @@ def test_stateful_ewma_matches_python_replay(spark, tmp_path):
     got = {r.event_id: r.ewma_scaled for r in rows}
     assert got == want
     assert got[1] == int(math.floor(10.0 * 100.0)) << 20
+
+
+def test_streaming_vocab_growth_matches_batch_across_restart(
+    spark, tmp_path
+):
+    """streaming_vocab_growth emits each distinct word exactly once
+    across the WHOLE stream, checkpoint restart included: batch 2 must
+    emit only words absent from batch 1 (even though its docs repeat
+    them), and the union of emissions equals the batch distinct
+    vocabulary of the cumulative corpus — q182's first-occurrence
+    semantics, word-for-word."""
+    ddir = tmp_path / "vg"
+    (ddir / "p").mkdir(parents=True)
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha beta gamma"), (2, "beta delta")]
+    b2 = [(3, "gamma delta epsilon"), (4, "ALPHA zeta")]
+
+    def run(batch_rows, out):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(ddir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(ddir / "p"))
+        q = st.streaming_vocab_growth(
+            stream,
+            "text",
+            str(tmp_path / "ckpt-vg"),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/{out}"
+            ),
+        )
+        q.awaitTermination(60)
+
+    run(b1, "vgout1")
+    got1 = {r.w for r in spark.read.parquet(f"{tmp_path}/vgout1").collect()}
+    assert got1 == {"alpha", "beta", "gamma", "delta"}
+
+    run(b2, "vgout2")
+    got2 = {r.w for r in spark.read.parquet(f"{tmp_path}/vgout2").collect()}
+    # only genuinely new words — restarts don't re-emit, lowercasing
+    # folds ALPHA into the already-seen alpha
+    assert got2 == {"epsilon", "zeta"}
+    assert got1 | got2 == {
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    }
