@@ -816,3 +816,123 @@ def q137_span_corruption(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("masked_bp"),
     )
+
+
+@register(
+    "q185_cluster_safe_split",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_CTE},
+    ed AS (SELECT id_a AS a, id_b AS b FROM e
+           UNION SELECT id_b, id_a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             CASE
+               WHEN CAST('0x' || substr(md5(CAST(
+                      COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10 < 8 THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(
+                      COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    leak AS (
+      SELECT COUNT(*) AS n
+      FROM e
+      JOIN assign x ON e.id_a = x.doc_id
+      JOIN assign y ON e.id_b = y.doc_id
+      WHERE x.split <> y.split
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(l.n AS BIGINT) AS straddling_pairs
+    FROM assign a CROSS JOIN leak l
+    GROUP BY a.split, l.n
+    """,
+    doc="cluster-safe train/val/test split — the leakage-proof variant "
+    "of q86's per-doc hash split: the split is assigned to each doc's "
+    "NEAR-DUP CLUSTER representative (q85's connected components over "
+    "the 0.3-Jaccard edge set; singletons represent themselves), so "
+    "two near-duplicate documents can never straddle train and eval — "
+    "the contamination mode a per-doc split invites and dedup-aware "
+    "LLM training requires closing. Split = portable md5 of the "
+    "representative id, 8/1/1. Emits per-split doc and cluster counts "
+    "PLUS the construction's own audit: straddling_pairs counts "
+    "near-dup edges whose endpoints landed in different splits — "
+    "provably zero, and the DuckDB oracle (recursive-CTE transitive "
+    "closure + the same audit join) hash-proves it. Scale shape: "
+    "components via label propagation (O(log d) rounds); the audit is "
+    "two id-keyed joins of the edge list against the assignment — "
+    "edges persist once for pair-gen and audit; everything else is "
+    "the tiny cluster/assignment table.",
+)
+def q185_cluster_safe_split(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.dedup import md5_token_hash
+    from klio_spark.functions.graph import connected_components
+
+    (d,) = load(spark, sf_dir, "documents")
+    edges = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.3
+    ).persist()
+    comp = connected_components(edges, "id_a", "id_b")
+    assign = (
+        d.select("doc_id")
+        .join(
+            comp.select(
+                F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+        .withColumn(
+            "_b", md5_token_hash(F.col("cluster_id").cast("string")) % 10
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("_b") < 8, F.lit("train"))
+            .when(F.col("_b") == 8, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )
+    leak = (
+        edges.join(
+            assign.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split", "n_docs", "n_clusters",
+            F.col("n").cast("bigint").alias("straddling_pairs"),
+        )
+    )

@@ -120,6 +120,9 @@ QUERIES = [
     # round-5: source overlap (sources sharing only the '' shingle via
     # empty/NULL docs still pair; a-z source tie-break ordering)
     "q184_source_overlap_matrix",
+    # round-5: cluster-safe split (exact-duplicate clusters must land
+    # whole; straddling_pairs hash-proven 0 on adversarial dup corpora)
+    "q185_cluster_safe_split",
 ]
 
 

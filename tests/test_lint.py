@@ -69,6 +69,7 @@ def test_every_declared_query_lints_clean(spark, sf_dir):
         "q127_hierarchy_depth": ("rdd_roundtrip",),
         "q133_dedup_survivors": ("rdd_roundtrip",),
         "q134_semantic_dedup": ("rdd_roundtrip",),
+        "q185_cluster_safe_split": ("rdd_roundtrip",),
     }
     failures = []
     for name, spec in all_queries().items():
