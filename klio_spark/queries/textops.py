@@ -1017,3 +1017,146 @@ def q184_source_overlap_matrix(spark: SparkSession, sf_dir: str):
             .alias("containment_bp"),
         )
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled BPE merge round: count adjacent symbol pairs over
+    the weighted word table, pick the max (weight desc, symbols asc —
+    binary collation both engines), rewrite every sequence by plain
+    non-overlapping left-to-right string replace (identical semantics
+    in Spark and DuckDB; the '|sym ' framing means consecutive merge
+    sites never share boundary characters, so greedy BPE pairing is
+    exact)."""
+    return f"""
+    pairs{k} AS (
+      SELECT ts[i] AS a, ts[i + 1] AS b, SUM(cnt) AS weight
+      FROM (SELECT cnt, list_filter(string_split(seq, ' '), t -> t <> '')
+                     AS ts
+            FROM seq{k - 1}) w,
+           unnest(range(1, len(ts))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    top{k} AS (
+      SELECT a, b, weight FROM pairs{k}
+      ORDER BY weight DESC, a, b LIMIT 1
+    ),
+    seq{k} AS (
+      SELECT w.cnt,
+             replace(w.seq, t.a || ' ' || t.b || ' ',
+                     '|' || substr(t.a, 2) || substr(t.b, 2) || ' ') AS seq
+      FROM seq{k - 1} w CROSS JOIN top{k} t
+    )"""
+
+
+@register(
+    "q186_bpe_train_rounds",
+    f"""
+    WITH words AS (
+      SELECT lower(t.w) AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents d,
+           unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+      WHERE d.text IS NOT NULL AND t.w <> ''
+      GROUP BY 1
+    ),
+    seq0 AS (
+      SELECT cnt,
+             list_aggregate(
+               ['|' || c || ' ' FOR c IN string_split_regex(w, '')
+                IF c <> ''], 'string_agg', '') AS seq
+      FROM words
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+    + f"""
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT {i} AS round, substr(a, 2) AS sym_a, substr(b, 2) AS sym_b,"
+        f" CAST(weight AS BIGINT) AS weight FROM top{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+      )}
+    )
+    """,
+    doc=f"iterative BPE tokenizer training — {_BPE_ROUNDS} full merge "
+    "rounds, where q173 scores only round 1's candidates: per round, "
+    "count adjacent symbol pairs over the weighted DISTINCT-word table "
+    "(the zipfian fan-out saving — pair stats need each word once, "
+    "times its count), merge the argmax pair corpus-wide, and rewrite "
+    "every word's symbol sequence before the next count. The sequence "
+    "lives as '|sym ' framed text, so the merge is ONE plain "
+    "non-overlapping string replace per word — identical left-to-right "
+    "semantics in Spark and DuckDB, consecutive merge sites share no "
+    "boundary chars (greedy BPE pairing is exact), and '|' can never "
+    "false-match inside a symbol (symbols come from whitespace-split "
+    "words). The oracle unrolls the loop into CTEs (the q152 "
+    "technique); ties break (weight desc, symbol asc) under binary "
+    "collation on both engines — fully hash-exact. Scale shape: each "
+    "round is one map-side-combinable pair agg over distinct words + "
+    "a 1-row broadcast + a codegen'd replace — no shuffle ever touches "
+    "the corpus, only the vocabulary table.",
+)
+def q186_bpe_train_rounds(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    words = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    seq = words.select(
+        "cnt",
+        F.concat_ws(
+            "", F.transform(chars, lambda c: F.concat(F.lit("|"), c, F.lit(" ")))
+        ).alias("seq"),
+    )
+    tops = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        ts = F.filter(F.split(F.col("seq"), " "), lambda t: t != "")
+        pairs = (
+            seq.select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size(ts) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(ts) - 2),
+                            lambda i: F.struct(
+                                ts[i].alias("a"), ts[i + 1].alias("b")
+                            ),
+                        ),
+                    ).otherwise(F.array()),
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("weight"))
+        )
+        top = (
+            pairs.orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .withColumn("round", F.lit(k))
+        )
+        tops.append(top)
+        seq = seq.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+                F.concat(
+                    F.lit("|"),
+                    F.substring(F.col("a"), 2, 1_000_000),
+                    F.substring(F.col("b"), 2, 1_000_000),
+                    F.lit(" "),
+                ),
+            ).alias("seq"),
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        F.expr("substr(a, 2)").alias("sym_a"),
+        F.expr("substr(b, 2)").alias("sym_b"),
+        F.col("weight").cast("bigint").alias("weight"),
+    )

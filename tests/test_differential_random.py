@@ -123,6 +123,9 @@ QUERIES = [
     # round-5: cluster-safe split (exact-duplicate clusters must land
     # whole; straddling_pairs hash-proven 0 on adversarial dup corpora)
     "q185_cluster_safe_split",
+    # round-5: iterative BPE (unicode char splitting 'Wörter'/'naïve',
+    # single-char words contribute no pairs, digit-heavy tokens)
+    "q186_bpe_train_rounds",
 ]
 
 
