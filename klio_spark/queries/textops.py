@@ -1160,3 +1160,94 @@ def q186_bpe_train_rounds(spark: SparkSession, sf_dir: str):
         F.expr("substr(b, 2)").alias("sym_b"),
         F.col("weight").cast("bigint").alias("weight"),
     )
+
+
+@register(
+    "q187_pmi_collocations",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM docs, unnest(range(1, len(ws) + 1)) AS r(i)
+    ),
+    uni AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n_tokens FROM toks),
+    big AS (
+      SELECT a.w AS w_a, b.w AS w_b, COUNT(*) AS n_ab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT w_a, w_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+           CAST(n_ab * t.n_tokens * 1000000 // (ua.n * ub.n) AS BIGINT)
+             AS pmi_scaled
+    FROM big
+    JOIN uni ua ON ua.w = big.w_a
+    JOIN uni ub ON ub.w = big.w_b
+    CROSS JOIN tot t
+    ORDER BY pmi_scaled DESC, w_a, w_b
+    LIMIT 20
+    """,
+    doc="PMI collocation extraction: top-20 adjacent word pairs by "
+    "pointwise mutual information — the corpus-statistics step behind "
+    "multi-word-expression vocab entries and tokenizer pre-merges, "
+    "and the normalization q69's raw bigram counts lack (raw counts "
+    "surface 'of the'; PMI surfaces pairs that co-occur far above "
+    "their unigram independence rate). PMI's log is monotone, so the "
+    "ranking needs NO floats: pmi_scaled = n_ab * N * 1e6 // "
+    "(n_a * n_b), exact 64-bit integer arithmetic on both engines "
+    "(bounded: n_ab * N * 1e6 < 2^63 for corpora to ~3e12 scaled "
+    "token-pairs; min-count 5 kills the singleton-pair noise PMI is "
+    "notorious for). Shape: one posexplode token pass, bigrams from a "
+    "doc-local pos+1 self-join (the q178 adjacency trick — co-located, "
+    "no cross-doc pairs), two broadcast unigram joins, "
+    "TakeOrderedAndProject top-20.",
+)
+def q187_pmi_collocations(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    a, b = toks.alias("a"), toks.alias("b")
+    big = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    return (
+        big.join(
+            F.broadcast(uni.select(F.col("w").alias("w_a"), F.col("n").alias("n_a"))),
+            "w_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w_b"), F.col("n").alias("n_b"))),
+            "w_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w_a", "w_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("n_ab * n_tokens * 1000000 div (n_a * n_b)")
+            .cast("bigint")
+            .alias("pmi_scaled"),
+        )
+        .orderBy(F.desc("pmi_scaled"), F.asc("w_a"), F.asc("w_b"))
+        .limit(20)
+    )

@@ -126,6 +126,9 @@ QUERIES = [
     # round-5: iterative BPE (unicode char splitting 'Wörter'/'naïve',
     # single-char words contribute no pairs, digit-heavy tokens)
     "q186_bpe_train_rounds",
+    # round-5: PMI collocations (token-run docs inflate n_ab; pmi ties
+    # at the top-20 boundary break on word order both engines)
+    "q187_pmi_collocations",
 ]
 
 
