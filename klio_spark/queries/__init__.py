@@ -93,7 +93,7 @@ _VERIFY_FIRST = [
     "q181_misra_gries_heavy_hitters", "q182_vocab_growth",
     "q183_shingle_novelty", "q184_source_overlap_matrix",
     "q185_cluster_safe_split", "q186_bpe_train_rounds",
-    "q187_pmi_collocations",
+    "q187_pmi_collocations", "q188_winnowing_pairs",
     # changed in round 5 — re-verify
     "q167_pq_adc_quality", "q168_ivfpq_topk", "q180_mad_outliers",
     "q152_pagerank",

@@ -1251,3 +1251,89 @@ def q187_pmi_collocations(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("pmi_scaled"), F.asc("w_a"), F.asc("w_b"))
         .limit(20)
     )
+
+
+@register(
+    "q188_winnowing_pairs",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST('0x' || substr(md5(
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]), 1, 15)
+             AS BIGINT) AS h
+      FROM docs, unnest(range(1, len(ws) - 1)) AS r(i)
+      WHERE len(ws) >= 3
+    ),
+    winnowed AS (
+      SELECT DISTINCT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM winnowed a JOIN winnowed b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    doc="winnowing fingerprint near-dup candidates (Schleimer, Wilkerson "
+    "& Aiken, SIGMOD 2003 — the MOSS algorithm): hash every 3-gram, "
+    "slide a 4-window over the hash sequence keeping each window's "
+    "minimum, and the distinct kept values are the document's "
+    "fingerprints — a DETERMINISTIC-guarantee sketch, unlike MinHash's "
+    "probabilistic S-curve: any shared token run spanning >= w+k-1 = 6 "
+    "tokens is GUARANTEED to share a fingerprint, while expected "
+    "density stays 2/(w+1) of the grams. Pairs sharing >= 2 "
+    "fingerprints are the plagiarism/boilerplate candidates. Gram "
+    "hashes are the portable 60-bit md5 (cross-engine); the window min "
+    "rides one (doc, pos) sort; tail windows truncate (a documented "
+    "variant — identical on both engines); docs under 3 tokens don't "
+    "fingerprint. Scale: fingerprints are ~29% of grams, the pair join "
+    "is fingerprint-keyed on the DISTINCT (doc, fp) table, and at "
+    "100 TB the hot-fp cap is the same lever as minhash's bucket_cap.",
+)
+def q188_winnowing_pairs(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.dedup import md5_token_hash
+
+    (d,) = load(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    grams = (
+        toks.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("ws")[i],
+                        F.col("ws")[i + 1],
+                        F.col("ws")[i + 2],
+                    ),
+                )
+            ).alias("pos", "g"),
+        )
+        .select("doc_id", "pos", md5_token_hash(F.col("g")).alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    winnowed = grams.select(
+        "doc_id", F.min("h").over(w).alias("fp")
+    ).distinct()
+    a = winnowed.select(F.col("doc_id").alias("id_a"), "fp")
+    b = winnowed.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )

@@ -129,6 +129,9 @@ QUERIES = [
     # round-5: PMI collocations (token-run docs inflate n_ab; pmi ties
     # at the top-20 boundary break on word order both engines)
     "q187_pmi_collocations",
+    # round-5: winnowing (exact-dup docs share ALL fingerprints;
+    # token-run docs collapse to one gram hash; sub-3-token docs absent)
+    "q188_winnowing_pairs",
 ]
 
 
