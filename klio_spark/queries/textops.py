@@ -1337,3 +1337,144 @@ def q188_winnowing_pairs(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+_TR_ITERS = 3
+
+
+def _tr_iter_sql(i: int) -> str:
+    """One unrolled weighted-TextRank iteration (q152's integer-PageRank
+    CTE scheme with an explicit edge weight: contribution of node a
+    along an edge of weight w is w * (score // wdeg), identical to w
+    parallel unit edges)."""
+    return f"""
+    it{i} AS (
+      SELECT e.b AS node, SUM(e.w * (r{i - 1}.score // deg.wdeg)) AS s
+      FROM e JOIN r{i - 1} ON e.a = r{i - 1}.node
+             JOIN deg ON e.a = deg.node
+      GROUP BY e.b
+    ),
+    r{i} AS (
+      SELECT deg.node,
+             (150000000 // nn.n) + (85 * COALESCE(it{i}.s, 0)) // 100
+               AS score
+      FROM deg LEFT JOIN it{i} USING (node) CROSS JOIN nn
+    )"""
+
+
+@register(
+    "q189_textrank_keywords",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM docs, unnest(range(1, len(ws) + 1)) AS r(i)
+    ),
+    adj AS (
+      SELECT a.w AS wa, b.w AS wb, COUNT(*) AS w
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.w <> b.w
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT wa AS a, wb AS b, SUM(w) AS w FROM (
+        SELECT wa, wb, w FROM adj
+        UNION ALL
+        SELECT wb, wa, w FROM adj
+      ) GROUP BY 1, 2
+    ),
+    deg AS (SELECT a AS node, SUM(w) AS wdeg FROM e GROUP BY a),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT node, 1000000000 // nn.n AS score
+           FROM deg CROSS JOIN nn),
+    """
+    + ",".join(_tr_iter_sql(i) for i in range(1, _TR_ITERS + 1))
+    + f"""
+    SELECT node AS word, CAST(score AS BIGINT) AS score_ppb
+    FROM (SELECT node, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rnk
+          FROM r{_TR_ITERS})
+    WHERE rnk <= 20
+    """,
+    doc="TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): "
+    "integer PageRank over the corpus-wide word co-occurrence graph "
+    "(undirected adjacency edges weighted by co-occurrence count, "
+    "self-loops dropped), top-20 words by final rank — the "
+    "graph-centrality keyword/keyphrase scorer. Reuses q152's "
+    "bit-exact arithmetic discipline (ppb integer scores, "
+    "integer-div contribution splits, 85/100 damping, loop UNROLLED "
+    "into oracle CTEs), generalized to explicit edge weights: a "
+    "weight-w edge contributes w * (score div wdeg), identical to w "
+    "parallel unit edges but shuffled as ONE row per distinct pair — "
+    "on a zipfian word graph that collapses the hot function-word "
+    "edges by orders of magnitude. Per iteration the score table "
+    "broadcasts into the weighted edge join (q152's lever rationale "
+    "applies: words are a vocabulary-bounded dimension); the edge "
+    "exchange is shared across iterations via ReusedExchange. Every "
+    "node has wdeg >= 1 by construction (no dangling mass).",
+)
+def q189_textrank_keywords(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .filter(F.col("a.w") != F.col("b.w"))
+        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e = (
+        adj.select(F.col("wa").alias("a"), F.col("wb").alias("b"), "w")
+        .unionByName(
+            adj.select(F.col("wb").alias("a"), F.col("wa").alias("b"), "w")
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    deg = e.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("wdeg"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("1000000000 div n").alias("score"), "wdeg"
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            e.join(F.broadcast(r.withColumnRenamed("node", "a")), "a")
+            .select(
+                F.col("b").alias("node"),
+                F.expr("w * (score div wdeg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            deg.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    "(150000000 div n) + (85 * COALESCE(s, 0)) div 100"
+                ).alias("score"),
+                "wdeg",
+            )
+        )
+    return (
+        r.orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+        .select(
+            F.col("node").alias("word"),
+            F.col("score").cast("bigint").alias("score_ppb"),
+        )
+    )

@@ -132,6 +132,9 @@ QUERIES = [
     # round-5: winnowing (exact-dup docs share ALL fingerprints;
     # token-run docs collapse to one gram hash; sub-3-token docs absent)
     "q188_winnowing_pairs",
+    # round-5: TextRank (self-loop runs drop; single-token docs add no
+    # edges; integer walk must be bit-identical on skewed word graphs)
+    "q189_textrank_keywords",
 ]
 
 
