@@ -1478,3 +1478,82 @@ def q189_textrank_keywords(spark: SparkSession, sf_dir: str):
             F.col("score").cast("bigint").alias("score_ppb"),
         )
     )
+
+
+@register(
+    "q190_lexical_gini",
+    """
+    WITH docs AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT source, ws[i] AS w
+      FROM docs, unnest(range(1, len(ws) + 1)) AS r(i)
+    ),
+    freq AS (
+      SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w
+    ),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, w) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             SUM(c) OVER (PARTITION BY source) AS tot
+      FROM freq
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_types,
+           CAST(MAX(tot) AS BIGINT) AS n_tokens,
+           CAST(SUM((2 * i - n - 1) * c) * 1000000
+                // (MAX(n) * MAX(tot)) AS BIGINT) AS gini_ppm
+    FROM ranked
+    GROUP BY source
+    """,
+    doc="lexical concentration per source: the exact Gini coefficient "
+    "of the word-frequency distribution in parts-per-million — the "
+    "inequality summary behind 'is this source natural language or "
+    "boilerplate/code' (natural text is zipfian, gini near 1; "
+    "templated/boilerplate sources collapse toward fewer, flatter "
+    "types) and the mixture-diversity check a curriculum needs. "
+    "Integer-exact via the rank formula gini = sum((2i - n - 1) c_i) "
+    "/ (n * total) over counts sorted ASC — the numerator is an exact "
+    "int64 sum (rank window with (c, w) tie-break so both engines walk "
+    "the identical permutation; any c-tie permutation actually yields "
+    "the same sum, but determinism is free), scaled to ppm by integer "
+    "division. Shape: one (source, word) count exchange (map-side "
+    "combinable), one rank window over the distinct-type table "
+    "(vocabulary-sized, zipf-small vs the corpus), no floats anywhere.",
+)
+def q190_lexical_gini(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    freq = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("source").orderBy("c", "w")
+    wp = Window.partitionBy("source")
+    ranked = freq.select(
+        "source", "c",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("c").over(wp).alias("tot"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_types"),
+            F.max("tot").cast("bigint").alias("n_tokens"),
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c")).alias(
+                "num"
+            ),
+        )
+        .select(
+            "source", "n_types", "n_tokens",
+            F.expr("num * 1000000 div (n_types * n_tokens)")
+            .cast("bigint")
+            .alias("gini_ppm"),
+        )
+    )

@@ -135,6 +135,9 @@ QUERIES = [
     # round-5: TextRank (self-loop runs drop; single-token docs add no
     # edges; integer walk must be bit-identical on skewed word graphs)
     "q189_textrank_keywords",
+    # round-5: Gini (count ties across the rank permutation must yield
+    # the same sum; token-run docs spike concentration)
+    "q190_lexical_gini",
 ]
 
 
