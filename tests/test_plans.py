@@ -17,6 +17,18 @@ def specs():
     return all_queries()
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan-shape tests assert exchange counts, which change when an
+    EARLIER test registered a shared subtree for caching (e.g. q185's
+    edges.persist() marks the same ngram-pairs plan q65/q68 build, and
+    Catalyst substitutes InMemoryRelation for the exchange). Clear the
+    cache registry so every plan here is the cold-start plan the
+    assertions describe."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_q01_filter_pushed_to_scan(spark, sf_dir, specs):
     df = specs["q01_pricing_summary"].fn(spark, sf_dir)
     plans.assert_filter_pushed(df, "l_shipdate")
