@@ -60,6 +60,12 @@ DEFAULT_QUERIES = [
     "q67_simhash_dedup",
     "q134_semantic_dedup",
     "q70_ann_bruteforce_topk",
+    # round-5 wave heavies
+    "q181_misra_gries_heavy_hitters",
+    "q185_cluster_safe_split",
+    "q186_bpe_train_rounds",
+    "q188_winnowing_pairs",
+    "q189_textrank_keywords",
 ]
 
 CAESAR_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
