@@ -95,6 +95,7 @@ _VERIFY_FIRST = [
     "q185_cluster_safe_split", "q186_bpe_train_rounds",
     "q187_pmi_collocations", "q188_winnowing_pairs",
     "q189_textrank_keywords", "q190_lexical_gini",
+    "q191_event_paths", "q192_association_rules",
     # changed in round 5 — re-verify
     "q167_pq_adc_quality", "q168_ivfpq_topk", "q180_mad_outliers",
     "q152_pagerank",

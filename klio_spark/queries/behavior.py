@@ -1832,3 +1832,165 @@ def q179_ewma_features(spark: SparkSession, sf_dir: str):
         num.cast("bigint").alias("ewma_num"),
         den.cast("bigint").alias("ewma_den"),
     )
+
+
+@register(
+    "q191_event_paths",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    paths AS (
+      SELECT event_type AS step1, e2 AS step2, e3 AS step3,
+             COUNT(*) AS n
+      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT SUM(n) AS t FROM paths)
+    SELECT step1, step2, step3, CAST(n AS BIGINT) AS n_paths,
+           CAST(n * 10000 // tot.t AS BIGINT) AS share_bp
+    FROM paths CROSS JOIN tot
+    ORDER BY n DESC, step1, step2, step3
+    LIMIT 20
+    """,
+    doc="top-20 three-step user journeys (event-type path mining) — the "
+    "funnel-DISCOVERY op that q148's first-order transition matrix "
+    "can't express (a Markov matrix factorizes paths; the journey "
+    "table shows which full sequences actually dominate, e.g. "
+    "view→view→purchase vs view→click→purchase). Consecutive triples "
+    "come from two LEAD windows over the per-user timeline (ts, "
+    "event_id total order — one user-keyed exchange and sort, shared "
+    "by both leads), path counts are map-side combinable, the share "
+    "is integer basis points, and the top-20 is "
+    "TakeOrderedAndProject with a full lexicographic tie-break — "
+    "hash-exact on both engines.",
+)
+def q191_event_paths(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    )
+    paths = s.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = paths.agg(F.sum("n").alias("t"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "step1", "step2", "step3",
+            F.col("n").cast("bigint").alias("n_paths"),
+            F.expr("n * 10000 div t").cast("bigint").alias("share_bp"),
+        )
+        .orderBy(
+            F.desc("n_paths"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q192_association_rules",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey AS p, COUNT(*) AS n FROM li GROUP BY 1),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, n_ab FROM pair
+      UNION ALL
+      SELECT pb, pa, n_ab FROM pair
+    )
+    SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS support,
+           CAST(n_ab * 10000 // ia.n AS BIGINT) AS confidence_bp,
+           CAST(n_ab * nb.n_baskets * 1000000 // (ia.n * ic.n) AS BIGINT)
+             AS lift_ppm
+    FROM rules
+    JOIN item ia ON ia.p = rules.antecedent
+    JOIN item ic ON ic.p = rules.consequent
+    CROSS JOIN nb
+    ORDER BY lift_ppm DESC, antecedent, consequent
+    LIMIT 20
+    """,
+    doc="market-basket association rules: top-20 item rules a=>b by "
+    "LIFT, with support and confidence — the recommender / cross-sell "
+    "shape q125's raw co-purchase counts feed but can't rank "
+    "(frequent pairs are dominated by individually-popular items; "
+    "lift normalizes by both marginals exactly as PMI does for "
+    "words). All three metrics integer-exact: confidence_bp = "
+    "n_ab*1e4 // n_a, lift_ppm = n_ab*N*1e6 // (n_a*n_b) — the "
+    "log-free monotone ranking trick (q187). Shape: basket pair "
+    "counts from ONE orderkey-keyed self-join of the distinct "
+    "(order, part) table (min-support 3 prunes before ranking), "
+    "marginals broadcast, TakeOrderedAndProject with lexicographic "
+    "tie-break — hash-exact.",
+)
+def q192_association_rules(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    nb = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"),
+            "n_ab",
+        )
+    )
+    return (
+        rules.join(
+            F.broadcast(item.select(F.col("p").alias("antecedent"),
+                                    F.col("n").alias("n_a"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(item.select(F.col("p").alias("consequent"),
+                                    F.col("n").alias("n_c"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent", "consequent",
+            F.col("n_ab").cast("bigint").alias("support"),
+            F.expr("n_ab * 10000 div n_a").cast("bigint").alias(
+                "confidence_bp"
+            ),
+            F.expr("n_ab * n_baskets * 1000000 div (n_a * n_c)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(20)
+    )

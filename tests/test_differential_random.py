@@ -266,6 +266,9 @@ EVENT_QUERIES = [
     # leave some shard×chunk combinations empty — the fold and the
     # unrolled oracle CTEs must agree on every absent-chunk branch)
     "q181_misra_gries_heavy_hitters",
+    # round-5: journey mining (ts ties within a user resolve by
+    # event_id on both engines; top-20 boundary lexicographic breaks)
+    "q191_event_paths",
 ]
 
 
@@ -447,6 +450,10 @@ LINEITEM_QUERIES = [
     # price ties in the non-equi pair spread
     "q14_nonequi_self_join",
     "q128_weighted_median",
+    # round-5: association rules (single-item baskets form no pairs;
+    # sub-support pairs drop on both engines; lift ties at the top-20
+    # boundary break lexicographically)
+    "q192_association_rules",
 ]
 
 
