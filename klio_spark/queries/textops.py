@@ -1421,6 +1421,23 @@ def _tr_iter_sql(i: int) -> str:
 )
 def q189_textrank_keywords(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
+    return textrank_keywords(d, broadcast_scores=True)
+
+
+def textrank_keywords(
+    d,
+    *,
+    iters: int = _TR_ITERS,
+    topn: int = 20,
+    broadcast_scores: bool | str = "auto",
+):
+    """Weighted integer TextRank over the word co-occurrence graph; see
+    the q189 registration docstring. ``broadcast_scores`` is the same
+    lever as pagerank_topk's (True = hint, False = forced shuffle hash
+    join on the word key, 'auto' = Catalyst/AQE sizing) — words are a
+    vocabulary-bounded dimension, but a byte-pair or sub-word graph can
+    outgrow broadcast, and the fallback is hash-identical
+    (tests/test_plans.py proves it for the shared PageRank core)."""
     toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("pos", "w"),
@@ -1446,12 +1463,19 @@ def q189_textrank_keywords(spark: SparkSession, sf_dir: str):
     )
     deg = e.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("wdeg"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    def _score_side(df):
+        if broadcast_scores is True:
+            return F.broadcast(df)
+        if broadcast_scores is False:
+            return df.hint("shuffle_hash")
+        return df
+
     r = deg.crossJoin(F.broadcast(nn)).select(
         "node", F.expr("1000000000 div n").alias("score"), "wdeg"
     )
-    for _ in range(_TR_ITERS):
+    for _ in range(iters):
         contrib = (
-            e.join(F.broadcast(r.withColumnRenamed("node", "a")), "a")
+            e.join(_score_side(r.withColumnRenamed("node", "a")), "a")
             .select(
                 F.col("b").alias("node"),
                 F.expr("w * (score div wdeg)").alias("c"),
@@ -1472,7 +1496,7 @@ def q189_textrank_keywords(spark: SparkSession, sf_dir: str):
         )
     return (
         r.orderBy(F.desc("score"), F.asc("node"))
-        .limit(20)
+        .limit(topn)
         .select(
             F.col("node").alias("word"),
             F.col("score").cast("bigint").alias("score_ppb"),

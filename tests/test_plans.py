@@ -419,3 +419,19 @@ def test_pagerank_broadcast_lever_forced_shuffle_identical(spark, sf_dir):
     got_h = [(r["partkey"], r["score_ppb"]) for r in hinted.collect()]
     got_s = [(r["partkey"], r["score_ppb"]) for r in shuffled.collect()]
     assert got_h == got_s and len(got_h) == 20
+
+
+def test_textrank_broadcast_lever_forced_shuffle_identical(spark, sf_dir):
+    """q189's per-iteration score broadcast carries the same lever as
+    pagerank_topk: broadcast_scores=False runs the weighted score join
+    as a shuffle hash join, row-identically."""
+    from klio_spark.queries.textops import textrank_keywords
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hinted = textrank_keywords(d, iters=1, broadcast_scores=True)
+    shuffled = textrank_keywords(d, iters=1, broadcast_scores=False)
+    p_shuf = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in p_shuf
+    got_h = [(r["word"], r["score_ppb"]) for r in hinted.collect()]
+    got_s = [(r["word"], r["score_ppb"]) for r in shuffled.collect()]
+    assert got_h == got_s and len(got_h) == 20
