@@ -1945,6 +1945,20 @@ def q191_event_paths(spark: SparkSession, sf_dir: str):
 )
 def q192_association_rules(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
+    return association_rules(l, broadcast_marginals=True)
+
+
+def association_rules(
+    l, *, topn: int = 20, min_support: int = 3,
+    broadcast_marginals: bool = True,
+):
+    """Integer-lift association rules; see the q192 registration
+    docstring. ``broadcast_marginals``: item marginals are a catalog
+    dimension and broadcast in the serving shape; False drops the hint
+    for catalogs beyond executor broadcast memory — the joins run
+    item-keyed as shuffle joins, row-identically (q152 lever
+    discipline)."""
+    mb = F.broadcast if broadcast_marginals else (lambda df: df)
     li = l.select("l_orderkey", "l_partkey").distinct()
     item = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("n")
@@ -1958,7 +1972,7 @@ def q192_association_rules(spark: SparkSession, sf_dir: str):
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 3)
+        .filter(F.col("n_ab") >= min_support)
     )
     rules = pair.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"),
@@ -1971,13 +1985,13 @@ def q192_association_rules(spark: SparkSession, sf_dir: str):
     )
     return (
         rules.join(
-            F.broadcast(item.select(F.col("p").alias("antecedent"),
-                                    F.col("n").alias("n_a"))),
+            mb(item.select(F.col("p").alias("antecedent"),
+                           F.col("n").alias("n_a"))),
             "antecedent",
         )
         .join(
-            F.broadcast(item.select(F.col("p").alias("consequent"),
-                                    F.col("n").alias("n_c"))),
+            mb(item.select(F.col("p").alias("consequent"),
+                           F.col("n").alias("n_c"))),
             "consequent",
         )
         .crossJoin(F.broadcast(nb))
@@ -1992,5 +2006,5 @@ def q192_association_rules(spark: SparkSession, sf_dir: str):
             .alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), F.asc("antecedent"), F.asc("consequent"))
-        .limit(20)
+        .limit(topn)
     )

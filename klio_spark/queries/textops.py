@@ -1212,6 +1212,19 @@ def q186_bpe_train_rounds(spark: SparkSession, sf_dir: str):
 )
 def q187_pmi_collocations(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
+    return pmi_collocations(d, broadcast_marginals=True)
+
+
+def pmi_collocations(
+    d, *, topn: int = 20, min_count: int = 5, broadcast_marginals: bool = True
+):
+    """Integer-PMI collocations; see the q187 registration docstring.
+    ``broadcast_marginals``: the unigram table is vocabulary-bound
+    (Heaps-sublinear) and broadcasts in the serving shape; False drops
+    the hint for sub-word or web-scale vocabularies — the same joins
+    run word-keyed as shuffle joins, row-identically (the q152 lever
+    discipline)."""
+    mb = F.broadcast if broadcast_marginals else (lambda df: df)
     toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("pos", "w"),
@@ -1227,15 +1240,15 @@ def q187_pmi_collocations(spark: SparkSession, sf_dir: str):
         )
         .groupBy(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 5)
+        .filter(F.col("n_ab") >= min_count)
     )
     return (
         big.join(
-            F.broadcast(uni.select(F.col("w").alias("w_a"), F.col("n").alias("n_a"))),
+            mb(uni.select(F.col("w").alias("w_a"), F.col("n").alias("n_a"))),
             "w_a",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w_b"), F.col("n").alias("n_b"))),
+            mb(uni.select(F.col("w").alias("w_b"), F.col("n").alias("n_b"))),
             "w_b",
         )
         .crossJoin(F.broadcast(tot))
@@ -1249,7 +1262,7 @@ def q187_pmi_collocations(spark: SparkSession, sf_dir: str):
             .alias("pmi_scaled"),
         )
         .orderBy(F.desc("pmi_scaled"), F.asc("w_a"), F.asc("w_b"))
-        .limit(20)
+        .limit(topn)
     )
 
 
