@@ -2008,3 +2008,121 @@ def association_rules(
         .orderBy(F.desc("lift_ppm"), F.asc("antecedent"), F.asc("consequent"))
         .limit(topn)
     )
+
+
+@register(
+    "q193_conversion_lifetable",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase,
+             MAX(ts) AS last_seen
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    cohort AS (
+      SELECT user_id,
+             CASE WHEN first_purchase IS NOT NULL
+                    AND first_purchase >= first_view
+                  THEN CAST(date_diff('day', first_view, first_purchase)
+                            AS BIGINT) END AS event_day,
+             CAST(date_diff('day', first_view, last_seen) AS BIGINT)
+               AS censor_day
+      FROM u WHERE first_view IS NOT NULL
+    ),
+    days AS (
+      SELECT DISTINCT COALESCE(event_day, censor_day) AS d FROM cohort
+    )
+    SELECT d AS day,
+           CAST((SELECT COUNT(*) FROM cohort c
+                 WHERE COALESCE(c.event_day, c.censor_day) >= days.d)
+                AS BIGINT) AS n_at_risk,
+           CAST((SELECT COUNT(*) FROM cohort c WHERE c.event_day = days.d)
+                AS BIGINT) AS n_converted,
+           CAST((SELECT COUNT(*) FROM cohort c
+                 WHERE c.event_day IS NULL AND c.censor_day = days.d)
+                AS BIGINT) AS n_censored
+    FROM days
+    ORDER BY day
+    """,
+    doc="conversion life table (the Kaplan-Meier estimator's input): "
+    "per day-since-first-view, how many users were still AT RISK "
+    "(neither converted nor censored before that day), how many "
+    "converted that day (first purchase), and how many were censored "
+    "(last seen, no purchase) — the survival-analysis shape behind "
+    "time-to-conversion and retention-hazard curves, with censoring "
+    "handled correctly where a naive conversion-rate-by-day silently "
+    "drops users still under observation. All quantities are integer "
+    "counts on integer day offsets (date_diff both engines); the KM "
+    "product over (1 - d_i/n_i) is left to the consumer, as the "
+    "estimator is a trivial fold of this table. Scale shape: ONE "
+    "user-keyed agg builds the per-user (event_day, censor_day) "
+    "cohort; at-risk counts come from one day-keyed agg + a running "
+    "window over the tiny day table (the oracle states them as "
+    "correlated subqueries for clarity — same integers).",
+)
+def q193_conversion_lifetable(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    u = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "first_view"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+            F.max("ts").alias("last_seen"),
+        )
+        .filter(F.col("first_view").isNotNull())
+    )
+    cohort = u.select(
+        F.when(
+            F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view")),
+            F.datediff(F.col("first_purchase"), F.col("first_view")),
+        )
+        .cast("bigint")
+        .alias("event_day"),
+        F.datediff(F.col("last_seen"), F.col("first_view"))
+        .cast("bigint")
+        .alias("censor_day"),
+    ).select(
+        "event_day",
+        "censor_day",
+        F.coalesce(F.col("event_day"), F.col("censor_day")).alias("out_day"),
+    )
+    per_day = cohort.groupBy(F.col("out_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.sum(
+            (F.col("event_day") == F.col("out_day")).cast("bigint")
+        ).alias("n_conv"),
+        F.sum(
+            (
+                F.col("event_day").isNull()
+                & (F.col("censor_day") == F.col("out_day"))
+            ).cast("bigint")
+        ).alias("n_cens"),
+    )
+    # at-risk on day d = users leaving on ANY day >= d: a reversed
+    # running sum over the tiny day table
+    w = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_day.withColumn("n_at_risk", F.sum("n_out").over(w))
+        .select(
+            "day",
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.coalesce(F.col("n_conv"), F.lit(0))
+            .cast("bigint")
+            .alias("n_converted"),
+            F.coalesce(F.col("n_cens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_censored"),
+        )
+        .orderBy("day")
+    )

@@ -269,6 +269,10 @@ EVENT_QUERIES = [
     # round-5: journey mining (ts ties within a user resolve by
     # event_id on both engines; top-20 boundary lexicographic breaks)
     "q191_event_paths",
+    # round-5: life table (users with no 'view' drop; purchase-before-
+    # view censors; day-boundary crossings must count identically —
+    # sub-second timestamps straddling midnight probe datediff parity)
+    "q193_conversion_lifetable",
 ]
 
 
