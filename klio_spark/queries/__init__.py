@@ -96,7 +96,7 @@ _VERIFY_FIRST = [
     "q187_pmi_collocations", "q188_winnowing_pairs",
     "q189_textrank_keywords", "q190_lexical_gini",
     "q191_event_paths", "q192_association_rules",
-    "q193_conversion_lifetable",
+    "q193_conversion_lifetable", "q194_mmr_diverse_topk",
     # changed in round 5 — re-verify
     "q167_pq_adc_quality", "q168_ivfpq_topk", "q180_mad_outliers",
     "q152_pagerank",

@@ -843,3 +843,183 @@ def q172_lloyd_kmeans(spark: SparkSession, sf_dir: str):
 
     (e,) = load(spark, sf_dir, "embeddings")
     return lloyd_iterations(e, "embedding", "vec_id", k=8, iters=_LLOYD_ITERS)
+
+
+def _int_vec(col):
+    """FLOOR(x·1e6) per component as BIGINT — the q170 quantization
+    convention: identical integers on both engines, so every downstream
+    dot product is exact int64 arithmetic (64 dims × 1e12/component
+    stays far inside the int64 range)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1000000.0).cast("long")
+    )
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_MMR_SQL_DOT = (
+    "list_aggregate([CAST(FLOOR({a}[i] * 1000000) AS BIGINT)"
+    " * CAST(FLOOR({b}[i] * 1000000) AS BIGINT)"
+    " FOR i IN range(1, len({a}) + 1)], 'sum')"
+)
+
+
+@register(
+    "q194_mmr_diverse_topk",
+    f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv,
+             {_MMR_SQL_DOT.format(a="q.v", b="c.v")} AS s
+      FROM q CROSS JOIN c
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, cv, 7 * s AS mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, neighbor_id) AS rn FROM sims)
+      WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT d.query_id, d.neighbor_id, d.cv,
+             7 * d.s - 3 * {_MMR_SQL_DOT.format(a="d.cv", b="s1.cv")} AS mmr
+      FROM sims d JOIN sel1 s1 USING (query_id)
+      WHERE d.neighbor_id <> s1.neighbor_id
+    ),
+    sel2 AS (
+      SELECT query_id, neighbor_id, cv, mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY mmr DESC, neighbor_id) AS rn FROM m2)
+      WHERE rn = 1
+    ),
+    m3 AS (
+      SELECT d.query_id, d.neighbor_id,
+             7 * d.s - 3 * GREATEST(
+               {_MMR_SQL_DOT.format(a="d.cv", b="s1.cv")},
+               {_MMR_SQL_DOT.format(a="d.cv", b="s2.cv")}) AS mmr
+      FROM sims d
+      JOIN sel1 s1 USING (query_id)
+      JOIN sel2 s2 USING (query_id)
+      WHERE d.neighbor_id <> s1.neighbor_id
+        AND d.neighbor_id <> s2.neighbor_id
+    ),
+    sel3 AS (
+      SELECT query_id, neighbor_id, mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY mmr DESC, neighbor_id) AS rn FROM m3)
+      WHERE rn = 1
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+           CAST(mmr AS BIGINT) AS mmr_scaled
+    FROM (
+      SELECT query_id, 1 AS rank, neighbor_id, mmr FROM sel1
+      UNION ALL
+      SELECT query_id, 2, neighbor_id, mmr FROM sel2
+      UNION ALL
+      SELECT query_id, 3, neighbor_id, mmr FROM sel3
+    )
+    """,
+    doc="maximal-marginal-relevance diverse top-3 (Carbonell & "
+    "Goldstein, SIGIR 1998): greedy selection where step k maximizes "
+    "lambda*rel(q,d) - (1-lambda)*max_{x in selected} sim(d,x) — the "
+    "de-duplicating retrieval shape plain top-k lacks (three copies of "
+    "the best document are three useless results; MMR's diversity "
+    "penalty forces coverage). lambda = 0.7 as the integer pair "
+    "(7, 3)/10; similarities are EXACT int64 dot products of "
+    "FLOOR(x*1e6)-quantized vectors (the q170 convention), so the "
+    "greedy argmax chain is bit-identical on both engines and the "
+    "oracle UNROLLS the three steps into CTEs (the q152 technique). "
+    "Scale shape: relevance sims are one broadcast-query pass over the "
+    "corpus; each diversity step joins candidates to the K-1 selected "
+    "rows per query (tiny) — O(K * corpus) total work, never "
+    "candidate-pairwise.",
+)
+def q194_mmr_diverse_topk(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") < 10) & F.col("embedding").isNotNull())
+    c = e.filter((F.col("vec_id") >= 10) & F.col("embedding").isNotNull())
+    qv = q.select(
+        F.col("vec_id").alias("query_id"), _int_vec(F.col("embedding")).alias("_q")
+    )
+    cv = c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _int_vec(F.col("embedding")).alias("_c"),
+    )
+    sims = cv.crossJoin(F.broadcast(qv)).select(
+        "query_id", "neighbor_id", "_c",
+        _int_dot(F.col("_q"), F.col("_c")).alias("s"),
+    )
+    wsel = Window.partitionBy("query_id")
+
+    def argmax(df, score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("neighbor_id")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    sel1 = argmax(
+        sims.withColumn("mmr", 7 * F.col("s")), "s"
+    ).select("query_id", F.col("neighbor_id").alias("n1"),
+             F.col("_c").alias("v1"), "mmr")
+    m2 = (
+        sims.join(F.broadcast(sel1.select("query_id", "n1", "v1")), "query_id")
+        .filter(F.col("neighbor_id") != F.col("n1"))
+        .withColumn(
+            "mmr", 7 * F.col("s") - 3 * _int_dot(F.col("_c"), F.col("v1"))
+        )
+    )
+    sel2 = argmax(m2, "mmr").select(
+        "query_id", F.col("neighbor_id").alias("n2"),
+        F.col("_c").alias("v2"), "mmr",
+    )
+    m3 = (
+        sims.join(F.broadcast(sel1.select("query_id", "n1", "v1")), "query_id")
+        .join(F.broadcast(sel2.select("query_id", "n2", "v2")), "query_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("n1"))
+            & (F.col("neighbor_id") != F.col("n2"))
+        )
+        .withColumn(
+            "mmr",
+            7 * F.col("s")
+            - 3
+            * F.greatest(
+                _int_dot(F.col("_c"), F.col("v1")),
+                _int_dot(F.col("_c"), F.col("v2")),
+            ),
+        )
+    )
+    sel3 = argmax(m3, "mmr")
+    out = (
+        sel1.select(
+            "query_id", F.lit(1).alias("rank"),
+            F.col("n1").alias("neighbor_id"), "mmr",
+        )
+        .unionByName(
+            sel2.select(
+                "query_id", F.lit(2).alias("rank"),
+                F.col("n2").alias("neighbor_id"), "mmr",
+            )
+        )
+        .unionByName(
+            sel3.select(
+                "query_id", F.lit(3).alias("rank"), "neighbor_id", "mmr"
+            )
+        )
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        "neighbor_id", F.col("mmr").cast("bigint").alias("mmr_scaled"),
+    )

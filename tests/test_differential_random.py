@@ -350,6 +350,10 @@ EMB_QUERIES = [
     # whole corpus, so any bucket/list pruning legitimately returns a
     # different (equally-scored) top-k than the global referee
     "q70_ann_bruteforce_topk",
+    # round-5: MMR greedy chain on quantized int dots (zero query vec
+    # -> all-zero sims, pure neighbor_id order; duplicate vectors give
+    # maximal diversity penalties that must tie-break identically)
+    "q194_mmr_diverse_topk",
     # round-4 wave: Gram on dim-16 vectors incl. the zero vector and
     # exact duplicates; Lloyd on string-labeled, zero-vector corpora
     "q170_gram_matrix",
