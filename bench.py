@@ -21,19 +21,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Host-drift normalization: five FROZEN control queries spanning the
 # engine's cost families (scan+agg, percentile window, cogroup pandas
 # UDAF, join+sort-limit, time bucketing), none touched since round 2.
-# Reference times are the official round-4 record (commit cfaa947,
-# BENCH_LOCAL.json) on the round-4 driver host. control_ratio =
-# median(now/ref) measures the HOST, not the code — per-query
-# round-over-round comparisons should divide by it (round 4 burned
-# judge time proving a ×2 "regression" was neighbor load; this makes
-# the ledger prove it itself). Controls run in every invocation,
-# including --only subsets.
+# Reference times are the official round-5 record (BENCH_r05.json —
+# BASELINE.md names it the round-6 normalization base) on the round-5
+# driver host. control_ratio = median(now/ref) measures the HOST, not
+# the code — per-query round-over-round comparisons should divide by
+# it (round 4 burned judge time proving a ×2 "regression" was neighbor
+# load; this makes the ledger prove it itself). Controls run in every
+# invocation, including --only subsets.
+#
+# FROZEN means frozen: tests/test_bench_controls.py pins these names,
+# these reference seconds, AND each control query's normalized plan
+# fingerprint — an optimization (or any plan-shape change) to a
+# control fails loudly there instead of silently skewing every
+# normalized comparison.
 _CONTROLS = {
-    "q01_pricing_summary": 0.764,
-    "q07_median_percentile": 1.591,
-    "q13_cogroup_counts": 0.709,
-    "q23_top_items_global": 0.204,
-    "q50_events_hourly": 0.178,
+    "q01_pricing_summary": 0.738,
+    "q07_median_percentile": 1.264,
+    "q13_cogroup_counts": 0.376,
+    "q23_top_items_global": 0.223,
+    "q50_events_hourly": 0.265,
 }
 
 

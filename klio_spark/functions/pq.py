@@ -163,6 +163,12 @@ def pq_adc_topk(
     that outgrows executor broadcast memory, degrading to a partitioned
     cartesian — at that scale prefer ivfpq_topk_reranked, whose list
     join prunes the pair space instead.
+
+    NULL-embedding query rows are DROPPED (same convention as
+    pq_encode's corpus side and ivfpq_topk_reranked's query side): a
+    NULL vector has no ADC score, so such a query contributes zero
+    output rows rather than raising. Callers that require every input
+    query to yield k ranked rows must pre-validate.
     """
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -270,6 +276,10 @@ def _adc_pair_score_udf(books: np.ndarray):
     m, k_sub, sub = books.shape
 
     def _score(qv: "pd.Series", codes: "pd.Series") -> "pd.Series":
+        if len(qv) == 0:
+            # np.stack raises on an empty batch; skewed/empty partitions
+            # after the broadcast join legitimately produce one
+            return pd.Series([], dtype="float64")
         qm = np.stack(qv.to_numpy()).astype(np.float64)  # (n, D)
         cm = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
         # batches repeat each query across its candidates — build the

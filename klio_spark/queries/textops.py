@@ -1136,6 +1136,12 @@ def q186_bpe_train_rounds(spark: SparkSession, sf_dir: str):
             pairs.orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
             .limit(1)
             .withColumn("round", F.lit(k))
+            # persist the 1-row winner: round k's seq (and the final
+            # union) reference every earlier round's top — without this
+            # the whole merge chain re-evaluates O(rounds^2) times (the
+            # khop_bfs frontier-persist pattern; harmless at 3 rounds,
+            # required if _BPE_ROUNDS is raised)
+            .persist()
         )
         tops.append(top)
         seq = seq.crossJoin(F.broadcast(top.select("a", "b"))).select(
@@ -1205,14 +1211,31 @@ def q186_bpe_train_rounds(spark: SparkSession, sf_dir: str):
     "(n_a * n_b), exact 64-bit integer arithmetic on both engines "
     "(bounded: n_ab * N * 1e6 < 2^63 for corpora to ~3e12 scaled "
     "token-pairs; min-count 5 kills the singleton-pair noise PMI is "
-    "notorious for). Shape: one posexplode token pass, bigrams from a "
-    "doc-local pos+1 self-join (the q178 adjacency trick — co-located, "
-    "no cross-doc pairs), two broadcast unigram joins, "
+    "notorious for). Shape: one explode token pass for the marginals, "
+    "bigrams generated ARRAY-SIDE inside each document row (no "
+    "cross-doc pairs by construction, and no exchange touches the "
+    "token stream — round 6 replaced the pos+1 self-join's two "
+    "shuffle+sorts with zero), two broadcast unigram joins, "
     "TakeOrderedAndProject top-20.",
 )
 def q187_pmi_collocations(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
     return pmi_collocations(d, broadcast_marginals=True)
+
+
+def _adjacent_pairs(ws):
+    """(token[i], token[i+1]) structs generated inside the token ARRAY —
+    adjacency never leaves the document row, so no exchange touches the
+    token stream (vs a (doc_id, pos+1) self-join: two shuffle+sorts, or
+    a LEAD window: one). Shared by q187 PMI and q189 TextRank; q191
+    keeps the LEAD form because its events arrive as rows, not arrays."""
+    return F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.struct(ws[i].alias("a"), ws[i + 1].alias("b")),
+        ),
+    ).otherwise(F.array())
 
 
 def pmi_collocations(
@@ -1225,20 +1248,21 @@ def pmi_collocations(
     run word-keyed as shuffle joins, row-identically (the q152 lever
     discipline)."""
     mb = F.broadcast if broadcast_marginals else (lambda df: df)
-    toks = d.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    base = d.filter(F.col("text").isNotNull()).select(
+        tx.tokens(F.lower(F.col("text"))).alias("ws")
     )
+    toks = base.select(F.explode("ws").alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     tot = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
-    a, b = toks.alias("a"), toks.alias("b")
+    # adjacency is generated ARRAY-SIDE inside each document row (the
+    # q186 pattern) instead of a (doc_id, pos+1) token self-join: zero
+    # exchanges touch the token stream before the (w_a, w_b) groupBy —
+    # the round-5 self-join form shuffled+sorted it twice for the join
+    # and then re-shuffled for the same groupBy (hash-identical output,
+    # proven by driver_check; benched at sf0.1 and 10x)
     big = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .groupBy(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
+        base.select(F.explode(_adjacent_pairs(F.col("ws"))).alias("p"))
+        .groupBy(F.col("p.a").alias("w_a"), F.col("p.b").alias("w_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_count)
     )
@@ -1451,19 +1475,16 @@ def textrank_keywords(
     vocabulary-bounded dimension, but a byte-pair or sub-word graph can
     outgrow broadcast, and the fallback is hash-identical
     (tests/test_plans.py proves it for the shared PageRank core)."""
-    toks = d.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    base = d.filter(F.col("text").isNotNull()).select(
+        tx.tokens(F.lower(F.col("text"))).alias("ws")
     )
-    a, b = toks.alias("a"), toks.alias("b")
+    # array-side adjacency (see _adjacent_pairs): the co-occurrence
+    # pairs never shuffle as a token stream — the first exchange in the
+    # whole query is the (wa, wb) groupBy over distinct pairs
     adj = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .filter(F.col("a.w") != F.col("b.w"))
-        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        base.select(F.explode(_adjacent_pairs(F.col("ws"))).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .groupBy(F.col("p.a").alias("wa"), F.col("p.b").alias("wb"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
     e = (
@@ -1555,11 +1576,14 @@ def textrank_keywords(
     "templated/boilerplate sources collapse toward fewer, flatter "
     "types) and the mixture-diversity check a curriculum needs. "
     "Integer-exact via the rank formula gini = sum((2i - n - 1) c_i) "
-    "/ (n * total) over counts sorted ASC — the numerator is an exact "
-    "int64 sum (rank window with (c, w) tie-break so both engines walk "
-    "the identical permutation; any c-tie permutation actually yields "
-    "the same sum, but determinism is free), scaled to ppm by integer "
-    "division. Shape: one (source, word) count exchange (map-side "
+    "/ (n * total) over counts sorted ASC — per-row terms are exact "
+    "int64 and the SUM + ppm scaling run in decimal(38,0), mirroring "
+    "DuckDB's HUGEINT promotion (the plain int64 numerator would wrap "
+    "once n_types * n_tokens passes ~9e12, i.e. petabyte-class "
+    "corpora); the rank window tie-breaks on (c, w) so both engines "
+    "walk the identical permutation (any c-tie permutation actually "
+    "yields the same sum, but determinism is free), scaled to ppm by "
+    "integer division. Shape: one (source, word) count exchange (map-side "
     "combinable), one rank window over the distinct-type table "
     "(vocabulary-sized, zipf-small vs the corpus), no floats anywhere.",
 )
@@ -1583,12 +1607,20 @@ def q190_lexical_gini(spark: SparkSession, sf_dir: str):
         .agg(
             F.max("n").cast("bigint").alias("n_types"),
             F.max("tot").cast("bigint").alias("n_tokens"),
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c")).alias(
-                "num"
-            ),
+            F.sum(
+                ((2 * F.col("i") - F.col("n") - 1) * F.col("c")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("num"),
         )
         .select(
             "source", "n_types", "n_tokens",
+            # num and the ppm scaling run in decimal(38,0) to mirror the
+            # oracle's HUGEINT promotion: per-row terms are < n * c
+            # (int64-safe for any real corpus), but the summed numerator
+            # times 1e6 can pass 2^63 once n_types * n_tokens > ~9e12 —
+            # decimal keeps the division exact there; the quotient is
+            # < 1e6 so the final BIGINT cast never overflows.
             F.expr("num * 1000000 div (n_types * n_tokens)")
             .cast("bigint")
             .alias("gini_ppm"),
