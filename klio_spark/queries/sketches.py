@@ -561,6 +561,110 @@ def _mg_pivot_cte(k: int, cap: int) -> str:
 
 _MG_SHARDS, _MG_CHUNKS, _MG_CAP = 4, 3, 8
 
+# Default per-shard distinct-key budget for n_shards='auto', and the
+# hard ceiling one fold task will accept before failing with a clear
+# message. A shard's pandas frame holds ~distinct_keys_in_shard *
+# n_chunks rows of 4 int64s (~32 B + pandas overhead), so 2M keys/shard
+# * 3 chunks ≈ 6M rows ≈ a few hundred MB — comfortable on a normal
+# executor; the ceiling trips well before an OOM would.
+_MG_AUTO_KEYS_PER_SHARD = 2_000_000
+_MG_MAX_FOLD_ROWS = 20_000_000
+
+
+def mg_chunk_counts(
+    df,
+    *,
+    key_col: str,
+    chunk_key_col: str,
+    n_shards: int | str = "auto",
+    n_chunks: int = _MG_CHUNKS,
+    keys_per_shard: int = _MG_AUTO_KEYS_PER_SHARD,
+):
+    """(shard, chunk, key, cnt) — the single map-side-combined pass over
+    the raw events that everything Misra-Gries consumes. Keys hash to
+    ``n_shards`` disjoint shards (portable md5, so the DuckDB oracle can
+    replay it); rows split into ``n_chunks`` arrival chunks by the
+    chunk key, giving the fold a deterministic merge order.
+
+    ``n_shards`` is THE 100 TB lever (summary state = shards * capacity
+    regardless of key cardinality) and accepts 'auto': one cheap
+    approx_count_distinct pass sizes it to ``keys_per_shard`` distinct
+    keys per shard, so the per-shard fold input stays bounded no matter
+    the corpus. NOTE: the summary's per-key estimates depend on the
+    shard composition (different n_shards => different, equally valid
+    summaries — the sandwich est <= true <= est + d holds for all),
+    so 'auto' is for serving, not for hash-pinned oracle twins.
+    """
+    from klio_spark.functions.dedup import md5_token_hash
+
+    if n_shards == "auto":
+        approx = (
+            df.filter(F.col(key_col).isNotNull())
+            .agg(F.approx_count_distinct(key_col).alias("n"))
+            .first()["n"]
+        )
+        n_shards = max(1, -(-int(approx) // keys_per_shard))
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        (md5_token_hash(F.col(key_col).cast("string")) % n_shards)
+        .alias("shard"),
+        (md5_token_hash(F.col(chunk_key_col).cast("string")) % n_chunks)
+        .alias("chunk"),
+        F.col(key_col).alias("key"),
+    )
+    return base.groupBy("shard", "chunk", "key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def mg_sharded_summary(
+    chunk_counts,
+    *,
+    capacity: int,
+    n_chunks: int = _MG_CHUNKS,
+    max_fold_rows: int = _MG_MAX_FOLD_ROWS,
+):
+    """Fold each shard's per-chunk exact counts into a Misra-Gries
+    summary of <= ``capacity`` keys: (shard, key, est, err_bound).
+
+    One applyInPandas group per shard holds that shard's distinct-key
+    chunk-count frame — bounded by the sharding, not by this function.
+    ``max_fold_rows`` is the guard on that bound: a shard whose frame
+    exceeds it fails LOUDLY with the lever spelled out (raise n_shards
+    / use n_shards='auto' in mg_chunk_counts) instead of grinding into
+    an executor OOM. Set it to 0/None to disable."""
+    import pandas as pd
+
+    from klio_spark.streaming import mg_fold
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if max_fold_rows and len(pdf) > max_fold_rows:
+            raise ValueError(
+                f"misra-gries shard {int(pdf['shard'].iloc[0])} holds "
+                f"{len(pdf)} chunk-count rows (> max_fold_rows="
+                f"{max_fold_rows}): too many distinct keys per shard — "
+                "raise n_shards (or pass n_shards='auto') in "
+                "mg_chunk_counts so each shard's key set fits one task"
+            )
+        merged, d = {}, 0
+        for ch in range(n_chunks):
+            sub = pdf[pdf["chunk"] == ch]
+            merged, d = mg_fold(
+                merged, dict(zip(sub["key"], sub["cnt"])), capacity, d
+            )
+        ks = sorted(merged)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])] * len(ks),
+                "key": [int(k) for k in ks],
+                "est": [int(merged[k]) for k in ks],
+                "err_bound": [int(d)] * len(ks),
+            }
+        )
+
+    return chunk_counts.groupBy("shard").applyInPandas(
+        fold, "shard bigint, key bigint, est bigint, err_bound bigint"
+    )
+
 _MG_ORACLE = (
     f"""
     WITH base AS (
@@ -637,49 +741,27 @@ _MG_ORACLE = (
     "<= capacity entries/shard REGARDLESS of key cardinality — at "
     "100 TB raise n_shards, keep capacity, and the summary stays "
     "shards x capacity rows while an exact top-k would shuffle every "
-    "distinct key.",
+    "distinct key. The lever is code, not prose: "
+    "mg_chunk_counts(n_shards='auto') sizes shards from one "
+    "approx_count_distinct pass, and mg_sharded_summary's "
+    "max_fold_rows guard fails loudly (naming the lever) if a shard's "
+    "fold frame outgrows one task (tests/test_sketches.py locks both).",
 )
 def q181_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str):
-    import pandas as pd
-
-    from klio_spark.functions.dedup import md5_token_hash
-    from klio_spark.streaming import mg_fold
-
     (e,) = load(spark, sf_dir, "events")
-    base = e.filter(F.col("user_id").isNotNull()).select(
-        (md5_token_hash(F.col("user_id").cast("string")) % _MG_SHARDS)
-        .alias("shard"),
-        (md5_token_hash(F.col("event_id").cast("string")) % _MG_CHUNKS)
-        .alias("chunk"),
-        F.col("user_id").alias("key"),
+    chunk_counts = mg_chunk_counts(
+        e,
+        key_col="user_id",
+        chunk_key_col="event_id",
+        n_shards=_MG_SHARDS,
+        n_chunks=_MG_CHUNKS,
     )
-    chunk_counts = base.groupBy("shard", "chunk", "key").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        merged, d = {}, 0
-        for ch in range(_MG_CHUNKS):
-            sub = pdf[pdf["chunk"] == ch]
-            merged, d = mg_fold(
-                merged, dict(zip(sub["key"], sub["cnt"])), _MG_CAP, d
-            )
-        ks = sorted(merged)
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])] * len(ks),
-                "key": [int(k) for k in ks],
-                "est": [int(merged[k]) for k in ks],
-                "err_bound": [int(d)] * len(ks),
-            }
-        )
-
     # one pass over raw events total: the exact referee counts are the
     # SUM of the per-chunk counts — a second-level agg over the tiny
     # count table, not a rescan (and not a second md5 pass)
     chunk_counts = chunk_counts.persist()
-    summary = chunk_counts.groupBy("shard").applyInPandas(
-        fold, "shard bigint, key bigint, est bigint, err_bound bigint"
+    summary = mg_sharded_summary(
+        chunk_counts, capacity=_MG_CAP, n_chunks=_MG_CHUNKS
     )
     truth = chunk_counts.groupBy("shard", "key").agg(
         F.sum("cnt").alias("true_cnt")

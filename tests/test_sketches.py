@@ -237,3 +237,65 @@ def test_sketch_table_rollup_never_scans_fact(spark, sf_dir, tmp_path):
     skt.write_distinct_sketches(o, ["o_orderpriority"], "o_custkey", path)
     df = skt.distinct_rollup(spark, path)
     assert "orders.parquet" not in plans.plan_str(df)
+
+
+def _mg_corpus(spark, n_keys=5000, hot=200):
+    """Synthetic key stream: n_keys distinct keys, one hot key with
+    `hot` extra occurrences — enough cardinality to exercise sharding."""
+    base = spark.range(n_keys).select(
+        F.col("id").alias("user_id"), F.col("id").alias("event_id")
+    )
+    hot_rows = spark.range(hot).select(
+        F.lit(7).alias("user_id"), (F.col("id") + 1_000_000).alias("event_id")
+    )
+    return base.unionByName(hot_rows)
+
+
+def test_mg_auto_shards_scales_with_cardinality(spark):
+    """n_shards='auto' sizes shards from approx_count_distinct: a tiny
+    keys_per_shard budget on a 5k-key corpus must fan out to multiple
+    shards, complete, and keep the sandwich est <= true <= est + d."""
+    from klio_spark.queries.sketches import (
+        mg_chunk_counts,
+        mg_sharded_summary,
+    )
+
+    df = _mg_corpus(spark)
+    cc = mg_chunk_counts(
+        df,
+        key_col="user_id",
+        chunk_key_col="event_id",
+        n_shards="auto",
+        keys_per_shard=1000,
+    ).persist()
+    n_shards = cc.select("shard").distinct().count()
+    assert n_shards >= 4, n_shards  # ~5k keys / 1k budget
+    summary = mg_sharded_summary(cc, capacity=8)
+    truth = cc.groupBy("shard", "key").agg(F.sum("cnt").alias("t"))
+    joined = summary.join(truth, ["shard", "key"]).collect()
+    assert joined
+    assert all(r.est <= r.t <= r.est + r.err_bound for r in joined), joined
+    # the hot key dominates every other key by > any shard's d — it
+    # MUST survive in its shard's summary (present-if-count > d)
+    assert any(r.key == 7 for r in joined), joined
+    cc.unpersist()
+
+
+def test_mg_fold_guard_fails_loudly_not_oom(spark):
+    """Tiny shard count x high key cardinality is the documented failure
+    mode: the guard must raise a clear error NAMING the n_shards lever,
+    not grind toward an executor OOM."""
+    import pytest
+
+    from klio_spark.queries.sketches import (
+        mg_chunk_counts,
+        mg_sharded_summary,
+    )
+
+    df = _mg_corpus(spark)
+    cc = mg_chunk_counts(
+        df, key_col="user_id", chunk_key_col="event_id", n_shards=1
+    )
+    summary = mg_sharded_summary(cc, capacity=8, max_fold_rows=100)
+    with pytest.raises(Exception, match="raise n_shards"):
+        summary.collect()
