@@ -276,6 +276,94 @@ EVENT_QUERIES = [
 ]
 
 
+def _pathological_events(seed: int, flavor: str, n: int = 400) -> pd.DataFrame:
+    """Round-6 adversarial timestamp corpora — the shapes _random_events
+    only brushes (VERDICT r5 item 5):
+
+    flavor='ties': DENSE timestamp collisions — per-user clusters of
+    5-20 events at the IDENTICAL microsecond (every window tie-break
+    must resolve by the documented secondary key on both engines), plus
+    same-millisecond runs differing only in sub-ms micros (stresses any
+    ms-truncation bucketing into fake ties).
+
+    flavor='boundary': epochs where civil-time assumptions break —
+    events packed around the 2026 US spring-forward (02:00→03:00 local,
+    ~10:00 UTC), the fall-back repeated hour, the EU transition, and
+    far-future rows in 2250 (epoch seconds > 2^33, still inside
+    pandas datetime64[ns] range). Both engines bucket in UTC by
+    session convention; any accidental local-time dependence in hour/
+    day/week bucketing or datediff diverges exactly here.
+    """
+    rng = random.Random(seed)
+    rows = []
+
+    def emit(i, ts, user):
+        etype = rng.choice(
+            ["view"] * 6 + ["click"] * 3 + ["purchase", "refund"]
+        )
+        value = (
+            None
+            if etype == "refund" or rng.randrange(60) == 0
+            else round(rng.uniform(0, 100), 2)
+        )
+        rows.append(
+            {
+                "event_id": n - i,  # ids descend: storage order != time
+                "_us": ts,
+                "user_id": user,
+                "event_type": etype,
+                "value": value,
+                "props": '{"k": %d}' % rng.randrange(5),
+            }
+        )
+
+    base = 1_700_000_000_000_000
+    if flavor == "ties":
+        i = 0
+        while i < n:
+            user = rng.randrange(8) if rng.randrange(30) else None
+            anchor = base + rng.randrange(0, 14 * 24 * 3600) * 1_000_000
+            cluster = rng.randrange(5, 21)
+            mode = rng.randrange(3)
+            for j in range(min(cluster, n - i)):
+                if mode == 0:
+                    ts = anchor  # exact-microsecond tie
+                elif mode == 1:
+                    ts = anchor + j  # same-ms, distinct micros
+                else:
+                    ts = anchor + j * 1000  # same-second, distinct ms
+                if rng.randrange(50) == 0:
+                    ts = None
+                emit(i, ts, user)
+                i += 1
+    else:
+        # UTC instants of the 2026 civil-time edges + a far-future band
+        anchors = [
+            1_772_953_200_000_000,  # 2026-03-08 07:00 UTC (US spring fwd)
+            1_793_512_800_000_000,  # 2026-11-01 06:00 UTC (US fall back)
+            1_774_746_000_000_000,  # 2026-03-29 01:00 UTC (EU spring fwd)
+            8_835_868_800_000_000,  # 2249-12-31 — far-future rows
+        ]
+        for i in range(n):
+            user = rng.randrange(8) if rng.randrange(30) else None
+            if rng.randrange(50) == 0:
+                ts = None
+            else:
+                a = rng.choice(anchors)
+                # pack within ±2h so day/hour buckets straddle the edge,
+                # sub-second micros so truncate-vs-floor stays probed
+                ts = (
+                    a
+                    + rng.randrange(-7200, 7200) * 1_000_000
+                    + rng.randrange(1_000_000)
+                )
+            emit(i, ts, user)
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf.pop("_us"), unit="us")
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    return pdf
+
+
 @pytest.fixture(scope="module")
 def event_corpora(tmp_path_factory):
     out = []
@@ -285,6 +373,14 @@ def event_corpora(tmp_path_factory):
                        (7, pre_epoch)):
         d = tmp_path_factory.mktemp(f"ev{seed}")
         _random_events(seed, base=base).to_parquet(
+            os.path.join(d, "events.parquet"), index=False
+        )
+        out.append(str(d))
+    # round-6 pathological-timestamp corpora: every event query must be
+    # hash-exact under dense ties and under DST/far-future boundaries
+    for seed, flavor in ((13, "ties"), (17, "boundary")):
+        d = tmp_path_factory.mktemp(f"ev{flavor}{seed}")
+        _pathological_events(seed, flavor).to_parquet(
             os.path.join(d, "events.parquet"), index=False
         )
         out.append(str(d))
