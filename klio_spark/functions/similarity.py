@@ -380,40 +380,67 @@ def exact_pairs_grouped(
     *,
     threshold: float,
     round_digits: int = 6,
-    n_blocks: int = 8,
+    n_blocks: int | str = "auto",
+    target_block_rows: int = 4096,
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold, fully distributed (triangle join).
 
     The scale-safe exact path: rows hash into ``n_blocks`` blocks; every
     unordered block pair (i ≤ j) becomes one task; each row is shuffled to
-    the n_blocks tasks that involve its block; inside a task a single BLAS
-    matmul scores block-i × block-j and emits pairs whose ROUNDED cosine
-    clears the threshold. No driver collect, no broadcast — replication
-    factor is n_blocks per row (choose n_blocks ≈ sqrt(2 · tasks wanted)),
-    shuffle volume n_blocks·|corpus|, compute Σ block_i × block_j = the
-    same N²/2 dots as any exact sweep but spread across executors.
+    the n_blocks tasks that involve its block; inside a task BLAS matmuls
+    score block-i × block-j and emit pairs whose ROUNDED cosine clears the
+    threshold. No driver collect, no broadcast — replication factor is
+    n_blocks per row, shuffle volume n_blocks·|corpus|, compute
+    Σ block_i × block_j = the same N²/2 dots as any exact sweep but
+    spread across executors.
+
+    TWO memory levers, both result-invariant (the block partition and the
+    matmul tiling change WHERE dots are computed, never their values):
+
+    * ``n_blocks='auto'`` (default) sizes the block count from one
+      count() so blocks hold ≤ ``target_block_rows`` rows each. The
+      round-6 100× rehearsal caught the fixed default: at 200k vectors,
+      8 blocks meant a 25k×25k float64 sims matrix — 5 GB in ONE Python
+      worker × 24 concurrent tasks, OOM-killing the workers. Auto keeps
+      per-task score tiles constant-size no matter the corpus; pass an
+      int to pin it (plan tests, known-small corpora).
+    * ``chunk_rows`` tiles the matmul inside a task, bounding the peak
+      sims allocation at chunk_rows × block_rows doubles (~64 MB at the
+      defaults) even when a skewed block outgrows its target.
 
     Same math as exact_pairs_blocked (normalize → float64 matmul → round)
     so both paths agree bit-for-bit with each other and the SQL oracle.
     """
     import pandas as pd
 
-    P = n_blocks
-    pair_structs = F.array(
-        *[
-            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
-            for i in range(P)
-            for j in range(i, P)
-        ]
-    )
+    if n_blocks == "auto":
+        # one scalar job — noise next to the O(N²) sweep it sizes
+        n = df.count()
+        P = max(8, -(-int(n) // target_block_rows))
+    else:
+        P = n_blocks
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(P)).cast("int").alias("_blk"),
     )
+    # a row in block b belongs to exactly the P pairs {(min(x,b),
+    # max(x,b)) : x in 0..P-1} — emit those P structs directly instead
+    # of exploding all P(P+1)/2 pairs and filtering (which costs O(P²)
+    # emitted structs per row once 'auto' raises P on a big corpus)
     exploded = base.select(
-        "_id", "_v", "_blk", F.explode(pair_structs).alias("_p")
-    ).filter((F.col("_p.i") == F.col("_blk")) | (F.col("_p.j") == F.col("_blk")))
+        "_id", "_v", "_blk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(P - 1)),
+                lambda x: F.struct(
+                    F.least(x, F.col("_blk")).alias("i"),
+                    F.greatest(x, F.col("_blk")).alias("j"),
+                ),
+            )
+        ).alias("_p"),
+    )
     tasks = exploded.select(
         "_id", "_v", "_blk", F.col("_p.i").alias("_i"), F.col("_p.j").alias("_j")
     )
@@ -427,19 +454,34 @@ def exact_pairs_grouped(
         mn = m / norms
         blk = pdf["_blk"].to_numpy()
         if i == j:
-            sims = np.round(mn @ mn.T, round_digits)
-            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
-            ai, bj = np.nonzero(mask)
-            id_a, id_b, cos = ids[ai], ids[bj], sims[ai, bj]
+            aids, bids, mna, mnb = ids, ids, mn, mn
         else:
             a_sel, b_sel = blk == i, blk == j
             aids, bids = ids[a_sel], ids[b_sel]
-            sims = np.round(mn[a_sel] @ mn[b_sel].T, round_digits)
-            ai, bj = np.nonzero(sims >= threshold)
-            ra, rb = aids[ai], bids[bj]
-            id_a, id_b = np.minimum(ra, rb), np.maximum(ra, rb)
-            cos = sims[ai, bj]
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+            mna, mnb = mn[a_sel], mn[b_sel]
+        out_a, out_b, out_c = [], [], []
+        # tile the a-side: peak sims allocation is chunk_rows × |b| doubles
+        for c0 in range(0, len(aids), chunk_rows):
+            c1 = c0 + chunk_rows
+            sims = np.round(mna[c0:c1] @ mnb.T, round_digits)
+            mask = sims >= threshold
+            if i == j:
+                mask &= aids[c0:c1, None] < bids[None, :]
+            ai, bj = np.nonzero(mask)
+            ra, rb = aids[c0:c1][ai], bids[bj]
+            out_a.append(np.minimum(ra, rb))
+            out_b.append(np.maximum(ra, rb))
+            out_c.append(sims[ai, bj])
+        cat = lambda xs, d: (  # noqa: E731
+            np.concatenate(xs) if xs else np.array([], dtype=d)
+        )
+        return pd.DataFrame(
+            {
+                "id_a": cat(out_a, np.int64),
+                "id_b": cat(out_b, np.int64),
+                "cosine": cat(out_c, np.float64),
+            }
+        )
 
     return tasks.groupBy("_i", "_j").applyInPandas(
         score, schema="id_a long, id_b long, cosine double"
