@@ -75,92 +75,210 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # verification-scheduling decision: front-load the entries with the LEAST
 # official evidence.
 #
-#   1. _VERIFY_FIRST — going into round 5 the cumulative r1-r4 records
-#      cover all 164 pre-round-5 entries green, so the debt is exactly
-#      what round 5 touched: the NEW q181, then every query whose Spark
-#      side or oracle CHANGED this round (ADC/PQ executor-side LUT
-#      rework: q167/q168; q180's NULL n_chars guard on both engines;
-#      q152's pagerank_topk broadcast_scores refactor; the LSH cap
-#      strategy refactor around q66/q106/q129) — all replica-green
-#      locally, but the driver record is what counts.
-#   2. Everything else in import order — this is where NEW queries land
-#      automatically (they are neither in the prefix nor in _DRIVER_GREEN).
-#   3. _DRIVER_GREEN — entries already hash-verified by a driver round
-#      (r1-r4 cumulative) and untouched since; a repeat truncation costs
-#      the least information here.
+#   1. _VERIFY_FIRST — round-6 rotation. The cumulative r1-r5 records
+#      cover all 178 entries green, so the debt is (a) what round 6
+#      TOUCHED (q186/q187/q189 array-side adjacency rewrite, q190's
+#      decimal numerator, q181's kernel extraction, q167/q168's ADC
+#      empty-batch guard — all replica-green locally, but the driver
+#      record is what counts), then (b) the LONGEST-UNVERIFIED tail:
+#      entries whose latest driver check is round 1, then round 2
+#      (stalest-first, name-tiebroken), so the 50-entry window keeps
+#      refreshing the oldest evidence each round.
+#   2. Everything else in import order — where NEW queries land
+#      automatically (neither in the prefix nor in _DRIVER_GREEN).
+#   3. _DRIVER_GREEN — entries hash-verified by a driver round and
+#      untouched since, ordered stalest-first so future rotations keep
+#      pulling from the head; a repeat truncation costs the least here
+#      (the round-5 wave q181-q194 and the r5 re-verifications sit at
+#      the very end — they have the freshest evidence).
 _VERIFY_FIRST = [
-    # new in round 5
-    "q181_misra_gries_heavy_hitters", "q182_vocab_growth",
-    "q183_shingle_novelty", "q184_source_overlap_matrix",
-    "q185_cluster_safe_split", "q186_bpe_train_rounds",
-    "q187_pmi_collocations", "q188_winnowing_pairs",
-    "q189_textrank_keywords", "q190_lexical_gini",
-    "q191_event_paths", "q192_association_rules",
-    "q193_conversion_lifetable", "q194_mmr_diverse_topk",
-    # changed in round 5 — re-verify
-    "q167_pq_adc_quality", "q168_ivfpq_topk", "q180_mad_outliers",
-    "q152_pagerank",
-    "q66_minhash_lsh_dedup", "q106_minhash_lsh_recall",
-    "q129_minhash_bucket_table",
-    # oracles zero-guarded in round 5 (cosine-of-zero convention)
-    "q70_ann_bruteforce_topk", "q71_ann_lsh_topk", "q74_ann_ivf_topk",
-    "q72_embedding_near_dups", "q134_semantic_dedup",
-    "q121_centroid_similarity",
-    # q169's Spark side refactored into khop_bfs (same plan)
-    "q169_bfs_khop",
+    # NEW in round 6 — zero driver evidence yet
+    "q195_mixture_temperature",
+    "q196_curriculum_phases",
+    "q197_filtered_ann_topk",
+    "q198_interval_coverage",
+    # CHANGED in round 6
+    "q186_bpe_train_rounds",
+    "q187_pmi_collocations",
+    "q189_textrank_keywords",
+    "q190_lexical_gini",
+    "q181_misra_gries_heavy_hitters",
+    "q167_pq_adc_quality",
+    "q168_ivfpq_topk",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_group_stats",
+    "q05_rollup",
+    "q06_count_distinct",
+    "q07_median_percentile",
+    "q08_grouped_pandas_udaf",
+    "q09_arg_min_max",
+    "q10_semi_join",
+    "q11_anti_join",
+    "q12_outer_join_coalesce",
+    "q13_cogroup_counts",
+    "q14_nonequi_self_join",
+    "q20_window_topn_per_group",
+    "q21_window_running_sum",
+    "q22_window_lag_lead",
+    "q23_top_items_global",
+    "q24_ntile_percent_rank",
+    "q30_union_distinct_intersect_except",
+    "q31_drop_duplicates",
+    "q40_string_funcs",
+    "q41_date_funcs",
+    "q43_null_scalars",
+    "q44_string_funcs2",
+    "q46_calendar_funcs",
+    "q47_regexp_filter",
+    "q55_above_group_avg",
+    "q61_quality_features",
+    "q62_lang_id",
+    "q63_fingerprint",
+    "q64_exact_dedup",
+    "q65_ngram_jaccard_pairs",
+    "q80_prologue_routing",
+    "q81_recipients_routing",
+    "q82_audit_log",
+    "q83_payload_roundtrip",
+    "q84_udf_quarantine",
+    "q100_bloom_semi_join",
+    "q101_theta_set_ops",
+    "q103_quality_constraints",
+    "q104_snapshot_diff",
+    "q105_fuzzy_name_match",
+    "q107_ann_quality",
+    "q109_retention_cohorts",
+    "q110_activity_runs",
+    "q111_cdc_merge",
+    "q112_negative_sampling",
 ]
 
 _DRIVER_GREEN = [
-    # rotated in after round 4 verified them (CORRECTNESS_r04.json)
-    "q153_weighted_sample", "q154_time_weighted_avg",
-    "q155_winsorize", "q156_token_entropy", "q157_int8_ann_topk",
-    "q67_simhash_dedup", "q158_compaction_plan", "q159_zonemap_pruning",
-    "q160_triangle_count", "q161_incremental_join_view", "q162_ks_drift",
-    "q163_cusum_changepoint", "q130_interval_join_batch", "q139_psi_drift",
-    "q144_inverted_index_topk", "q145_scd2_intervals",
-    "q146_rolling_distinct_hll", "q108_event_funnel", "q150_length_outliers",
-    "q176_pit_scd2_join", "q179_ewma_features", "q170_gram_matrix",
-    "q171_power_iteration", "q172_lloyd_kmeans", "q165_countmin_freq",
-    "q166_countmin_merge", "q175_cm_filtered_heavy_keys",
-    "q177_grouping_sets", "q173_bpe_merge_scores", "q174_text_normalize",
-    "q178_phrase_search", "q164_zorder_cells",
-    "q142_time_decay_score", "q147_incremental_rollup",
-    "q148_transition_matrix", "q149_dau_mau", 
-    "q140_kmeans_assign", "q133_dedup_survivors",
-    "q137_span_corruption", "q135_bm25_topk", "q138_vocab_coverage", "q141_bigram_lm_score",
-    "q143_skew_profile", "q32_cube", "q34_window_range_frame", "q35_salted_join",
-    "q48_string_agg", "q49_corr_covar", "q69_top_bigrams", "q76_binary_meta",
-    "q77_bpe_token_count", "q75_embedding_centroids", "q60_token_stats",
-    "q61_quality_features", "q62_lang_id", "q63_fingerprint", "q64_exact_dedup",
-    "q65_ngram_jaccard_pairs", "q68_jaccard_capped_df", "q132_simhash_portable",
-    "q136_substring_dedup", "q151_shingle_containment", "q44_string_funcs2",
-    "q45_array_agg", "q46_calendar_funcs", "q09_arg_min_max", "q47_regexp_filter",
-    "q08_grouped_pandas_udaf", "q80_prologue_routing", "q81_recipients_routing",
-    "q82_audit_log", "q84_udf_quarantine", "q83_payload_roundtrip", "q14_nonequi_self_join",
-    "q15_asof_join", "q24_ntile_percent_rank", "q43_null_scalars", "q53_tumbling_window_batch",
-    "q56_time_rollup_multigrain", "q54_pivot", "q102_unpivot", "q55_above_group_avg",
-    "q131_trigger_upstream_batch", "q01_pricing_summary",
-    "q02_revenue_by_nation", "q03_group_stats", "q04_conditional_agg", "q05_rollup",
-    "q06_count_distinct", "q07_median_percentile", "q10_semi_join", "q11_anti_join",
-    "q12_outer_join_coalesce", "q13_cogroup_counts", "q20_window_topn_per_group",
-    "q21_window_running_sum", "q22_window_lag_lead", "q23_top_items_global",
-    "q30_union_distinct_intersect_except", "q31_drop_duplicates", "q40_string_funcs",
-    "q41_date_funcs", "q42_math_funcs", "q50_events_hourly", "q51_sessionization",
-    "q52_events_json_props", "q109_retention_cohorts", "q110_activity_runs",
-    "q111_cdc_merge", "q113_keep_latest", "q114_interval_overlap_join", "q112_negative_sampling",
-    "q116_latency_histogram", "q117_ab_experiment", "q119_growth_accounting",
-    "q120_sliding_window_counts", "q122_anomalous_hours", "q123_revenue_share_bp",
-    "q124_funnel_windowed", "q125_copurchase_pairs", "q126_bounce_rate",
-    "q127_hierarchy_depth", "q128_weighted_median", 
-    "q107_ann_quality", "q73_vector_norms_by_label",
-    "q57_gap_fill", "q78_embedding_quantize",
-    "q79_repetition_quality", "q85_dedup_clusters", "q87_contamination",
-    "q88_stratified_sample", "q89_heavy_hitters", "q90_sequence_packing",
-    "q91_passage_dedup", "q92_domain_mixture", "q86_hash_split", "q118_mixture_resample",
-    "q93_pii_redaction", "q94_quality_filter", "q95_doc_chunking", "q96_lm_rarity_score",
-    "q97_tfidf_top_terms", "q98_hll_distinct_rollup", "q101_theta_set_ops",
-    "q100_bloom_semi_join", "q99_kll_quantile_ranks", "q103_quality_constraints",
-    "q105_fuzzy_name_match", "q104_snapshot_diff", "q115_table_profile",
+    "q113_keep_latest",
+    "q114_interval_overlap_join",
+    "q115_table_profile",
+    "q116_latency_histogram",
+    "q117_ab_experiment",
+    "q118_mixture_resample",
+    "q119_growth_accounting",
+    "q120_sliding_window_counts",
+    "q122_anomalous_hours",
+    "q123_revenue_share_bp",
+    "q124_funnel_windowed",
+    "q125_copurchase_pairs",
+    "q126_bounce_rate",
+    "q127_hierarchy_depth",
+    "q128_weighted_median",
+    "q57_gap_fill",
+    "q73_vector_norms_by_label",
+    "q78_embedding_quantize",
+    "q79_repetition_quality",
+    "q85_dedup_clusters",
+    "q86_hash_split",
+    "q87_contamination",
+    "q88_stratified_sample",
+    "q89_heavy_hitters",
+    "q90_sequence_packing",
+    "q91_passage_dedup",
+    "q92_domain_mixture",
+    "q93_pii_redaction",
+    "q94_quality_filter",
+    "q95_doc_chunking",
+    "q96_lm_rarity_score",
+    "q97_tfidf_top_terms",
+    "q98_hll_distinct_rollup",
+    "q99_kll_quantile_ranks",
+    "q04_conditional_agg",
+    "q102_unpivot",
+    "q131_trigger_upstream_batch",
+    "q132_simhash_portable",
+    "q135_bm25_topk",
+    "q136_substring_dedup",
+    "q138_vocab_coverage",
+    "q141_bigram_lm_score",
+    "q143_skew_profile",
+    "q151_shingle_containment",
+    "q15_asof_join",
+    "q32_cube",
+    "q34_window_range_frame",
+    "q35_salted_join",
+    "q42_math_funcs",
+    "q45_array_agg",
+    "q48_string_agg",
+    "q49_corr_covar",
+    "q50_events_hourly",
+    "q51_sessionization",
+    "q52_events_json_props",
+    "q53_tumbling_window_batch",
+    "q54_pivot",
+    "q56_time_rollup_multigrain",
+    "q60_token_stats",
+    "q68_jaccard_capped_df",
+    "q69_top_bigrams",
+    "q75_embedding_centroids",
+    "q76_binary_meta",
+    "q77_bpe_token_count",
+    "q133_dedup_survivors",
+    "q137_span_corruption",
+    "q140_kmeans_assign",
+    "q142_time_decay_score",
+    "q147_incremental_rollup",
+    "q148_transition_matrix",
+    "q149_dau_mau",
+    "q164_zorder_cells",
+    "q165_countmin_freq",
+    "q166_countmin_merge",
+    "q171_power_iteration",
+    "q172_lloyd_kmeans",
+    "q173_bpe_merge_scores",
+    "q174_text_normalize",
+    "q175_cm_filtered_heavy_keys",
+    "q177_grouping_sets",
+    "q178_phrase_search",
+    "q106_minhash_lsh_recall",
+    "q108_event_funnel",
+    "q121_centroid_similarity",
+    "q129_minhash_bucket_table",
+    "q130_interval_join_batch",
+    "q134_semantic_dedup",
+    "q139_psi_drift",
+    "q144_inverted_index_topk",
+    "q145_scd2_intervals",
+    "q146_rolling_distinct_hll",
+    "q150_length_outliers",
+    "q152_pagerank",
+    "q153_weighted_sample",
+    "q154_time_weighted_avg",
+    "q155_winsorize",
+    "q156_token_entropy",
+    "q157_int8_ann_topk",
+    "q158_compaction_plan",
+    "q159_zonemap_pruning",
+    "q160_triangle_count",
+    "q161_incremental_join_view",
+    "q162_ks_drift",
+    "q163_cusum_changepoint",
+    "q169_bfs_khop",
+    "q170_gram_matrix",
+    "q176_pit_scd2_join",
+    "q179_ewma_features",
+    "q180_mad_outliers",
+    "q182_vocab_growth",
+    "q183_shingle_novelty",
+    "q184_source_overlap_matrix",
+    "q185_cluster_safe_split",
+    "q188_winnowing_pairs",
+    "q191_event_paths",
+    "q192_association_rules",
+    "q193_conversion_lifetable",
+    "q194_mmr_diverse_topk",
+    "q66_minhash_lsh_dedup",
+    "q67_simhash_dedup",
+    "q70_ann_bruteforce_topk",
+    "q71_ann_lsh_topk",
+    "q72_embedding_near_dups",
+    "q74_ann_ivf_topk",
 ]
 
 

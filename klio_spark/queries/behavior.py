@@ -2126,3 +2126,104 @@ def q193_conversion_lifetable(spark: SparkSession, sf_dir: str):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q198_interval_coverage",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT user_id, event_id, s, s + 1800 AS e,
+             MAX(s + 1800) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM t
+    ),
+    f AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END
+               AS new_island
+      FROM m
+    ),
+    i AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM f
+    ),
+    g AS (
+      SELECT user_id, island, MIN(s) AS ist, MAX(e) AS ien
+      FROM i GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(ien - ist) AS BIGINT) AS covered_secs
+    FROM g GROUP BY user_id
+    """,
+    doc="interval union / range consolidation — merge each user's "
+    "[ts, ts+30min) activity intervals into maximal covered spans and "
+    "report span count + total covered seconds (the 'actual listening "
+    "time' metric naive SUM(duration) double-counts whenever intervals "
+    "overlap; also the coverage step of SLA/uptime math). Gaps-and-"
+    "islands with a RUNNING-MAX twist q110's day-grid runs don't need: "
+    "an interval starts a new island only if its start exceeds the MAX "
+    "end of ALL predecessors (a long interval can swallow several "
+    "short ones — LAG alone gets that wrong), so the island flag rides "
+    "MAX(e) OVER (... ROWS 1 PRECEDING) and islands accumulate by "
+    "running SUM. ROWS frames are tie-sensitive, so both engines order "
+    "by (s, event_id) — bit-deterministic under the dense same-"
+    "microsecond ties the round-6 fuzz corpora stress. Epoch seconds "
+    "use the year-1-shift floor-div convention (_SECS) so pre-epoch "
+    "timestamps bucket identically. Shape: ONE exchange on user_id "
+    "feeds every window plus the island agg (same-key reuse); the "
+    "output is one row per user.",
+)
+def q198_interval_coverage(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    t = e.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "event_id", F.expr(_SECS.format(c="ts")).alias("s")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = t.select(
+        "user_id", "event_id", "s", (F.col("s") + 1800).alias("e"),
+        F.max(F.col("s") + 1800).over(w_prev).alias("prev_end"),
+    )
+    f = m.select(
+        "user_id", "event_id", "s", "e",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("s") > F.col("prev_end")), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # every window rides ONE (s, event_id) order — ROWS frames are
+    # tie-sensitive, and the island flag's meaning is bound to the same
+    # order that computed prev_end
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    i = f.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    g = i.groupBy("user_id", "island").agg(
+        F.min("s").alias("ist"), F.max("e").alias("ien")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("ien") - F.col("ist")).cast("bigint").alias("covered_secs"),
+    )

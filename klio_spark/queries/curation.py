@@ -800,3 +800,85 @@ def q153_weighted_sample(spark: SparkSession, sf_dir: str):
             F.col("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+@register(
+    "q196_curriculum_phases",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS phase
+      FROM t
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM p GROUP BY 1
+    """,
+    doc="sequence-length curriculum phases — exact global NTILE(4) over "
+    "(n_tokens, doc_id) WITHOUT a single-partition global sort. A plain "
+    "Window.orderBy ntile funnels the whole corpus through ONE task "
+    "(the classic 100 TB straggler); here the exact global rank "
+    "decomposes into prefix + intra-value: (1) a histogram of distinct "
+    "n_tokens VALUES (vocabulary-tiny vs the corpus) carries a running "
+    "count, broadcast back; (2) each row's rank = its value's prefix + "
+    "row_number within the value partition (ordered by doc_id — a "
+    "PARALLEL window, one key per distinct length). Phase boundaries "
+    "replay NTILE's first-(n mod k)-buckets-get-one-extra rule in "
+    "integer arithmetic, so the result is cell-identical to the "
+    "oracle's naive global NTILE — proven by the hash check. sum_ids "
+    "pins the exact per-phase membership, not just the counts.",
+)
+def q196_curriculum_phases(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    k = 4
+    t = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(tx.tokens(F.lower(F.col("text")))).alias("n_tokens")
+    )
+    # value histogram: one row per DISTINCT token count — tiny table
+    hist = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    wh = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix = hist.select(
+        "n_tokens",
+        (F.sum("cnt").over(wh) - F.col("cnt")).alias("prefix"),
+        F.sum("cnt").over(
+            Window.orderBy("n_tokens").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    # per-row exact global rank: prefix(value) + intra-value row_number
+    wv = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = t.join(F.broadcast(prefix), "n_tokens").select(
+        "doc_id", "n_tokens", "n_total",
+        (F.col("prefix") + F.row_number().over(wv)).alias("rank"),
+    )
+    # NTILE(k): first (n mod k) phases hold (n div k)+1 rows each
+    q_, r_ = f"(n_total div {k})", f"(n_total % {k})"
+    phase = F.expr(
+        f"CASE WHEN rank <= ({q_} + 1) * {r_}"
+        f" THEN 1 + (rank - 1) div ({q_} + 1)"
+        f" ELSE {r_} + 1 + (rank - 1 - ({q_} + 1) * {r_}) div {q_} END"
+    )
+    return (
+        ranked.select("doc_id", "n_tokens", phase.alias("phase"))
+        .groupBy(F.col("phase").cast("bigint").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+    )

@@ -936,3 +936,96 @@ def q185_cluster_safe_split(spark: SparkSession, sf_dir: str):
             F.col("n").cast("bigint").alias("straddling_pairs"),
         )
     )
+
+
+@register(
+    "q195_mixture_temperature",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x != ''))) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, src_tokens,
+             CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_scaled
+      FROM s
+    ),
+    t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tot FROM w),
+    q AS (
+      SELECT source, n_docs, src_tokens,
+             CAST(w_scaled * 1000000 // tot AS BIGINT) AS weight_ppm,
+             CAST(1000000 * w_scaled // tot AS BIGINT) AS base_quota,
+             CAST((1000000 * w_scaled) % tot AS BIGINT) AS rem
+      FROM w CROSS JOIN t
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             CAST(1000000 - SUM(base_quota) OVER () AS BIGINT) AS leftover
+      FROM q
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, src_tokens, weight_ppm,
+           CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS epoch_docs
+    FROM r
+    """,
+    doc="temperature-scaled mixture sampling (the alpha=0.5 sampling "
+    "rule of XLM/Gopher-style multi-source pretraining, the smooth "
+    "knob between q92's proportional and uniform extremes): per-source "
+    "weight ~ src_tokens^alpha, realized integer-exactly as "
+    "floor(sqrt(tokens)*1e6) — sqrt of an identical integer-valued "
+    "double is bit-identical IEEE on both engines, and from there "
+    "everything is int64 (bounded: 1e6 * w_scaled < 2^63 up to ~8e24 "
+    "tokens/source). A 1M-doc epoch budget apportions by the "
+    "LARGEST-REMAINDER method (Hamilton): base_quota = B*w div tot, "
+    "then the B - sum(base_quota) leftover docs go to the largest "
+    "remainders (source-asc tie-break) — quotas sum to B exactly, no "
+    "float drift ever. Shape: ONE map-side-combinable corpus agg; the "
+    "ranking windows run on the per-source table (cardinality = "
+    "#sources, trivially broadcast-sized).",
+)
+def q195_mixture_temperature(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    budget = 1_000_000
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tx.tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("src_tokens"),
+    )
+    w = s.withColumn(
+        "w_scaled",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1_000_000)
+        .cast("bigint"),
+    )
+    t = w.agg(F.sum("w_scaled").cast("bigint").alias("tot"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "source", "n_docs", "src_tokens",
+        F.expr("w_scaled * 1000000 div tot").cast("bigint").alias("weight_ppm"),
+        F.expr(f"{budget} * w_scaled div tot").cast("bigint").alias("base_quota"),
+        F.expr(f"({budget} * w_scaled) % tot").cast("bigint").alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    wall = Window.partitionBy()
+    r = q.select(
+        "*",
+        F.row_number().over(wr).alias("rk"),
+        (F.lit(budget) - F.sum("base_quota").over(wall))
+        .cast("bigint")
+        .alias("leftover"),
+    )
+    return r.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "src_tokens",
+        "weight_ppm",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("epoch_docs"),
+    )

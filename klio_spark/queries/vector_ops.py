@@ -1023,3 +1023,71 @@ def q194_mmr_diverse_topk(spark: SparkSession, sf_dir: str):
         "query_id", F.col("rank").cast("int").alias("rank"),
         "neighbor_id", F.col("mmr").cast("bigint").alias("mmr_scaled"),
     )
+
+
+@register(
+    "q197_filtered_ann_topk",
+    """
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id >= 10)
+    SELECT query_id, label, neighbor_id, cosine, rank
+    FROM (SELECT q.vec_id AS query_id, q.label AS label,
+                 c.vec_id AS neighbor_id,
+                 ROUND((CASE WHEN list_dot_product(q.v, q.v) = 0
+                              OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+                             ELSE list_cosine_similarity(q.v, c.v) END), 6)
+                   AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND((CASE WHEN list_dot_product(q.v, q.v) = 0
+                                         OR list_dot_product(c.v, c.v) = 0
+                                        THEN 0.0
+                                        ELSE list_cosine_similarity(q.v, c.v)
+                                   END), 6) DESC,
+                            c.vec_id) AS rank
+          FROM q JOIN c ON q.label = c.label)
+    WHERE rank <= 3
+    """,
+    doc="attribute-FILTERED ANN (the serving shape vector stores call "
+    "pre-filtering: 'nearest neighbors WHERE label = X' — post-filtering "
+    "a global top-k instead silently under-fills when the filter is "
+    "selective, the classic recall bug this operator exists to avoid): "
+    "candidates join the query set ON the label equality BEFORE any "
+    "scoring, so the scan prunes to the filtered stripe and the "
+    "per-query top-3 ranks only true matches. Same zero-vector "
+    "convention and 6-digit rounding as q70; ties break on neighbor "
+    "id. Shape: broadcast the query side, label-equi join instead of "
+    "q70's cross join — at 100 TB the label predicate pushes into a "
+    "partition/zone prune (q159's layout) and the scored pair count is "
+    "O(queries x label stripe), not O(queries x corpus).",
+)
+def q197_filtered_ann_topk(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            "label",
+            F.col("embedding").alias("_qv"),
+        )
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_cl"),
+        F.col("embedding").alias("_cv"),
+    )
+    scored = q.join(c, F.col("label") == F.col("_cl")).select(
+        "query_id",
+        "label",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "label", "neighbor_id", "cosine", "rank")
+    )

@@ -138,6 +138,13 @@ QUERIES = [
     # round-5: Gini (count ties across the rank permutation must yield
     # the same sum; token-run docs spike concentration)
     "q190_lexical_gini",
+    # round-6: temperature mixture (sqrt-of-int IEEE parity; sources
+    # whose token mass ties must apportion the leftover identically)
+    "q195_mixture_temperature",
+    # round-6: distributed exact NTILE (dense n_tokens ties — empty and
+    # single-token docs pile onto the same histogram cells, so the
+    # prefix+row_number rank must replay the oracle's naive global sort)
+    "q196_curriculum_phases",
 ]
 
 
@@ -273,6 +280,10 @@ EVENT_QUERIES = [
     # view censors; day-boundary crossings must count identically —
     # sub-second timestamps straddling midnight probe datediff parity)
     "q193_conversion_lifetable",
+    # round-6: interval union coverage (running-MAX islands; the dense
+    # same-microsecond tie corpora are exactly its hazard — ROWS-frame
+    # tie order must be pinned by event_id on both engines)
+    "q198_interval_coverage",
 ]
 
 
@@ -460,6 +471,9 @@ EMB_QUERIES = [
     # cosine ties — probes the executor-side ADC gather + re-rank
     # tie-breaks after the query-collect removal
     "q168_ivfpq_topk",
+    # round-6: filtered ANN (string labels again; the zero query vector
+    # ties with its whole label stripe -> neighbor-id order)
+    "q197_filtered_ann_topk",
 ]
 
 
