@@ -93,6 +93,9 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 #      the very end — they have the freshest evidence).
 _VERIFY_FIRST = [
     # NEW in round 6 — zero driver evidence yet
+    "q199_attribution_last_touch",
+    "q200_k_anonymity",
+    "q201_apriori_triples",
     "q195_mixture_temperature",
     "q196_curriculum_phases",
     "q197_filtered_ann_topk",

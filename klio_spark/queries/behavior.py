@@ -2227,3 +2227,209 @@ def q198_interval_coverage(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         F.sum(F.col("ien") - F.col("ist")).cast("bigint").alias("covered_secs"),
     )
+
+
+@register(
+    "q199_attribution_last_touch",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, value,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, event_id, event_type, value, s,
+             LAST_VALUE(CASE WHEN event_type NOT IN ('purchase', 'refund')
+                             THEN event_type END IGNORE NULLS) OVER uw
+               AS lt_type,
+             LAST_VALUE(CASE WHEN event_type NOT IN ('purchase', 'refund')
+                             THEN s END IGNORE NULLS) OVER uw AS lt_s
+      FROM t
+      WINDOW uw AS (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN lt_s IS NOT NULL AND s - lt_s <= 604800
+                         THEN lt_type END, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM w
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="last-touch revenue attribution — credit each purchase to the "
+    "most recent preceding NON-purchase touchpoint within a 7-day "
+    "lookback, else 'direct' (the marketing-analytics op funnels don't "
+    "answer: WHICH interaction gets the conversion). One user-keyed "
+    "window pass: LAST_VALUE ... IGNORE NULLS over ROWS UNBOUNDED "
+    "PRECEDING TO 1 PRECEDING picks the latest prior touch (type and "
+    "epoch-second ride the same frame, ordered (s, event_id) — the "
+    "round-6 tie discipline, so same-microsecond touch/purchase ties "
+    "resolve identically on both engines); the 7-day lookback is a "
+    "plain integer comparison after the window, never a range join. "
+    "Refunds are excluded as touchpoints AND as conversions. Revenue "
+    "integerizes to cents per row (FLOOR(value*100)) before the exact "
+    "int64 sum. Shape: one user_id exchange, one sort, map-side "
+    "combinable channel agg — no self-join, no per-purchase scan-back.",
+)
+def q199_attribution_last_touch(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    t = e.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+    )
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    np_ = ~F.col("event_type").isin("purchase", "refund")
+    w = t.select(
+        "event_type", "value", "s",
+        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
+        .over(uw)
+        .alias("lt_type"),
+        F.last(F.when(np_, F.col("s")), ignorenulls=True)
+        .over(uw)
+        .alias("lt_s"),
+    )
+    return (
+        w.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("lt_s").isNotNull()
+                    & (F.col("s") - F.col("lt_s") <= 604800),
+                    F.col("lt_type"),
+                ),
+                F.lit("direct"),
+            ).alias("channel"),
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "q201_apriori_triples",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    ms AS (
+      SELECT GREATEST(2, COUNT(DISTINCT ok) // 7500) AS min_sup FROM items
+    ),
+    fp AS (
+      SELECT a.item AS pa, b.item AS pb, COUNT(*) AS sup
+      FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= (SELECT min_sup FROM ms)
+    ),
+    cand AS (
+      SELECT f.pa, f.pb, c.item AS pc, c.ok
+      FROM fp f
+      JOIN items a2 ON a2.item = f.pa
+      JOIN items b2 ON b2.item = f.pb AND b2.ok = a2.ok
+      JOIN items c  ON c.ok = a2.ok AND c.item > f.pb
+    ),
+    pruned AS (
+      SELECT cand.pa, cand.pb, cand.pc, cand.ok FROM cand
+      JOIN fp f2 ON f2.pa = cand.pa AND f2.pb = cand.pc
+      JOIN fp f3 ON f3.pa = cand.pb AND f3.pb = cand.pc
+    )
+    SELECT pa, pb, pc, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pruned
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= (SELECT min_sup FROM ms)
+    ORDER BY support DESC, pa, pb, pc
+    LIMIT 20
+    """,
+    doc="frequent 3-itemsets by the A-PRIORI candidate prune (Agrawal & "
+    "Srikant, VLDB 1994) — the step after q192's pair rules that naive "
+    "per-order C(B,3) triple explosion cannot survive (the round-6 "
+    "skew rehearsal's 480-part basket alone holds 18M triples): a "
+    "triple is counted ONLY if all three of its sub-pairs are already "
+    "frequent, so candidates join the (min-support-pruned, "
+    "broadcast-sized) frequent-pair list three times instead of "
+    "exploding baskets. Downward closure makes this lossless — every "
+    "frequent triple's sub-pairs are frequent by definition. Shape: "
+    "one distinct over (order, item), pair agg with map-side combine, "
+    "then equi joins keyed on items; the hot basket inflates only the "
+    "pair counts it genuinely contains. Minimum support is RELATIVE — "
+    "greatest(2, n_transactions div 7500), an in-plan broadcast scalar "
+    "— because a fixed absolute threshold makes denser corpora grow "
+    "quadratically longer frequent-pair lists (the 10x rehearsal read "
+    "x14.7 wall before this; x0.9 after). Top-20 by (support desc, "
+    "lexicographic items) via TakeOrderedAndProject.",
+)
+def q201_apriori_triples(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    items = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    # RELATIVE minimum support (floor 2): an absolute threshold turns
+    # denser corpora into quadratically longer frequent-pair lists (the
+    # 10x rehearsal read x14.7 with a fixed 2) — support as a fraction
+    # of the transaction count is how A-priori is actually run, and it
+    # keeps the prune list broadcast-sized at every scale. In-plan
+    # scalar (broadcast 1-row cross join), no driver action.
+    ms = items.agg(
+        F.greatest(
+            F.lit(2), F.expr("count(DISTINCT ok) div 7500")
+        ).alias("min_sup")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    fp = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("pa"), F.col("b.item").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("min_sup"))
+        .select("pa", "pb")
+    )
+    a2, b2, c = items.alias("a2"), items.alias("b2"), items.alias("c")
+    cand = (
+        fp.join(a2, F.col("a2.item") == F.col("pa"))
+        .join(
+            b2,
+            (F.col("b2.item") == F.col("pb"))
+            & (F.col("b2.ok") == F.col("a2.ok")),
+        )
+        .join(
+            c,
+            (F.col("c.ok") == F.col("a2.ok"))
+            & (F.col("c.item") > F.col("pb")),
+        )
+        .select("pa", "pb", F.col("c.item").alias("pc"), F.col("c.ok").alias("ok"))
+    )
+    f2 = fp.select(F.col("pa").alias("_f2a"), F.col("pb").alias("_f2b"))
+    f3 = fp.select(F.col("pa").alias("_f3a"), F.col("pb").alias("_f3b"))
+    pruned = cand.join(
+        f2, (F.col("_f2a") == F.col("pa")) & (F.col("_f2b") == F.col("pc"))
+    ).join(
+        f3, (F.col("_f3a") == F.col("pb")) & (F.col("_f3b") == F.col("pc"))
+    )
+    return (
+        pruned.groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("support") >= F.col("min_sup"))
+        .orderBy(F.desc("support"), "pa", "pb", "pc")
+        .limit(20)
+        .select("pa", "pb", "pc", "support")
+    )

@@ -659,3 +659,71 @@ def q180_mad_outliers(spark: SparkSession, sf_dir: str):
         "n_outliers",
         "n_docs",
     )
+
+
+@register(
+    "q200_k_anonymity",
+    """
+    WITH g AS (
+      SELECT lang, source, COALESCE(n_chars // 100, -1) AS size_bucket,
+             COUNT(*) AS k
+      FROM documents
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_5,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 10000
+                // SUM(k) AS BIGINT) AS risk_bp
+    FROM g GROUP BY lang
+    """,
+    doc="k-anonymity audit over quasi-identifiers (lang, source, "
+    "100-char size bucket) — the privacy / release-governance check a "
+    "training-data pipeline runs before publishing corpus statistics: "
+    "a row whose QI combination is shared by fewer than k others is "
+    "re-identifiable from 'anonymous' metadata (Sweeney 2002). Per "
+    "language: group count, the smallest group (the weakest k), how "
+    "many groups and rows sit below k=5, and the at-risk share in "
+    "integer basis points. NULL n_chars is its own bucket (-1): NULL "
+    "metadata is itself an identifying shape. BOTH engines coalesce "
+    "AFTER the division (NULL div 100 stays NULL, then -1) — "
+    "coalescing before would route the sentinel through integer "
+    "division, where Spark truncates and DuckDB also truncates but "
+    "any negative-sentinel arithmetic is a parity trap the "
+    "differential corpus catches; non-null n_chars >= 0 is the only "
+    "thing ever divided. "
+    "Shape: two map-side-combinable aggs, zero joins, zero shuffles "
+    "beyond the (lang, source, bucket) and lang exchanges.",
+)
+def q200_k_anonymity(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    # NOTE on the NULL bucket: Spark `div` truncates toward zero while
+    # DuckDB `//` floors, so feeding -1 INTO the division would bucket
+    # differently (-1 div 100 = 0 vs -1 // 100 = -1). Both sides
+    # therefore bucket NULL AFTER the division: non-null n_chars are
+    # >= 0 where truncate == floor, and NULL maps straight to -1.
+    g = d.groupBy(
+        "lang",
+        "source",
+        F.coalesce(
+            F.expr("n_chars div 100"), F.lit(-1)
+        ).alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.expr(
+            "CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 10000"
+            " div SUM(k) AS BIGINT)"
+        ).alias("risk_bp"),
+    )

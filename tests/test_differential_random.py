@@ -145,6 +145,10 @@ QUERIES = [
     # single-token docs pile onto the same histogram cells, so the
     # prefix+row_number rank must replay the oracle's naive global sort)
     "q196_curriculum_phases",
+    # round-6: k-anonymity (NULL n_chars is its own bucket — the engines
+    # reach bucket -1 by different floor/truncate routes; random NULLs
+    # and tiny groups stress both)
+    "q200_k_anonymity",
 ]
 
 
@@ -284,6 +288,10 @@ EVENT_QUERIES = [
     # same-microsecond tie corpora are exactly its hazard — ROWS-frame
     # tie order must be pinned by event_id on both engines)
     "q198_interval_coverage",
+    # round-6: last-touch attribution (LAST_VALUE IGNORE NULLS over the
+    # pinned ROWS frame; purchase/touch same-microsecond ties, all-NULL
+    # refund values, users with no prior touch -> 'direct')
+    "q199_attribution_last_touch",
 ]
 
 
