@@ -1459,3 +1459,89 @@ def streaming_vocab_growth(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback_s: int = 604800,
+) -> DataFrame:
+    """Streaming last-touch attribution — the stateful twin of q199
+    (queries/behavior.py): each purchase emits exactly one attributed
+    row crediting the user's most recent prior NON-purchase touchpoint
+    within ``lookback_s`` seconds, else 'direct'.
+
+    State per user is two scalars — (last_touch_epoch_s,
+    last_touch_type) — so total state is bounded by the active-user
+    set, not the event log (the purchase history never accumulates;
+    attribution is decided the moment the purchase arrives). Within a
+    batch events sort by (ts, id) — the batch window's exact ORDER BY,
+    so same-microsecond touch/purchase ties resolve identically to
+    q199; a cross-batch straggler folds in arrival order (the
+    stateful_funnel relaxation). Refunds are neither touchpoints nor
+    conversions, matching the batch op; NaT timestamps skip; value
+    integerizes to cents via floor(value*100). Append mode: attributed
+    rows are final (reference: klio's transforms are per-element and
+    stateless — this models what its users hand-roll downstream)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        evs = []
+        for pdf in pdfs:
+            for ts, eid, et, val in zip(
+                pdf[ts_col], pdf[id_col], pdf[type_col], pdf[value_col]
+            ):
+                t = pd.Timestamp(ts)
+                if t is not pd.NaT and not pd.isna(t):
+                    ik = -(2**63) if pd.isna(eid) else int(eid)
+                    evs.append(
+                        (
+                            int(t.value // 1_000_000_000),
+                            ik,
+                            None if pd.isna(et) else str(et),
+                            None if pd.isna(val) else float(val),
+                        )
+                    )
+        if not evs:
+            return
+        evs.sort(key=lambda x: (x[0], x[1]))
+        lt_s, lt_type = state.get if state.exists else (None, None)
+        out = []
+        for s, eid, et, val in evs:
+            if et == "purchase":
+                channel = (
+                    lt_type
+                    if lt_s is not None and s - lt_s <= lookback_s
+                    else "direct"
+                )
+                cents = 0 if val is None else int(math.floor(val * 100.0))
+                out.append((key[0], eid, s, channel, cents))
+            elif et not in (None, "refund"):
+                lt_s, lt_type = s, et
+        state.update((lt_s, lt_type))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    user_col, id_col, "epoch_s", "channel", "value_cents",
+                ],
+            )
+
+    key_type = df.schema[user_col].dataType.simpleString()
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{user_col} {key_type}, {id_col} long, epoch_s long,"
+            " channel string, value_cents long"
+        ),
+        stateStructType="lt_s long, lt_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

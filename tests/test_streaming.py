@@ -1479,3 +1479,81 @@ def test_streaming_vocab_growth_matches_batch_across_restart(
     assert got1 | got2 == {
         "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
     }
+
+
+def test_stateful_attribution_matches_batch_twin(spark, tmp_path):
+    """stateful_attribution across a checkpoint restart: per-channel
+    attributed revenue equals q199's batch answer over the cumulative
+    events — including a purchase whose crediting touch arrived in the
+    PREVIOUS batch (state carries the touchpoint over), a lookback
+    expiry ('direct'), and a same-second touch→purchase tie."""
+    import datetime as dt
+
+    edir = tmp_path / "attr"
+    (edir / "p").mkdir(parents=True)
+    t = lambda d, h=0, m=0: dt.datetime(2024, 1, 1 + d, h, m)  # noqa: E731
+
+    schema = (
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp"
+    )
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(edir / "p")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_attribution(stream),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/attrout"
+            ),
+            str(tmp_path / "ckpt-attr"),
+        )
+        q.awaitTermination(60)
+
+    # b1: user 1 clicks then buys (same second, tie by id); user 2 views
+    run(
+        [
+            (1, 1, "click", None, t(0, 10)),
+            (2, 1, "purchase", 10.0, t(0, 10)),
+            (3, 2, "view", None, t(0)),
+        ]
+    )
+    # b2: user 2 buys (credits the b1 view — state crossed the restart);
+    # user 1 buys 9 days after its click -> lookback expired -> direct;
+    # a refund must neither convert nor become a touch
+    run(
+        [
+            (4, 2, "purchase", 5.5, t(1)),
+            (5, 1, "purchase", 2.0, t(9)),
+            (6, 2, "refund", None, t(9, 1)),
+            (7, 2, "purchase", 1.0, t(9, 2)),
+        ]
+    )
+
+    rows = spark.read.parquet(f"{tmp_path}/attrout").collect()
+    got = {}
+    for r in rows:
+        c, n = got.get(r.channel, (0, 0))
+        got[r.channel] = (c + r.value_cents, n + 1)
+    from klio_spark.queries import all_queries as _aq
+
+    # batch twin over the SAME cumulative events: write them as an
+    # events.parquet dir q199 can load
+    tdir = tmp_path / "twin"
+    tdir.mkdir()
+    spark.read.parquet(str(edir / "p")).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(str(tdir / "events.parquet"))
+    twin = {
+        r.channel: (r.revenue_cents, r.n_purchases)
+        for r in _aq()["q199_attribution_last_touch"]
+        .fn(spark, str(tdir))
+        .collect()
+    }
+    assert got == twin, (got, twin)
+    # the tie case: user 1's first purchase credits the same-second,
+    # lower-id click
+    assert ("click", (1000, 1)) in twin.items() or twin["click"] == (1000, 1)
+    assert twin["direct"] == (300, 2)  # expired lookback + post-refund buy

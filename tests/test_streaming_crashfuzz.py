@@ -300,3 +300,34 @@ def test_incremental_minhash_dedup_crash_fuzz(spark, tmp_path):
     novel, dup = results["clean"]
     assert novel and dup and not (novel & dup)
     assert novel | dup == set(range(1, did + 1))
+
+
+def test_attribution_crash_fuzz(spark, tmp_path):
+    rng = random.Random(606)
+    pdfs, eid = [], 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(6, 14)):
+            eid += 1
+            rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": rng.randrange(1, 5),
+                    "event_type": rng.choice(
+                        ["view"] * 4 + ["click"] * 3 + ["purchase"] * 2
+                        + ["refund"]
+                    ),
+                    "value": round(rng.uniform(0, 40), 2),
+                    "ts": _ts(b * 20 + rng.randrange(3) * 7),  # ties
+                }
+            )
+        pdfs.append(pd.DataFrame(rows))
+    _fuzz_op(
+        spark, tmp_path, name="attr", seed=6,
+        build_op=st.stateful_attribution,
+        schema=(
+            "event_id long, user_id long, event_type string,"
+            " value double, ts timestamp"
+        ),
+        pdfs=pdfs,
+    )
