@@ -607,3 +607,103 @@ def test_random_lineitem_matches_oracle(spark, lineitem_corpora, qname):
         )
         want = canon_frame(con.execute(spec.sql).df())
         assert got == want, f"{qname} diverged on {sf_dir}"
+
+
+def _random_lineitem(seed: int, n_orders: int = 300) -> pd.DataFrame:
+    """Random basket corpus — the modality the suites lacked until
+    round 6 (basket/graph queries fuzzed only on the fixed corpus):
+    singleton orders, duplicate (order, part) lines (quantity
+    re-ordered on a second line — DISTINCT semantics must collapse
+    them), one deliberately hot ~40-part basket, a hot part present in
+    ~10% of orders (a hot graph node), sparse part ids with gaps, and
+    same-day ship-date ties."""
+    rng = random.Random(seed)
+    rows = []
+    ln = 0
+    hot_part = 7
+    base_day = 1_500_000_000  # epoch seconds anchor
+    for ok in range(1, n_orders + 1):
+        if ok == 50:
+            basket = rng.sample(range(1, 400), 40)  # the hot basket
+        else:
+            k = rng.choice([1, 1, 2, 2, 3, 3, 4, 5])
+            basket = [rng.randrange(1, 400) for _ in range(k)]
+        if rng.randrange(10) == 0:
+            basket.append(hot_part)
+        for p in basket:
+            ln += 1
+            rows.append(
+                {
+                    "l_orderkey": ok,
+                    "l_partkey": p,
+                    "l_suppkey": rng.randrange(1, 20),
+                    "l_linenumber": ln % 16,
+                    "l_quantity": float(rng.randrange(1, 50)),
+                    "l_extendedprice": round(rng.uniform(10, 5000), 2),
+                    "l_discount": round(rng.uniform(0, 0.1), 2),
+                    "l_tax": round(rng.uniform(0, 0.08), 2),
+                    "l_returnflag": rng.choice(["A", "N", "R"]),
+                    "l_linestatus": rng.choice(["O", "F"]),
+                    "_ship_s": base_day
+                    + rng.randrange(0, 365) * 86400
+                    + rng.randrange(3) * 3600,  # day ties
+                }
+            )
+            if rng.randrange(12) == 0:  # duplicate (order, part) line
+                dup = dict(rows[-1])
+                ln += 1
+                dup["l_linenumber"] = ln % 16
+                dup["l_quantity"] = float(rng.randrange(1, 50))
+                rows.append(dup)
+    pdf = pd.DataFrame(rows)
+    pdf["l_shipdate"] = pd.to_datetime(pdf.pop("_ship_s"), unit="s")
+    return pdf
+
+
+# lineitem-based basket/graph/interval queries: DISTINCT collapse of
+# duplicate lines, the hot basket's clique, the hot part's degree, and
+# integer tie-breaks at top-k boundaries must agree across engines
+LINEITEM_QUERIES = [
+    "q114_interval_overlap_join",
+    "q125_copurchase_pairs",
+    "q152_pagerank",
+    "q160_triangle_count",
+    "q169_bfs_khop",
+    "q192_association_rules",
+    "q201_apriori_triples",
+]
+
+
+@pytest.fixture(scope="module")
+def lineitem_corpora(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    out = []
+    for seed in (21, 77):
+        d = tmp_path_factory.mktemp(f"li{seed}")
+        # micros, not pandas' default nanos: the session-wide
+        # nanosAsLong flag would turn a TIMESTAMP(NANOS) l_shipdate
+        # into a BIGINT on the Spark side only
+        pa_pq.write_table(
+            pa.Table.from_pandas(_random_lineitem(seed)),
+            os.path.join(d, "lineitem.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        out.append(str(d))
+    return out
+
+
+@pytest.mark.parametrize("qname", LINEITEM_QUERIES)
+def test_random_lineitem_matches_oracle(spark, lineitem_corpora, qname):
+    spec = all_queries()[qname]
+    for sf_dir in lineitem_corpora:
+        got = canon_frame(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{sf_dir}/lineitem.parquet'"
+        )
+        want = canon_frame(con.execute(spec.sql).df())
+        assert got == want, f"{qname} diverged on {sf_dir}"
