@@ -2401,6 +2401,14 @@ def q201_apriori_triples(spark: SparkSession, sf_dir: str):
         .crossJoin(F.broadcast(ms))
         .filter(F.col("sup") >= F.col("min_sup"))
         .select("pa", "pb")
+        # fp feeds FOUR consumers (the candidate join + the f2/f3
+        # prunes + its own broadcast variants): without the persist the
+        # whole pair-support agg re-executes per consumer and the
+        # driver builds each broadcast from scratch — under the 2 GiB
+        # memory-pressure rehearsal that stacked enough concurrent
+        # broadcast builds to OOM the driver; cached, fp is computed
+        # once and is support-bounded by construction
+        .persist()
     )
     a2, b2, c = items.alias("a2"), items.alias("b2"), items.alias("c")
     cand = (

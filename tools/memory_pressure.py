@@ -67,11 +67,33 @@ def main() -> int:
         minhash_lsh_dedup(docs, "text", "doc_id", bucket_cap=2))
     run("simhash", simhash_near_dups(docs, "text", "doc_id"))
 
+    # round-6 additions: the auto-blocked exact-pairs kernel (the 100×
+    # OOM fix) must be result-invariant AND complete under the starved
+    # heap — once with auto sizing, once with blocks pinned coarse and
+    # the matmul tiles pinned tiny (worst spill pattern); and the
+    # A-priori pair-support pass (the heaviest new-operator stage at
+    # 100×) must complete
+    from klio_spark.functions.similarity import exact_pairs_grouped
+    from klio_spark.queries import all_queries
+
+    emb = spark.read.parquet(os.path.join(X10, "embeddings.parquet"))
+    run("exact_pairs_auto",
+        exact_pairs_grouped(emb, "embedding", "vec_id", threshold=0.35))
+    run("exact_pairs_pinned_tiny_tiles",
+        exact_pairs_grouped(emb, "embedding", "vec_id", threshold=0.35,
+                            n_blocks=8, chunk_rows=64))
+    run("apriori_triples",
+        all_queries()["q201_apriori_triples"].fn(spark, X10))
+
     ok = (
         out["minhash_default_cap"]["rows"]
         == out["minhash_cap2_all_wide"]["rows"]
         > 0
         and out["simhash"]["rows"] > 0
+        and out["exact_pairs_auto"]["rows"]
+        == out["exact_pairs_pinned_tiny_tiles"]["rows"]
+        > 0
+        and out["apriori_triples"]["rows"] >= 0
     )
     print(json.dumps({"heap": heap, "ok": ok, **out}))
     return 0 if ok else 1
