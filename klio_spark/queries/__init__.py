@@ -93,6 +93,7 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 #      the very end — they have the freshest evidence).
 _VERIFY_FIRST = [
     # NEW in round 6 — zero driver evidence yet
+    "q202_attribution_position_based",
     "q199_attribution_last_touch",
     "q200_k_anonymity",
     "q201_apriori_triples",

@@ -2441,3 +2441,150 @@ def q201_apriori_triples(spark: SparkSession, sf_dir: str):
         .limit(20)
         .select("pa", "pb", "pc", "support")
     )
+
+
+@register(
+    "q202_attribution_position_based",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, value,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    p AS (
+      SELECT user_id, event_id AS pid, s AS sp,
+             CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+      FROM t WHERE event_type = 'purchase'
+    ),
+    tc AS (
+      SELECT user_id, event_id AS tid, s AS st, event_type AS channel
+      FROM t WHERE event_type NOT IN ('purchase', 'refund')
+    ),
+    j AS (
+      SELECT p.pid, p.cents, tc.channel, tc.st, tc.tid
+      FROM p JOIN tc
+        ON p.user_id = tc.user_id
+       AND tc.st >= p.sp - 604800
+       AND (tc.st < p.sp OR (tc.st = p.sp AND tc.tid < p.pid))
+    ),
+    r AS (
+      SELECT pid, cents, channel,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY st, tid) AS rn,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM j
+    ),
+    cr AS (
+      SELECT channel, cents,
+             CASE WHEN n = 1 THEN 10000
+                  WHEN n = 2 THEN 5000
+                  WHEN rn = 1 OR rn = n THEN 4000
+                  ELSE 2000 // (n - 2)
+                       + CASE WHEN rn - 1 <= 2000 % (n - 2)
+                              THEN 1 ELSE 0 END
+             END AS share_bp
+      FROM r
+    ),
+    direct AS (
+      SELECT 'direct' AS channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+             CAST(COALESCE(SUM(cents * 10000), 0) AS BIGINT)
+               AS credit_cents_bp
+      FROM p WHERE pid NOT IN (SELECT pid FROM j)
+    )
+    SELECT channel, n_credits, credit_cents_bp FROM (
+      SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+             CAST(SUM(cents * share_bp) AS BIGINT) AS credit_cents_bp
+      FROM cr GROUP BY channel
+      UNION ALL
+      SELECT * FROM direct WHERE n_credits > 0
+    )
+    """,
+    doc="position-based (U-shaped) multi-touch attribution — the 40/20/"
+    "40 model marketing stacks run beside q199's last-touch: each "
+    "purchase's credit splits 40% to the FIRST touch in the 7-day "
+    "lookback, 40% to the LAST, 20% across the middles — realized as "
+    "EXACT integer basis points whose per-purchase sum is 10000 by "
+    "largest-remainder on the middle pool (earliest middles take the "
+    "remainder; n=1 takes all, n=2 splits 50/50), so channel credits "
+    "reconcile to revenue exactly. Touch-purchase matching is the "
+    "STRICT (s, event_id) order (same-second earlier-id touches count "
+    "— q199's tie rule). Scale shape: the touch×purchase pairing is "
+    "the q114 temporal-banding trick — both sides explode into "
+    "lookback-width time buckets and join EQUI on (user, bucket), so "
+    "candidates are bucket-colocated rows, never per-user n² — and "
+    "the ORACLE runs the naive non-equi join, proving the banding "
+    "loses nothing. Purchases with no touch in range credit 'direct'.",
+)
+def q202_attribution_position_based(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    W = 604800
+    t = e.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+    )
+    p = t.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("s").alias("sp"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tc = t.filter(~F.col("event_type").isin("purchase", "refund")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("s").alias("st"),
+        F.col("event_type").alias("channel"),
+    )
+    # temporal banding (the q114 trick): a purchase's lookback window
+    # [sp-W, sp] spans <= 2 W-wide buckets; a touch lives in exactly 1.
+    # The join is EQUI on (user, bucket) + the exact predicate inside
+    # the co-partition — never a per-user cartesian.
+    pb = p.withColumn(
+        "wk", F.explode(F.sequence(F.expr(f"(sp - {W}) div {W}"), F.expr(f"sp div {W}")))
+    )
+    tb = tc.withColumn("wk", F.expr(f"st div {W}"))
+    j = pb.join(tb, ["user_id", "wk"]).filter(
+        (F.col("st") >= F.col("sp") - W)
+        & (
+            (F.col("st") < F.col("sp"))
+            | ((F.col("st") == F.col("sp")) & (F.col("tid") < F.col("pid")))
+        )
+    ).select("pid", "cents", "channel", "st", "tid")
+    wr = Window.partitionBy("pid").orderBy("st", "tid")
+    wp = Window.partitionBy("pid")
+    r = j.select(
+        "pid", "cents", "channel",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    share = F.expr(
+        "CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000"
+        " WHEN rn = 1 OR rn = n THEN 4000"
+        " ELSE 2000 div (n - 2)"
+        "      + CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END END"
+    )
+    credited = (
+        r.select("channel", "cents", share.alias("share_bp"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.sum(F.col("cents") * F.col("share_bp"))
+            .cast("bigint")
+            .alias("credit_cents_bp"),
+        )
+    )
+    direct = (
+        p.join(j.select("pid").distinct(), "pid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.coalesce(F.sum(F.col("cents") * 10000), F.lit(0))
+            .cast("bigint")
+            .alias("credit_cents_bp"),
+        )
+        .select(F.lit("direct").alias("channel"), "n_credits", "credit_cents_bp")
+        .filter(F.col("n_credits") > 0)
+    )
+    return credited.unionByName(direct)

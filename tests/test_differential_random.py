@@ -292,6 +292,11 @@ EVENT_QUERIES = [
     # pinned ROWS frame; purchase/touch same-microsecond ties, all-NULL
     # refund values, users with no prior touch -> 'direct')
     "q199_attribution_last_touch",
+    # round-6: U-shaped multi-touch attribution (banded join vs the
+    # oracle's naive non-equi join — pre-epoch anchors stress the
+    # bucket floor-division; same-second tie rule at the join predicate;
+    # largest-remainder bp splits must sum to 10000 per purchase)
+    "q202_attribution_position_based",
 ]
 
 
