@@ -614,7 +614,7 @@ def test_random_lineitem_matches_oracle(spark, lineitem_corpora, qname):
         assert got == want, f"{qname} diverged on {sf_dir}"
 
 
-def _random_lineitem(seed: int, n_orders: int = 300) -> pd.DataFrame:
+def _random_basket(seed: int, n_orders: int = 300) -> pd.DataFrame:
     """Random basket corpus — the modality the suites lacked until
     round 6 (basket/graph queries fuzzed only on the fixed corpus):
     singleton orders, duplicate (order, part) lines (quantity
@@ -668,7 +668,7 @@ def _random_lineitem(seed: int, n_orders: int = 300) -> pd.DataFrame:
 # lineitem-based basket/graph/interval queries: DISTINCT collapse of
 # duplicate lines, the hot basket's clique, the hot part's degree, and
 # integer tie-breaks at top-k boundaries must agree across engines
-LINEITEM_QUERIES = [
+BASKET_QUERIES = [
     "q114_interval_overlap_join",
     "q125_copurchase_pairs",
     "q152_pagerank",
@@ -680,18 +680,18 @@ LINEITEM_QUERIES = [
 
 
 @pytest.fixture(scope="module")
-def lineitem_corpora(tmp_path_factory):
+def basket_corpora(tmp_path_factory):
     import pyarrow as pa
     import pyarrow.parquet as pa_pq
 
     out = []
     for seed in (21, 77):
-        d = tmp_path_factory.mktemp(f"li{seed}")
+        d = tmp_path_factory.mktemp(f"bk{seed}")
         # micros, not pandas' default nanos: the session-wide
         # nanosAsLong flag would turn a TIMESTAMP(NANOS) l_shipdate
         # into a BIGINT on the Spark side only
         pa_pq.write_table(
-            pa.Table.from_pandas(_random_lineitem(seed)),
+            pa.Table.from_pandas(_random_basket(seed)),
             os.path.join(d, "lineitem.parquet"),
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
@@ -700,10 +700,10 @@ def lineitem_corpora(tmp_path_factory):
     return out
 
 
-@pytest.mark.parametrize("qname", LINEITEM_QUERIES)
-def test_random_lineitem_matches_oracle(spark, lineitem_corpora, qname):
+@pytest.mark.parametrize("qname", BASKET_QUERIES)
+def test_random_basket_matches_oracle(spark, basket_corpora, qname):
     spec = all_queries()[qname]
-    for sf_dir in lineitem_corpora:
+    for sf_dir in basket_corpora:
         got = canon_frame(spec.fn(spark, sf_dir).toPandas())
         con = duckdb.connect()
         con.execute(
