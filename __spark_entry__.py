@@ -26,8 +26,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable) -> Callable:
+    """Release the PREVIOUS query's scoped caches before building the
+    next plan. A handful of queries persist() interior frames (q160's
+    oriented edges, q201's frequent pairs, ...) that a lazily-returned
+    plan cannot unpersist itself; by the time the driver calls the next
+    query the prior result is materialized, so its caches are dead
+    weight — dropping them here keeps a 186-query session's storage
+    bounded by ONE query's working set."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from klio_spark.queries import release_scoped_caches
+
+        release_scoped_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    return {name: _released(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

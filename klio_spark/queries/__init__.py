@@ -46,6 +46,36 @@ def register(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
+# Interior persist()s inside lazily-returned query plans (q160's oriented
+# edges, q201's frequent pairs, q186's per-round BPE winners, ...) are
+# load-bearing for performance — without them tree-shaped plans re-run
+# a shared subquery once per consumer — but a long-lived session running
+# all 186 queries (bench.py, the test suite) would otherwise accumulate
+# every round's cached blocks and evict useful cache. Queries register
+# their persists here; harness code calls release_scoped_caches() after
+# materializing a query's result. unpersist() only drops cached blocks —
+# a released plan still recomputes correctly if re-run.
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_scoped_caches() -> int:
+    n = 0
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
     from pyspark.sql import functions as F
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from klio_spark.queries import load, register
+from klio_spark.queries import load, register, scoped_persist
 
 
 @register(
@@ -649,9 +649,8 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str):
     # (edge count + both wedge-join sides + the closing-edge probe) —
     # without it Spark's tree-shaped plans re-run the basket self-join
     # and degree join once per consumer (measured: a 107-shuffle plan).
-    # Lazy-return caveat as in minhash_lsh_dedup: long-lived sessions
-    # clearCache() after materializing.
-    o = o.persist()
+    # Scoped: the harness release_scoped_caches()s after materializing.
+    o = scoped_persist(o)
     ne = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     e1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
@@ -761,9 +760,9 @@ def khop_bfs(
         .filter(F.col("w") >= min_weight)
         .select("a", "b")
         # consumed once per hop — same persist rationale as q160's
-        # oriented edges (and the same clearCache caveat)
-        .persist()
+        # oriented edges (and the same scoped-release caveat)
     )
+    e = scoped_persist(e)
     frontier = (
         e.select(F.col("a").alias("node"))
         .filter(F.col("node") % seed_mod == 0)

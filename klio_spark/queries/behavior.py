@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from klio_spark.queries import load, register
+from klio_spark.queries import load, register, scoped_persist
 
 # NTZ-safe epoch seconds: the vanilla session reads events.ts as
 # TIMESTAMP_NTZ (see load()), which unix_micros rejects — cast first.
@@ -2407,9 +2407,10 @@ def q201_apriori_triples(spark: SparkSession, sf_dir: str):
         # driver builds each broadcast from scratch — under the 2 GiB
         # memory-pressure rehearsal that stacked enough concurrent
         # broadcast builds to OOM the driver; cached, fp is computed
-        # once and is support-bounded by construction
-        .persist()
+        # once and is support-bounded by construction. Scoped: the
+        # harness unpersists after the final action.
     )
+    fp = scoped_persist(fp)
     a2, b2, c = items.alias("a2"), items.alias("b2"), items.alias("c")
     cand = (
         fp.join(a2, F.col("a2.item") == F.col("pa"))

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from klio_spark.queries import load, register
+from klio_spark.queries import load, register, scoped_persist
 
 
 @register(
@@ -759,7 +759,7 @@ def q181_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str):
     # one pass over raw events total: the exact referee counts are the
     # SUM of the per-chunk counts — a second-level agg over the tiny
     # count table, not a rescan (and not a second md5 pass)
-    chunk_counts = chunk_counts.persist()
+    chunk_counts = scoped_persist(chunk_counts)
     summary = mg_sharded_summary(
         chunk_counts, capacity=_MG_CAP, n_chunks=_MG_CHUNKS
     )

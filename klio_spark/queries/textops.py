@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from klio_spark.functions import dedup as dd
 from klio_spark.functions import text as tx
-from klio_spark.queries import load, register
+from klio_spark.queries import load, register, scoped_persist
 from klio_spark.queries._fragments import SHINGLE_PAIRS_CTE, shingle_cte
 
 
@@ -1132,16 +1132,16 @@ def q186_bpe_train_rounds(spark: SparkSession, sf_dir: str):
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("weight"))
         )
-        top = (
-            pairs.orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .withColumn("round", F.lit(k))
+        top = scoped_persist(
             # persist the 1-row winner: round k's seq (and the final
             # union) reference every earlier round's top — without this
             # the whole merge chain re-evaluates O(rounds^2) times (the
             # khop_bfs frontier-persist pattern; harmless at 3 rounds,
-            # required if _BPE_ROUNDS is raised)
-            .persist()
+            # required if _BPE_ROUNDS is raised). Scoped: the harness
+            # unpersists after the final action.
+            pairs.orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .withColumn("round", F.lit(k))
         )
         tops.append(top)
         seq = seq.crossJoin(F.broadcast(top.select("a", "b"))).select(

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from klio_spark.functions import dedup as dd
 from klio_spark.functions import text as tx
-from klio_spark.queries import load, register
+from klio_spark.queries import load, register, scoped_persist
 from klio_spark.queries._fragments import SHINGLE_PAIRS_CTE, shingle_cte
 
 
@@ -882,9 +882,9 @@ def q185_cluster_safe_split(spark: SparkSession, sf_dir: str):
     from klio_spark.functions.graph import connected_components
 
     (d,) = load(spark, sf_dir, "documents")
-    edges = dd.ngram_jaccard_pairs(
-        d, "text", "doc_id", n=3, threshold=0.3
-    ).persist()
+    edges = scoped_persist(
+        dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3)
+    )
     comp = connected_components(edges, "id_a", "id_b")
     assign = (
         d.select("doc_id")
@@ -978,8 +978,12 @@ def q185_cluster_safe_split(spark: SparkSession, sf_dir: str):
     "weight ~ src_tokens^alpha, realized integer-exactly as "
     "floor(sqrt(tokens)*1e6) — sqrt of an identical integer-valued "
     "double is bit-identical IEEE on both engines, and from there "
-    "everything is int64 (bounded: 1e6 * w_scaled < 2^63 up to ~8e24 "
-    "tokens/source). A 1M-doc epoch budget apportions by the "
+    "everything is int64 (bounded: the widest product is "
+    "1e6 * w_scaled with w_scaled = floor(sqrt(tokens)*1e6), and "
+    "1e6 * w_scaled < 2^63 holds up to ~8.5e13 tokens/source — "
+    "comfortably above the 100 TB design point; beyond that, move the "
+    "quota arithmetic to decimal(38,0) as q190 does). A 1M-doc epoch "
+    "budget apportions by the "
     "LARGEST-REMAINDER method (Hamilton): base_quota = B*w div tot, "
     "then the B - sum(base_quota) leftover docs go to the largest "
     "remainders (source-asc tie-break) — quotas sum to B exactly, no "

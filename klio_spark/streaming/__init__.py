@@ -1484,9 +1484,13 @@ def stateful_attribution(
     q199; a cross-batch straggler folds in arrival order (the
     stateful_funnel relaxation). Refunds are neither touchpoints nor
     conversions, matching the batch op; NaT timestamps skip; value
-    integerizes to cents via floor(value*100). Append mode: attributed
-    rows are final (reference: klio's transforms are per-element and
-    stateless — this models what its users hand-roll downstream)."""
+    integerizes to cents via floor(value*100). NULL-user events drop
+    before the groupBy — q199 filters ``user_id IS NOT NULL``, and
+    without this filter the null key would form its own state group
+    and emit attributed rows the batch twin never produces. Append
+    mode: attributed rows are final (reference: klio's transforms are
+    per-element and stateless — this models what its users hand-roll
+    downstream)."""
     import math
 
     import pandas as pd
@@ -1535,6 +1539,7 @@ def stateful_attribution(
             )
 
     key_type = df.schema[user_col].dataType.simpleString()
+    df = df.filter(F.col(user_col).isNotNull())
     return df.groupBy(user_col).applyInPandasWithState(
         update,
         outputStructType=(

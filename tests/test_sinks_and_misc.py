@@ -175,3 +175,39 @@ def test_inject_klio_context():
         return f"{ctx.config.job_name}:{x}"
 
     assert uses_ctx("v") == "ctxjob:v"
+
+
+def test_scoped_persist_releases(spark):
+    """Queries register interior persists via scoped_persist;
+    release_scoped_caches() unpersists them all (the q201/q186 session
+    cache-accumulation fix) and a released plan still recomputes."""
+    from klio_spark.queries import (
+        release_scoped_caches,
+        scoped_persist,
+    )
+
+    release_scoped_caches()  # drain anything a prior test registered
+    df = scoped_persist(spark.range(10).selectExpr("id * 2 AS v"))
+    assert df.count() == 10
+    assert df.storageLevel.useMemory
+    assert release_scoped_caches() >= 1
+    assert not df.storageLevel.useMemory
+    assert df.count() == 10  # unpersisted plans still recompute
+    assert release_scoped_caches() == 0  # idempotent: list drained
+
+
+def test_entry_queries_release_previous_caches(spark, sf_dir):
+    """The __spark_entry__ wrapper frees the PREVIOUS query's scoped
+    caches when the next query is built — a 186-query driver session
+    holds at most one query's persisted intermediates."""
+    import __spark_entry__ as entry
+    from klio_spark.queries import _SCOPED_CACHES, release_scoped_caches
+
+    release_scoped_caches()
+    qs = entry.queries()
+    # q160 persists its oriented edge list at plan-build time
+    qs["q160_triangle_count"](spark, sf_dir)
+    assert len(_SCOPED_CACHES) >= 1
+    # building ANY next query drains the list before adding its own
+    qs["q01_pricing_summary"](spark, sf_dir)
+    assert len(_SCOPED_CACHES) == 0

@@ -1522,17 +1522,22 @@ def test_stateful_attribution_matches_batch_twin(spark, tmp_path):
     )
     # b2: user 2 buys (credits the b1 view — state crossed the restart);
     # user 1 buys 9 days after its click -> lookback expired -> direct;
-    # a refund must neither convert nor become a touch
+    # a refund must neither convert nor become a touch; a NULL-user
+    # purchase must emit NOTHING (q199 filters user_id IS NOT NULL —
+    # without the matching stream-side filter the null key would form
+    # its own state group and emit a 'direct' row the twin never has)
     run(
         [
             (4, 2, "purchase", 5.5, t(1)),
             (5, 1, "purchase", 2.0, t(9)),
             (6, 2, "refund", None, t(9, 1)),
             (7, 2, "purchase", 1.0, t(9, 2)),
+            (8, None, "purchase", 99.0, t(9, 3)),
         ]
     )
 
     rows = spark.read.parquet(f"{tmp_path}/attrout").collect()
+    assert all(r.user_id is not None for r in rows)
     got = {}
     for r in rows:
         c, n = got.get(r.channel, (0, 0))
