@@ -1051,6 +1051,65 @@ def _bpe_round_sql(k: int) -> str:
     )"""
 
 
+def _bpe_merge_loop(seq, rounds: int):
+    """Run ``rounds`` BPE merge rounds over a '|sym '-framed sequence
+    table and return (final_seq, per-round 1-row top frames). The pair
+    statistics weight by ``cnt``; every non-seq column rides through
+    the per-round replace untouched, so the trainer (q186 — carries
+    cnt only) and the encoder (q203 — carries the word identity too)
+    share one loop. Each round: one map-side-combinable pair agg over
+    the vocabulary table, a 1-row broadcast of the argmax pair, and a
+    codegen'd replace — no shuffle ever touches the corpus."""
+    carry = [c for c in seq.columns if c != "seq"]
+    tops = []
+    for k in range(1, rounds + 1):
+        ts = F.filter(F.split(F.col("seq"), " "), lambda t: t != "")
+        pairs = (
+            seq.select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size(ts) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(ts) - 2),
+                            lambda i: F.struct(
+                                ts[i].alias("a"), ts[i + 1].alias("b")
+                            ),
+                        ),
+                    ).otherwise(F.array()),
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("weight"))
+        )
+        top = scoped_persist(
+            # persist the 1-row winner: round k's seq (and the final
+            # union) reference every earlier round's top — without this
+            # the whole merge chain re-evaluates O(rounds^2) times (the
+            # khop_bfs frontier-persist pattern; harmless at 3 rounds,
+            # required if rounds is raised). Scoped: the harness
+            # unpersists after the final action.
+            pairs.orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .withColumn("round", F.lit(k))
+        )
+        tops.append(top)
+        seq = seq.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            *carry,
+            F.replace(
+                F.col("seq"),
+                F.concat(F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+                F.concat(
+                    F.lit("|"),
+                    F.substring(F.col("a"), 2, 1_000_000),
+                    F.substring(F.col("b"), 2, 1_000_000),
+                    F.lit(" "),
+                ),
+            ).alias("seq"),
+        )
+    return seq, tops
+
+
 @register(
     "q186_bpe_train_rounds",
     f"""
@@ -1111,52 +1170,7 @@ def q186_bpe_train_rounds(spark: SparkSession, sf_dir: str):
             "", F.transform(chars, lambda c: F.concat(F.lit("|"), c, F.lit(" ")))
         ).alias("seq"),
     )
-    tops = []
-    for k in range(1, _BPE_ROUNDS + 1):
-        ts = F.filter(F.split(F.col("seq"), " "), lambda t: t != "")
-        pairs = (
-            seq.select(
-                "cnt",
-                F.explode(
-                    F.when(
-                        F.size(ts) >= 2,
-                        F.transform(
-                            F.sequence(F.lit(0), F.size(ts) - 2),
-                            lambda i: F.struct(
-                                ts[i].alias("a"), ts[i + 1].alias("b")
-                            ),
-                        ),
-                    ).otherwise(F.array()),
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("weight"))
-        )
-        top = scoped_persist(
-            # persist the 1-row winner: round k's seq (and the final
-            # union) reference every earlier round's top — without this
-            # the whole merge chain re-evaluates O(rounds^2) times (the
-            # khop_bfs frontier-persist pattern; harmless at 3 rounds,
-            # required if _BPE_ROUNDS is raised). Scoped: the harness
-            # unpersists after the final action.
-            pairs.orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .withColumn("round", F.lit(k))
-        )
-        tops.append(top)
-        seq = seq.crossJoin(F.broadcast(top.select("a", "b"))).select(
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.concat(F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
-                F.concat(
-                    F.lit("|"),
-                    F.substring(F.col("a"), 2, 1_000_000),
-                    F.substring(F.col("b"), 2, 1_000_000),
-                    F.lit(" "),
-                ),
-            ).alias("seq"),
-        )
+    _seq, tops = _bpe_merge_loop(seq, _BPE_ROUNDS)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionByName(t)
@@ -1625,4 +1639,132 @@ def q190_lexical_gini(spark: SparkSession, sf_dir: str):
             .cast("bigint")
             .alias("gini_ppm"),
         )
+    )
+
+
+def _bpe_round_sql_enc(k: int) -> str:
+    """q203's unrolled merge round — _bpe_round_sql with the word
+    identity carried through every sequence CTE (the encoder joins
+    tokens-per-word back to the per-document table at the end)."""
+    return f"""
+    pairs{k} AS (
+      SELECT ts[i] AS a, ts[i + 1] AS b, SUM(cnt) AS weight
+      FROM (SELECT cnt, list_filter(string_split(seq, ' '), t -> t <> '')
+                     AS ts
+            FROM seq{k - 1}) w,
+           unnest(range(1, len(ts))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    top{k} AS (
+      SELECT a, b, weight FROM pairs{k}
+      ORDER BY weight DESC, a, b LIMIT 1
+    ),
+    seq{k} AS (
+      SELECT w.w, w.cnt,
+             replace(w.seq, t.a || ' ' || t.b || ' ',
+                     '|' || substr(t.a, 2) || substr(t.b, 2) || ' ') AS seq
+      FROM seq{k - 1} w CROSS JOIN top{k} t
+    )"""
+
+
+@register(
+    "q203_bpe_encode",
+    f"""
+    WITH docw AS (
+      SELECT d.doc_id, lower(t.w) AS w, CAST(COUNT(*) AS BIGINT) AS k
+      FROM documents d,
+           unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+      WHERE d.text IS NOT NULL AND t.w <> ''
+      GROUP BY 1, 2
+    ),
+    words AS (SELECT w, SUM(k) AS cnt FROM docw GROUP BY 1),
+    seq0 AS (
+      SELECT w, cnt,
+             list_aggregate(
+               ['|' || c || ' ' FOR c IN string_split_regex(w, '')
+                IF c <> ''], 'string_agg', '') AS seq
+      FROM words
+    ),"""
+    + ",".join(_bpe_round_sql_enc(i) for i in range(1, _BPE_ROUNDS + 1))
+    + f"""
+    , wtok AS (
+      SELECT w,
+             CAST(len(list_filter(string_split(seq, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tok
+      FROM seq{_BPE_ROUNDS}
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k * t.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.k * length(d.w)) AS BIGINT) AS n_chars
+    FROM docw d JOIN wtok t USING (w)
+    GROUP BY 1
+    ORDER BY n_tokens DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BPE ENCODE — the consumer half of q186 (VERDICT r6 item 4), "
+    "the tokenizer-application pass every LLM pipeline runs far more "
+    f"often than training: train the {_BPE_ROUNDS}-merge list with "
+    "q186's exact mechanism, apply the ranked merges in order to the "
+    "DISTINCT-word vocabulary (each merge is the same framed "
+    "non-overlapping replace — q186's framing trick makes greedy BPE "
+    "pairing a plain string op on both engines), then join "
+    "tokens-per-word back to the per-document word table and report "
+    "each document's encoded length: top-20 docs by (n_tokens DESC, "
+    "doc_id) with their raw codepoint counts. Scale shape: merges "
+    "apply to the VOCABULARY (distinct words), never the corpus — "
+    "zipf means the vocab is orders of magnitude smaller — and the "
+    "final tokens-per-word table joins back to the (doc, word) table "
+    "on the word key (vocab-sized build side, AQE broadcasts it when "
+    "small); the corpus is scanned twice (once for doc-word counts, "
+    "once for the weighted vocab), both map-side-combinable aggs.",
+)
+def q203_bpe_encode(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    docw = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(tx.tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    # weighted vocab from a second corpus scan (map-side combine to
+    # vocab size), NOT from docw — reusing docw would persist-or-recompute
+    # a corpus-sized (doc, word) shuffle; the direct agg is cheaper at
+    # any scale and the result is identical
+    words = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    seq = words.select(
+        "w",
+        "cnt",
+        F.concat_ws(
+            "",
+            F.transform(chars, lambda c: F.concat(F.lit("|"), c, F.lit(" "))),
+        ).alias("seq"),
+    )
+    seq, _tops = _bpe_merge_loop(seq, _BPE_ROUNDS)
+    wtok = seq.select(
+        "w",
+        F.size(F.filter(F.split(F.col("seq"), " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    return (
+        docw.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("k") * F.length(F.col("w")))
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_tokens", "n_chars")
     )

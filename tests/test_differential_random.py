@@ -149,6 +149,10 @@ QUERIES = [
     # reach bucket -1 by different floor/truncate routes; random NULLs
     # and tiny groups stress both)
     "q200_k_anonymity",
+    # round-7: BPE encode (duplicate docs double word weights without
+    # changing the merge list; empty/single-char words encode to 0/1
+    # tokens; n_tokens ties at the top-20 boundary break on doc_id)
+    "q203_bpe_encode",
 ]
 
 
