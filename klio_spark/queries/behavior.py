@@ -2229,6 +2229,116 @@ def q198_interval_coverage(spark: SparkSession, sf_dir: str):
     )
 
 
+def last_touch_attribution(
+    e,
+    lookback_s: int = 604800,
+    segment_s: int | None = None,
+):
+    """Last-touch attribution kernel (q199's registration docstring has
+    the semantics). ``segment_s`` is the entity-window SKEW lever the
+    round-6 rehearsal priced but left as prose: the monolithic path
+    runs ONE window partitioned by user_id — correct, but a degenerate
+    user owning 20% of a 100 TB stream makes that user's ordered sort a
+    single 20 TB task, and no join hint fixes ordered-window semantics.
+    The last-touch recurrence is ASSOCIATIVE (the streaming twin's
+    two-scalar state proves the fold), so it SEGMENTS: with
+    ``segment_s`` set, events split into per-(user, s div segment_s)
+    time chunks; each chunk computes its intra-chunk running last touch
+    in a window partitioned by BOTH keys (task width bounded by the
+    chunk's event count, not the user's), a per-(user, chunk) summary
+    — max (s, event_id, type) struct over the chunk's touches, one
+    map-side-combinable agg — feeds a carry fold over the tiny
+    (user, chunk) table (rows per user = #chunks), and each event's
+    effective last touch is COALESCE(intra-chunk, carry-in). Chunking
+    is by the same ``s`` the window orders by, so every carry-in is
+    strictly older than every in-chunk event and the (s, event_id) tie
+    rule is preserved exactly — the two paths are hash-identical
+    (tests/test_behavior.py proves it on sf0.01 and the 20%-hot skew
+    twin run is recorded in BASELINE.md round 7)."""
+    t = e.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+    )
+    np_ = ~F.col("event_type").isin("purchase", "refund")
+    if segment_s is None:
+        uw = (
+            Window.partitionBy("user_id")
+            .orderBy("s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w = t.select(
+            "event_type", "value", "s",
+            F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
+            .over(uw)
+            .alias("lt_type"),
+            F.last(F.when(np_, F.col("s")), ignorenulls=True)
+            .over(uw)
+            .alias("lt_s"),
+        )
+    else:
+        t = t.withColumn("seg", F.expr(f"s div {int(segment_s)}"))
+        seg_last = t.groupBy("user_id", "seg").agg(
+            F.max(
+                F.when(np_, F.struct("s", "event_id", "event_type"))
+            ).alias("seg_touch")
+        )
+        sw = (
+            Window.partitionBy("user_id")
+            .orderBy("seg")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = seg_last.select(
+            "user_id", "seg",
+            F.last("seg_touch", ignorenulls=True).over(sw).alias("carry"),
+        )
+        cw = (
+            Window.partitionBy("user_id", "seg")
+            .orderBy("s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w = (
+            t.join(carry, ["user_id", "seg"])
+            .select(
+                "event_type", "value", "s",
+                F.coalesce(
+                    F.last(
+                        F.when(np_, F.col("event_type")), ignorenulls=True
+                    ).over(cw),
+                    F.col("carry.event_type"),
+                ).alias("lt_type"),
+                F.coalesce(
+                    F.last(F.when(np_, F.col("s")), ignorenulls=True).over(
+                        cw
+                    ),
+                    F.col("carry.s"),
+                ).alias("lt_s"),
+            )
+        )
+    return (
+        w.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("lt_s").isNotNull()
+                    & (F.col("s") - F.col("lt_s") <= lookback_s),
+                    F.col("lt_type"),
+                ),
+                F.lit("direct"),
+            ).alias("channel"),
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
 @register(
     "q199_attribution_last_touch",
     """
@@ -2275,48 +2385,9 @@ def q198_interval_coverage(spark: SparkSession, sf_dir: str):
 )
 def q199_attribution_last_touch(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
-    t = e.filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    ).select(
-        "user_id", "event_id", "event_type", "value",
-        F.expr(_SECS.format(c="ts")).alias("s"),
-    )
-    uw = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    np_ = ~F.col("event_type").isin("purchase", "refund")
-    w = t.select(
-        "event_type", "value", "s",
-        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
-        .over(uw)
-        .alias("lt_type"),
-        F.last(F.when(np_, F.col("s")), ignorenulls=True)
-        .over(uw)
-        .alias("lt_s"),
-    )
-    return (
-        w.filter(F.col("event_type") == "purchase")
-        .select(
-            F.coalesce(
-                F.when(
-                    F.col("lt_s").isNotNull()
-                    & (F.col("s") - F.col("lt_s") <= 604800),
-                    F.col("lt_type"),
-                ),
-                F.lit("direct"),
-            ).alias("channel"),
-            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
-            .cast("bigint")
-            .alias("cents"),
-        )
-        .groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-            F.sum("cents").cast("bigint").alias("revenue_cents"),
-        )
-    )
+    # monolithic window (segment_s=None) — the registered/oracle-paired
+    # shape; segment_s is the documented skew lever for degenerate users
+    return last_touch_attribution(e)
 
 
 @register(

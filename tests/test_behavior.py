@@ -159,3 +159,118 @@ def test_negative_sampling_corpus_count_is_broadcast(spark, sf_dir, specs):
     df = specs["q112_negative_sampling"].fn(spark, sf_dir)
     assert plans.broadcast_join_count(df) >= 1  # the COUNT(*) scalar
     assert plans.num_shuffles(df) <= 3, plans.plan_str(df)[:2000]
+
+
+# ------------------------------------------- q199 segmented-window lever
+
+
+def test_last_touch_segmented_equals_monolithic(spark, sf_dir):
+    """The entity-window skew lever (VERDICT r6 item 3): segment_s
+    splits each user's ordered window into per-(user, time-chunk)
+    intra-chunk windows + a carry fold over the (user, chunk) summary
+    table. Result must be HASH-IDENTICAL to the monolithic window —
+    including carry-ins crossing chunk boundaries and the lookback
+    expiring INSIDE a chunk."""
+    from klio_spark.queries.behavior import last_touch_attribution
+
+    from klio_spark.queries import load
+
+    (e,) = load(spark, sf_dir, "events")
+    mono = sorted(
+        map(tuple, last_touch_attribution(e).collect())
+    )
+    # one-day chunks: lookback (7 d) spans many chunks, so most credits
+    # resolve via the carry fold, not the intra-chunk window
+    seg = sorted(
+        map(tuple, last_touch_attribution(e, segment_s=86400).collect())
+    )
+    assert mono == seg
+    # a chunk wider than the data collapses to one chunk/user — the
+    # intra-chunk path must then reproduce the answer alone
+    seg1 = sorted(
+        map(
+            tuple,
+            last_touch_attribution(e, segment_s=2**40).collect(),
+        )
+    )
+    assert mono == seg1
+
+
+def test_last_touch_segmented_on_synthetic_edge_cases(spark):
+    """Boundary semantics the random corpus may not pin: a touch as the
+    LAST event of chunk k crediting a purchase FIRST in chunk k+1; an
+    empty-touch chunk between touch and purchase (carry must skip it);
+    same-second touch→purchase tie INSIDE one chunk; lookback expiry
+    where the only candidate is a carry-in."""
+    import datetime as dt
+
+    from klio_spark.queries.behavior import last_touch_attribution
+
+    t = lambda d, s=0: dt.datetime(2024, 1, 1 + d, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: click last-of-day-0, purchase first-of-day-1
+        (1, 1, "click", None, t(0, 86399 % 60)),
+        (2, 1, "purchase", 10.0, t(1, 0)),
+        # user 2: view day 0, silent day 1-2, purchase day 3 (carry
+        # crosses two empty chunks)
+        (3, 2, "view", None, t(0)),
+        (4, 2, "purchase", 5.0, t(3)),
+        # user 3: touch day 0, purchase day 9 → lookback EXPIRED on a
+        # carry-in → direct
+        (5, 3, "click", None, t(0)),
+        (6, 3, "purchase", 2.0, t(9)),
+        # user 4: same-second tie in one chunk — lower event_id touch
+        # credits
+        (7, 4, "view", None, t(5)),
+        (8, 4, "purchase", 1.0, t(5)),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp",
+    )
+    want = {
+        ("click", 1, 1000),
+        ("view", 2, 600),
+        ("direct", 1, 200),
+    }
+    for seg in (None, 86400, 3600):
+        got = {
+            (r.channel, r.n_purchases, r.revenue_cents)
+            for r in last_touch_attribution(e, segment_s=seg).collect()
+        }
+        assert got == want, f"segment_s={seg}: {got}"
+
+
+def test_last_touch_segmented_window_is_chunk_partitioned(spark, sf_dir):
+    """The plan property the lever exists for: with segment_s set, the
+    event-level window partitions by (user_id, seg) — task width is
+    bounded by the chunk, not the user — and NO window in the plan
+    runs user-partitioned over raw events (only the carry fold over
+    the per-chunk summary table does, whose per-user row count is
+    #chunks)."""
+    import re
+
+    from klio_spark.queries import load
+    from klio_spark.queries.behavior import last_touch_attribution
+
+    (e,) = load(spark, sf_dir, "events")
+    txt = plans.plan_str(
+        last_touch_attribution(e, segment_s=86400), mode="simple"
+    )
+    win_specs = re.findall(
+        r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", txt
+    )
+    assert win_specs, txt
+    chunked = [
+        (p, o) for p, o in win_specs if "seg" in p and "user_id" in p
+    ]
+    assert chunked, f"no (user_id, seg)-partitioned window: {win_specs}"
+    # windows partitioned by user_id ALONE must only be the carry fold:
+    # ordered by seg, i.e. running over the per-chunk summary table
+    # (rows per user = #chunks), never over raw events
+    for p, o in win_specs:
+        if "seg" not in p:
+            assert o.strip().startswith("seg"), (
+                f"event-level window not chunk-bounded: [{p}], [{o}]"
+            )
