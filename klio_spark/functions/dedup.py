@@ -58,6 +58,22 @@ def exact_dedup(
 # shingles + MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+# ASCII-\s tokenizer for the Python-fused shinglers: bare str.split()
+# breaks on UNICODE whitespace (NBSP, U+2028, ...) that neither the JVM
+# tokenizer (Java \s = [ \t\n\x0B\f\r]) nor the DuckDB oracle (RE2 \s)
+# splits on; re.ASCII pins Python's \s to that same ASCII set, so the
+# three tokenizers agree on every codepoint (round-7 unicode corpus).
+_WS_ASCII = None
+
+
+def _ws_tokens(t):
+    global _WS_ASCII
+    if _WS_ASCII is None:
+        import re
+
+        _WS_ASCII = re.compile(r"\s+", re.ASCII)
+    return [x for x in _WS_ASCII.split((t or "").lower()) if x]
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Short docs (<n tokens) contribute
     their whole token string as a single shingle so they never vanish."""
@@ -84,7 +100,13 @@ def shingle_hashes(text_col: Column, n: int = 3) -> Column:
     2^-64 collisions, and every downstream op (inverted index, minhash,
     verify intersect) is integer-typed — this replaces three interpreted
     HOF passes (sequence/slice/concat_ws, then hashing) with numpy-speed
-    python and 8-byte keys."""
+    python and 8-byte keys.
+
+    Tokenization is the ASCII-\\s rule (`_ws_tokens`), NOT Python's
+    str.split(): bare split() breaks on Unicode whitespace (NBSP,
+    U+2028, ...) that neither the JVM tokenizer (tokens(), Java \\s)
+    nor the DuckDB oracle (RE2 \\s) treats as a separator — the
+    round-7 unicode differential corpus caught exactly that skew."""
     import hashlib
 
     import numpy as np
@@ -94,7 +116,7 @@ def shingle_hashes(text_col: Column, n: int = 3) -> Column:
     def _sh(texts):
         out = []
         for t in texts:
-            toks = (t or "").lower().split()
+            toks = _ws_tokens(t)
             if len(toks) >= n:
                 grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             else:
@@ -132,7 +154,7 @@ def shingle_strings(text_col: Column, n: int = 3) -> Column:
     def _sh(texts):
         out = []
         for t in texts:
-            toks = (t or "").lower().split()
+            toks = _ws_tokens(t)  # ASCII-\s rule — see shingle_hashes
             if len(toks) >= n:
                 grams = list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
             else:

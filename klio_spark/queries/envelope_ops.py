@@ -161,9 +161,17 @@ def q84_udf_quarantine(spark: SparkSession, sf_dir: str):
 
     @handle_klio("element string, n_tokens int")
     def tokenize(element, payload, text=None, **_):
+        import re
+
         if int(element) % 97 == 0:
             raise ValueError(f"poisoned element {element}")
-        return {"element": element, "n_tokens": len(text.split())}
+        # ASCII-\s token rule — matches the oracle's RE2 \s+ split on
+        # every codepoint (Python's bare split() would also break on
+        # NBSP and other Unicode whitespace; see dedup._ws_tokens)
+        return {
+            "element": element,
+            "n_tokens": len(re.findall(r"\S+", text, re.ASCII)),
+        }
 
     ok, quarantine = split_errors(tokenize(df))
     return ok.withColumn("status", F.lit("ok")).unionByName(

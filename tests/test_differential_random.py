@@ -716,3 +716,163 @@ def test_random_basket_matches_oracle(spark, basket_corpora, qname):
         )
         want = canon_frame(con.execute(spec.sql).df())
         assert got == want, f"{qname} diverged on {sf_dir}"
+
+
+# ---- round 7: unicode-pathology corpus (VERDICT r6 item 5) ----------
+#
+# The standard random corpus has accented words but no combining marks,
+# zero-width/control characters, or astral-plane codepoints. Probed
+# divergence surface (recorded in BASELINE.md round 7): JVM lower()
+# implements Unicode FULL + CONTEXTUAL case mapping while DuckDB's
+# utf8proc lower() is SIMPLE codepoint-wise — they disagree on exactly
+# TWO inputs: U+0130 İ (JVM: 'i'+U+0307, growing the string; DuckDB:
+# 'i') and capital Σ (JVM: contextual final-sigma ς at word end;
+# DuckDB: σ always). EVERYTHING else agrees: NFC vs NFD (neither
+# engine normalizes — composed and decomposed 'café' are distinct
+# words with different lengths on BOTH sides), combining marks,
+# zero-width space/joiner, control chars, astral-plane emoji / math
+# letters / CJK-extension codepoints, NBSP (not \\s in Java OR RE2),
+# ligatures (ﬁ lowers to itself, ǅ→ǆ), ẞ→ß, and split('') iterates
+# CODEPOINTS (never bytes or surrogate halves) on both engines. The
+# corpus therefore includes every agreeing pathology and EXCLUDES the
+# two divergent characters; test_unicode_lower_contract pins that
+# boundary so an engine upgrade that moves it fails loudly.
+
+UNICODE_WORDS = [
+    # NFC/NFD twins — distinct words, distinct lengths, both engines
+    "café", "café", "über", "über",
+    # leading combining marks / bare marks
+    "́abc", "́́",
+    # zero-width space / joiner inside a word (not whitespace in
+    # either engine's \\s)
+    "ab​cd", "a‍b",
+    # astral plane: emoji, mathematical alphanumerics, CJK ext B
+    "\U0001F600\U0001F680", "\U0001D54F\U0001D54E", "\U00020000\U00020001",
+    # NBSP joins — one token on both engines
+    "a b",
+    # control characters inside tokens
+    "x\x01y", "z\x7f",
+    # ligatures and titlecase digraphs
+    "ﬁle", "ǅungla",
+    # case-mapped but NON-contextual scripts: German, Cyrillic, Greek
+    # lowercase (capital Σ excluded — the contextual divergence)
+    "straße", "ẞHEAVY", "Привет",
+    "σοφος", "ÅNGSTRÖM",
+    # Turkish lowercase dotless ı (İ excluded — the full-map divergence)
+    "ıstanbul", "DaTa", "THE", "42",
+]
+
+
+def _random_unicode_corpus(seed: int, n_docs: int = 50) -> pd.DataFrame:
+    rng = random.Random(seed)
+    rows, texts = [], []
+    for i in range(n_docs):
+        kind = rng.randrange(10)
+        if kind == 0:
+            text = ""
+        elif kind == 1:
+            text = rng.choice(UNICODE_WORDS)  # single pathological token
+        elif kind == 2 and texts:
+            text = rng.choice(texts)  # exact duplicate
+        elif kind == 3:
+            text = None
+        elif kind == 4:
+            # token runs of one pathological word
+            text = " ".join([rng.choice(UNICODE_WORDS)] * rng.randrange(4, 20))
+        else:
+            text = " ".join(
+                rng.choice(UNICODE_WORDS) for _ in range(rng.randrange(3, 30))
+            )
+        if text is not None:
+            texts.append(text)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": rng.choice(["en", "de", "el"]),
+                "source": rng.choice(["web", "book"]),
+                "n_chars": len(text) if text is not None else None,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    return pdf
+
+
+# the text family over documents — tokenization, casefolding, character
+# splitting, hashing, shingling, and BPE all touch the raw codepoints
+UNICODE_QUERIES = [
+    "q60_token_stats",
+    "q61_quality_features",
+    "q62_lang_id",
+    "q63_fingerprint",
+    "q64_exact_dedup",
+    "q156_token_entropy",
+    "q174_text_normalize",
+    "q182_vocab_growth",
+    "q183_shingle_novelty",
+    "q184_source_overlap_matrix",
+    "q186_bpe_train_rounds",
+    "q187_pmi_collocations",
+    "q188_winnowing_pairs",
+    "q189_textrank_keywords",
+    "q190_lexical_gini",
+    "q203_bpe_encode",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_corpora(tmp_path_factory):
+    out = []
+    for seed in (13, 99):
+        d = tmp_path_factory.mktemp(f"uni{seed}")
+        _random_unicode_corpus(seed).to_parquet(
+            os.path.join(d, "documents.parquet"), index=False
+        )
+        out.append(str(d))
+    return out
+
+
+@pytest.mark.parametrize("qname", UNICODE_QUERIES)
+def test_random_unicode_matches_oracle(spark, unicode_corpora, qname):
+    spec = all_queries()[qname]
+    for sf_dir in unicode_corpora:
+        got = canon_frame(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        want = canon_frame(con.execute(spec.sql).df())
+        assert got == want, f"{qname} diverged on {sf_dir}"
+
+
+def test_unicode_lower_contract(spark):
+    """Pins the casefolding divergence boundary: every UNICODE_WORDS
+    entry lowercases IDENTICALLY on both engines, and the two excluded
+    characters are genuinely divergent (JVM full/contextual mapping vs
+    utf8proc simple mapping) — so the corpus's exclusion list is
+    exactly the real divergence set, no wider."""
+    from pyspark.sql import functions as F
+
+    included = UNICODE_WORDS
+    divergent = ["İstanbul", "ΣΟΦΟΣ"]
+    df = spark.createDataFrame(
+        [(w,) for w in included + divergent], "w string"
+    )
+    s = {r.w: r.lo for r in df.select("w", F.lower("w").alias("lo")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(w VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?)", [(w,) for w in included + divergent]
+    )
+    d = dict(con.execute("SELECT w, lower(w) FROM t").fetchall())
+    for w in included:
+        assert s[w] == d[w], (w, s[w], d[w])
+    for w in divergent:
+        assert s[w] != d[w], f"divergence healed — corpus may include {w!r}"
+    # the exact documented shapes
+    assert s["İstanbul"] == "i̇stanbul"
+    assert d["İstanbul"] == "istanbul"
+    assert s["ΣΟΦΟΣ"].endswith("ς")
+    assert d["ΣΟΦΟΣ"].endswith("σ")
