@@ -105,15 +105,15 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # verification-scheduling decision: front-load the entries with the LEAST
 # official evidence.
 #
-#   1. _VERIFY_FIRST — round-6 rotation. The cumulative r1-r5 records
-#      cover all 178 entries green, so the debt is (a) what round 6
-#      TOUCHED (q186/q187/q189 array-side adjacency rewrite, q190's
-#      decimal numerator, q181's kernel extraction, q167/q168's ADC
-#      empty-batch guard — all replica-green locally, but the driver
-#      record is what counts), then (b) the LONGEST-UNVERIFIED tail:
-#      entries whose latest driver check is round 1, then round 2
-#      (stalest-first, name-tiebroken), so the 50-entry window keeps
-#      refreshing the oldest evidence each round.
+#   1. _VERIFY_FIRST — round-7 rotation (VERDICT r6 item 2: clear the
+#      stale tail). Order: (a) q203, NEW this round; (b) ALL 46 entries
+#      whose latest driver check is round 1 (q83/q84) or round 2 — one
+#      50-slot window covers the entire stale tail, leaving no registry
+#      entry's external evidence older than r3; (c) what round 7
+#      TOUCHED (the fused-shingler ASCII-tokenizer fix → q183/q184 +
+#      the minhash family, the q186/q203 shared merge loop, q199's
+#      kernel refactor, the scoped-persist conversion) — all
+#      replica-green locally, fronted in case the window runs past 50.
 #   2. Everything else in import order — where NEW queries land
 #      automatically (neither in the prefix nor in _DRIVER_GREEN).
 #   3. _DRIVER_GREEN — entries hash-verified by a driver round and
@@ -122,58 +122,7 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 #      (the round-5 wave q181-q194 and the r5 re-verifications sit at
 #      the very end — they have the freshest evidence).
 _VERIFY_FIRST = [
-    # NEW in round 6 — zero driver evidence yet
-    "q202_attribution_position_based",
-    "q199_attribution_last_touch",
-    "q200_k_anonymity",
-    "q201_apriori_triples",
-    "q195_mixture_temperature",
-    "q196_curriculum_phases",
-    "q197_filtered_ann_topk",
-    "q198_interval_coverage",
-    # CHANGED in round 6
-    "q186_bpe_train_rounds",
-    "q187_pmi_collocations",
-    "q189_textrank_keywords",
-    "q190_lexical_gini",
-    "q181_misra_gries_heavy_hitters",
-    "q167_pq_adc_quality",
-    "q168_ivfpq_topk",
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_group_stats",
-    "q05_rollup",
-    "q06_count_distinct",
-    "q07_median_percentile",
-    "q08_grouped_pandas_udaf",
-    "q09_arg_min_max",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_outer_join_coalesce",
-    "q13_cogroup_counts",
-    "q14_nonequi_self_join",
-    "q20_window_topn_per_group",
-    "q21_window_running_sum",
-    "q22_window_lag_lead",
-    "q23_top_items_global",
-    "q24_ntile_percent_rank",
-    "q30_union_distinct_intersect_except",
-    "q31_drop_duplicates",
-    "q40_string_funcs",
-    "q41_date_funcs",
-    "q43_null_scalars",
-    "q44_string_funcs2",
-    "q46_calendar_funcs",
-    "q47_regexp_filter",
-    "q55_above_group_avg",
-    "q61_quality_features",
-    "q62_lang_id",
-    "q63_fingerprint",
-    "q64_exact_dedup",
-    "q65_ngram_jaccard_pairs",
-    "q80_prologue_routing",
-    "q81_recipients_routing",
-    "q82_audit_log",
+    "q203_bpe_encode",
     "q83_payload_roundtrip",
     "q84_udf_quarantine",
     "q100_bloom_semi_join",
@@ -186,9 +135,6 @@ _VERIFY_FIRST = [
     "q110_activity_runs",
     "q111_cdc_merge",
     "q112_negative_sampling",
-]
-
-_DRIVER_GREEN = [
     "q113_keep_latest",
     "q114_interval_overlap_join",
     "q115_table_profile",
@@ -223,6 +169,26 @@ _DRIVER_GREEN = [
     "q97_tfidf_top_terms",
     "q98_hll_distinct_rollup",
     "q99_kll_quantile_ranks",
+    "q183_shingle_novelty",
+    "q184_source_overlap_matrix",
+    "q186_bpe_train_rounds",
+    "q199_attribution_last_touch",
+    "q188_winnowing_pairs",
+    "q201_apriori_triples",
+    "q160_triangle_count",
+    "q169_bfs_khop",
+    "q181_misra_gries_heavy_hitters",
+    "q185_cluster_safe_split",
+    "q65_ngram_jaccard_pairs",
+    "q66_minhash_lsh_dedup",
+    "q106_minhash_lsh_recall",
+    "q129_minhash_bucket_table",
+    "q133_dedup_survivors",
+    "q151_shingle_containment",
+    "q195_mixture_temperature",
+]
+
+_DRIVER_GREEN = [
     "q04_conditional_agg",
     "q102_unpivot",
     "q131_trigger_upstream_batch",
@@ -232,7 +198,6 @@ _DRIVER_GREEN = [
     "q138_vocab_coverage",
     "q141_bigram_lm_score",
     "q143_skew_profile",
-    "q151_shingle_containment",
     "q15_asof_join",
     "q32_cube",
     "q34_window_range_frame",
@@ -253,7 +218,6 @@ _DRIVER_GREEN = [
     "q75_embedding_centroids",
     "q76_binary_meta",
     "q77_bpe_token_count",
-    "q133_dedup_survivors",
     "q137_span_corruption",
     "q140_kmeans_assign",
     "q142_time_decay_score",
@@ -270,10 +234,8 @@ _DRIVER_GREEN = [
     "q175_cm_filtered_heavy_keys",
     "q177_grouping_sets",
     "q178_phrase_search",
-    "q106_minhash_lsh_recall",
     "q108_event_funnel",
     "q121_centroid_similarity",
-    "q129_minhash_bucket_table",
     "q130_interval_join_batch",
     "q134_semantic_dedup",
     "q139_psi_drift",
@@ -289,30 +251,67 @@ _DRIVER_GREEN = [
     "q157_int8_ann_topk",
     "q158_compaction_plan",
     "q159_zonemap_pruning",
-    "q160_triangle_count",
     "q161_incremental_join_view",
     "q162_ks_drift",
     "q163_cusum_changepoint",
-    "q169_bfs_khop",
     "q170_gram_matrix",
     "q176_pit_scd2_join",
     "q179_ewma_features",
     "q180_mad_outliers",
     "q182_vocab_growth",
-    "q183_shingle_novelty",
-    "q184_source_overlap_matrix",
-    "q185_cluster_safe_split",
-    "q188_winnowing_pairs",
     "q191_event_paths",
     "q192_association_rules",
     "q193_conversion_lifetable",
     "q194_mmr_diverse_topk",
-    "q66_minhash_lsh_dedup",
     "q67_simhash_dedup",
     "q70_ann_bruteforce_topk",
     "q71_ann_lsh_topk",
     "q72_embedding_near_dups",
     "q74_ann_ivf_topk",
+    "q202_attribution_position_based",
+    "q200_k_anonymity",
+    "q196_curriculum_phases",
+    "q197_filtered_ann_topk",
+    "q198_interval_coverage",
+    "q187_pmi_collocations",
+    "q189_textrank_keywords",
+    "q190_lexical_gini",
+    "q167_pq_adc_quality",
+    "q168_ivfpq_topk",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_group_stats",
+    "q05_rollup",
+    "q06_count_distinct",
+    "q07_median_percentile",
+    "q08_grouped_pandas_udaf",
+    "q09_arg_min_max",
+    "q10_semi_join",
+    "q11_anti_join",
+    "q12_outer_join_coalesce",
+    "q13_cogroup_counts",
+    "q14_nonequi_self_join",
+    "q20_window_topn_per_group",
+    "q21_window_running_sum",
+    "q22_window_lag_lead",
+    "q23_top_items_global",
+    "q24_ntile_percent_rank",
+    "q30_union_distinct_intersect_except",
+    "q31_drop_duplicates",
+    "q40_string_funcs",
+    "q41_date_funcs",
+    "q43_null_scalars",
+    "q44_string_funcs2",
+    "q46_calendar_funcs",
+    "q47_regexp_filter",
+    "q55_above_group_avg",
+    "q61_quality_features",
+    "q62_lang_id",
+    "q63_fingerprint",
+    "q64_exact_dedup",
+    "q80_prologue_routing",
+    "q81_recipients_routing",
+    "q82_audit_log",
 ]
 
 
