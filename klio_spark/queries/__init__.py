@@ -123,6 +123,7 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 #      the very end — they have the freshest evidence).
 _VERIFY_FIRST = [
     "q203_bpe_encode",
+    "q204_mrl_prefix_recall",
     "q83_payload_roundtrip",
     "q84_udf_quarantine",
     "q100_bloom_semi_join",

@@ -1091,3 +1091,140 @@ def q197_filtered_ann_topk(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= 3)
         .select("query_id", "label", "neighbor_id", "cosine", "rank")
     )
+
+
+def _mrl_sql_dot(d: int) -> str:
+    """Exact int64 dot over the FIRST ``d`` components (q170/_int_vec
+    quantization) — the oracle side of the prefix-dimension dots."""
+    return (
+        "list_aggregate([CAST(FLOOR(q.v[i] * 1000000) AS BIGINT)"
+        " * CAST(FLOOR(c.v[i] * 1000000) AS BIGINT)"
+        f" FOR i IN range(1, {d} + 1)], 'sum')"
+    )
+
+
+_MRL_DIMS = (8, 16, 32)
+
+
+@register(
+    "q204_mrl_prefix_recall",
+    f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_mrl_sql_dot(64)} AS s64,
+             {_mrl_sql_dot(8)} AS s8,
+             {_mrl_sql_dot(16)} AS s16,
+             {_mrl_sql_dot(32)} AS s32
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s64 DESC, neighbor_id) AS rn64,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s8 DESC, neighbor_id) AS rn8,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s16 DESC, neighbor_id) AS rn16,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s32 DESC, neighbor_id) AS rn32
+      FROM scored
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN rn64 <= 10 THEN 1 ELSE 0 END) AS n_truth,
+             SUM(CASE WHEN rn64 <= 10 AND rn8 <= 10 THEN 1 ELSE 0 END) AS h8,
+             SUM(CASE WHEN rn64 <= 10 AND rn16 <= 10 THEN 1 ELSE 0 END) AS h16,
+             SUM(CASE WHEN rn64 <= 10 AND rn32 <= 10 THEN 1 ELSE 0 END) AS h32
+      FROM ranked
+    )
+    SELECT CAST(8 AS BIGINT) AS d_prefix, CAST(h8 AS BIGINT) AS hits,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(h8 * 10000 // n_truth AS BIGINT) AS recall_bp FROM agg
+    UNION ALL
+    SELECT 16, CAST(h16 AS BIGINT), CAST(n_truth AS BIGINT),
+           CAST(h16 * 10000 // n_truth AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 32, CAST(h32 AS BIGINT), CAST(n_truth AS BIGINT),
+           CAST(h32 * 10000 // n_truth AS BIGINT) FROM agg
+    """,
+    doc="Matryoshka (MRL) truncated-dimension retrieval quality — the "
+    "evaluation every modern embedding deployment runs before shipping "
+    "shortened vectors (Kusupati et al. 2022; OpenAI/Cohere 'dimensions' "
+    "params): recall@10 of exact top-10 under PREFIX dots (d'=8/16/32 of "
+    "64) against the full-dimension exact top-10, per the q70 query/corpus "
+    "split. All dots are exact int64 over FLOOR(x*1e6) components (q170 "
+    "convention) so rankings are bit-identical cross-engine; ties break "
+    "on neighbor_id. Scale shape: ONE corpus scan computes all four dots "
+    "(the prefix dot is a slice of the same zip_with fold), then four "
+    "row_number windows share ONE query_id exchange of the skinny "
+    "(ids + 4 longs) scored table; recall aggregates map-side. The "
+    "denominator is the realized truth-set size (n_truth), so sub-10 "
+    "corpora stay exact.",
+)
+def q204_mrl_prefix_recall(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter((F.col("vec_id") < 10) & F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _int_vec(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = e.filter(
+        (F.col("vec_id") >= 10) & F.col("embedding").isNotNull()
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _int_vec(F.col("embedding")).alias("cv"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        _int_dot(F.col("qv"), F.col("cv")).alias("s64"),
+        *[
+            _int_dot(
+                F.slice(F.col("qv"), 1, d), F.slice(F.col("cv"), 1, d)
+            ).alias(f"s{d}")
+            for d in _MRL_DIMS
+        ],
+    )
+
+    def rn(col):
+        return F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc(col), F.asc("neighbor_id")
+            )
+        )
+
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        rn("s64").alias("rn64"),
+        *[rn(f"s{d}").alias(f"rn{d}") for d in _MRL_DIMS],
+    )
+    in10 = lambda c_: F.col(c_) <= 10  # noqa: E731
+    agg = ranked.agg(
+        F.sum(in10("rn64").cast("long")).alias("n_truth"),
+        *[
+            F.sum((in10("rn64") & in10(f"rn{d}")).cast("long")).alias(
+                f"h{d}"
+            )
+            for d in _MRL_DIMS
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({d} AS BIGINT), h{d}" for d in _MRL_DIMS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_MRL_DIMS)}, {stack}) AS (d_prefix, hits)"
+        ),
+        "n_truth",
+    ).select(
+        "d_prefix",
+        "hits",
+        "n_truth",
+        F.expr("hits * 10000 div n_truth").cast("bigint").alias("recall_bp"),
+    )

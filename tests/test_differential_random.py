@@ -491,6 +491,11 @@ EMB_QUERIES = [
     # round-6: filtered ANN (string labels again; the zero query vector
     # ties with its whole label stripe -> neighbor-id order)
     "q197_filtered_ann_topk",
+    # round-7: MRL prefix recall on a dim-16 corpus — the 32-prefix
+    # exceeds the vector length, so Spark's slice truncation and
+    # DuckDB's NULL-skipping sum must converge on the same 16-dim dot;
+    # zero/duplicate vectors force rank ties at the top-10 boundary
+    "q204_mrl_prefix_recall",
 ]
 
 
