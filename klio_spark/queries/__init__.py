@@ -124,6 +124,7 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 _VERIFY_FIRST = [
     "q203_bpe_encode",
     "q204_mrl_prefix_recall",
+    "q205_dsir_selection",
     "q83_payload_roundtrip",
     "q84_udf_quarantine",
     "q100_bloom_semi_join",

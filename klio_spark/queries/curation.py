@@ -882,3 +882,107 @@ def q196_curriculum_phases(spark: SparkSession, sf_dir: str):
             F.sum("doc_id").cast("bigint").alias("sum_ids"),
         )
     )
+
+
+@register(
+    "q205_dsir_selection",
+    """
+    WITH toks AS (
+      SELECT d.doc_id, d.source, lower(t.w) AS w,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM documents d,
+           unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+      WHERE d.text IS NOT NULL AND t.w <> ''
+      GROUP BY 1, 2, 3
+    ),
+    vocab AS (
+      SELECT w, SUM(k) AS cnt_b,
+             SUM(CASE WHEN source = 'src0' THEN k ELSE 0 END) AS cnt_t
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(cnt_b) AS n_b, SUM(cnt_t) AS n_t, COUNT(*) AS v
+      FROM vocab
+    ),
+    r AS (
+      SELECT w,
+             CAST((CAST(cnt_t + 1 AS HUGEINT) * (n_b + v) * 1000000)
+                  // (CAST(cnt_b + 1 AS HUGEINT) * (n_t + v))
+                  AS BIGINT) AS r_ppm
+      FROM vocab, tot
+    )
+    SELECT doc_id, n_tokens, score_ppm FROM (
+      SELECT t.doc_id,
+             CAST(SUM(t.k) AS BIGINT) AS n_tokens,
+             CAST(SUM(t.k * r.r_ppm) // SUM(t.k) AS BIGINT) AS score_ppm
+      FROM toks t JOIN r USING (w)
+      GROUP BY 1
+    )
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT 20
+    """,
+    doc="importance-weighted data selection (the DSIR shape — Xie et "
+    "al. 2023: rank raw-pool documents by how target-like their "
+    "n-gram distribution is; the data-selection pass between crawl "
+    "and training mix): per word, a Laplace-smoothed target/background "
+    "likelihood ratio in exact integer ppm — (cnt_t+1)(N_b+V)·1e6 // "
+    "(cnt_b+1)(N_t+V), target = source 'src0', background = the whole "
+    "pool — and per doc the k-weighted mean ratio over its tokens; "
+    "top-20 by (score desc, doc_id). The ratio numerator runs in "
+    "decimal(38,0)/HUGEINT (the q190 trick: cnt·N·1e6 passes 2^63 once "
+    "cnt_t·N_b > ~9e12 — real at 100 TB); the per-doc sum stays int64 "
+    "(k·r_ppm ≤ ~1e11 per row at any realistic doc length). An EMPTY "
+    "target (corpora without src0) degrades to a pure rarity score "
+    "1e6//(cnt_b+1) — deterministic on both engines, exercised by the "
+    "random differential corpus. Scale shape: one (doc, word) agg and "
+    "one word agg (both map-side-combinable); the ratio table is "
+    "vocabulary-sized and joins word-keyed (AQE broadcasts when "
+    "small); totals ride an in-plan 1-row broadcast, never the driver.",
+)
+def q205_dsir_selection(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tx.tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    vocab = toks.groupBy("w").agg(
+        F.sum("k").alias("cnt_b"),
+        F.sum(F.when(F.col("source") == "src0", F.col("k")).otherwise(0)).alias(
+            "cnt_t"
+        ),
+    )
+    tot = vocab.agg(
+        F.sum("cnt_b").alias("n_b"),
+        F.sum("cnt_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    r = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.expr(
+                "CAST((CAST(cnt_t + 1 AS DECIMAL(38,0)) * (n_b + v) * 1000000)"
+                " div (CAST(cnt_b + 1 AS DECIMAL(38,0)) * (n_t + v))"
+                " AS BIGINT)"
+            ).alias("r_ppm"),
+        )
+    )
+    return (
+        toks.join(r, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(SUM(k * r_ppm) div SUM(k) AS BIGINT)").alias(
+                "score_ppm"
+            ),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_tokens", "score_ppm")
+    )

@@ -153,6 +153,10 @@ QUERIES = [
     # changing the merge list; empty/single-char words encode to 0/1
     # tokens; n_tokens ties at the top-20 boundary break on doc_id)
     "q203_bpe_encode",
+    # round-7: DSIR selection — this corpus has NO src0 docs, so the
+    # EMPTY-target degradation (pure rarity score 1e6//(cnt_b+1)) must
+    # agree; duplicate docs tie scores exactly at the top-20 boundary
+    "q205_dsir_selection",
 ]
 
 
