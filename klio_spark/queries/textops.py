@@ -1768,3 +1768,91 @@ def q203_bpe_encode(spark: SparkSession, sf_dir: str):
         .limit(20)
         .select("doc_id", "n_tokens", "n_chars")
     )
+
+
+@register(
+    "q206_char_coverage",
+    """
+    WITH ch AS (
+      SELECT lang, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT d.lang, u.c
+        FROM documents d,
+             unnest(string_split_regex(d.text, '')) AS u(c)
+        WHERE d.text IS NOT NULL AND u.c <> ''
+          AND u.c NOT IN (' ', chr(9), chr(10), chr(13), chr(11), chr(12))
+      )
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, c, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, c) AS rk,
+             SUM(cnt) OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, c
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS tot,
+             COUNT(*) OVER (PARTITION BY lang) AS n_distinct
+      FROM ch
+    )
+    SELECT lang,
+           CAST(MIN(n_distinct) AS BIGINT) AS n_distinct_chars,
+           CAST(MIN(tot) AS BIGINT) AS total_chars,
+           CAST(MIN(CASE WHEN cum * 1000 >= tot * 999 THEN rk END)
+                AS BIGINT) AS chars_999
+    FROM ranked
+    GROUP BY lang
+    """,
+    doc="character-coverage planning (the SentencePiece "
+    "character_coverage dial — how many distinct characters a "
+    "tokenizer's alphabet needs per language before byte-fallback "
+    "takes the tail): per lang, count every non-whitespace character "
+    "occurrence (split('') iterates CODEPOINTS identically on both "
+    "engines — proven by the round-7 unicode contract), rank chars by "
+    "(count desc, char asc), and report the alphabet size that covers "
+    "99.9% of occurrences (first rank whose running sum crosses "
+    "999/1000 — integer cross-multiplication, no division). The "
+    "classic CJK-vs-alphabetic diagnostic: en needs tens of chars, zh "
+    "thousands. Scale shape: the per-character explode feeds ONE "
+    "map-side-combinable (lang, char) agg — the shuffle carries "
+    "distinct (lang, char) partials, never the corpus characters — and "
+    "all windows run per-lang on the alphabet-sized table.",
+)
+def q206_char_coverage(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    ws = (" ", "\t", "\n", "\r", "\x0b", "\x0c")
+    ch = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), ""),
+                    lambda c: (c != "") & ~c.isin(*ws),
+                )
+            ).alias("c"),
+        )
+        .groupBy("lang", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wo = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("c"))
+    wp = Window.partitionBy("lang")
+    ranked = ch.select(
+        "lang",
+        "cnt",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("cnt")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n_distinct"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.min("n_distinct").cast("bigint").alias("n_distinct_chars"),
+        F.min("tot").cast("bigint").alias("total_chars"),
+        F.min(
+            F.when(F.col("cum") * 1000 >= F.col("tot") * 999, F.col("rk"))
+        )
+        .cast("bigint")
+        .alias("chars_999"),
+    )

@@ -154,9 +154,12 @@ QUERIES = [
     # tokens; n_tokens ties at the top-20 boundary break on doc_id)
     "q203_bpe_encode",
     # round-7: DSIR selection — this corpus has NO src0 docs, so the
-    # EMPTY-target degradation (pure rarity score 1e6//(cnt_b+1)) must
+    # EMPTY-target degradation (pure rarity score 1e6//(cnt_b)) must
     # agree; duplicate docs tie scores exactly at the top-20 boundary
     "q205_dsir_selection",
+    # round-7: char coverage (count ties across the rank permutation;
+    # the 99.9% boundary must land on the same rank both engines)
+    "q206_char_coverage",
 ]
 
 
@@ -827,6 +830,9 @@ UNICODE_QUERIES = [
     "q189_textrank_keywords",
     "q190_lexical_gini",
     "q203_bpe_encode",
+    # char coverage IS a codepoint-split op — astral/combining/zero-
+    # width chars are first-class alphabet entries on both engines
+    "q206_char_coverage",
 ]
 
 
