@@ -126,6 +126,7 @@ _VERIFY_FIRST = [
     "q204_mrl_prefix_recall",
     "q205_dsir_selection",
     "q206_char_coverage",
+    "q207_budget_mixture",
     "q83_payload_roundtrip",
     "q84_udf_quarantine",
     "q100_bloom_semi_join",

@@ -1033,3 +1033,92 @@ def q195_mixture_temperature(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("epoch_docs"),
     )
+
+
+@register(
+    "q207_budget_mixture",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(t.w) AS BIGINT) AS src_tokens,
+             CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_types
+      FROM documents d
+           LEFT JOIN LATERAL unnest(
+             list_filter(string_split_regex(lower(d.text), '\\s+'),
+                         x -> x != '')) AS t(w) ON TRUE
+      GROUP BY source
+    ),
+    q AS (
+      SELECT source, src_tokens,
+             CASE WHEN src_tokens = 0 THEN 0
+                  ELSE n_types * 1000000 // src_tokens END AS ttr_ppm
+      FROM s
+    ),
+    b AS (SELECT SUM(src_tokens) * 2 // 5 AS budget FROM q),
+    r AS (
+      SELECT source, src_tokens, ttr_ppm,
+             COALESCE(SUM(src_tokens) OVER (
+               ORDER BY ttr_ppm DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM q
+    )
+    SELECT source, ttr_ppm, src_tokens,
+           CAST(GREATEST(0, LEAST(src_tokens, budget - cum_prev))
+                AS BIGINT) AS taken_tokens
+    FROM r CROSS JOIN b
+    """,
+    doc="token-budget-capped quality mixture — the data-mixing decision "
+    "run when the training budget is smaller than the pool: rank "
+    "sources by a deterministic quality proxy (type-token ratio in "
+    "integer ppm — boilerplate-heavy sources score low), then take "
+    "sources greedily in rank order until a RELATIVE budget (40% of "
+    "pool tokens — scale-stable, the q201 relative-threshold lesson) "
+    "is exhausted, the boundary source contributing exactly the "
+    "remainder. Output per source: quality, size, and taken_tokens "
+    "(0 = excluded); takes sum to min(budget, pool) exactly — all "
+    "integer arithmetic, ties (ttr, source) pinned. Scale shape: one "
+    "corpus-scan agg to the #sources-row table (distinct-word count "
+    "via map-side-combinable partial aggs), every window on that tiny "
+    "table; the budget scalar rides a 1-row broadcast.",
+)
+def q207_budget_mixture(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode_outer(tx.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    s = toks.groupBy("source").agg(
+        F.sum(F.when(F.col("w").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("src_tokens"),
+        F.count_distinct(F.col("w")).cast("bigint").alias("n_types"),
+    )
+    q = s.select(
+        "source",
+        "src_tokens",
+        F.when(F.col("src_tokens") == 0, F.lit(0))
+        .otherwise(F.expr("n_types * 1000000 div src_tokens"))
+        .cast("bigint")
+        .alias("ttr_ppm"),
+    )
+    b = q.agg(F.expr("SUM(src_tokens) * 2 div 5").alias("budget"))
+    w = Window.orderBy(F.desc("ttr_ppm"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = q.select(
+        "source",
+        "src_tokens",
+        "ttr_ppm",
+        F.coalesce(F.sum("src_tokens").over(w), F.lit(0)).alias("cum_prev"),
+    )
+    return r.crossJoin(F.broadcast(b)).select(
+        "source",
+        "ttr_ppm",
+        "src_tokens",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("src_tokens"), F.col("budget") - F.col("cum_prev")),
+        )
+        .cast("bigint")
+        .alias("taken_tokens"),
+    )

@@ -160,6 +160,11 @@ QUERIES = [
     # round-7: char coverage (count ties across the rank permutation;
     # the 99.9% boundary must land on the same rank both engines)
     "q206_char_coverage",
+    # round-7: budget mixture (sources built from a TINY shared pool ->
+    # dense ttr ties broken by source name; NULL/empty docs keep their
+    # source in the table at src_tokens=0; boundary source takes the
+    # exact remainder)
+    "q207_budget_mixture",
 ]
 
 
