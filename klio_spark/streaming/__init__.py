@@ -1550,3 +1550,58 @@ def stateful_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_char_coverage(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live per-language character-frequency table — the streaming twin
+    of q206's character-coverage planning (the SentencePiece
+    character_coverage dial, kept current as the crawl streams in).
+
+    The (lang, char) counts accumulate in Spark's built-in incremental
+    streaming aggregation (complete mode): state is one int64 per
+    DISTINCT (lang, char) — bounded by the union alphabet, never the
+    corpus (the same bound that makes q206's shuffle cheap; a CJK-heavy
+    stream tops out at a few thousand rows per lang). Each trigger
+    hands the live table (lang, c, cnt — the exact schema q206's
+    window half consumes) to ``sink(counts, batch_id)``; coverage
+    ranks/boundaries are a trivial window over that tiny table, so the
+    consumer runs them per trigger or on demand. Counts are a
+    cell-wise-additive function of the character multiset, so the live
+    table after any stream prefix equals q206's batch count over that
+    prefix count-for-count — including across checkpoint restarts and
+    torn batches (asserted by the restart + crash-fuzz tests against
+    the batch kernel)."""
+    ws = (" ", "\t", "\n", "\r", "\x0b", "\x0c")
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), ""),
+                    lambda c: (c != "") & ~c.isin(*ws),
+                )
+            ).alias("c"),
+        )
+        .groupBy("lang", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch.select("lang", "c", "cnt"), batch_id)
+
+    writer = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

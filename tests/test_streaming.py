@@ -1562,3 +1562,55 @@ def test_stateful_attribution_matches_batch_twin(spark, tmp_path):
     # lower-id click
     assert ("click", (1000, 1)) in twin.items() or twin["click"] == (1000, 1)
     assert twin["direct"] == (300, 2)  # expired lookback + post-refund buy
+
+
+def test_streaming_char_coverage_matches_batch_kernel(spark, tmp_path):
+    """streaming_char_coverage across a checkpoint restart: the live
+    (lang, char) table after each phase equals the batch count over the
+    cumulative stream character-for-character (cell-wise additivity,
+    exactly the streaming_countmin argument), and state stays bounded
+    by the union alphabet."""
+    ddir = tmp_path / "scc"
+    (ddir / "p").mkdir(parents=True)
+    schema = "doc_id long, lang string, text string"
+    b1 = [(1, "en", "abc abc"), (2, "de", "über straße"), (3, "en", None)]
+    b2 = [(4, "en", "a b😀"), (5, "de", "ẞß"), (6, "zh", "漢漢字")]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(ddir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(ddir / "p"))
+        q = st.streaming_char_coverage(
+            stream,
+            lambda b, bid: b.write.mode("overwrite").parquet(
+                f"{tmp_path}/sccout"
+            ),
+            str(tmp_path / "ckpt-scc"),
+        )
+        q.awaitTermination(60)
+
+    def live():
+        return {
+            (r.lang, r.c, r.cnt)
+            for r in spark.read.parquet(f"{tmp_path}/sccout").collect()
+        }
+
+    def batch_kernel(rows):
+        got = {}
+        for _id, lang, text in rows:
+            for ch in text or "":
+                if ch in (" ", "\t", "\n", "\r", "\x0b", "\x0c"):
+                    continue
+                got[(lang, ch)] = got.get((lang, ch), 0) + 1
+        return {(lg, ch, n) for (lg, ch), n in got.items()}
+
+    run(b1)
+    assert live() == batch_kernel(b1)
+    run(b2)  # restart: cumulative counts must include b1's
+    got = live()
+    assert got == batch_kernel(b1 + b2)
+    # NBSP stays inside a token stream as a real char; astral emoji is
+    # one codepoint-level cell; alphabet-bounded state
+    assert ("en", " ", 1) in got and ("en", "😀", 1) in got
+    assert ("zh", "漢", 2) in got

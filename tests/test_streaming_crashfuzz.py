@@ -553,3 +553,52 @@ def test_streaming_quantile_sketch_crash_fuzz(spark, tmp_path):
         for g, m in medians.items():
             rank = sum(1 for v in vals[g] if v <= m) / len(vals[g])
             assert abs(rank - 0.5) <= 0.05, (g, m, rank)
+
+
+def test_streaming_char_coverage_crash_fuzz(spark, tmp_path):
+    """Alphabet-counter state torn mid-batch: the final live (lang,
+    char) table must equal the clean run's AND the Python replay over
+    all events cell-for-cell."""
+    rng = random.Random(222)
+    alphabet = "abcdefgh漢字ü😀"
+    pdfs, did = [], 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(5, 12)):
+            did += 1
+            rows.append(
+                {
+                    "doc_id": did,
+                    "lang": rng.choice(["en", "zh"]),
+                    "text": " ".join(
+                        "".join(
+                            rng.choice(alphabet)
+                            for _ in range(rng.randrange(1, 6))
+                        )
+                        for _ in range(rng.randrange(1, 5))
+                    ),
+                }
+            )
+        pdfs.append(pd.DataFrame(rows))
+
+    def read_final(outdir):
+        return {
+            (r.lang, r.c, r.cnt)
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    crash, clean = _sink_crash_fuzz(
+        spark, tmp_path, name="sccf", seed=22,
+        start_op=lambda s, sink, ck: st.streaming_char_coverage(s, sink, ck),
+        pdfs=pdfs,
+        schema="doc_id long, lang string, text string",
+        read_final=read_final,
+    )
+    assert crash == clean
+    replay = {}
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            for ch in r.text:
+                if ch != " ":
+                    replay[(r.lang, ch)] = replay.get((r.lang, ch), 0) + 1
+    assert clean == {(lg, ch, n) for (lg, ch), n in replay.items()}
