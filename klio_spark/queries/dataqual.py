@@ -727,3 +727,64 @@ def q200_k_anonymity(spark: SparkSession, sf_dir: str):
             " div SUM(k) AS BIGINT)"
         ).alias("risk_bp"),
     )
+
+
+@register(
+    "q208_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             COUNT(*) AS k,
+             COUNT(DISTINCT c_mktsegment) AS l
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_3,
+           CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) * 10000
+                // SUM(k) AS BIGINT) AS risk_bp
+    FROM g GROUP BY c_nationkey
+    """,
+    doc="l-diversity audit — the companion check to q200's k-anonymity "
+    "(Machanavajjhala 2007): a quasi-identifier group can be large (high "
+    "k) yet still leak if every member shares the same SENSITIVE value, "
+    "so the release gate also requires >= l distinct sensitive values "
+    "per group. Quasi-identifiers here are (nation, 1000-unit account "
+    "balance bucket); the sensitive attribute is market segment. Per "
+    "nation: group count, the weakest l, how many groups and rows sit "
+    "below l=3, and the at-risk row share in integer basis points. "
+    "FLOOR of an identical double is identical on both engines (the "
+    "registry determinism rule), so negative balances bucket the same "
+    "way everywhere. Shape: two map-side-combinable aggs (the inner one "
+    "carries a distinct on a 5-value column — partial aggs stay tiny), "
+    "zero joins; at 100 TB this is one scan of customer.",
+)
+def q208_l_diversity(spark: SparkSession, sf_dir: str):
+    (c,) = load(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct("c_mktsegment").alias("l"),
+    )
+    return g.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_3"),
+        F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.expr(
+            "CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) * 10000"
+            " div SUM(k) AS BIGINT)"
+        ).alias("risk_bp"),
+    )

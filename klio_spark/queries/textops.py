@@ -1856,3 +1856,72 @@ def q206_char_coverage(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("chars_999"),
     )
+
+
+@register(
+    "q210_line_filter",
+    """
+    WITH l AS (
+      SELECT doc_id, source,
+             string_split(text, chr(10)) AS lines,
+             list_filter(
+               string_split(text, chr(10)),
+               x -> len(list_filter(string_split_regex(x, '\\s+'),
+                                    t -> t != '')) >= 3
+                    AND regexp_matches(x, '[.!?"]$')) AS kept
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(COALESCE(list_sum(list_transform(kept, x -> length(x))), 0)
+                AS BIGINT) AS kept_chars,
+           CASE WHEN len(kept) > 0
+                THEN md5(array_to_string(kept, chr(10))) END AS kept_hash
+    FROM l
+    """,
+    doc="C4/FineWeb-style LINE-level cleaning (Raffel 2020 'C4' rules; "
+    "Penedo 2024 'FineWeb'): inside each document, keep only lines with "
+    ">= 3 whitespace words AND terminal punctuation ([.!?\"]), then "
+    "reassemble the survivors in original order — the single most-run "
+    "text op in web-corpus pipelines, dropping nav bars, cookie "
+    "banners, and list fragments WITHOUT dropping the document. Output "
+    "per doc: line/survivor counts, surviving chars, and the md5 of "
+    "the reassembled text (the oracle proves the reassembly "
+    "byte-exact, not just the counts). Shape: pure array higher-order "
+    "functions (split -> filter -> transform -> join) in ONE "
+    "whole-stage-codegen projection — ZERO shuffles, zero explodes; "
+    "the classic explode-filter-regroup formulation would shuffle the "
+    "full corpus text on doc_id at 100 TB, this never leaves the scan "
+    "task. $ anchors are line-safe on both engines: elements of the "
+    "newline split contain no newline, and neither Java nor RE2 is in "
+    "multiline mode.",
+)
+def q210_line_filter(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (F.size(tx.tokens(x)) >= 3) & x.rlike(r'[.!?"]$'),
+    )
+    l = d.select("doc_id", "source", lines.alias("lines"), kept.alias("kept"))
+    return l.select(
+        "doc_id",
+        "source",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.aggregate(
+                "kept", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("kept_chars"),
+        # DuckDB's array_to_string collapses the EMPTY list to NULL (not
+        # ''); mirror that by hashing only non-empty survivor sets.
+        F.when(
+            F.size("kept") > 0,
+            F.md5(F.array_join("kept", "\n").cast("binary")),
+        ).alias("kept_hash"),
+    )

@@ -1122,3 +1122,98 @@ def q207_budget_mixture(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("taken_tokens"),
     )
+
+
+@register(
+    "q209_repeat_epochs",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(t.w) AS BIGINT) AS src_tokens
+      FROM documents d
+           LEFT JOIN LATERAL unnest(
+             list_filter(string_split_regex(lower(d.text), '\\s+'),
+                         x -> x != '')) AS t(w) ON TRUE
+      GROUP BY source
+    ),
+    b AS (SELECT SUM(src_tokens) * 3 // 2 AS budget FROM s),
+    e AS (
+      SELECT source, src_tokens, epoch
+      FROM s CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS epoch)
+    ),
+    r AS (
+      SELECT source, src_tokens, epoch,
+             COALESCE(SUM(src_tokens) OVER (
+               ORDER BY epoch, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM e
+    )
+    SELECT source, CAST(epoch AS BIGINT) AS epoch, src_tokens,
+           CAST(GREATEST(0, LEAST(src_tokens, budget - cum_prev))
+                AS BIGINT) AS taken_tokens,
+           CAST(GREATEST(0, LEAST(src_tokens, budget - cum_prev))
+                // (1 << (epoch - 1)) AS BIGINT) AS eff_tokens
+    FROM r CROSS JOIN b
+    """,
+    doc="data-constrained repeat-epoch allocation (Muennighoff 2023, "
+    "'Scaling Data-Constrained Language Models'): when the training "
+    "budget EXCEEDS the unique pool (here budget = 150% of pool "
+    "tokens), the mixer repeats sources over multiple epochs, and each "
+    "repeat epoch is worth less than fresh data — modeled as a "
+    "utility halving per epoch. Greedy allocation by marginal utility "
+    "= all epoch-1 data first, then epoch-2, ... (epoch asc, source "
+    "asc pins ties); the boundary epoch takes exactly the remainder. "
+    "eff_tokens = taken >> (epoch-1) is the decay-discounted mass — a "
+    "power-of-two SHIFT, not a ppm multiply, so it is overflow-free at "
+    "any corpus size (taken * 1e6 would overflow BIGINT past ~9e12 "
+    "tokens; the q190 lesson applied by construction instead of by "
+    "decimal(38,0)). Output: one row per (source, epoch) with "
+    "taken_tokens (0 = never reached). Shape: one corpus-scan agg to "
+    "the #sources table, a 4-row literal explode, windows only on the "
+    "#sources*4 table, the budget scalar a 1-row broadcast.",
+)
+def q209_repeat_epochs(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode_outer(tx.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    s = toks.groupBy("source").agg(
+        F.sum(F.when(F.col("w").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("src_tokens")
+    )
+    b = s.agg(F.expr("SUM(src_tokens) * 3 div 2").alias("budget"))
+    e = s.select(
+        "source",
+        "src_tokens",
+        F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("epoch"),
+    )
+    w = Window.orderBy("epoch", "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = e.select(
+        "source",
+        "src_tokens",
+        "epoch",
+        F.coalesce(F.sum("src_tokens").over(w), F.lit(0)).alias("cum_prev"),
+    )
+    taken = F.greatest(
+        F.lit(0),
+        F.least(F.col("src_tokens"), F.col("budget") - F.col("cum_prev")),
+    )
+    return (
+        r.crossJoin(F.broadcast(b))
+        .select(
+            "source",
+            F.col("epoch").cast("bigint").alias("epoch"),
+            "src_tokens",
+            taken.cast("bigint").alias("taken_tokens"),
+        )
+        .withColumn(
+            "eff_tokens",
+            F.expr("taken_tokens div CAST(1 << (epoch - 1) AS BIGINT)").cast(
+                "bigint"
+            ),
+        )
+    )

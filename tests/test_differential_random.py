@@ -54,6 +54,25 @@ def _random_corpus(seed: int, n_docs: int = 60) -> pd.DataFrame:
             text = " ".join([rng.choice(WORDS)] * rng.randrange(5, 30))  # runs
         elif kind == 4:
             text = None  # NULL text
+        elif kind == 5:
+            # multi-line doc — the shape the fixed tables lack (no
+            # newlines at any SF), exercising q210's line filter: proper
+            # sentences, fragments, unterminated lines, EMPTY lines, and
+            # quote/question terminators, in random order
+            def _line(r=rng):
+                style = r.randrange(5)
+                ws = " ".join(r.choice(WORDS) for _ in range(r.randrange(3, 9)))
+                if style == 0:
+                    return ws + "."
+                if style == 1:
+                    return r.choice(WORDS)  # short fragment, dropped
+                if style == 2:
+                    return ws  # no terminal punctuation, dropped
+                if style == 3:
+                    return ""  # blank line
+                return ws + r.choice(['?', '!', '"'])
+
+            text = "\n".join(_line() for _ in range(rng.randrange(2, 7)))
         else:
             text = " ".join(
                 rng.choice(WORDS) for _ in range(rng.randrange(3, 40))
@@ -165,6 +184,14 @@ QUERIES = [
     # source in the table at src_tokens=0; boundary source takes the
     # exact remainder)
     "q207_budget_mixture",
+    # round-7: repeat-epoch allocation (empty/NULL-doc sources hold a
+    # zero-token row through all 4 epochs; boundary epoch takes the
+    # exact remainder; the shift-not-multiply eff_tokens path)
+    "q209_repeat_epochs",
+    # round-7: line filter (multi-line docs with blank lines, fragments,
+    # unterminated lines; empty survivor set must hash NULL on both
+    # engines; reassembly is proven byte-exact via md5)
+    "q210_line_filter",
 ]
 
 
