@@ -2660,3 +2660,156 @@ def q202_attribution_position_based(spark: SparkSession, sf_dir: str):
         .filter(F.col("n_credits") > 0)
     )
     return credited.unionByName(direct)
+
+
+@register(
+    "q213_lag_autocorr",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT t.event_type, s.hour,
+             CAST(COALESCE(a.n_events, 0) AS BIGINT) AS x
+      FROM spine s
+      CROSS JOIN types t
+      LEFT JOIN agg a ON a.hour = s.hour AND a.event_type = t.event_type
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             LAG(x, 1) OVER (PARTITION BY event_type ORDER BY hour) AS y1,
+             LAG(x, 24) OVER (PARTITION BY event_type ORDER BY hour) AS y24
+      FROM series
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(COUNT(y1) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x END) AS BIGINT) AS sx1,
+             CAST(SUM(y1) AS BIGINT) AS sy1,
+             CAST(SUM(x * y1) AS BIGINT) AS sxy1,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x * x END) AS BIGINT)
+               AS sxx1,
+             CAST(SUM(y1 * y1) AS BIGINT) AS syy1,
+             CAST(COUNT(y24) AS BIGINT) AS n24,
+             CAST(SUM(CASE WHEN y24 IS NOT NULL THEN x END) AS BIGINT) AS sx24,
+             CAST(SUM(y24) AS BIGINT) AS sy24,
+             CAST(SUM(x * y24) AS BIGINT) AS sxy24,
+             CAST(SUM(CASE WHEN y24 IS NOT NULL THEN x * x END) AS BIGINT)
+               AS sxx24,
+             CAST(SUM(y24 * y24) AS BIGINT) AS syy24
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n1 AS n_pairs_lag1, n24 AS n_pairs_lag24,
+           CASE WHEN n1 * sxx1 - sx1 * sx1 > 0 AND n1 * syy1 - sy1 * sy1 > 0
+                THEN ROUND(CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+                     / (SQRT(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE))
+                        * SQRT(CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE))), 6)
+           END AS autocorr_lag1,
+           CASE WHEN n24 * sxx24 - sx24 * sx24 > 0
+                     AND n24 * syy24 - sy24 * sy24 > 0
+                THEN ROUND(CAST(n24 * sxy24 - sx24 * sy24 AS DOUBLE)
+                     / (SQRT(CAST(n24 * sxx24 - sx24 * sx24 AS DOUBLE))
+                        * SQRT(CAST(n24 * syy24 - sy24 * sy24 AS DOUBLE))), 6)
+           END AS autocorr_lag24
+    FROM mo
+    """,
+    doc="lag-1 and lag-24 autocorrelation of the hourly event-count "
+    "series per event type — the seasonality/burstiness diagnostic "
+    "behind traffic forecasting and anomaly baselining (high lag-24 = "
+    "strong daily cycle; lag-1 = short-range burst persistence). The "
+    "series is densified on the q57 gap-fill spine first (zero-count "
+    "hours are REAL observations — computing autocorrelation on only "
+    "observed hours silently compares non-adjacent hours). Pearson r "
+    "from EXACT integer moments (n, Sx, Sy, Sxy, Sxx, Syy as bigints "
+    "— counts are integers, so every product and sum is exact on both "
+    "engines regardless of accumulation order; DuckDB's HUGEINT sums "
+    "are cast back to BIGINT to pin the type), one IEEE division + "
+    "correctly-rounded sqrts at the very end, rounded at 6 per the "
+    "registry rule; constant series yield NULL on both engines. "
+    "Shape: one map-side hourly agg of the corpus, a #hours x #types "
+    "spine join, lag windows and moments on the tiny dense table; at "
+    "100 TB only the hourly agg touches the data.",
+)
+def q213_lag_autocorr(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    series = (
+        spine.crossJoin(types)
+        .join(agg, ["hour", "event_type"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = series.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("y1"),
+        F.lag("x", 24).over(w).alias("y24"),
+    )
+
+    def _moments(y: str, suf: str):
+        yc = F.col(y)
+        x = F.col("x")
+        return [
+            F.count(yc).cast("bigint").alias(f"n{suf}"),
+            F.sum(F.when(yc.isNotNull(), x)).cast("bigint").alias(f"sx{suf}"),
+            F.sum(yc).cast("bigint").alias(f"sy{suf}"),
+            F.sum(x * yc).cast("bigint").alias(f"sxy{suf}"),
+            F.sum(F.when(yc.isNotNull(), x * x))
+            .cast("bigint")
+            .alias(f"sxx{suf}"),
+            F.sum(yc * yc).cast("bigint").alias(f"syy{suf}"),
+        ]
+
+    mo = lagged.groupBy("event_type").agg(
+        *(_moments("y1", "1") + _moments("y24", "24"))
+    )
+
+    def _corr(suf: str):
+        n, sx, sy, sxy, sxx, syy = (
+            F.col(f"{c}{suf}") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+        )
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        return F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                (n * sxy - sx * sy).cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ),
+        )
+
+    return mo.select(
+        "event_type",
+        F.col("n1").alias("n_pairs_lag1"),
+        F.col("n24").alias("n_pairs_lag24"),
+        _corr("1").alias("autocorr_lag1"),
+        _corr("24").alias("autocorr_lag24"),
+    )

@@ -1925,3 +1925,75 @@ def q210_line_filter(spark: SparkSession, sf_dir: str):
             F.md5(F.array_join("kept", "\n").cast("binary")),
         ).alias("kept_hash"),
     )
+
+
+@register(
+    "q211_tokenizer_fertility",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+           CASE WHEN SUM(LEN(regexp_extract_all(text, '\\S+'))) = 0 THEN NULL
+                ELSE CAST(CAST(SUM(LEN(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS HUGEINT)
+                     * 1000000
+                     // SUM(LEN(regexp_extract_all(text, '\\S+')))
+                     AS BIGINT) END AS fertility_ppm,
+           CASE WHEN SUM(LEN(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) = 0 THEN NULL
+                ELSE CAST(CAST(SUM(LENGTH(text)) AS HUGEINT) * 1000000
+                     // SUM(LEN(regexp_extract_all(text,
+                          '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
+                     AS BIGINT) END AS chars_per_token_ppm
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="tokenizer fertility by language — the metric behind every "
+    "multilingual tokenizer/mixture decision (XLM-R, BLOOM, Gemma "
+    "reports all table it): pre-tokens per whitespace word "
+    "(fertility) and characters per pre-token, in integer ppm. A "
+    "language with 2x fertility costs 2x the context window and 2x "
+    "the training compute per sentence, so the mixer re-weights or "
+    "the tokenizer retrains. Uses q77's RE2-safe BPE pre-token "
+    "classes so the identical pattern runs in codegen and the oracle. "
+    "The ppm numerators run in decimal(38,0) / HUGEINT (the q190 "
+    "rule: corpus-scale counts * 1e6 pass 2^63 at petabyte scale); "
+    "zero-token languages yield NULL on both engines. Shape: one "
+    "map-side-combinable agg over one scan, all regexp work inside "
+    "whole-stage codegen; output is #languages rows.",
+)
+def q211_tokenizer_fertility(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions.text import bpe_token_count, token_count
+
+    (d,) = load(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count(F.col("text"))).cast("bigint").alias("bpe_tokens"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "bpe_tokens",
+        "ws_tokens",
+        "n_chars",
+        F.when(
+            F.col("ws_tokens") != 0,
+            F.expr(
+                "CAST(bpe_tokens AS DECIMAL(38,0)) * 1000000 div ws_tokens"
+            ),
+        )
+        .cast("bigint")
+        .alias("fertility_ppm"),
+        F.when(
+            F.col("bpe_tokens") != 0,
+            F.expr("CAST(n_chars AS DECIMAL(38,0)) * 1000000 div bpe_tokens"),
+        )
+        .cast("bigint")
+        .alias("chars_per_token_ppm"),
+    )

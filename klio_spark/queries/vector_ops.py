@@ -1228,3 +1228,97 @@ def q204_mrl_prefix_recall(spark: SparkSession, sf_dir: str):
         "n_truth",
         F.expr("hits * 10000 div n_truth").cast("bigint").alias("recall_bp"),
     )
+
+
+@register(
+    "q212_embedding_frechet",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             embedding
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                 AS BIGINT)) AS s,
+             SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                 AS BIGINT)) AS ss
+      FROM ex GROUP BY 1, 2
+    ),
+    mv AS (
+      SELECT label, pos, n,
+             CAST(s AS DOUBLE) / 1000000.0 / n AS mean,
+             GREATEST(0.0,
+               CAST(ss AS DOUBLE) / 1000000.0 / n
+               - (CAST(s AS DOUBLE) / 1000000.0 / n)
+                 * (CAST(s AS DOUBLE) / 1000000.0 / n)) AS var
+      FROM m
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(MAX(a.n) AS BIGINT) AS n_a,
+           CAST(MAX(b.n) AS BIGINT) AS n_b,
+           CAST(SUM(CAST(FLOOR(
+             ((a.mean - b.mean) * (a.mean - b.mean)
+              + (SQRT(a.var) - SQRT(b.var)) * (SQRT(a.var) - SQRT(b.var)))
+             * 1000000.0) AS BIGINT)) AS BIGINT) AS frechet_e6
+    FROM mv a JOIN mv b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+    doc="diagonal-covariance Frechet distance between per-label embedding "
+    "distributions — the FID/FD construction (Heusel 2017) restricted "
+    "to diagonal covariance, the standard corpus-vs-corpus drift / "
+    "synthetic-data-quality metric for embedding spaces: "
+    "d^2 = sum_dim (mu_a-mu_b)^2 + (sigma_a-sigma_b)^2. Cross-engine "
+    "determinism by the registry rules end to end: per-(label,dim) "
+    "moments are floor-integerized per ROW then exactly summed "
+    "(bigint), means/variances re-derived with the identical IEEE "
+    "expression order on both engines, sqrt is correctly-rounded per "
+    "IEEE-754 (bit-identical), and the 64 per-dimension terms are "
+    "floor-integerized and summed exactly — no order-dependent double "
+    "sum anywhere. Shape: posexplode -> (label, dim) map-side partial "
+    "moments (the only corpus-scale exchange, payload is 3 scalars per "
+    "group); the pairwise label join runs on a #labels*dim table "
+    "(~640 rows) — at 100 TB the heavy input never joins anything.",
+)
+def q212_embedding_frechet(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "_v"))
+    xd = F.col("_v").cast("double")
+    m = ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(xd * 1000000.0).cast("long")).alias("s"),
+        F.sum(F.floor(xd * xd * 1000000.0).cast("long")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / 1000000.0 / F.col("n")
+    ex2 = F.col("ss").cast("double") / 1000000.0 / F.col("n")
+    mv = m.select(
+        "label",
+        "pos",
+        "n",
+        mean.alias("mean"),
+        F.greatest(F.lit(0.0), ex2 - mean * mean).alias("var"),
+    )
+    a, b = mv.alias("a"), mv.alias("b")
+    dm = F.col("a.mean") - F.col("b.mean")
+    ds = F.sqrt(F.col("a.var")) - F.sqrt(F.col("b.var"))
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.max("a.n").cast("bigint").alias("n_a"),
+            F.max("b.n").cast("bigint").alias("n_b"),
+            F.sum(F.floor((dm * dm + ds * ds) * 1000000.0).cast("long"))
+            .cast("bigint")
+            .alias("frechet_e6"),
+        )
+    )

@@ -192,6 +192,10 @@ QUERIES = [
     # unterminated lines; empty survivor set must hash NULL on both
     # engines; reassembly is proven byte-exact via md5)
     "q210_line_filter",
+    # round-7: fertility (NULL docs drop from all sums; a lang whose
+    # docs are all empty hits the zero-token NULL guard on both
+    # engines; decimal/HUGEINT ppm parity)
+    "q211_tokenizer_fertility",
 ]
 
 
@@ -340,6 +344,11 @@ EVENT_QUERIES = [
     # bucket floor-division; same-second tie rule at the join predicate;
     # largest-remainder bp splits must sum to 10000 per purchase)
     "q202_attribution_position_based",
+    # round-7: lag autocorrelation (exact integer moments on the dense
+    # spine; single-hour corpora leave zero lag pairs -> NULL r on both
+    # engines; constant series hit the zero-variance guard; the DST /
+    # far-future flavors stress the hour spine the same way q57 does)
+    "q213_lag_autocorr",
 ]
 
 
@@ -535,6 +544,10 @@ EMB_QUERIES = [
     # DuckDB's NULL-skipping sum must converge on the same 16-dim dot;
     # zero/duplicate vectors force rank ties at the top-10 boundary
     "q204_mrl_prefix_recall",
+    # round-7: diagonal Frechet (string labels; duplicate vectors give
+    # zero-variance dims -> the GREATEST(0, var) clamp and sqrt(0) must
+    # agree; the zero vector shifts one label's means only)
+    "q212_embedding_frechet",
 ]
 
 
@@ -865,6 +878,11 @@ UNICODE_QUERIES = [
     # char coverage IS a codepoint-split op — astral/combining/zero-
     # width chars are first-class alphabet entries on both engines
     "q206_char_coverage",
+    # round-7: fertility splits by ASCII regexp classes, so every
+    # non-ASCII codepoint (astral, combining, ZWSP) must count as ONE
+    # punctuation-class pre-token on both engines; LENGTH must agree
+    # on codepoints (never surrogate halves)
+    "q211_tokenizer_fertility",
 ]
 
 
