@@ -127,6 +127,21 @@ _VERIFY_FIRST = [
     "q205_dsir_selection",
     "q206_char_coverage",
     "q207_budget_mixture",
+    "q208_l_diversity",
+    "q209_repeat_epochs",
+    "q210_line_filter",
+    "q211_tokenizer_fertility",
+    "q212_embedding_frechet",
+    "q213_lag_autocorr",
+    # NOTE: 11 new entries + the 46-query stale tail = 57 > the ~50-slot
+    # window, so ~7 stale entries may overflow into round 8. First-ever
+    # external evidence for the new queries outranks a third re-check of
+    # r2-verified ones; the overflow risk is priced by a full strict-
+    # replica sweep of ALL 46 stale entries recorded in BASELINE.md
+    # (round-7 verification note), and the stale block below is ordered
+    # so the entries with continuous random-differential coverage sit
+    # last (they carry the most independent local evidence).
+    # -- stale tail, no independent random-differential coverage --
     "q83_payload_roundtrip",
     "q84_udf_quarantine",
     "q100_bloom_semi_join",
@@ -135,28 +150,15 @@ _VERIFY_FIRST = [
     "q104_snapshot_diff",
     "q105_fuzzy_name_match",
     "q107_ann_quality",
-    "q109_retention_cohorts",
-    "q110_activity_runs",
     "q111_cdc_merge",
     "q112_negative_sampling",
-    "q113_keep_latest",
-    "q114_interval_overlap_join",
     "q115_table_profile",
     "q116_latency_histogram",
     "q117_ab_experiment",
     "q118_mixture_resample",
-    "q119_growth_accounting",
-    "q120_sliding_window_counts",
-    "q122_anomalous_hours",
     "q123_revenue_share_bp",
-    "q124_funnel_windowed",
     "q125_copurchase_pairs",
-    "q126_bounce_rate",
     "q127_hierarchy_depth",
-    "q128_weighted_median",
-    "q57_gap_fill",
-    "q73_vector_norms_by_label",
-    "q78_embedding_quantize",
     "q79_repetition_quality",
     "q85_dedup_clusters",
     "q86_hash_split",
@@ -173,6 +175,22 @@ _VERIFY_FIRST = [
     "q97_tfidf_top_terms",
     "q98_hll_distinct_rollup",
     "q99_kll_quantile_ranks",
+    # -- stale tail, ALSO re-verified by the random-differential suites
+    # every test run (events/embeddings corpora) — cheapest to lose to
+    # the window edge --
+    "q109_retention_cohorts",
+    "q110_activity_runs",
+    "q113_keep_latest",
+    "q114_interval_overlap_join",
+    "q119_growth_accounting",
+    "q120_sliding_window_counts",
+    "q122_anomalous_hours",
+    "q124_funnel_windowed",
+    "q126_bounce_rate",
+    "q128_weighted_median",
+    "q57_gap_fill",
+    "q73_vector_norms_by_label",
+    "q78_embedding_quantize",
     "q183_shingle_novelty",
     "q184_source_overlap_matrix",
     "q186_bpe_train_rounds",

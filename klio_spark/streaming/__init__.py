@@ -1605,3 +1605,89 @@ def streaming_char_coverage(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_interval_coverage(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    dur_s: int = 1800,
+) -> DataFrame:
+    """Streaming interval-union coverage — the stateful twin of q198
+    (queries/behavior.py): each event opens a [s, s+dur_s) activity
+    interval; overlapping/touching intervals merge into islands, and
+    every island is emitted exactly once when a later event proves it
+    closed (a gap strictly wider than zero after its max end).
+
+    State per user is three scalars — (island_start_s, island_max_end_s,
+    n_events) — so state is bounded by the active-user set, never the
+    event log: coverage is decided island-by-island the moment each
+    island closes, and the batch op's full per-user sort never has to
+    exist. Within a batch, events sort by (ts, id) — the exact ORDER BY
+    of q198's windows, so same-microsecond ties resolve identically. A
+    cross-batch straggler folds in arrival order (the stateful_funnel
+    relaxation): overlapping the OPEN island it extends the island's
+    start backward (still exact); wholly before it, it emits as its own
+    already-closed island (exact unless a later event would have merged
+    with it — the one divergence the batch op, which sees all data,
+    cannot have). Touching intervals (s == max_end) MERGE, matching the
+    batch `s > prev_end` island test. Append mode: island rows are
+    final; the tail island per user stays in state until a later event
+    (or a sentinel) closes it — sum(covered_secs) over emitted islands
+    plus open-island remainders equals q198's covered_secs exactly
+    (asserted against the batch twin across a checkpoint restart)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        evs = []
+        for pdf in pdfs:
+            for ts, eid in zip(pdf[ts_col], pdf[id_col]):
+                t = pd.Timestamp(ts)
+                if t is not pd.NaT and not pd.isna(t):
+                    ik = -(2**63) if pd.isna(eid) else int(eid)
+                    evs.append((int(t.value // 1_000_000_000), ik))
+        if not evs:
+            return
+        evs.sort()
+        ist, ien, n = state.get if state.exists else (None, None, 0)
+        out = []
+        for s, _eid in evs:
+            e = s + dur_s
+            if ist is None:
+                ist, ien, n = s, e, 1
+            elif s > ien:
+                # gap: the open island is proven closed — emit it
+                out.append((key[0], ist, ien, ien - ist, n))
+                ist, ien, n = s, e, 1
+            elif e < ist:
+                # straggler wholly before the open island: its own
+                # island, already closed by the data we've seen
+                out.append((key[0], s, e, e - s, 1))
+            else:
+                # overlap/touch: merge (start can move backward only
+                # while the island is still open, so this stays exact)
+                ist, ien, n = min(ist, s), max(ien, e), n + 1
+        state.update((ist, ien, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    user_col, "island_start_s", "island_end_s",
+                    "covered_secs", "n_events",
+                ],
+            )
+
+    key_type = df.schema[user_col].dataType.simpleString()
+    df = df.filter(F.col(user_col).isNotNull())
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{user_col} {key_type}, island_start_s long, island_end_s"
+            " long, covered_secs long, n_events long"
+        ),
+        stateStructType="ist long, ien long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

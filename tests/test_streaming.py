@@ -1614,3 +1614,92 @@ def test_streaming_char_coverage_matches_batch_kernel(spark, tmp_path):
     # one codepoint-level cell; alphabet-bounded state
     assert ("en", " ", 1) in got and ("en", "😀", 1) in got
     assert ("zh", "漢", 2) in got
+
+
+def test_stateful_interval_coverage_matches_batch_twin(spark, tmp_path):
+    """stateful_interval_coverage across a checkpoint restart: emitted
+    closed islands reconcile exactly with q198's batch coverage over
+    the cumulative REAL events — including an island closed by an
+    event from a LATER batch (state crossed the restart), a merging
+    overlap, a touching interval (s == max_end merges, the batch
+    `s > prev_end` rule), and a wholly-past straggler that emits as
+    its own closed island."""
+    import datetime as dt
+
+    edir = tmp_path / "cov"
+    (edir / "p").mkdir(parents=True)
+    t = lambda h, m=0: dt.datetime(2024, 3, 1, 0, 0) + dt.timedelta(  # noqa: E731
+        hours=h, minutes=m
+    )
+
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(edir / "p")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_interval_coverage(stream),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/covout"
+            ),
+            str(tmp_path / "ckpt-cov"),
+        )
+        q.awaitTermination(60)
+
+    # b1: user 1 two overlapping intervals (merge), user 2 one
+    run(
+        [
+            (1, 1, t(10, 0)),
+            (2, 1, t(10, 20)),
+            (3, 2, t(10, 0)),
+        ]
+    )
+    # b2 (after restart): user 1 TOUCHING interval (10:50 == max_end
+    # 10:20+30m -> merges, does not close); then a far event closing the
+    # island; user 2: straggler 3h BEFORE its open island -> emits as its
+    # own closed island immediately
+    run(
+        [
+            (4, 1, t(10, 50)),
+            (5, 1, t(20, 0)),
+            (6, 2, t(7, 0)),
+        ]
+    )
+    # b3: sentinel far-future events close every open REAL island; the
+    # sentinel islands themselves stay in state and never emit
+    run([(98, 1, t(9000)), (99, 2, t(9000))])
+
+    got = {}
+    for r in spark.read.parquet(f"{tmp_path}/covout").collect():
+        n_int, secs, n_ev = got.get(r.user_id, (0, 0, 0))
+        got[r.user_id] = (
+            n_int + 1, secs + r.covered_secs, n_ev + r.n_events
+        )
+
+    # batch twin over the SAME cumulative events minus the sentinels
+    from klio_spark.queries import all_queries as _aq
+
+    tdir = tmp_path / "twin"
+    tdir.mkdir()
+    spark.read.parquet(str(edir / "p")).filter(
+        F.col("event_id") < 90
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(tdir / "events.parquet"))
+    twin = {
+        r.user_id: (r.n_intervals, r.covered_secs)
+        for r in _aq()["q198_interval_coverage"].fn(spark, str(tdir)).collect()
+    }
+    assert {u: (a, b) for u, (a, b, _) in got.items()} == twin, (got, twin)
+    # user 1: one island spanning 10:00 -> 11:20 (merge + touch) plus the
+    # 20:00 island; 3 + 1 real events emitted across them
+    assert got[1] == (2, 80 * 60 + 30 * 60, 4)
+    # user 2: the straggler island (07:00) + the 10:00 island
+    assert got[2] == (2, 2 * 30 * 60, 2)

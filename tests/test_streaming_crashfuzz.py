@@ -602,3 +602,38 @@ def test_streaming_char_coverage_crash_fuzz(spark, tmp_path):
                 if ch != " ":
                     replay[(r.lang, ch)] = replay.get((r.lang, ch), 0) + 1
     assert clean == {(lg, ch, n) for (lg, ch), n in replay.items()}
+
+
+def test_interval_coverage_crash_fuzz(spark, tmp_path):
+    """stateful_interval_coverage torn mid-batch: closed-island rows
+    must emit exactly once with identical bounds across the replay —
+    the open-island scalars (ist, ien, n) are a deterministic fold of
+    the arrival-ordered events, so the replayed attempt reconverges and
+    overwrites its own torn debris. Events use short intervals against
+    long gaps so islands CLOSE inside nearly every batch (emissions to
+    tear), plus ties and occasional stragglers."""
+    rng = random.Random(808)
+    pdfs, eid = [], 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(6, 14)):
+            eid += 1
+            # mostly forward marches with gaps >> dur_s; ~1 in 8 is a
+            # backward straggler landing before the open island
+            mins = b * 600 + rng.randrange(5) * 120
+            if rng.randrange(8) == 0:
+                mins = max(0, mins - 1200)
+            rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": rng.randrange(1, 5),
+                    "ts": _ts(mins),
+                }
+            )
+        pdfs.append(pd.DataFrame(rows))
+    _fuzz_op(
+        spark, tmp_path, name="cov", seed=8,
+        build_op=st.stateful_interval_coverage,
+        schema="event_id long, user_id long, ts timestamp",
+        pdfs=pdfs,
+    )
