@@ -133,6 +133,8 @@ _VERIFY_FIRST = [
     "q211_tokenizer_fertility",
     "q212_embedding_frechet",
     "q213_lag_autocorr",
+    "q214_common_neighbors",
+    "q215_k_core",
     # NOTE: 11 new entries + the 46-query stale tail = 57 > the ~50-slot
     # window, so ~7 stale entries may overflow into round 8. First-ever
     # external evidence for the new queries outranks a third re-check of

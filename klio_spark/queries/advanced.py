@@ -780,3 +780,244 @@ def khop_bfs(
     return dist.select(
         F.col("node").alias("partkey"), F.col("hops").cast("int").alias("hops")
     )
+
+
+@register(
+    "q214_common_neighbors",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ew AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT u AS center, v AS nb, w FROM ew
+      UNION ALL SELECT v AS center, u AS nb, w FROM ew
+    ),
+    small AS (
+      SELECT center, nb FROM (
+        SELECT center, nb,
+               ROW_NUMBER() OVER (PARTITION BY center
+                                  ORDER BY w DESC, nb) AS rk
+        FROM adj
+      ) WHERE rk <= 32
+    ),
+    cand AS (
+      SELECT a.nb AS u, b.nb AS v, COUNT(*) AS cn
+      FROM small a JOIN small b
+        ON a.center = b.center AND a.nb < b.nb
+      GROUP BY 1, 2
+    )
+    SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS cn
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM ew e WHERE e.u = c.u AND e.v = c.v)
+    ORDER BY cn DESC, c.u, c.v
+    LIMIT 20
+    """,
+    doc="link prediction by common-neighbor count over the part "
+    "co-purchase graph (Liben-Nowell/Kleinberg 2003 — 'which parts "
+    "SHOULD co-occur but don't yet'): each center contributes "
+    "neighbor pairs only through its TOP-32 STRONGEST neighbors "
+    "(co-purchase weight desc, id asc — the neighborhood truncation "
+    "every production item-item recommender applies), candidate pairs "
+    "are counted by shared centers, existing edges leave via an anti "
+    "join, and the top-20 non-adjacent pairs report their score. The "
+    "truncation is the scale decision: naive common-neighbor counting "
+    "is sum(deg^2) over centers — a basket-hub with 1e5 partners "
+    "contributes 1e10 near-zero-signal pairs (everything co-occurs "
+    "with a hub; Adamic-Adar down-weights hubs toward nothing for the "
+    "same reason) — while top-k adjacency bounds pair generation at "
+    "C(32,2) per center = O(512·n) ABSOLUTELY, at any corpus size, "
+    "without going empty on dense graphs the way an absolute degree "
+    "cap does (the first draft's bug: at sf0.01 the minimum part "
+    "degree is 42, so a d<=32 center filter selected nothing). "
+    "Semantics are exact for the declared rule — the oracle applies "
+    "the identical truncation; (w desc, nb) and (cn desc, u, v) pin "
+    "every boundary. Shape: one basket self-join (map-side pair "
+    "counts), ONE center-keyed exchange shared by the rank window and "
+    "the bounded self-join, broadcast-able anti join, "
+    "TakeOrderedAndProject — no global sort.",
+)
+def q214_common_neighbors(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    ew = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # weighted edges feed three consumers (both adjacency directions +
+    # the anti join); persist so the basket self-join runs once (q160)
+    ew = scoped_persist(ew)
+    adj = ew.select(
+        F.col("u").alias("center"), F.col("v").alias("nb"), "w"
+    ).unionAll(ew.select(F.col("v").alias("center"), F.col("u").alias("nb"), "w"))
+    rk = Window.partitionBy("center").orderBy(F.desc("w"), F.asc("nb"))
+    small = (
+        adj.select("center", "nb", F.row_number().over(rk).alias("rk"))
+        .filter(F.col("rk") <= 32)
+        .select("center", "nb")
+    )
+    sa, sb = small.alias("sa"), small.alias("sb")
+    cand = (
+        sa.join(
+            sb,
+            (F.col("sa.center") == F.col("sb.center"))
+            & (F.col("sa.nb") < F.col("sb.nb")),
+        )
+        .groupBy(F.col("sa.nb").alias("u"), F.col("sb.nb").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    open_pairs = cand.join(ew.select("u", "v"), ["u", "v"], "left_anti")
+    return open_pairs.orderBy(F.desc("cn"), F.asc("u"), F.asc("v")).limit(20)
+
+
+@register(
+    "q215_k_core",
+    """
+    WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e1 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    d1 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+      ) GROUP BY node
+    ),
+    kk AS MATERIALIZED (SELECT SUM(d) // COUNT(*) + 1 AS k FROM d1),
+    s1 AS MATERIALIZED (SELECT node FROM d1 CROSS JOIN kk WHERE d >= k),
+    e2 AS MATERIALIZED (
+      SELECT e1.u, e1.v FROM e1
+      JOIN s1 a ON a.node = e1.u JOIN s1 b ON b.node = e1.v
+    ),
+    d2 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
+      ) GROUP BY node
+    ),
+    s2 AS MATERIALIZED (SELECT node FROM d2 CROSS JOIN kk WHERE d >= k),
+    e3 AS MATERIALIZED (
+      SELECT e2.u, e2.v FROM e2
+      JOIN s2 a ON a.node = e2.u JOIN s2 b ON b.node = e2.v
+    ),
+    d3 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3
+      ) GROUP BY node
+    ),
+    s3 AS MATERIALIZED (SELECT node FROM d3 CROSS JOIN kk WHERE d >= k),
+    e4 AS MATERIALIZED (
+      SELECT e3.u, e3.v FROM e3
+      JOIN s3 a ON a.node = e3.u JOIN s3 b ON b.node = e3.v
+    )
+    SELECT * FROM (
+      SELECT 1 AS round,
+             CAST((SELECT COUNT(*) FROM d1) - (SELECT COUNT(*) FROM s1)
+                  AS BIGINT) AS n_removed,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM e2) AS BIGINT) AS n_edges
+      UNION ALL
+      SELECT 2,
+             CAST((SELECT COUNT(*) FROM d2) - (SELECT COUNT(*) FROM s2)
+                  AS BIGINT),
+             CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+      UNION ALL
+      SELECT 3,
+             CAST((SELECT COUNT(*) FROM d3) - (SELECT COUNT(*) FROM s3)
+                  AS BIGINT),
+             CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM e4) AS BIGINT)
+    )
+    """,
+    doc="k-core peeling over the part co-purchase graph (Seidman 1983; "
+    "the dense-substructure extractor behind spam-farm isolation, "
+    "community seeding, and graph sparsification): 3 rounds of "
+    "remove-nodes-below-k + induce-subgraph, reporting removed / "
+    "surviving node and edge counts per round. k is RELATIVE — "
+    "floor(mean initial degree) + 1 as an in-plan 1-row broadcast "
+    "scalar (the q201 relative-threshold rule: an absolute k is "
+    "either no-op or clear-cut on graphs whose density scales with "
+    "the corpus; this one always peels the below-average half and "
+    "converges fast). Fixed 3 rounds, like q152's PageRank and "
+    "q169's BFS: each round is one degree agg + two node semi joins "
+    "— all equi exchanges on node keys, no per-node iteration state; "
+    "the peel sequence is exactly reproducible by the oracle's "
+    "unrolled CTEs. Per-round frames localCheckpoint (each round "
+    "references the prior round's edges ~5×, so without lineage "
+    "truncation the logical tree grows 5^rounds — the iterative-"
+    "algorithm pattern functions/graph.py established; rdd_roundtrip "
+    "allow-listed in the lint sweep for exactly this reason).",
+)
+def q215_k_core(spark: SparkSession, sf_dir: str):
+    (l,) = load(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+    def degrees(edges):
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    e = scoped_persist(e)
+    d1 = scoped_persist(degrees(e))
+    kk = d1.agg(F.expr("SUM(d) div COUNT(*) + 1").alias("k"))
+    rows = []
+    edges, deg = e, d1
+    for rnd in (1, 2, 3):
+        surv = (
+            deg.crossJoin(F.broadcast(kk))
+            .filter(F.col("d") >= F.col("k"))
+            .select("node")
+        )
+        # localCheckpoint (not persist): each round references the prior
+        # round's edges FIVE times (direct + twice through each semi
+        # join's surv→deg lineage), so the logical tree grows ~5^rounds
+        # — plan-string generation alone OOMed the driver before any
+        # task ran. Truncating lineage per round keeps the tree linear;
+        # functions/graph.py sets the same pattern for its fixpoint.
+        surv = surv.localCheckpoint(eager=False)
+        nxt = edges.join(
+            surv.select(F.col("node").alias("u")), "u", "semi"
+        ).join(surv.select(F.col("node").alias("v")), "v", "semi")
+        nxt = nxt.localCheckpoint(eager=False)
+        n_all = deg.agg(F.count(F.lit(1)).alias("c"))
+        n_surv = surv.agg(F.count(F.lit(1)).alias("c"))
+        n_edge = nxt.agg(F.count(F.lit(1)).alias("c"))
+        rows.append(
+            n_all.crossJoin(
+                n_surv.select(F.col("c").alias("cs"))
+            )
+            .crossJoin(n_edge.select(F.col("c").alias("ce")))
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                (F.col("c") - F.col("cs")).cast("bigint").alias("n_removed"),
+                F.col("cs").cast("bigint").alias("n_nodes"),
+                F.col("ce").cast("bigint").alias("n_edges"),
+            )
+        )
+        edges = nxt
+        deg = degrees(edges).localCheckpoint(eager=False)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

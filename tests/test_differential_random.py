@@ -737,6 +737,15 @@ BASKET_QUERIES = [
     "q169_bfs_khop",
     "q192_association_rules",
     "q201_apriori_triples",
+    # round-7: common-neighbor link prediction (the 480-part hot basket
+    # makes one center's adjacency dense — the top-32 truncation and
+    # its (w desc, nb) tie rule must pick identical neighbor sets on
+    # both engines; weight ties are pervasive on random baskets)
+    "q214_common_neighbors",
+    # round-7: k-core peel (the relative k = mean-degree+1 must compute
+    # identically; rounds that peel to an EMPTY graph still emit rows
+    # with zero counts on both engines)
+    "q215_k_core",
 ]
 
 
