@@ -1997,3 +1997,91 @@ def q211_tokenizer_fertility(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("chars_per_token_ppm"),
     )
+
+
+# script-class character ranges for q216 — one contiguous literal range
+# per class so the IDENTICAL pattern string runs in Java regex (Spark
+# codegen) and RE2 (DuckDB): character-class ranges of literal
+# codepoints parse identically in both engines (the unicode-contract
+# tests pin the shared semantics this relies on).
+_SCRIPTS = (
+    ("latin", "[A-Za-z]"),
+    ("cyr", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿]"),
+)
+
+_Q216_SQL = f"""
+    WITH d AS (
+      SELECT lang, source,
+             {", ".join(f"LEN(regexp_extract_all(text, '{p}')) AS {k}_c"
+                        for k, p in _SCRIPTS)}
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT lang, source,
+             {" + ".join(f"(CASE WHEN {k}_c > 0 THEN 1 ELSE 0 END)"
+                         for k, _ in _SCRIPTS)} AS n_scripts,
+             {", ".join(f"{k}_c" for k, _ in _SCRIPTS)}
+      FROM d
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mixed,
+           CAST(SUM(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS mixed_bp,
+           {", ".join(f"CAST(SUM({k}_c) AS BIGINT) AS {k}_chars"
+                      for k, _ in _SCRIPTS)}
+    FROM s GROUP BY lang, source
+    """
+
+
+@register(
+    "q216_script_mix",
+    _Q216_SQL,
+    doc="mixed-script detection per (lang, source) — the homoglyph/"
+    "spoofing and encoding-damage audit (UTS #39 confusables; a 'latin' "
+    "document with Cyrillic а/е/о codepoints is either an attack or "
+    "mojibake, and either way poisons the tokenizer): per-doc character "
+    "counts for four contiguous script ranges (Latin, Cyrillic, Greek, "
+    "CJK), a document is MIXED when >= 2 script classes appear; per "
+    "(lang, source): doc count, mixed count, mixed share in integer bp, "
+    "and total chars per script (the release-audit table). The class "
+    "patterns are literal-codepoint ranges shared verbatim by Java "
+    "regex and RE2 — the q206/unicode-contract determinism surface. "
+    "Shape: four codegen regexp counts in one scan, one "
+    "map-side-combinable agg; at 100 TB this is one read of documents. "
+    "Runs in BOTH the standard and unicode-pathology differential "
+    "corpora (the latter supplies real Cyrillic/Greek/CJK/astral "
+    "mixtures).",
+)
+def q216_script_mix(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    d = d.filter(F.col("text").isNotNull())
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0))).alias(
+            f"{k}_c"
+        )
+        for k, p in _SCRIPTS
+    ]
+    base = d.select("lang", "source", *counts)
+    n_scripts = None
+    for k, _ in _SCRIPTS:
+        term = F.when(F.col(f"{k}_c") > 0, 1).otherwise(0)
+        n_scripts = term if n_scripts is None else n_scripts + term
+    s = base.withColumn("n_scripts", n_scripts)
+    return s.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_scripts") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mixed"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END) * 10000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mixed_bp"),
+        *[
+            F.sum(F.col(f"{k}_c")).cast("bigint").alias(f"{k}_chars")
+            for k, _ in _SCRIPTS
+        ],
+    )

@@ -196,6 +196,10 @@ QUERIES = [
     # docs are all empty hits the zero-token NULL guard on both
     # engines; decimal/HUGEINT ppm parity)
     "q211_tokenizer_fertility",
+    # round-7: script mix (word corpus is latin+digit only, so the
+    # detector must stay all-zero-mixed here; the unicode corpus below
+    # is where the real mixtures live)
+    "q216_script_mix",
 ]
 
 
@@ -892,6 +896,10 @@ UNICODE_QUERIES = [
     # punctuation-class pre-token on both engines; LENGTH must agree
     # on codepoints (never surrogate halves)
     "q211_tokenizer_fertility",
+    # round-7: script mix on REAL mixed-script docs — Cyrillic/Greek/
+    # CJK/astral mixtures; literal-range classes must count identical
+    # codepoint sets in Java regex and RE2
+    "q216_script_mix",
 ]
 
 
