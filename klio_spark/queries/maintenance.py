@@ -384,3 +384,106 @@ def q164_zorder_cells(spark: SparkSession, sf_dir: str):
         .select("zfile", "n_rows", "x_lo", "x_hi", "y_lo", "y_hi",
                 "x_span", "y_span")
     )
+
+
+@register(
+    "q218_rendezvous_reshard",
+    """
+    WITH ks AS (
+      SELECT c_custkey AS k, unnest(range(0, 9)) AS s
+      FROM customer
+    ),
+    h AS (
+      SELECT k, s,
+             ('0x' || substring(md5(CAST(k AS VARCHAR) || ':'
+                                    || CAST(s AS VARCHAR)), 1, 14))::BIGINT
+               * 16 + s AS hs
+      FROM ks
+    ),
+    pick AS (
+      SELECT k,
+             MAX(CASE WHEN s < 8 THEN hs END) % 16 AS old_shard,
+             MAX(hs) % 16 AS new_shard
+      FROM h GROUP BY k
+    )
+    SELECT CAST(old_shard AS BIGINT) AS old_shard,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN new_shard != old_shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_rv,
+           CAST(SUM(CASE WHEN new_shard != old_shard THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS moved_rv_bp,
+           CAST(SUM(CASE WHEN k % 9 != k % 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_mod,
+           CAST(SUM(CASE WHEN k % 9 != k % 8 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS moved_mod_bp
+    FROM pick GROUP BY old_shard
+    """,
+    doc="rendezvous-hash resharding audit (highest-random-weight, "
+    "Thaler/Ravishankar 1998 — the consistent-placement scheme behind "
+    "every shard-count change in a sharded store / streaming-state "
+    "rescale): each key's shard is argmax over shards of "
+    "md5(key:shard), so growing 8 -> 9 shards moves ONLY the keys "
+    "whose new shard 8 wins (~1/9 = ~1111 bp), vs naive mod-N "
+    "resharding which moves ~8/9 (~8889 bp) — the audit emits both "
+    "movement rates per old shard, the before/after placement proof a "
+    "migration plan is costed from. Portable determinism: the 14-hex "
+    "(56-bit) md5 prefix rides the q86 '0x'-cast protocol; argmax is "
+    "a plain integer MAX over hs = h*16 + s (s < 16, no overflow at "
+    "2^60), so hash ties — ~2^-56 per key-pair — break toward the "
+    "larger shard id IDENTICALLY on both engines, no engine-specific "
+    "arg_max tie semantics anywhere. Shape: one x9 literal explode, "
+    "one map-side-combinable per-key MAX agg, one tiny groupBy — no "
+    "joins, no windows; at 100 TB this is one scan of the key table.",
+)
+def q218_rendezvous_reshard(spark: SparkSession, sf_dir: str):
+    (c,) = load(spark, sf_dir, "customer")
+    ks = c.select(
+        F.col("c_custkey").alias("k"),
+        F.explode(F.array(*[F.lit(i) for i in range(9)])).alias("s"),
+    )
+    h = ks.select(
+        "k",
+        "s",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("k").cast("string"),
+                            F.lit(":"),
+                            F.col("s").cast("string"),
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            * 16
+            + F.col("s")
+        ).alias("hs"),
+    )
+    pick = h.groupBy("k").agg(
+        (F.max(F.when(F.col("s") < 8, F.col("hs"))) % 16).alias("old_shard"),
+        (F.max("hs") % 16).alias("new_shard"),
+    )
+    return pick.groupBy(
+        F.col("old_shard").cast("bigint").alias("old_shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("new_shard") != F.col("old_shard"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved_rv"),
+        F.expr(
+            "CAST(SUM(CASE WHEN new_shard != old_shard THEN 1 ELSE 0 END)"
+            " * 10000 div COUNT(*) AS BIGINT)"
+        ).alias("moved_rv_bp"),
+        F.sum(F.when(F.col("k") % 9 != F.col("k") % 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved_mod"),
+        F.expr(
+            "CAST(SUM(CASE WHEN k % 9 != k % 8 THEN 1 ELSE 0 END)"
+            " * 10000 div COUNT(*) AS BIGINT)"
+        ).alias("moved_mod_bp"),
+    )

@@ -353,6 +353,10 @@ EVENT_QUERIES = [
     # engines; constant series hit the zero-variance guard; the DST /
     # far-future flavors stress the hour spine the same way q57 does)
     "q213_lag_autocorr",
+    # round-7: Theil-Sen trend (pairwise-slope median on the day spine;
+    # slope TIES are pervasive on flat random series, pinned by
+    # (slope, xi, xj); single-day corpora emit NULL ts_slope)
+    "q217_theil_sen_trend",
 ]
 
 
