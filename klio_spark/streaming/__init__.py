@@ -1691,3 +1691,72 @@ def stateful_interval_coverage(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_script_mix(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live mixed-script monitor — the streaming twin of q216
+    (queries/textops.py): per (lang, source), cumulative doc counts,
+    mixed-script doc counts, and per-script character totals, kept
+    current as the crawl streams in (the homoglyph-injection /
+    encoding-damage alarm wants to fire DURING ingestion, not at the
+    next release audit).
+
+    Same kernel as the batch op — the four literal-codepoint script
+    ranges and the >= 2-classes MIXED rule from textops._SCRIPTS — over
+    Spark's built-in incremental aggregation in complete mode: state is
+    a handful of int64s per DISTINCT (lang, source) cell, bounded by
+    the corpus's lang x source grid, never its size. Every statistic is
+    a cell-wise-additive function of the document multiset, so the live
+    table after any stream prefix equals q216's batch answer over that
+    prefix cell-for-cell — including across checkpoint restarts
+    (asserted against the batch kernel in test_streaming)."""
+    from klio_spark.queries.textops import _SCRIPTS
+
+    d = df.filter(F.col(text_col).isNotNull())
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0))
+        ).alias(f"{k}_c")
+        for k, p in _SCRIPTS
+    ]
+    base = d.select(
+        F.col(lang_col).alias("lang"), F.col(source_col).alias("source"), *counts
+    )
+    n_scripts = None
+    for k, _ in _SCRIPTS:
+        term = F.when(F.col(f"{k}_c") > 0, 1).otherwise(0)
+        n_scripts = term if n_scripts is None else n_scripts + term
+    agg = (
+        base.withColumn("n_scripts", n_scripts)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_scripts") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mixed"),
+            *[
+                F.sum(F.col(f"{k}_c")).cast("bigint").alias(f"{k}_chars")
+                for k, _ in _SCRIPTS
+            ],
+        )
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch, batch_id)
+
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

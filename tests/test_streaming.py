@@ -1703,3 +1703,58 @@ def test_stateful_interval_coverage_matches_batch_twin(spark, tmp_path):
     assert got[1] == (2, 80 * 60 + 30 * 60, 4)
     # user 2: the straggler island (07:00) + the 10:00 island
     assert got[2] == (2, 2 * 30 * 60, 2)
+
+
+def test_streaming_script_mix_matches_batch_kernel(spark, tmp_path):
+    """streaming_script_mix across a checkpoint restart: the live
+    (lang, source) table equals q216's batch kernel over the cumulative
+    stream cell-for-cell — a Cyrillic-в-in-latin doc flips to mixed, a
+    pure doc doesn't, NULL text drops, and the b1 state survives the
+    restart."""
+    ddir = tmp_path / "smx"
+    (ddir / "p").mkdir(parents=True)
+    schema = "doc_id long, lang string, source string, text string"
+    b1 = [
+        (1, "en", "web", "plain latin text"),
+        (2, "en", "web", "pаyрal login"),  # Cyrillic а/р homoglyphs
+        (3, "en", "book", None),
+    ]
+    b2 = [
+        (4, "ru", "web", "пример текста"),
+        (5, "ru", "web", "пример with latin"),  # mixed
+        (6, "zh", "web", "漢字"),
+    ]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(ddir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(ddir / "p"))
+        q = st.streaming_script_mix(
+            stream,
+            lambda b, bid: b.write.mode("overwrite").parquet(
+                f"{tmp_path}/smxout"
+            ),
+            str(tmp_path / "ckpt-smx"),
+        )
+        q.awaitTermination(60)
+
+    def live():
+        return {
+            (r.lang, r.source): (
+                r.n_docs, r.n_mixed, r.latin_chars, r.cyr_chars,
+                r.greek_chars, r.cjk_chars,
+            )
+            for r in spark.read.parquet(f"{tmp_path}/smxout").collect()
+        }
+
+    run(b1)
+    got = live()
+    # doc 2: latin + 2 Cyrillic homoglyphs (а, р) -> mixed
+    assert got[("en", "web")] == (2, 1, 14 + 9, 2, 0, 0)
+    assert ("en", "book") not in got  # NULL text dropped entirely
+    run(b2)  # restart: cumulative
+    got = live()
+    assert got[("en", "web")] == (2, 1, 23, 2, 0, 0)  # b1 state survived
+    assert got[("ru", "web")] == (2, 1, 9, 12 + 6, 0, 0)
+    assert got[("zh", "web")] == (1, 0, 0, 0, 0, 2)
