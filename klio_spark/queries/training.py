@@ -1217,3 +1217,106 @@ def q209_repeat_epochs(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@register(
+    "q219_padding_waste",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             LEAST(LEN(regexp_extract_all(text, '\\S+')), 512) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    a AS (
+      SELECT doc_id // 32 AS batch, tok, MAX(tok) OVER
+               (PARTITION BY doc_id // 32) AS mx
+      FROM t
+    ),
+    s0 AS (
+      SELECT tok,
+             ROW_NUMBER() OVER (ORDER BY tok, doc_id) AS rnk
+      FROM t
+    ),
+    s AS (
+      SELECT (rnk - 1) // 32 AS batch, tok,
+             MAX(tok) OVER (PARTITION BY (rnk - 1) // 32) AS mx
+      FROM s0
+    ),
+    wa AS (SELECT CAST(SUM(mx - tok) AS BIGINT) AS waste FROM a),
+    ws AS (SELECT CAST(SUM(mx - tok) AS BIGINT) AS waste FROM s)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_docs,
+           (SELECT CAST(SUM(tok) AS BIGINT) FROM t) AS total_tokens,
+           wa.waste AS waste_arrival,
+           ws.waste AS waste_sorted,
+           CASE WHEN wa.waste > 0
+                THEN CAST((wa.waste - ws.waste) * 10000 // wa.waste
+                          AS BIGINT) END AS saving_bp
+    FROM wa CROSS JOIN ws
+    """,
+    doc="padding-waste audit — quantifies what length-sorted batching "
+    "saves over arrival-order batching (the 'sorted batching / "
+    "bucketing' every training and inference stack applies: pad-to-"
+    "longest wastes compute proportional to intra-batch length "
+    "spread): sequence length = whitespace tokens clipped at 512; "
+    "arrival batches key on ingest-id blocks (doc_id div 32 — id gaps "
+    "make short batches, which only UNDERSTATES arrival waste, so the "
+    "reported saving is conservative); sorted batches use the EXACT "
+    "global length rank computed by q196's histogram-prefix kernel — "
+    "the clip makes the value histogram <= 513 rows by construction, "
+    "so the 'global sort' is a broadcast prefix + a parallel "
+    "intra-value row_number, never a single-partition sort (the "
+    "oracle runs the naive ROW_NUMBER global sort instead, proving "
+    "the distributed rank replays it exactly). Waste = sum over "
+    "batches of (batch max - each member) — pure integer. Output: one "
+    "row with both arms and the saving in bp. Scale shape: one scan, "
+    "one tiny broadcast, two bounded windows; nothing corpus-wide "
+    "ever sorts.",
+)
+def q219_padding_waste(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.least(tx.token_count(F.col("text")), F.lit(512)).alias("tok"),
+    )
+    t = scoped_persist(t)
+    # arrival arm: ingest-id blocks; pad-to-longest within each block
+    wa_w = Window.partitionBy(F.expr("doc_id div 32"))
+    a = t.select("tok", F.max("tok").over(wa_w).alias("mx"))
+    wa = a.agg(F.sum(F.col("mx") - F.col("tok")).cast("bigint").alias("waste"))
+    # sorted arm: exact global rank without a global sort (q196 kernel —
+    # the LEAST(…, 512) clip bounds the histogram at 513 rows)
+    hist = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    wh = Window.orderBy("tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix = hist.select(
+        "tok", (F.sum("cnt").over(wh) - F.col("cnt")).alias("prefix")
+    )
+    wv = Window.partitionBy("tok").orderBy("doc_id")
+    ranked = t.join(F.broadcast(prefix), "tok").select(
+        "tok", (F.col("prefix") + F.row_number().over(wv)).alias("rnk")
+    )
+    ws_w = Window.partitionBy(F.expr("(rnk - 1) div 32"))
+    s = ranked.select("tok", F.max("tok").over(ws_w).alias("mx"))
+    ws = s.agg(F.sum(F.col("mx") - F.col("tok")).cast("bigint").alias("waste"))
+    tot = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+    )
+    return (
+        tot.crossJoin(wa.select(F.col("waste").alias("waste_arrival")))
+        .crossJoin(ws.select(F.col("waste").alias("waste_sorted")))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "waste_arrival",
+            "waste_sorted",
+            F.when(
+                F.col("waste_arrival") > 0,
+                F.expr(
+                    "CAST((waste_arrival - waste_sorted) * 10000"
+                    " div waste_arrival AS BIGINT)"
+                ),
+            ).alias("saving_bp"),
+        )
+    )

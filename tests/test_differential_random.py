@@ -200,6 +200,10 @@ QUERIES = [
     # detector must stay all-zero-mixed here; the unicode corpus below
     # is where the real mixtures live)
     "q216_script_mix",
+    # round-7: padding waste (duplicate docs make dense length ties —
+    # the histogram-prefix rank must replay the oracle's naive global
+    # ROW_NUMBER exactly; sparse doc_ids make short arrival batches)
+    "q219_padding_waste",
 ]
 
 
