@@ -139,6 +139,7 @@ _VERIFY_FIRST = [
     "q217_theil_sen_trend",
     "q218_rendezvous_reshard",
     "q219_padding_waste",
+    "q220_maxsim_late_interaction",
     # NOTE: 11 new entries + the 46-query stale tail = 57 > the ~50-slot
     # window, so ~7 stale entries may overflow into round 8. First-ever
     # external evidence for the new queries outranks a third re-check of

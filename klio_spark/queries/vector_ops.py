@@ -1322,3 +1322,118 @@ def q212_embedding_frechet(spark: SparkSession, sf_dir: str):
             .alias("frechet_e6"),
         )
     )
+
+
+@register(
+    "q220_maxsim_late_interaction",
+    """
+    WITH e AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    ql AS (SELECT MIN(label) AS qlab FROM e),
+    qv AS (
+      SELECT vec_id AS q_id, v FROM (
+        SELECT e.vec_id, e.v,
+               ROW_NUMBER() OVER (ORDER BY e.vec_id) AS rk
+        FROM e CROSS JOIN ql WHERE e.label = ql.qlab
+      ) WHERE rk <= 8
+    ),
+    dv AS (
+      SELECT label, vec_id AS d_id, v FROM (
+        SELECT e.label, e.vec_id, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.label
+                                  ORDER BY e.vec_id) AS rk
+        FROM e CROSS JOIN ql WHERE e.label != ql.qlab
+      ) WHERE rk <= 16
+    ),
+    dots AS (
+      SELECT d.label, q.q_id,
+             list_aggregate(
+               [CAST(FLOOR(q.v[i] * 1000000) AS BIGINT)
+                * CAST(FLOOR(d.v[i] * 1000000) AS BIGINT)
+                FOR i IN range(1, LEAST(len(q.v), len(d.v)) + 1)],
+               'sum') AS dot
+      FROM qv q CROSS JOIN dv d
+    ),
+    ms AS (
+      SELECT label, q_id, MAX(dot) AS best FROM dots GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(SUM(best) AS BIGINT) AS maxsim_score,
+           CAST(COUNT(*) AS BIGINT) AS n_query_vecs
+    FROM ms GROUP BY label
+    """,
+    doc="late-interaction retrieval scoring (ColBERT MaxSim, Khattab & "
+    "Zaharia SIGIR 2020 — the multi-vector ranking function between "
+    "single-vector ANN and full cross-encoders): the query entity (the "
+    "smallest label, an in-plan 1-row broadcast — never a driver "
+    "collect) contributes its first 8 vectors, every candidate entity "
+    "its first 16; score(entity) = sum over query vectors of the MAX "
+    "dot against the entity's vectors. Both truncations are the "
+    "production multi-vector cap (ColBERT itself fixes vectors per "
+    "passage), and they bound the interaction join at 8 x 16 x "
+    "#entities ABSOLUTELY — the q214 lesson: late interaction without "
+    "a per-entity cap is corpus x corpus. Dots are exact int64 "
+    "(FLOOR(x*1e6), the q170/q204 convention) over the common prefix "
+    "of unequal-length vectors (zip_with null-pads, the fold "
+    "coalesces — equal to the oracle's LEAST(len) range), so MAX and "
+    "SUM are order-free. Shape: two rank windows on the embeddings "
+    "table, one broadcast-nested-loop of the 8-row query side against "
+    "the capped candidates, two map-side aggs.",
+)
+def q220_maxsim_late_interaction(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    e = e.filter(F.col("embedding").isNotNull()).select(
+        "label",
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("long")
+        ).alias("v"),
+    )
+    ql = e.agg(F.min("label").alias("qlab"))
+    tagged = e.crossJoin(F.broadcast(ql))
+    qv = (
+        tagged.filter(F.col("label") == F.col("qlab"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "v",
+            # partitioned by label (constant on this filtered side) so
+            # the rank never plans as a GLOBAL sort — same semantics
+            F.row_number()
+            .over(Window.partitionBy("label").orderBy("vec_id"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 8)
+        .select("q_id", F.col("v").alias("qv"))
+    )
+    dv = (
+        tagged.filter(F.col("label") != F.col("qlab"))
+        .select(
+            "label",
+            "v",
+            F.row_number()
+            .over(Window.partitionBy("label").orderBy("vec_id"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 16)
+        .select("label", F.col("v").alias("dv"))
+    )
+    dots = (
+        F.broadcast(qv)
+        .crossJoin(dv)
+        .select(
+            "label",
+            "q_id",
+            F.aggregate(
+                F.zip_with("qv", "dv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.coalesce(x, F.lit(0).cast("long")),
+            ).alias("dot"),
+        )
+    )
+    ms = dots.groupBy("label", "q_id").agg(F.max("dot").alias("best"))
+    return ms.groupBy("label").agg(
+        F.sum("best").cast("bigint").alias("maxsim_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_query_vecs"),
+    )

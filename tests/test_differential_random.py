@@ -560,6 +560,10 @@ EMB_QUERIES = [
     # zero-variance dims -> the GREATEST(0, var) clamp and sqrt(0) must
     # agree; the zero vector shifts one label's means only)
     "q212_embedding_frechet",
+    # round-7: MaxSim late interaction (STRING min-label query entity;
+    # dim-16 vectors hit the unequal-length common-prefix dot; the zero
+    # vector zeroes one query slot's maxes; duplicate vectors tie MAX)
+    "q220_maxsim_late_interaction",
 ]
 
 
