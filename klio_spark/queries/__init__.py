@@ -140,6 +140,12 @@ _VERIFY_FIRST = [
     "q218_rendezvous_reshard",
     "q219_padding_waste",
     "q220_maxsim_late_interaction",
+    "q221_rrf_fusion",
+    "q222_calibration_ece",
+    "q223_ranking_auc",
+    "q224_cohen_kappa",
+    "q225_distinct_ngrams",
+    "q226_hard_negative_mining",
     # NOTE: 11 new entries + the 46-query stale tail = 57 > the ~50-slot
     # window, so ~7 stale entries may overflow into round 8. First-ever
     # external evidence for the new queries outranks a third re-check of

@@ -788,3 +788,307 @@ def q208_l_diversity(spark: SparkSession, sf_dir: str):
             " div SUM(k) AS BIGINT)"
         ).alias("risk_bp"),
     )
+
+
+# Shared deterministic (confidence, label) construction for the model-
+# evaluation audits (q222 ECE / q223 AUC / q224 kappa): confidence that a
+# document is "long-form" = clipped length in ppm (LEAST(n_chars,2000)*500,
+# exact integer); the ground-truth label is drawn CALIBRATED-BY-
+# CONSTRUCTION from that confidence via a Knuth multiplicative hash of
+# doc_id — label = 1 iff hash_u32 * 1e6 < conf_ppm * 2^32, all int64
+# (bounds: conf_ppm*2^32 <= 4.3e15 and hash*1e6 <= 4.3e15, and the hash
+# product doc_id*2654435761 stays in int64 for doc_id <= ~3.4e9 — document
+# ids at the 100 TB design point are re-keyed surrogates, not raw 64-bit
+# hashes). Identical integer expressions evaluate identically on both
+# engines, so the synthetic eval set is bit-identical everywhere.
+_CONF_LABEL_SQL = """
+      SELECT LEAST(COALESCE(n_chars, 0), 2000) * 500 AS conf_ppm,
+             CASE WHEN ((COALESCE(doc_id, 0) * 2654435761) % 4294967296)
+                       * 1000000
+                       < LEAST(COALESCE(n_chars, 0), 2000) * 500 * 4294967296
+                  THEN 1 ELSE 0 END AS label
+      FROM documents
+"""
+
+
+def _conf_label(d):
+    """Spark twin of _CONF_LABEL_SQL (same integer expressions)."""
+    conf = (
+        F.least(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(2000)) * 500
+    ).cast("bigint")
+    h = F.expr("(COALESCE(doc_id, 0) * 2654435761) % 4294967296")
+    return d.select(
+        conf.alias("conf_ppm"),
+        F.when(h * 1000000 < conf * 4294967296, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("label"),
+    )
+
+
+@register(
+    "q222_calibration_ece",
+    f"""
+    WITH scored AS ({_CONF_LABEL_SQL}),
+    bins AS (
+      SELECT LEAST(conf_ppm // 100000, 9) AS bin_id,
+             COUNT(*) AS n,
+             SUM(conf_ppm) AS sum_conf,
+             SUM(label) AS n_pos
+      FROM scored GROUP BY 1
+    ),
+    gaps AS (
+      SELECT bin_id, n, n_pos,
+             sum_conf // n AS conf_ppm,
+             n_pos * 1000000 // n AS acc_ppm,
+             ABS(sum_conf // n - n_pos * 1000000 // n) AS gap_ppm
+      FROM bins
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(conf_ppm AS BIGINT) AS conf_ppm,
+           CAST(acc_ppm AS BIGINT) AS acc_ppm,
+           CAST(gap_ppm AS BIGINT) AS gap_ppm,
+           CAST(SUM(n * gap_ppm) OVER () // SUM(n) OVER () AS BIGINT)
+             AS ece_ppm
+    FROM gaps
+    """,
+    doc="Calibration reliability diagram + Expected Calibration Error "
+    "(Guo et al. ICML 2017 — the standard audit before a quality-"
+    "classifier's scores gate a data pipeline): 10 equal-width "
+    "confidence bins, per bin the mean confidence vs realized accuracy "
+    "(both integer ppm) and |gap|, plus the n-weighted ECE replicated "
+    "on every row. The eval set is the shared calibrated-by-"
+    "construction (conf, label) table (see _CONF_LABEL_SQL), so "
+    "measured ECE is pure binning + sampling noise — and exactly equal "
+    "cross-engine because every step is int64. Shape: one scan, one "
+    "10-row map-side agg; the OVER () window runs on <= 10 rows "
+    "(bin-count-bounded, never data-bounded) — the whole audit is a "
+    "single pass at any corpus size.",
+)
+def q222_calibration_ece(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    bins = (
+        _conf_label(d)
+        .groupBy(
+            F.least(F.expr("conf_ppm div 100000"), F.lit(9)).alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("conf_ppm").alias("sum_conf"),
+            F.sum("label").alias("n_pos"),
+        )
+    )
+    gaps = bins.select(
+        F.col("bin_id").cast("bigint"),
+        F.col("n").cast("bigint"),
+        F.col("n_pos").cast("bigint"),
+        F.expr("sum_conf div n").cast("bigint").alias("conf_ppm"),
+        F.expr("n_pos * 1000000 div n").cast("bigint").alias("acc_ppm"),
+        F.expr("abs(sum_conf div n - n_pos * 1000000 div n)")
+        .cast("bigint")
+        .alias("gap_ppm"),
+    )
+    # the unpartitioned window runs over <= 10 bin rows (bin-count-
+    # bounded by construction), never over the corpus
+    w = Window.partitionBy()
+    return (
+        gaps.withColumn(
+            "_num", F.sum(F.col("n") * F.col("gap_ppm")).over(w)
+        )
+        .withColumn("_den", F.sum("n").over(w))
+        .withColumn("ece_ppm", F.expr("CAST(_num div _den AS BIGINT)"))
+        .drop("_num", "_den")
+    )
+
+
+@register(
+    "q223_ranking_auc",
+    f"""
+    WITH scored AS ({_CONF_LABEL_SQL}),
+    hist AS (
+      SELECT conf_ppm,
+             COUNT(*) AS n,
+             SUM(label) AS pos,
+             COUNT(*) - SUM(label) AS neg
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY conf_ppm
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS neg_below
+      FROM hist
+    ),
+    agg AS (
+      SELECT SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+             SUM(pos * (2 * neg_below + neg)) AS u2
+      FROM cum
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(u2 AS BIGINT) AS u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(CAST(u2 AS DOUBLE)
+                           / (2.0 * CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE)), 6)
+           END AS auc_r6
+    FROM agg
+    """,
+    doc="ROC AUC of a score against binary labels via the Mann-Whitney "
+    "rank-sum identity with EXACT tie handling — the threshold-free "
+    "quality-classifier metric every filtering pipeline reports. "
+    "Instead of the textbook global RANK() (a full-corpus single-"
+    "partition sort), the score domain is bounded by construction "
+    "(conf_ppm has <= 2001 distinct values), so AUC folds into a "
+    "histogram: U2 = 2*U = SUM over score values of pos_v * "
+    "(2*cum_neg_below + neg_v) — one map-side groupBy(conf_ppm), one "
+    "window over the <= 2001-row histogram, one scalar agg; the oracle "
+    "computes the same U2 from the identical histogram (ties contribute "
+    "neg_v/2 each, exactly, via the x2 integerization). u2 is exact "
+    "int64 for corpora up to ~4.2e9 scored rows (U2 <= 2*P*N <= n^2/2 "
+    "< 2^63); the final AUC is ONE IEEE division of identical int-"
+    "derived doubles, rounded at 6 (the registry rule for genuinely "
+    "non-integer results). Degenerate single-class corpora emit NULL.",
+)
+def q223_ranking_auc(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    hist = (
+        _conf_label(d)
+        .groupBy("conf_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("pos"),
+        )
+        .withColumn("neg", F.col("n") - F.col("pos"))
+    )
+    # ordered window over the value histogram: <= 2001 rows by
+    # construction (conf_ppm = LEAST(n_chars,2000)*500), never the corpus
+    w = Window.orderBy("conf_ppm").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos")
+            * (2 * F.col("neg_below") + (F.col("n") - F.col("pos")))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("u2").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
+                6,
+            ),
+        ).alias("auc_r6"),
+    )
+
+
+@register(
+    "q224_cohen_kappa",
+    """
+    WITH rated AS (
+      SELECT CASE WHEN COALESCE(n_chars, 0) >= 600 THEN 1 ELSE 0 END AS a,
+             CASE WHEN ((COALESCE(doc_id, 0) * 1099087573) % 4294967296)
+                       % 2000
+                       < LEAST(COALESCE(n_chars, 0), 2000)
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT COUNT(*) AS n,
+             SUM(a * b) AS n11,
+             SUM(a * (1 - b)) AS n10,
+             SUM((1 - a) * b) AS n01,
+             SUM((1 - a) * (1 - b)) AS n00
+      FROM rated
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           ROUND(po, 6) AS po_r6, ROUND(pe, 6) AS pe_r6,
+           CASE WHEN pe <> 1.0
+                THEN ROUND((po - pe) / (1.0 - pe), 6) END AS kappa_r6
+    FROM (
+      SELECT n, n11, n10, n01, n00,
+             (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS po,
+             (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+             + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+      FROM cells
+    )
+    """,
+    doc="Cohen's kappa inter-annotator agreement (Cohen 1960) — the "
+    "chance-corrected agreement statistic every labeling/rating pipeline "
+    "reports before trusting labels: rater A = a hard length gate "
+    "(n_chars >= 600), rater B = a noisy length rater (label 1 with "
+    "probability ~ n_chars/2000 via a deterministic Knuth-hash draw on "
+    "doc_id — a different multiplier than q222's so the raters disagree "
+    "realistically). The 2x2 confusion table folds into ONE map-side "
+    "scan agg (four integer sums); po/pe/kappa are IEEE ops on "
+    "identical int-derived doubles — each marginal is divided by n "
+    "BEFORE multiplying, so nothing exceeds int64 at any corpus size — "
+    "rounded at 6 per the registry rule. Perfect-chance-agreement "
+    "corpora (pe = 1) emit NULL kappa on both engines.",
+)
+def q224_cohen_kappa(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(F.coalesce(F.col("n_chars"), F.lit(0)) >= 600, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(
+            F.expr(
+                "((COALESCE(doc_id, 0) * 1099087573) % 4294967296) % 2000"
+            )
+            < F.least(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(2000)),
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11").cast("double") + F.col("n00").cast("double")) / nd
+    pe = (
+        ((F.col("n11") + F.col("n10")).cast("double") / nd)
+        * ((F.col("n11") + F.col("n01")).cast("double") / nd)
+        + ((F.col("n01") + F.col("n00")).cast("double") / nd)
+        * ((F.col("n10") + F.col("n00")).cast("double") / nd)
+    )
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po_r6"),
+        F.round(pe, 6).alias("pe_r6"),
+        F.when(pe != 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias(
+            "kappa_r6"
+        ),
+    )

@@ -2085,3 +2085,113 @@ def q216_script_mix(spark: SparkSession, sf_dir: str):
             for k, _ in _SCRIPTS
         ],
     )
+
+
+@register(
+    "q225_distinct_ngrams",
+    """
+    WITH docs AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT source,
+             COUNT(*) AS n_tokens,
+             COUNT(DISTINCT w) AS nd_tokens
+      FROM (SELECT source, unnest(ws) AS w FROM docs)
+      GROUP BY source
+    ),
+    bi AS (
+      SELECT source,
+             COUNT(*) AS n_bigrams,
+             COUNT(DISTINCT g) AS nd_bigrams
+      FROM (
+        SELECT source, ws[i] || ' ' || ws[i + 1] AS g
+        FROM docs, unnest(range(1, len(ws))) AS r(i)
+        WHERE len(ws) >= 2
+      )
+      GROUP BY source
+    )
+    SELECT uni.source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(nd_tokens AS BIGINT) AS nd_tokens,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(nd_bigrams, 0) AS BIGINT) AS nd_bigrams,
+           CAST(CAST(nd_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+             AS distinct1_ppm,
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN NULL
+                ELSE CAST(CAST(nd_bigrams AS HUGEINT) * 1000000
+                          // n_bigrams AS BIGINT) END AS distinct2_ppm
+    FROM uni LEFT JOIN bi ON uni.source IS NOT DISTINCT FROM bi.source
+    """,
+    doc="distinct-n lexical diversity per source (distinct-1/distinct-2, "
+    "Li et al. NAACL 2016 — the degeneracy metric mode-collapse and "
+    "template-spam corpora fail): unique unigrams / total unigrams and "
+    "unique bigrams / total bigrams in integer ppm. Low distinct-2 with "
+    "normal distinct-1 is the signature of templated text (same words, "
+    "same order) that per-doc quality filters miss — this is the corpus-"
+    "level companion to q79's per-doc repetition score. Bigrams are "
+    "generated ARRAY-SIDE inside each document row (the q187 "
+    "_adjacent_pairs pattern — zero exchanges touch the token stream "
+    "before the per-source agg); COUNT(DISTINCT gram) partial-aggregates "
+    "map-side per (source, gram), so the shuffle carries the DISTINCT "
+    "vocabulary (Heaps-sublinear), not the token stream. The ppm "
+    "numerators run in decimal(38,0)/HUGEINT (the q190 rule); the "
+    "null-safe source join keeps NULL-source docs as their own group; "
+    "sources whose docs are all sub-2-token emit NULL distinct2_ppm on "
+    "both engines.",
+)
+def q225_distinct_ngrams(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    docs = d.filter(F.col("text").isNotNull()).select(
+        "source", tx.tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    uni = (
+        docs.select("source", F.explode("ws").alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("w").alias("nd_tokens"),
+        )
+    )
+    bi = (
+        docs.select(
+            "source", F.explode(_adjacent_pairs(F.col("ws"))).alias("p")
+        )
+        .select(
+            "source",
+            F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("g"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct("g").alias("nd_bigrams"),
+        )
+    )
+    j = uni.join(bi, uni["source"].eqNullSafe(bi["source"]), "left").select(
+        uni["source"],
+        "n_tokens",
+        "nd_tokens",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("nd_bigrams"), F.lit(0)).alias("nd_bigrams"),
+    )
+    return j.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("nd_tokens").cast("bigint").alias("nd_tokens"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("nd_bigrams").cast("bigint").alias("nd_bigrams"),
+        F.expr(
+            "CAST(CAST(nd_tokens AS DECIMAL(38,0)) * 1000000"
+            " div n_tokens AS BIGINT)"
+        ).alias("distinct1_ppm"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr(
+                "CAST(CAST(nd_bigrams AS DECIMAL(38,0)) * 1000000"
+                " div n_bigrams AS BIGINT)"
+            ),
+        ).alias("distinct2_ppm"),
+    )

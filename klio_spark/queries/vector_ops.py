@@ -1437,3 +1437,209 @@ def q220_maxsim_late_interaction(spark: SparkSession, sf_dir: str):
         F.sum("best").cast("bigint").alias("maxsim_score"),
         F.count(F.lit(1)).cast("bigint").alias("n_query_vecs"),
     )
+
+
+@register(
+    "q221_rrf_fusion",
+    f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_mrl_sql_dot(64)} AS s_full,
+             {_mrl_sql_dot(16)} AS s_16
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s_full DESC, neighbor_id) AS rank_a,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s_16 DESC, neighbor_id) AS rank_b
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(rank_a AS BIGINT) AS rank_a,
+             CAST(rank_b AS BIGINT) AS rank_b,
+             CAST(1000000000 // (60 + rank_a)
+                  + 1000000000 // (60 + rank_b) AS BIGINT) AS rrf_score
+      FROM ranked
+    )
+    SELECT query_id, neighbor_id, rank_a, rank_b, rrf_score,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id)
+                  AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    """,
+    doc="Reciprocal Rank Fusion (Cormack/Clarke/Buettcher SIGIR 2009 — "
+    "the default hybrid-retrieval combiner in every modern RAG stack): "
+    "fuse two rankings of the same candidates — system A = full-dimension "
+    "exact int64 dot, system B = 16-dim MRL prefix dot (the cheap arm a "
+    "tiered retriever actually serves) — by summed reciprocal ranks "
+    "1/(60+rank), integerized as 1000000000 div (60+rank) so the fusion "
+    "is exact cross-engine; top-10 fused per query, ties on neighbor_id. "
+    "Shape: ONE corpus scan computes both dots (the prefix dot slices "
+    "the same quantized array), the two rank windows and the fused-rank "
+    "window share ONE query_id exchange of a skinny (ids + 2 longs) "
+    "table, and the broadcast 10-row query side means no corpus shuffle "
+    "at any scale — rank fusion is free once the rankings exist.",
+)
+def q221_rrf_fusion(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter((F.col("vec_id") < 10) & F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _int_vec(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = e.filter(
+        (F.col("vec_id") >= 10) & F.col("embedding").isNotNull()
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _int_vec(F.col("embedding")).alias("cv"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        _int_dot(F.col("qv"), F.col("cv")).alias("s_full"),
+        _int_dot(
+            F.slice(F.col("qv"), 1, 16), F.slice(F.col("cv"), 1, 16)
+        ).alias("s_16"),
+    )
+
+    def rn(col):
+        return F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc(col), F.asc("neighbor_id")
+            )
+        )
+
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        rn("s_full").cast("bigint").alias("rank_a"),
+        rn("s_16").cast("bigint").alias("rank_b"),
+    ).withColumn(
+        "rrf_score",
+        (
+            F.expr("1000000000 div (60 + rank_a)")
+            + F.expr("1000000000 div (60 + rank_b)")
+        ).cast("bigint"),
+    )
+    return (
+        ranked.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rrf_score"), F.asc("neighbor_id")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id", "neighbor_id", "rank_a", "rank_b",
+            "rrf_score", "fused_rank",
+        )
+    )
+
+
+@register(
+    "q226_hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (q.label IS NOT DISTINCT FROM c.label) AS is_pos,
+             {_mrl_sql_dot(64)} AS dot
+      FROM q CROSS JOIN c
+    ),
+    with_best AS (
+      SELECT *, MAX(CASE WHEN is_pos THEN dot END)
+                  OVER (PARTITION BY query_id) AS best_pos
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot,
+           CAST(neg_rank AS BIGINT) AS neg_rank,
+           CAST(best_pos - dot AS BIGINT) AS margin
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, neighbor_id)
+                  AS neg_rank
+      FROM with_best WHERE NOT is_pos
+    ) WHERE neg_rank <= 5
+    """,
+    doc="Hard-negative mining — the candidate-generation step of "
+    "contrastive embedding training (DPR, Karpukhin 2020; SimCSE): for "
+    "each query vector, the top-5 HIGHEST-scoring candidates whose label "
+    "differs (null-safe label compare), i.e. the negatives the current "
+    "embedding space most confuses with positives, plus the margin "
+    "best_positive_dot - negative_dot (negative margin = a negative "
+    "outscores every positive — the rows a trainer upweights hardest). "
+    "All dots are exact int64 over FLOOR(x*1e6) components. Shape: the "
+    "10-row query side broadcasts, positives and negatives score in the "
+    "SAME single corpus scan (a flag, not a second join), the best-"
+    "positive window and the negative rank window share one query_id "
+    "exchange of the skinny scored table. Queries with no positive "
+    "candidates emit NULL margins (documented, both engines).",
+)
+def q226_hard_negative_mining(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter((F.col("vec_id") < 10) & F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("_ql"),
+            _int_vec(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = e.filter(
+        (F.col("vec_id") >= 10) & F.col("embedding").isNotNull()
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_cl"),
+        _int_vec(F.col("embedding")).alias("cv"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.col("_ql").eqNullSafe(F.col("_cl")).alias("is_pos"),
+        _int_dot(F.col("qv"), F.col("cv")).alias("dot"),
+    )
+    w_all = Window.partitionBy("query_id")
+    with_best = scored.withColumn(
+        "best_pos",
+        F.max(F.when(F.col("is_pos"), F.col("dot"))).over(w_all),
+    )
+    return (
+        with_best.filter(~F.col("is_pos"))
+        .withColumn(
+            "neg_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("dot"), F.asc("neighbor_id")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("neg_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("dot").cast("bigint").alias("dot"),
+            "neg_rank",
+            (F.col("best_pos") - F.col("dot")).cast("bigint").alias("margin"),
+        )
+    )

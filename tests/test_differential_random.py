@@ -204,6 +204,23 @@ QUERIES = [
     # the histogram-prefix rank must replay the oracle's naive global
     # ROW_NUMBER exactly; sparse doc_ids make short arrival batches)
     "q219_padding_waste",
+    # round-7: calibration ECE (NULL n_chars -> conf 0 in bin 0; the
+    # synthetic label hash must bit-agree; sparse bins stress the
+    # integer per-bin floors)
+    "q222_calibration_ece",
+    # round-7: ranking AUC (dense conf_ppm ties from duplicate lengths
+    # — the histogram tie term pos_v*neg_v must replay the textbook
+    # tie-averaged rank sum exactly; NULL n_chars pile onto conf 0)
+    "q223_ranking_auc",
+    # round-7: Cohen's kappa (the two raters' hash draws must bit-agree;
+    # NULL n_chars force a=0 and a near-certain b=0 — the marginal-
+    # product pe path on a skewed 2x2 table)
+    "q224_cohen_kappa",
+    # round-7: distinct-n diversity (duplicate docs depress distinct-2
+    # without changing totals; sub-2-token docs contribute unigrams but
+    # no bigrams -> the left-join NULL path; empty docs vanish from
+    # both engines identically)
+    "q225_distinct_ngrams",
 ]
 
 
@@ -564,6 +581,16 @@ EMB_QUERIES = [
     # dim-16 vectors hit the unequal-length common-prefix dot; the zero
     # vector zeroes one query slot's maxes; duplicate vectors tie MAX)
     "q220_maxsim_late_interaction",
+    # round-7: RRF fusion (dim-16 corpus -> the 16-prefix arm EQUALS the
+    # full arm, so every fused rank is a tie-heavy 2/(60+r) path; the
+    # zero query vector ties all dots -> pure neighbor_id ranking; exact
+    # duplicates force identical rrf_scores broken on neighbor_id)
+    "q221_rrf_fusion",
+    # round-7: hard negatives (string labels; the zero query vector ties
+    # every negative at dot 0; duplicate vectors across labels create
+    # negatives with margin 0; a query whose label covers no candidate
+    # -> NULL best_pos -> NULL margins on both engines)
+    "q226_hard_negative_mining",
 ]
 
 
@@ -912,6 +939,11 @@ UNICODE_QUERIES = [
     # CJK/astral mixtures; literal-range classes must count identical
     # codepoint sets in Java regex and RE2
     "q216_script_mix",
+    # round-7: distinct-n (whitespace tokens carrying astral/combining/
+    # zero-width codepoints must compare equal as DISTINCT keys on both
+    # engines — grapheme-vs-codepoint equality never enters, but the
+    # lower() parity and the ' '-joined bigram key must bit-agree)
+    "q225_distinct_ngrams",
 ]
 
 
