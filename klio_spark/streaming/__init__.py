@@ -1760,3 +1760,60 @@ def streaming_script_mix(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_calibration(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live calibration-bin monitor — the streaming twin of q222
+    (queries/dataqual.py): the 10-bin reliability table (per-bin count,
+    confidence mass, positives) kept current as scored documents stream
+    in, so classifier drift shows up as a moving ECE DURING ingestion
+    instead of at the next offline audit.
+
+    Uses q222's exact integer (conf_ppm, label) construction — clipped
+    length in ppm and the Knuth-hash calibrated label — so the live
+    table after any stream prefix equals q222's bins stage over that
+    prefix cell-for-cell (asserted against the batch query across a
+    checkpoint restart). State is Spark's built-in incremental streaming
+    aggregation in complete mode: three int64 per bin, bounded at 10
+    bins by construction — never by the corpus. Each trigger hands the
+    bin table (bin_id, n, sum_conf, n_pos — the exact schema q222's
+    gaps stage consumes) to ``sink(bins, batch_id)``; the per-bin gaps
+    and the weighted ECE are a 10-row projection the consumer runs per
+    trigger or on demand."""
+    conf = (
+        F.least(F.coalesce(F.col(len_col), F.lit(0)), F.lit(2000)) * 500
+    ).cast("bigint")
+    h = F.expr(f"(COALESCE({id_col}, 0) * 2654435761) % 4294967296")
+    scored = df.select(
+        conf.alias("conf_ppm"),
+        F.when(h * 1000000 < conf * 4294967296, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("label"),
+    )
+    bins = scored.groupBy(
+        F.least(F.expr("conf_ppm div 100000"), F.lit(9)).alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conf_ppm").cast("bigint").alias("sum_conf"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch.select("bin_id", "n", "sum_conf", "n_pos"), batch_id)
+
+    writer = (
+        bins.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1758,3 +1758,64 @@ def test_streaming_script_mix_matches_batch_kernel(spark, tmp_path):
     assert got[("en", "web")] == (2, 1, 23, 2, 0, 0)  # b1 state survived
     assert got[("ru", "web")] == (2, 1, 9, 12 + 6, 0, 0)
     assert got[("zh", "web")] == (1, 0, 0, 0, 0, 2)
+
+
+def test_streaming_calibration_matches_batch_kernel(spark, tmp_path):
+    """streaming_calibration across a checkpoint restart: the live bin
+    table equals q222's bins stage over the cumulative stream cell-for-
+    cell — NULL n_chars land in bin 0 at conf 0, the clip pins long docs
+    to bin 9, the Knuth-hash labels bit-agree with the batch query, and
+    the b1 state survives the restart."""
+    ddir = tmp_path / "cal"
+    (ddir / "p").mkdir(parents=True)
+    schema = "doc_id long, n_chars long"
+    b1 = [(1, 40), (2, 2500), (3, None), (4, 950)]
+    b2 = [(5, 951), (6, 120), (7, 2000), (8, 0)]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(ddir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(ddir / "p"))
+        q = st.streaming_calibration(
+            stream,
+            lambda b, bid: b.write.mode("overwrite").parquet(
+                f"{tmp_path}/calout"
+            ),
+            str(tmp_path / "ckpt-cal"),
+        )
+        q.awaitTermination(60)
+
+    def live():
+        return {
+            r.bin_id: (r.n, r.sum_conf, r.n_pos)
+            for r in spark.read.parquet(f"{tmp_path}/calout").collect()
+        }
+
+    def batch_bins(rows):
+        # q222's bins stage on the cumulative prefix (the batch kernel)
+        from klio_spark.queries.dataqual import _conf_label
+
+        df = _conf_label(spark.createDataFrame(rows, schema))
+        got = (
+            df.groupBy(
+                F.least(F.expr("conf_ppm div 100000"), F.lit(9)).alias(
+                    "bin_id"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("conf_ppm").alias("sum_conf"),
+                F.sum("label").alias("n_pos"),
+            )
+            .collect()
+        )
+        return {r.bin_id: (r.n, r.sum_conf, r.n_pos) for r in got}
+
+    run(b1)
+    got = live()
+    assert got == batch_bins(b1)
+    # the explicit shapes: NULL -> bin 0 conf 0; 2500 clips to bin 9
+    assert got[0][0] >= 1 and 9 in got
+    run(b2)  # restart: cumulative across the checkpoint
+    assert live() == batch_bins(b1 + b2)

@@ -637,3 +637,57 @@ def test_interval_coverage_crash_fuzz(spark, tmp_path):
         schema="event_id long, user_id long, ts timestamp",
         pdfs=pdfs,
     )
+
+
+def test_streaming_calibration_crash_fuzz(spark, tmp_path):
+    """Calibration-bin state torn mid-batch: the final live bin table
+    must equal the clean run's AND the Python replay of q222's integer
+    (conf, label) construction over all docs cell-for-cell."""
+    rng = random.Random(226)
+    pdfs, did = [], 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(5, 12)):
+            did += 1
+            rows.append(
+                {
+                    "doc_id": did,
+                    "n_chars": (
+                        None
+                        if rng.randrange(8) == 0
+                        else rng.randrange(0, 3000)
+                    ),
+                }
+            )
+        pdfs.append(pd.DataFrame({
+            "doc_id": pd.array([r["doc_id"] for r in rows], dtype="Int64"),
+            "n_chars": pd.array([r["n_chars"] for r in rows], dtype="Int64"),
+        }))
+
+    def read_final(outdir):
+        return {
+            (r.bin_id, r.n, r.sum_conf, r.n_pos)
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    crash, clean = _sink_crash_fuzz(
+        spark, tmp_path, name="calcf", seed=26,
+        start_op=lambda s, sink, ck: st.streaming_calibration(s, sink, ck),
+        pdfs=pdfs,
+        schema="doc_id long, n_chars long",
+        read_final=read_final,
+    )
+    assert crash == clean
+    replay = {}
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            n_chars = 0 if pd.isna(r.n_chars) else int(r.n_chars)
+            conf = min(n_chars, 2000) * 500
+            h = (int(r.doc_id) * 2654435761) % 4294967296
+            label = 1 if h * 1000000 < conf * 4294967296 else 0
+            b = min(conf // 100000, 9)
+            n, sc, np_ = replay.get(b, (0, 0, 0))
+            replay[b] = (n + 1, sc + conf, np_ + label)
+    assert clean == {
+        (b, n, sc, np_) for b, (n, sc, np_) in replay.items()
+    }
