@@ -146,6 +146,8 @@ _VERIFY_FIRST = [
     "q224_cohen_kappa",
     "q225_distinct_ngrams",
     "q226_hard_negative_mining",
+    "q227_retrieval_metrics",
+    "q228_benford_audit",
     # NOTE: 11 new entries + the 46-query stale tail = 57 > the ~50-slot
     # window, so ~7 stale entries may overflow into round 8. First-ever
     # external evidence for the new queries outranks a third re-check of

@@ -1092,3 +1092,91 @@ def q224_cohen_kappa(spark: SparkSession, sf_dir: str):
             "kappa_r6"
         ),
     )
+
+
+# Benford expected first-digit masses, round(log10(1+1/d)*1e6) for
+# d=1..9 — one shared integer literal table on both engines (they sum
+# to exactly 1,000,000), so the audit never evaluates libm log10.
+_BENFORD_PPM = [
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+]
+
+
+@register(
+    "q228_benford_audit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS d
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+    ),
+    hist AS (
+      SELECT d, COUNT(*) AS n_obs FROM digits GROUP BY d
+    ),
+    rated AS (
+      SELECT d, n_obs,
+             n_obs * 1000000 // SUM(n_obs) OVER () AS obs_ppm,
+             {list(_BENFORD_PPM)}[d] AS benford_ppm
+      FROM hist
+    )
+    SELECT CAST(d AS BIGINT) AS d, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(obs_ppm AS BIGINT) AS obs_ppm,
+           CAST(benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(obs_ppm - benford_ppm AS BIGINT) AS dev_ppm,
+           CAST(SUM(ABS(obs_ppm - benford_ppm)) OVER () // 2 AS BIGINT)
+             AS tvd_ppm
+    FROM rated
+    """,
+    doc="Benford first-digit audit on transaction amounts (Nigrini's "
+    "fraud/fabrication screen — synthetic or tampered monetary data "
+    "fails the log-digit law long before any row-level rule fires): "
+    "observed vs expected first-significant-digit distribution in ppm, "
+    "per-digit deviation, and the total-variation distance replicated "
+    "on every row. The leading digit comes from EXACT integer cents — "
+    "FLOOR(price*100) AS BIGINT, then the bigint's decimal string — "
+    "because double-to-string rendering diverges between engines "
+    "(Spark goes scientific past 1e7) while bigint rendering and FLOOR "
+    "of an identical double are bit-identical everywhere; the Benford "
+    "masses are a shared integer literal table (sums to exactly 1e6), "
+    "so libm log10 never enters. Shape: one scan into a <=9-row "
+    "map-side digit histogram; both OVER () windows run on that "
+    "digit-bounded table, never the fact rows.",
+)
+def q228_benford_audit(spark: SparkSession, sf_dir: str):
+    (li,) = load(spark, sf_dir, "lineitem")
+    digits = li.filter(
+        F.col("l_extendedprice").isNotNull() & (F.col("l_extendedprice") > 0)
+    ).select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    hist = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    # the unpartitioned windows run over <= 9 digit rows by construction
+    w = Window.partitionBy()
+    benford_arr = F.array(*[F.lit(v) for v in _BENFORD_PPM])
+    rated = (
+        hist.withColumn("_tot", F.sum("n_obs").over(w))
+        .withColumn(
+            "obs_ppm", F.expr("CAST(n_obs * 1000000 div _tot AS BIGINT)")
+        )
+        .withColumn("benford_ppm", F.element_at(benford_arr, F.col("d")))
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("benford_ppm"))
+    )
+    return rated.select(
+        F.col("d").cast("bigint"),
+        F.col("n_obs").cast("bigint"),
+        F.col("obs_ppm").cast("bigint"),
+        F.col("benford_ppm").cast("bigint"),
+        F.col("dev_ppm").cast("bigint"),
+        (F.sum(F.abs(F.col("dev_ppm"))).over(w) / 2)
+        .cast("bigint")
+        .alias("tvd_ppm"),
+    )

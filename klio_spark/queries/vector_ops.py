@@ -1643,3 +1643,166 @@ def q226_hard_negative_mining(spark: SparkSession, sf_dir: str):
             (F.col("best_pos") - F.col("dot")).cast("bigint").alias("margin"),
         )
     )
+
+
+# Exact-integer DCG discounts: round(1e12 / log2(i+1)) for ranks 1..10,
+# plus their prefix sums (the ideal-DCG table). Embedding the SAME
+# literal table on both engines removes libm log2 from the comparison
+# entirely — nDCG becomes pure int64 arithmetic (the q170 integerization
+# idea applied to a transcendental).
+_DCG_E12 = [
+    1000000000000, 630929753571, 500000000000, 430676558073,
+    386852807235, 356207187108, 333333333333, 315464876786,
+    301029995664, 289064826318,
+]
+_IDCG_E12 = [
+    1000000000000, 1630929753571, 2130929753571, 2561606311644,
+    2948459118879, 3304666305987, 3637999639320, 3953464516106,
+    4254494511770, 4543559338088,
+]
+
+
+@register(
+    "q227_retrieval_metrics",
+    f"""
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL),
+    scored AS (
+      SELECT q.vec_id AS query_id,
+             CASE WHEN q.label IS NOT DISTINCT FROM c.label
+                  THEN 1 ELSE 0 END AS rel,
+             {_mrl_sql_dot(64)} AS dot,
+             c.vec_id AS neighbor_id
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    agg AS (
+      SELECT query_id,
+             SUM(rel) AS n_rel,
+             SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS hits_at10,
+             MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel_rank,
+             SUM(CASE WHEN rk <= 10 AND rel = 1
+                      THEN {list(_DCG_E12)}[rk] ELSE 0 END) AS dcg_e12
+      FROM ranked GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(hits_at10 AS BIGINT) AS hits_at10,
+           CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+           CAST(1000000 // first_rel_rank AS BIGINT) AS rr_ppm,
+           CAST(dcg_e12 AS BIGINT) AS dcg_e12,
+           CASE WHEN n_rel > 0 THEN CAST(
+             dcg_e12 * 1000000
+             // {list(_IDCG_E12)}[CAST(LEAST(n_rel, 10) AS BIGINT)]
+             AS BIGINT)
+           END AS ndcg_ppm,
+           CAST(hits_at10 * 1000 AS BIGINT) AS precision_at10_bp,
+           CASE WHEN n_rel > 0
+                THEN CAST(hits_at10 * 10000 // n_rel AS BIGINT)
+           END AS recall_at10_bp
+    FROM agg
+    """,
+    doc="Retrieval quality scorecard — MRR, nDCG@10, precision@10, "
+    "recall@10 per query (relevance = null-safe label match; the "
+    "offline eval every retriever change ships with): ranks from exact "
+    "int64 dots; the log2 rank discounts are embedded as ONE shared "
+    "integer table — round(1e12/log2(i+1)) and its prefix sums — so "
+    "nDCG is pure int64 arithmetic on both engines and libm log2 never "
+    "enters the comparison (the integerize-the-transcendental trick). "
+    "IDCG truncates at min(n_rel, 10) relevant slots, so sparse-label "
+    "queries normalize exactly; zero-relevant queries emit NULL "
+    "ndcg/rr/recall on both engines. Shape: broadcast 10-row query "
+    "side, one corpus scan, one rank window and one groupBy sharing a "
+    "single query_id exchange of a (id, rel, dot) table — the metric "
+    "layer adds zero corpus shuffles to the retrieval it audits.",
+)
+def q227_retrieval_metrics(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter((F.col("vec_id") < 10) & F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("_ql"),
+            _int_vec(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = e.filter(
+        (F.col("vec_id") >= 10) & F.col("embedding").isNotNull()
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_cl"),
+        _int_vec(F.col("embedding")).alias("cv"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        F.when(F.col("_ql").eqNullSafe(F.col("_cl")), 1)
+        .otherwise(0)
+        .alias("rel"),
+        _int_dot(F.col("qv"), F.col("cv")).alias("dot"),
+        "neighbor_id",
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("dot"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    dcg_arr = F.array(*[F.lit(v) for v in _DCG_E12])
+    idcg_arr = F.array(*[F.lit(v) for v in _IDCG_E12])
+    agg = ranked.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("rel")).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when(
+                (F.col("rk") <= 10) & (F.col("rel") == 1),
+                F.element_at(dcg_arr, F.col("rk").cast("int")),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("bigint")
+        .alias("dcg_e12"),
+    )
+    agg = agg.withColumn(
+        "_idcg",
+        # index clamped to >=1: a zero-relevant query's _idcg is never
+        # consumed (ndcg is NULL), but element_at(arr, 0) would error
+        # under ANSI before the WHEN could mask it
+        F.element_at(
+            idcg_arr,
+            F.greatest(
+                F.least(F.col("n_rel"), F.lit(10)), F.lit(1)
+            ).cast("int"),
+        ),
+    )
+    return agg.select(
+        "query_id",
+        "n_rel",
+        "hits_at10",
+        "first_rel_rank",
+        F.expr("CAST(1000000 div first_rel_rank AS BIGINT)").alias("rr_ppm"),
+        "dcg_e12",
+        F.when(
+            F.col("n_rel") > 0,
+            # exact int64 floor division (dcg_e12*1e6 <= 4.6e18 < 2^63);
+            # a double division here would lose integer precision
+            F.expr("CAST(dcg_e12 * 1000000 div _idcg AS BIGINT)"),
+        ).alias("ndcg_ppm"),
+        (F.col("hits_at10") * 1000).cast("bigint").alias("precision_at10_bp"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr("CAST(hits_at10 * 10000 div n_rel AS BIGINT)"),
+        ).alias("recall_at10_bp"),
+    )

@@ -591,6 +591,11 @@ EMB_QUERIES = [
     # negatives with margin 0; a query whose label covers no candidate
     # -> NULL best_pos -> NULL margins on both engines)
     "q226_hard_negative_mining",
+    # round-7: retrieval metrics (string labels; zero/duplicate vectors
+    # force dot ties at the @10 boundary -> identical integer DCG sums;
+    # sparse labels exercise the min(n_rel,10) IDCG truncation and the
+    # clamped element_at on both engines)
+    "q227_retrieval_metrics",
 ]
 
 
@@ -689,6 +694,10 @@ LINEITEM_QUERIES = [
     # sub-support pairs drop on both engines; lift ties at the top-20
     # boundary break lexicographically)
     "q192_association_rules",
+    # round-7: Benford audit (price ties concentrate one digit — the
+    # ppm floors and the 9-row TVD window must agree on a skewed
+    # histogram; sub-10 prices exercise the single-digit cents path)
+    "q228_benford_audit",
 ]
 
 
