@@ -1180,3 +1180,112 @@ def q228_benford_audit(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("tvd_ppm"),
     )
+
+
+@register(
+    "q229_pr_threshold_sweep",
+    f"""
+    WITH scored AS ({_CONF_LABEL_SQL}),
+    bins AS (
+      SELECT LEAST(conf_ppm // 100000, 9) AS bin_id,
+             COUNT(*) AS n,
+             SUM(label) AS pos
+      FROM scored GROUP BY 1
+    ),
+    -- left-join the full threshold spine so empty bins still yield a
+    -- curve row (their cumulative-from-top sums are unaffected)
+    spine AS (
+      SELECT t.bin_id, COALESCE(b.n, 0) AS n, COALESCE(b.pos, 0) AS pos
+      FROM (SELECT unnest(range(0, 10)) AS bin_id) t
+      LEFT JOIN bins b USING (bin_id)
+    ),
+    cum AS (
+      SELECT bin_id,
+             SUM(n) OVER (ORDER BY bin_id DESC) AS pred_pos,
+             SUM(pos) OVER (ORDER BY bin_id DESC) AS tp,
+             SUM(pos) OVER () AS p_total
+      FROM spine
+    )
+    SELECT CAST(bin_id * 100000 AS BIGINT) AS thresh_ppm,
+           CAST(pred_pos AS BIGINT) AS pred_pos,
+           CAST(tp AS BIGINT) AS tp,
+           CASE WHEN pred_pos > 0
+                THEN CAST(tp * 1000000 // pred_pos AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN p_total > 0
+                THEN CAST(tp * 1000000 // p_total AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN pred_pos + p_total > 0
+                THEN CAST(2 * tp * 1000000 // (pred_pos + p_total)
+                          AS BIGINT)
+           END AS f1_ppm
+    FROM cum
+    """,
+    doc="Precision/recall/F1 threshold sweep — the operating-point table "
+    "behind every 'where do we set the quality-score cutoff' decision "
+    "(the discrete PR curve; q223's AUC summarizes it, this exposes the "
+    "points): for each of the 10 bin-edge thresholds, predicted "
+    "positives, true positives, precision, recall, and F1 in integer "
+    "ppm. F1 uses the direct identity 2*TP/(pred_pos + actual_pos) — "
+    "one exact integer division, never composed from already-floored "
+    "precision/recall. Computed from the SAME 10-row bin histogram as "
+    "q222 (one scan, map-side agg); the descending cumulative windows "
+    "run over the 10-row threshold spine, which is LEFT-joined so empty "
+    "bins still emit their operating point. Degenerate corpora "
+    "(no predictions above t / no positives at all) emit NULL "
+    "metrics on both engines.",
+)
+def q229_pr_threshold_sweep(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    bins = (
+        _conf_label(d)
+        .groupBy(
+            F.least(F.expr("conf_ppm div 100000"), F.lit(9)).alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("pos"),
+        )
+    )
+    spine = spark.range(0, 10).select(
+        F.col("id").cast("bigint").alias("bin_id")
+    )
+    full = (
+        F.broadcast(spine)
+        .join(bins, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+        )
+    )
+    # the windows run over the 10-row threshold spine, never the corpus
+    w_desc = Window.orderBy(F.desc("bin_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = full.select(
+        "bin_id",
+        F.sum("n").over(w_desc).cast("bigint").alias("pred_pos"),
+        F.sum("pos").over(w_desc).cast("bigint").alias("tp"),
+        F.sum("pos").over(w_all).cast("bigint").alias("p_total"),
+    )
+    return cum.select(
+        (F.col("bin_id") * 100000).cast("bigint").alias("thresh_ppm"),
+        "pred_pos",
+        "tp",
+        F.when(
+            F.col("pred_pos") > 0,
+            F.expr("CAST(tp * 1000000 div pred_pos AS BIGINT)"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("p_total") > 0,
+            F.expr("CAST(tp * 1000000 div p_total AS BIGINT)"),
+        ).alias("recall_ppm"),
+        F.when(
+            F.col("pred_pos") + F.col("p_total") > 0,
+            F.expr(
+                "CAST(2 * tp * 1000000 div (pred_pos + p_total) AS BIGINT)"
+            ),
+        ).alias("f1_ppm"),
+    )

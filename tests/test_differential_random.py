@@ -221,6 +221,10 @@ QUERIES = [
     # no bigrams -> the left-join NULL path; empty docs vanish from
     # both engines identically)
     "q225_distinct_ngrams",
+    # round-7: PR sweep (random corpora leave MOST bins empty — the
+    # threshold-spine left join must emit all 10 operating points with
+    # identical cumulative sums; NULL n_chars pile predictions on t=0)
+    "q229_pr_threshold_sweep",
 ]
 
 
