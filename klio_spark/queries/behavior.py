@@ -2972,3 +2972,105 @@ def q217_theil_sen_trend(spark: SparkSession, sf_dir: str):
         F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6))
         .alias("ols_slope"),
     )
+
+
+# Exact-integer exponential-decay table: round(2^(-k/7) * 1e6) for ages
+# k = 0..89 days (7-day half-life, clamped at the 90-day floor weight) —
+# one shared literal table on both engines, so recency weighting never
+# evaluates libm pow/exp (the q227/q228 integerize-the-transcendental
+# rule). Per-event weight <= 1e6 keeps per-type int64 sums exact to
+# ~9.2e12 events; share numerators go through decimal(38,0)/HUGEINT
+# (the q190 rule).
+_DECAY_E6 = [1000000, 905724, 820335, 742997, 672950, 609507, 552045, 500000, 452862, 410168, 371499, 336475, 304753, 276022, 250000, 226431, 205084, 185749, 168238, 152377, 138011, 125000, 113215, 102542, 92875, 84119, 76188, 69006, 62500, 56608, 51271, 46437, 42059, 38094, 34503, 31250, 28304, 25635, 23219, 21030, 19047, 17251, 15625, 14152, 12818, 11609, 10515, 9524, 8626, 7812, 7076, 6409, 5805, 5257, 4762, 4313, 3906, 3538, 3204, 2902, 2629, 2381, 2156, 1953, 1769, 1602, 1451, 1314, 1190, 1078, 977, 884, 801, 726, 657, 595, 539, 488, 442, 401, 363, 329, 298, 270, 244, 221, 200, 181, 164, 149]
+
+
+@register(
+    "q230_recency_weighted_mix",
+    f"""
+    WITH anchor AS (
+      SELECT MAX(date_trunc('day', ts)) AS d1 FROM events
+      WHERE ts IS NOT NULL
+    ),
+    aged AS (
+      SELECT event_type,
+             {list(_DECAY_E6)}[
+               LEAST(GREATEST(datediff('day', date_trunc('day', ts), d1),
+                              0), 89) + 1] AS w
+      FROM events, anchor WHERE ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             SUM(w) AS decayed_e6
+      FROM aged GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(CAST(n_events AS HUGEINT) * 10000
+                // SUM(n_events) OVER () AS BIGINT) AS raw_share_bp,
+           CAST(decayed_e6 AS BIGINT) AS decayed_e6,
+           CAST(CAST(decayed_e6 AS HUGEINT) * 10000
+                // SUM(decayed_e6) OVER () AS BIGINT) AS decayed_share_bp
+    FROM agg
+    """,
+    doc="Recency-weighted source mixture — the freshness re-weighting a "
+    "training-data refresh applies before sampling (news/code corpora "
+    "decay fast; reference text doesn't): per event type, the raw count "
+    "share vs the exponentially-decayed share (7-day half-life from the "
+    "corpus max day, 90-day clamp — the q217 bounded-domain rule: decay "
+    "is a function of a DATA-DERIVED age, so the table bounds it "
+    "in-plan). The 2^(-k/7) weights are a 90-entry shared integer "
+    "literal table (q227/q228 rule: libm pow never runs on either "
+    "engine), making every sum exact int64; share numerators run in "
+    "decimal(38,0)/HUGEINT. Shape: one scan, the 1-row anchor broadcast "
+    "(Spark: crossJoin of an agg scalar), one map-side agg to #types "
+    "rows; both OVER () windows are type-bounded.",
+)
+def q230_recency_weighted_mix(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    ev = ev.filter(F.col("ts").isNotNull())
+    anchor = ev.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("d1")
+    )
+    decay_arr = F.array(*[F.lit(v) for v in _DECAY_E6])
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.element_at(
+            decay_arr,
+            (
+                F.least(
+                    F.greatest(
+                        F.datediff(
+                            F.col("d1"), F.date_trunc("day", F.col("ts"))
+                        ),
+                        F.lit(0),
+                    ),
+                    F.lit(89),
+                )
+                + 1
+            ).cast("int"),
+        ).alias("w"),
+    )
+    agg = aged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w").alias("decayed_e6"),
+    )
+    # type-bounded windows (#event_type rows), never the event log
+    w_all = Window.partitionBy()
+    return (
+        agg.withColumn("_tn", F.sum("n_events").over(w_all))
+        .withColumn("_td", F.sum("decayed_e6").over(w_all))
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(CAST(n_events AS DECIMAL(38,0)) * 10000"
+                " div _tn AS BIGINT)"
+            ).alias("raw_share_bp"),
+            F.col("decayed_e6").cast("bigint").alias("decayed_e6"),
+            F.expr(
+                "CAST(CAST(decayed_e6 AS DECIMAL(38,0)) * 10000"
+                " div _td AS BIGINT)"
+            ).alias("decayed_share_bp"),
+        )
+    )

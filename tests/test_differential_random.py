@@ -382,6 +382,10 @@ EVENT_QUERIES = [
     # slope TIES are pervasive on flat random series, pinned by
     # (slope, xi, xj); single-day corpora emit NULL ts_slope)
     "q217_theil_sen_trend",
+    # round-7: recency mix (far-future/pre-epoch anchors push every
+    # other row onto the 89-day clamp floor; NULL ts drop; datediff
+    # day-boundary semantics must agree across DST and pre-epoch dates)
+    "q230_recency_weighted_mix",
 ]
 
 
