@@ -1817,3 +1817,56 @@ def streaming_calibration(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_benford(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    amount_col: str = "l_extendedprice",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live Benford first-digit monitor — the streaming twin of q228
+    (queries/dataqual.py): the 9-row first-significant-digit histogram
+    of transaction amounts kept current as rows stream in, so a batch
+    of fabricated amounts moves the digit distribution (and the
+    consumer's TVD-vs-Benford alarm) DURING ingestion instead of at the
+    next offline audit — fraud screens are the canonical always-on use
+    of this statistic.
+
+    Uses q228's exact digit extraction — FLOOR(amount*100) AS BIGINT,
+    then the bigint's decimal string — so the live histogram after any
+    stream prefix equals q228's digit histogram over that prefix
+    cell-for-cell (asserted across a checkpoint restart). State is
+    Spark's built-in incremental streaming aggregation in complete
+    mode: one int64 per digit, bounded at 9 rows by construction.
+    Each trigger hands the histogram (d, n_obs — the exact schema
+    q228's rated stage consumes) to ``sink(hist, batch_id)``; the ppm
+    shares, per-digit deviations, and TVD are a 9-row projection the
+    consumer runs per trigger."""
+    digits = df.filter(
+        F.col(amount_col).isNotNull() & (F.col(amount_col) > 0)
+    ).select(
+        F.substring(
+            F.floor(F.col(amount_col) * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    hist = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch.select("d", "n_obs"), batch_id)
+
+    writer = (
+        hist.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

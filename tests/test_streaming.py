@@ -1819,3 +1819,52 @@ def test_streaming_calibration_matches_batch_kernel(spark, tmp_path):
     assert got[0][0] >= 1 and 9 in got
     run(b2)  # restart: cumulative across the checkpoint
     assert live() == batch_bins(b1 + b2)
+
+
+def test_streaming_benford_matches_batch_kernel(spark, tmp_path):
+    """streaming_benford across a checkpoint restart: the live digit
+    histogram equals q228's digit extraction over the cumulative stream
+    — NULL and non-positive amounts drop, sub-1.00 amounts take their
+    digit from the cents integer, and the b1 state survives restart."""
+    ddir = tmp_path / "ben"
+    (ddir / "p").mkdir(parents=True)
+    schema = "l_extendedprice double"
+    b1 = [(901.82,), (104997.88,), (None,), (0.0,), (-5.0,), (0.07,)]
+    b2 = [(19.99,), (200.0,), (901.82,), (3.5,)]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(ddir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(ddir / "p"))
+        q = st.streaming_benford(
+            stream,
+            lambda b, bid: b.write.mode("overwrite").parquet(
+                f"{tmp_path}/benout"
+            ),
+            str(tmp_path / "ckpt-ben"),
+        )
+        q.awaitTermination(60)
+
+    def live():
+        return {
+            r.d: r.n_obs
+            for r in spark.read.parquet(f"{tmp_path}/benout").collect()
+        }
+
+    def replay(rows):
+        out = {}
+        for (x,) in rows:
+            if x is None or x <= 0:
+                continue
+            d = int(str(int(x * 100 // 1))[0])
+            out[d] = out.get(d, 0) + 1
+        return out
+
+    run(b1)
+    got = live()
+    # 901.82 -> 9; 104997.88 -> 1; 0.07 -> 7 cents -> digit 7;
+    # NULL / 0.0 / -5.0 drop
+    assert got == {9: 1, 1: 1, 7: 1} == replay(b1)
+    run(b2)  # restart: cumulative across the checkpoint
+    assert live() == replay(b1 + b2)

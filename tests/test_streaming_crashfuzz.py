@@ -691,3 +691,48 @@ def test_streaming_calibration_crash_fuzz(spark, tmp_path):
     assert clean == {
         (b, n, sc, np_) for b, (n, sc, np_) in replay.items()
     }
+
+
+def test_streaming_benford_crash_fuzz(spark, tmp_path):
+    """Digit-histogram state torn mid-batch: the final live 9-row table
+    must equal the clean run's AND the Python replay of q228's exact
+    cents-digit extraction over all rows."""
+    rng = random.Random(228)
+    pdfs = []
+    for b in range(6):
+        vals = []
+        for _ in range(rng.randrange(8, 20)):
+            r = rng.randrange(10)
+            if r == 0:
+                vals.append(None)
+            elif r == 1:
+                vals.append(0.0)
+            elif r == 2:
+                vals.append(round(rng.uniform(0.01, 0.99), 2))
+            else:
+                vals.append(round(rng.uniform(1, 99999), 2))
+        pdfs.append(pd.DataFrame({"l_extendedprice": vals}))
+
+    def read_final(outdir):
+        return {
+            (r.d, r.n_obs)
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    crash, clean = _sink_crash_fuzz(
+        spark, tmp_path, name="bencf", seed=28,
+        start_op=lambda s, sink, ck: st.streaming_benford(s, sink, ck),
+        pdfs=pdfs,
+        schema="l_extendedprice double",
+        read_final=read_final,
+    )
+    assert crash == clean
+    replay = {}
+    for pdf in pdfs:
+        for x in pdf.l_extendedprice:
+            if x is None or pd.isna(x) or x <= 0:
+                continue
+            import math
+            d = int(str(int(math.floor(x * 100)))[0])
+            replay[d] = replay.get(d, 0) + 1
+    assert clean == {(d, n) for d, n in replay.items()}
