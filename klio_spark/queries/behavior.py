@@ -3074,3 +3074,188 @@ def q230_recency_weighted_mix(spark: SparkSession, sf_dir: str):
             ).alias("decayed_share_bp"),
         )
     )
+
+
+# Cumulative Poisson(1) thresholds scaled to 2^32 (k = 0..8) — the
+# inverse-CDF table for deterministic Poisson bootstrap draws: a
+# uniform 32-bit hash h maps to weight w = #{thresholds <= h}. One
+# shared integer literal table on both engines (the q227/q228/q230
+# integerize-the-transcendental rule), so the bootstrap is replayable
+# and hash-exact everywhere. P(w > 8) < 1e-5 truncates to 8.
+_POIS1_CDF_E32 = [
+    1580030169, 3160060337, 3950075422, 4213413783, 4279248374,
+    4292415292, 4294609778, 4294923276, 4294962463,
+]
+
+_N_BOOT = 20
+
+
+@register(
+    "q231_bootstrap_ci",
+    f"""
+    WITH per AS (
+      SELECT c.c_custkey AS k, c.c_custkey % 2 AS arm,
+             CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)),
+                           0) AS BIGINT) AS spend_cents
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    drawn AS (
+      SELECT arm, b.b,
+             len(list_filter({list(_POIS1_CDF_E32)},
+                 t -> t <= ((k + b.b * 1000003) * 2654435761)
+                          % 4294967296)) AS w,
+             spend_cents
+      FROM per, (SELECT unnest(range(1, {_N_BOOT} + 1)) AS b) b
+    ),
+    rep AS (
+      SELECT b, arm, SUM(w) AS n_w,
+             SUM(CAST(w AS HUGEINT) * spend_cents) AS spend_w
+      FROM drawn GROUP BY b, arm
+    ),
+    diffs AS (
+      SELECT a1.b,
+             CAST(a1.spend_w // a1.n_w - a0.spend_w // a0.n_w AS BIGINT)
+               AS diff_cents
+      FROM rep a1 JOIN rep a0 ON a1.b = a0.b
+      WHERE a1.arm = 1 AND a0.arm = 0 AND a1.n_w > 0 AND a0.n_w > 0
+    ),
+    point AS (
+      SELECT CAST(
+               (SELECT SUM(CAST(spend_cents AS HUGEINT)) FROM per
+                WHERE arm = 1) // (SELECT COUNT(*) FROM per WHERE arm = 1)
+             - (SELECT SUM(CAST(spend_cents AS HUGEINT)) FROM per
+                WHERE arm = 0) // (SELECT COUNT(*) FROM per WHERE arm = 0)
+             AS BIGINT) AS point_diff_cents
+    ),
+    ranked AS (
+      SELECT diff_cents,
+             ROW_NUMBER() OVER (ORDER BY diff_cents, b) AS rn,
+             COUNT(*) OVER () AS nv
+      FROM diffs
+    )
+    SELECT point.point_diff_cents,
+           CAST(nv AS BIGINT) AS n_boot,
+           CAST(MIN(CASE WHEN rn = GREATEST(1, nv * 5 // 100 + 1)
+                         THEN diff_cents END) AS BIGINT) AS boot_lo_cents,
+           CAST(MIN(CASE WHEN rn = nv - nv * 5 // 100
+                         THEN diff_cents END) AS BIGINT) AS boot_hi_cents
+    FROM ranked, point
+    GROUP BY point.point_diff_cents, nv
+    """,
+    doc="Poisson-bootstrap confidence interval for the A/B arm "
+    "difference (q117's missing uncertainty): each CUSTOMER (the "
+    "cluster-bootstrap unit — resampling orders would fake independence "
+    "within a user) contributes a deterministic Poisson(1) weight per "
+    "replicate, drawn by comparing a Knuth hash of (custkey, replicate) "
+    "against a shared integerized Poisson CDF table — the standard "
+    "trick (Poisson bootstrap, Chamandy et al. 2012) that makes the "
+    "bootstrap ONE pass with a constant-factor (B=20) explode instead "
+    "of B shuffled resamples, and the integer table makes every draw "
+    "replayable and hash-exact cross-engine. Per replicate: weighted "
+    "arm means in exact integer cents (HUGEINT/decimal(38,0) "
+    "numerators); the 5th/95th-percentile band comes from rank "
+    "formulas over the 20-row diff table. Replicates where an arm "
+    "draws zero total weight drop on both engines (nv tracks the "
+    "valid count). Shape: the per-customer stage shares q117's custkey "
+    "shuffle; the explode multiplies the SMALL per-customer table, "
+    "never the fact table; everything after is B x 2 rows.",
+)
+def q231_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    c, o = load(spark, sf_dir, "customer", "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("k"),
+            (F.col("c_custkey") % 2).alias("arm"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("spend_cents"),
+        )
+    )
+    cdf = F.array(*[F.lit(v) for v in _POIS1_CDF_E32])
+    drawn = per.select(
+        "arm",
+        F.explode(F.sequence(F.lit(1), F.lit(_N_BOOT))).alias("b"),
+        "k",
+        "spend_cents",
+    ).select(
+        "arm",
+        "b",
+        F.size(
+            F.filter(
+                cdf,
+                lambda t: t
+                <= F.expr("((k + b * 1000003) * 2654435761) % 4294967296"),
+            )
+        ).alias("w"),
+        "spend_cents",
+    )
+    rep = drawn.groupBy("b", "arm").agg(
+        F.sum("w").alias("n_w"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("spend_cents")).alias(
+            "spend_w"
+        ),
+    )
+    a1 = rep.filter((F.col("arm") == 1) & (F.col("n_w") > 0)).select(
+        "b", F.expr("CAST(spend_w div n_w AS BIGINT)").alias("m1")
+    )
+    a0 = rep.filter((F.col("arm") == 0) & (F.col("n_w") > 0)).select(
+        F.col("b").alias("b0"),
+        F.expr("CAST(spend_w div n_w AS BIGINT)").alias("m0"),
+    )
+    diffs = a1.join(a0, a1["b"] == a0["b0"]).select(
+        "b", (F.col("m1") - F.col("m0")).cast("bigint").alias("diff_cents")
+    )
+    point = per.groupBy("arm").agg(
+        F.sum(F.col("spend_cents").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    p1 = point.filter(F.col("arm") == 1).select(
+        F.expr("CAST(s div n AS BIGINT)").alias("pm1")
+    )
+    p0 = point.filter(F.col("arm") == 0).select(
+        F.expr("CAST(s div n AS BIGINT)").alias("pm0")
+    )
+    pt = p1.crossJoin(p0).select(
+        (F.col("pm1") - F.col("pm0")).cast("bigint").alias("point_diff_cents")
+    )
+    # rank window over the <= 20-row replicate table, never the facts
+    ranked = (
+        diffs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.asc("diff_cents"), F.asc("b"))
+            ),
+        )
+        .withColumn("nv", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    band = ranked.groupBy("nv").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.expr("nv * 5 div 100 + 1")),
+                F.col("diff_cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("boot_lo_cents"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("nv - nv * 5 div 100"),
+                F.col("diff_cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("boot_hi_cents"),
+    )
+    return band.crossJoin(F.broadcast(pt)).select(
+        "point_diff_cents",
+        F.col("nv").cast("bigint").alias("n_boot"),
+        "boot_lo_cents",
+        "boot_hi_cents",
+    )
