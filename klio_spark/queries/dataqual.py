@@ -1289,3 +1289,120 @@ def q229_pr_threshold_sweep(spark: SparkSession, sf_dir: str):
             ),
         ).alias("f1_ppm"),
     )
+
+
+@register(
+    "q232_quantile_normalize",
+    f"""
+    WITH scored AS (
+      SELECT source, LEAST(COALESCE(n_chars, 0), 2000) * 500 AS conf_ppm
+      FROM documents
+    ),
+    h AS (
+      SELECT source, conf_ppm, COUNT(*) AS cnt FROM scored GROUP BY 1, 2
+    ),
+    hs AS (
+      SELECT source, conf_ppm, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY conf_ppm
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum_below,
+             SUM(cnt) OVER (PARTITION BY source) AS n_s
+      FROM h
+    ),
+    g AS (
+      SELECT conf_ppm AS v_g,
+             SUM(COUNT(*)) OVER (ORDER BY conf_ppm) AS gcum,
+             SUM(COUNT(*)) OVER () AS n_tot
+      FROM scored GROUP BY conf_ppm
+    ),
+    mapped AS (
+      SELECT hs.source, hs.conf_ppm, hs.cnt, hs.cum_below, hs.n_s,
+             MIN(g.v_g) AS norm_conf_ppm
+      FROM hs JOIN g
+        ON CAST(g.gcum AS HUGEINT) * (2 * hs.n_s)
+           >= CAST(g.n_tot AS HUGEINT) * (2 * hs.cum_below + hs.cnt)
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT source, CAST(conf_ppm AS BIGINT) AS conf_ppm,
+           CAST(cnt AS BIGINT) AS n_docs,
+           CAST(CAST(2 * cum_below + cnt AS HUGEINT) * 1000000
+                // (2 * n_s) AS BIGINT) AS src_rank_ppm,
+           CAST(norm_conf_ppm AS BIGINT) AS norm_conf_ppm
+    FROM mapped
+    """,
+    doc="Quantile normalization of per-source scores onto the global "
+    "score distribution — the cross-domain score-fusion step a mixed "
+    "corpus needs before one threshold can gate every source (a web "
+    "source's '0.7' and a book source's '0.7' are different claims; "
+    "after mapping, equal normalized scores mean equal global rank): "
+    "each (source, score) cell takes its within-source MID-RANK "
+    "(2*cum_below+cnt)/(2*n_s) and maps to the smallest global score "
+    "whose empirical CDF reaches it — the textbook empirical-inverse-"
+    "CDF transform, done EXACTLY by cross-multiplied integer "
+    "comparisons (gcum*2*n_s >= n_tot*(2*cum_below+cnt), HUGEINT/"
+    "decimal(38,0) products — no fraction is ever materialized, so "
+    "there is nothing to round). Shape: both histograms are score-"
+    "domain-bounded (<= 2001 rows per side by the conf construction); "
+    "the mapping is a non-equi join against the BROADCAST global "
+    "histogram — a BroadcastNestedLoopJoin over two dimension-sized "
+    "tables (build side bounded by construction), never touching the "
+    "corpus, which is scanned once for each histogram.",
+)
+def q232_quantile_normalize(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        (
+            F.least(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(2000))
+            * 500
+        )
+        .cast("bigint")
+        .alias("conf_ppm"),
+    )
+    h = scored.groupBy("source", "conf_ppm").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # per-source windows over <= 2001-row score histograms
+    w_below = (
+        Window.partitionBy("source")
+        .orderBy("conf_ppm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hs = h.withColumn(
+        "cum_below", F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+    ).withColumn("n_s", F.sum("cnt").over(Window.partitionBy("source")))
+    g = (
+        scored.groupBy("conf_ppm")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col("conf_ppm").alias("v_g"),
+            F.sum("_n")
+            .over(
+                Window.orderBy("conf_ppm").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("gcum"),
+            F.sum("_n").over(Window.partitionBy()).alias("n_tot"),
+        )
+    )
+    mapped = (
+        hs.join(
+            F.broadcast(g),
+            F.col("gcum").cast("decimal(38,0)") * (2 * F.col("n_s"))
+            >= F.col("n_tot").cast("decimal(38,0)")
+            * (2 * F.col("cum_below") + F.col("cnt")),
+        )
+        .groupBy("source", "conf_ppm", "cnt", "cum_below", "n_s")
+        .agg(F.min("v_g").alias("norm_conf_ppm"))
+    )
+    return mapped.select(
+        "source",
+        F.col("conf_ppm").cast("bigint"),
+        F.col("cnt").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST(CAST(2 * cum_below + cnt AS DECIMAL(38,0)) * 1000000"
+            " div (2 * n_s) AS BIGINT)"
+        ).alias("src_rank_ppm"),
+        F.col("norm_conf_ppm").cast("bigint"),
+    )

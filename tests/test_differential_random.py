@@ -225,6 +225,11 @@ QUERIES = [
     # threshold-spine left join must emit all 10 operating points with
     # identical cumulative sums; NULL n_chars pile predictions on t=0)
     "q229_pr_threshold_sweep",
+    # round-7: quantile normalization (duplicate lengths make dense
+    # score ties -> the mid-rank cross-multiplied comparisons must pick
+    # identical global values; NULL n_chars pile a fat atom at conf 0;
+    # NULL sources form their own group via the groupBy key)
+    "q232_quantile_normalize",
 ]
 
 
