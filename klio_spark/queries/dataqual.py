@@ -1406,3 +1406,134 @@ def q232_quantile_normalize(spark: SparkSession, sf_dir: str):
         ).alias("src_rank_ppm"),
         F.col("norm_conf_ppm").cast("bigint"),
     )
+
+
+@register(
+    "q233_neyman_allocation",
+    """
+    WITH m AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n_h,
+             SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS s1,
+             SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+                 * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS s2
+      FROM customer WHERE c_acctbal IS NOT NULL
+      GROUP BY c_mktsegment
+    ),
+    w AS (
+      SELECT c_mktsegment, n_h,
+             CAST(FLOOR(SQRT(CAST(CAST(n_h AS HUGEINT) * s2 - s1 * s1
+                                  AS DOUBLE))) AS BIGINT) AS nsd_floor
+      FROM m
+    ),
+    t AS (SELECT SUM(nsd_floor) AS tot, SUM(n_h) AS n_tot FROM w),
+    q AS (
+      SELECT c_mktsegment, n_h, nsd_floor,
+             CAST(n_h AS HUGEINT) * 1000000 // n_tot AS prop_ppm,
+             CAST(nsd_floor AS HUGEINT) * 1000000 // tot AS neyman_ppm,
+             CAST(100000 * CAST(nsd_floor AS HUGEINT) // tot AS BIGINT)
+               AS base_quota,
+             CAST((100000 * CAST(nsd_floor AS HUGEINT)) % tot AS BIGINT)
+               AS rem
+      FROM w, t WHERE tot > 0
+    )
+    SELECT c_mktsegment, CAST(n_h AS BIGINT) AS n_h,
+           CAST(nsd_floor AS BIGINT) AS nsd_floor,
+           CAST(prop_ppm AS BIGINT) AS prop_ppm,
+           CAST(neyman_ppm AS BIGINT) AS neyman_ppm,
+           CAST(base_quota
+                + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                               c_mktsegment)
+                            <= 100000 - SUM(base_quota) OVER ()
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
+    FROM q
+    """,
+    doc="Neyman optimal stratified-sample allocation (Neyman 1934 — the "
+    "design step of every eval/audit sample: strata with more internal "
+    "variance get more of the budget than proportional allocation "
+    "gives): per market segment, allocation weight n_h*sigma_h computed "
+    "EXACTLY as sqrt(n_h*sum(x^2) - sum(x)^2) over integer cents — the "
+    "moment expression IS n_h*sigma_h scaled by n_h, with HUGEINT/"
+    "decimal(38,0) moment sums (q190 rule) and IEEE-754 sqrt, which is "
+    "CORRECTLY ROUNDED by the standard (unlike log/exp) and therefore "
+    "bit-identical cross-engine; FLOOR re-integerizes. The 100k-sample "
+    "budget splits by q195's Hamilton largest-remainder apportionment, "
+    "so allocations are integers summing exactly to the budget. Shape: "
+    "one map-side moment agg to #segments rows; every window is "
+    "segment-bounded. Proportional ppm shown alongside for the "
+    "design-effect comparison.",
+)
+def q233_neyman_allocation(spark: SparkSession, sf_dir: str):
+    (c,) = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+    m = (
+        c.filter(F.col("c_acctbal").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+        )
+    )
+    w = m.select(
+        "c_mktsegment",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_h").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                ).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("nsd_floor"),
+    )
+    wall = Window.partitionBy()
+    q = (
+        w.withColumn("tot", F.sum("nsd_floor").over(wall))
+        .withColumn("n_tot", F.sum("n_h").over(wall))
+        .filter(F.col("tot") > 0)
+        .select(
+            "c_mktsegment",
+            "n_h",
+            "nsd_floor",
+            F.expr(
+                "CAST(CAST(n_h AS DECIMAL(38,0)) * 1000000"
+                " div n_tot AS BIGINT)"
+            ).alias("prop_ppm"),
+            F.expr(
+                "CAST(CAST(nsd_floor AS DECIMAL(38,0)) * 1000000"
+                " div tot AS BIGINT)"
+            ).alias("neyman_ppm"),
+            F.expr(
+                "CAST(100000 * CAST(nsd_floor AS DECIMAL(38,0))"
+                " div tot AS BIGINT)"
+            ).alias("base_quota"),
+            F.expr(
+                "CAST((100000 * CAST(nsd_floor AS DECIMAL(38,0))) % tot"
+                " AS BIGINT)"
+            ).alias("rem"),
+        )
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("c_mktsegment"))
+    r = q.select(
+        "*",
+        F.row_number().over(wr).alias("rk"),
+        (F.lit(100000) - F.sum("base_quota").over(wall))
+        .cast("bigint")
+        .alias("leftover"),
+    )
+    return r.select(
+        "c_mktsegment",
+        F.col("n_h").cast("bigint").alias("n_h"),
+        "nsd_floor",
+        "prop_ppm",
+        "neyman_ppm",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    )

@@ -2195,3 +2195,78 @@ def q225_distinct_ngrams(spark: SparkSession, sf_dir: str):
             ),
         ).alias("distinct2_ppm"),
     )
+
+
+@register(
+    "q234_vocab_richness",
+    """
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS cnt
+      FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+      )
+      GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS v_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // SUM(cnt) AS BIGINT) AS unseen_mass_ppm,
+           CAST(COUNT(*)
+                + CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                  * (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1)
+                  // (2 * (SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + 1))
+                AS BIGINT) AS chao1_est
+    FROM wc GROUP BY source
+    """,
+    doc="Vocabulary richness + unseen-mass estimation per source — the "
+    "coverage planning numbers behind 'how much more crawl until the "
+    "vocabulary saturates': Good-Turing unseen-probability mass "
+    "P0 = n1/N (Gale/Sampson 1995 — the singleton share IS the "
+    "probability the next token is a new type) in integer ppm, and the "
+    "bias-corrected Chao1 richness estimate V + n1(n1-1)/(2(n2+1)) "
+    "(Chao 1984; the +1 correction keeps it defined when no doubletons "
+    "exist) — both pure integer arithmetic from the (singleton, "
+    "doubleton) counts, HUGEINT/decimal(38,0) numerators per the q190 "
+    "rule. Shape: one (source, word) groupBy whose shuffle carries the "
+    "DISTINCT vocabulary (Heaps-sublinear, the q225 bound), then a "
+    "map-side per-source fold of the count histogram; output is "
+    "#sources rows.",
+)
+def q234_vocab_richness(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    wc = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(tx.tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = wc.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("bigint").alias("n1"),
+        F.sum((F.col("cnt") == 2).cast("long")).cast("bigint").alias("n2"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "v_types",
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(CAST(n1 AS DECIMAL(38,0)) * 1000000 div n_tokens"
+            " AS BIGINT)"
+        ).alias("unseen_mass_ppm"),
+        F.expr(
+            "CAST(v_types + CAST(n1 AS DECIMAL(38,0)) * (n1 - 1)"
+            " div (2 * (n2 + 1)) AS BIGINT)"
+        ).alias("chao1_est"),
+    )

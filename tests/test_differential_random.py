@@ -230,6 +230,10 @@ QUERIES = [
     # identical global values; NULL n_chars pile a fat atom at conf 0;
     # NULL sources form their own group via the groupBy key)
     "q232_quantile_normalize",
+    # round-7: vocab richness (tiny shared word pool -> almost no
+    # singletons, n2-heavy histograms; token-run docs make degenerate
+    # one-type sources; the n2=0 Chao1 correction path on both engines)
+    "q234_vocab_richness",
 ]
 
 
