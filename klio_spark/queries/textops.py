@@ -2270,3 +2270,145 @@ def q234_vocab_richness(spark: SparkSession, sf_dir: str):
             " div (2 * (n2 + 1)) AS BIGINT)"
         ).alias("chao1_est"),
     )
+
+
+@register(
+    "q235_dedup_roi",
+    """
+    WITH cl AS (
+      SELECT sha256(text) AS chash, COUNT(*) AS dup_count,
+             SUM(n_chars) AS sum_chars, MAX(n_chars) AS keep_chars
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY sha256(text)
+    ),
+    b AS (
+      SELECT LENGTH(bin(dup_count)) - 1 AS size_log2,
+             COUNT(*) AS n_clusters,
+             SUM(dup_count) AS n_docs,
+             SUM(dup_count - 1) AS dup_docs,
+             SUM(sum_chars - keep_chars) AS saved_chars,
+             SUM(sum_chars) AS tot_chars
+      FROM cl GROUP BY 1
+    )
+    SELECT CAST(size_log2 AS BIGINT) AS size_log2,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(dup_docs AS BIGINT) AS dup_docs,
+           CAST(saved_chars AS BIGINT) AS saved_chars,
+           CAST(CAST(saved_chars AS HUGEINT) * 1000000
+                // SUM(tot_chars) OVER () AS BIGINT) AS saved_ppm
+    FROM b
+    """,
+    doc="Dedup ROI report — the number that justifies (or kills) a dedup "
+    "stage before anyone runs it at 100 TB: exact-duplicate cluster-size "
+    "distribution in log2 buckets (a 12,600-copy family and a 2-copy "
+    "pair tell different stories) with, per bucket, the documents and "
+    "characters RECLAIMED by keeping one representative, and the saved "
+    "share of total corpus characters in ppm. The log2 bucket comes "
+    "from LENGTH(bin(n))-1 — binary-string length, identical on both "
+    "engines, no libm log2 (the shared-literal rule's string-trick "
+    "cousin, same family as q228's digit extraction). Within an exact "
+    "cluster texts are identical, so saved_chars = sum - max is exact. "
+    "Shape: the q64 digest groupBy (32-byte shuffle), then a map-side "
+    "fold to <= 64 bucket rows; the OVER () window is bucket-bounded.",
+)
+def q235_dedup_roi(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    cl = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            dd.content_hash(F.col("text")).alias("chash"),
+            "n_chars",
+        )
+        .groupBy("chash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("n_chars").alias("keep_chars"),
+        )
+    )
+    b = cl.groupBy(
+        (F.length(F.bin(F.col("dup_count"))) - 1)
+        .cast("bigint")
+        .alias("size_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("dup_count").alias("n_docs"),
+        F.sum(F.col("dup_count") - 1).alias("dup_docs"),
+        F.sum(F.col("sum_chars") - F.col("keep_chars")).alias("saved_chars"),
+        F.sum("sum_chars").alias("tot_chars"),
+    )
+    # bucket-bounded window (<= 64 rows: log2 of an int64 count)
+    w = Window.partitionBy()
+    return (
+        b.withColumn("_tot", F.sum("tot_chars").over(w))
+        .select(
+            "size_log2",
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("dup_docs").cast("bigint").alias("dup_docs"),
+            F.col("saved_chars").cast("bigint").alias("saved_chars"),
+            F.expr(
+                "CAST(CAST(saved_chars AS DECIMAL(38,0)) * 1000000"
+                " div _tot AS BIGINT)"
+            ).alias("saved_ppm"),
+        )
+    )
+
+
+_TRUNC_LIMITS = (512, 1024, 2048, 4096)
+
+
+@register(
+    "q236_truncation_loss",
+    f"""
+    WITH t AS (
+      SELECT LEN(regexp_extract_all(text, '\\S+')) AS n_t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT SUM(n_t) AS n_total, COUNT(*) AS n_docs FROM t)
+    SELECT CAST(l.lim AS BIGINT) AS max_len,
+           CAST(SUM(CASE WHEN n_t > l.lim THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_truncated,
+           CAST(SUM(GREATEST(n_t - l.lim, 0)) AS BIGINT) AS tokens_lost,
+           CAST(CAST(SUM(GREATEST(n_t - l.lim, 0)) AS HUGEINT) * 1000000
+                // MAX(tot.n_total) AS BIGINT) AS lost_ppm
+    FROM t, tot, (SELECT unnest({list(_TRUNC_LIMITS)}) AS lim) l
+    GROUP BY l.lim
+    """,
+    doc="Truncation-loss curve — the context-length planning table "
+    "(pick max_len = 512/1024/2048/4096 and this is exactly what each "
+    "choice discards): per candidate limit, documents affected, tokens "
+    "lost beyond the limit, and the lost share of total corpus tokens "
+    "in ppm. Token counts use the q211 whitespace rule "
+    "(regexp-codegen, identical on both engines); all arithmetic is "
+    "integer with HUGEINT/decimal(38,0) ppm numerators. Shape: ONE "
+    "corpus scan computes the per-doc length, the 4-limit explode "
+    "multiplies the SKINNY (one int) length column — not the text — "
+    "and the final agg is map-side to 4 rows; at 100 TB this is the "
+    "cost of one projection scan.",
+)
+def q236_truncation_loss(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = d.filter(F.col("text").isNotNull()).select(
+        tx.token_count(F.col("text")).cast("bigint").alias("n_t")
+    )
+    # corpus total as a broadcast 1-row scalar (an unpartitioned window
+    # here would funnel the whole corpus through one task)
+    tot = t.agg(F.sum("n_t").alias("_tot"))
+    lims = F.array(*[F.lit(v) for v in _TRUNC_LIMITS])
+    e = t.crossJoin(F.broadcast(tot)).select(
+        "n_t", "_tot", F.explode(lims).alias("max_len")
+    )
+    return e.groupBy(F.col("max_len").cast("bigint").alias("max_len")).agg(
+        F.sum((F.col("n_t") > F.col("max_len")).cast("long"))
+        .cast("bigint")
+        .alias("docs_truncated"),
+        F.sum(F.greatest(F.col("n_t") - F.col("max_len"), F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_lost"),
+        F.expr(
+            "CAST(CAST(SUM(GREATEST(n_t - max_len, 0)) AS DECIMAL(38,0))"
+            " * 1000000 div MAX(_tot) AS BIGINT)"
+        ).alias("lost_ppm"),
+    )

@@ -234,6 +234,14 @@ QUERIES = [
     # singletons, n2-heavy histograms; token-run docs make degenerate
     # one-type sources; the n2=0 Chao1 correction path on both engines)
     "q234_vocab_richness",
+    # round-7: dedup ROI (exact duplicates populate the size>=2 log2
+    # buckets; NULL n_chars inside a cluster exercise the sum-max NULL
+    # arithmetic identically; all-unique corpora collapse to bucket 0)
+    "q235_dedup_roi",
+    # round-7: truncation loss (random docs are all far below 512
+    # tokens -> every limit row must read zero losses with identical
+    # NULL-vs-0 ppm handling; token-run docs stress the counter)
+    "q236_truncation_loss",
 ]
 
 
