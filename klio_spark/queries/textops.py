@@ -2412,3 +2412,60 @@ def q236_truncation_loss(spark: SparkSession, sf_dir: str):
             " * 1000000 div MAX(_tot) AS BIGINT)"
         ).alias("lost_ppm"),
     )
+
+
+@register(
+    "q237_lang_confusion",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(_lang_sql_score(l, w) for l, w in sorted(tx.LANG_MARKERS.items()))}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS declared, {_LANG_CASE} AS detected FROM scored
+    ),
+    cm AS (
+      SELECT declared, detected, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT declared, detected, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n AS HUGEINT) * 10000
+                // SUM(n) OVER (PARTITION BY declared) AS BIGINT)
+             AS row_share_bp,
+           declared IS NOT DISTINCT FROM detected AS agree
+    FROM cm
+    """,
+    doc="Language confusion matrix — the release audit that catches "
+    "mislabeled-language ingestion (a 'de' source that detects as 'en' "
+    "is a metadata bug or a scraper pointed at the wrong site): declared "
+    "lang column vs q62's marker-argmax detector, with per-declared-row "
+    "shares in basis points and the agreement flag (the diagonal). "
+    "Reuses q62's exact scoring/CASE kernel so detector semantics stay "
+    "single-sourced; NULL declared langs form their own matrix row "
+    "(null-safe agree compare). Shape: one scan through the codegen "
+    "marker counters, a map-side (declared, detected) agg bounded by "
+    "#langs^2 cells, and a cell-bounded share window — audit cost is "
+    "one projection scan at any corpus size.",
+)
+def q237_lang_confusion(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    cm = (
+        d.select(
+            F.col("lang").alias("declared"),
+            tx.lang_id(F.col("text")).alias("detected"),
+        )
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # window over the <= #langs^2 confusion cells, never the corpus
+    w = Window.partitionBy("declared")
+    return cm.select(
+        "declared",
+        "detected",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * 10000"
+            " div SUM(n) OVER (PARTITION BY declared) AS BIGINT)"
+        ).alias("row_share_bp"),
+        F.col("declared").eqNullSafe(F.col("detected")).alias("agree"),
+    )

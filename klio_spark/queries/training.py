@@ -1320,3 +1320,76 @@ def q219_padding_waste(spark: SparkSession, sf_dir: str):
             ).alias("saving_bp"),
         )
     )
+
+
+@register(
+    "q238_mixture_ess",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(FLOOR(SQRT(CAST(COUNT(t.w) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_scaled
+      FROM documents d
+           LEFT JOIN LATERAL unnest(
+             list_filter(string_split_regex(lower(d.text), '\\s+'),
+                         x -> x != '')) AS t(w) ON TRUE
+      GROUP BY source
+    ),
+    m AS (
+      SELECT COUNT(*) AS n_sources,
+             SUM(CAST(w_scaled AS HUGEINT)) AS s1,
+             SUM(CAST(w_scaled AS HUGEINT) * w_scaled) AS s2
+      FROM s
+    )
+    SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           CASE WHEN s2 > 0 THEN CAST(s1 * s1 // s2 AS BIGINT)
+           END AS ess_x,
+           CASE WHEN s2 > 0
+                THEN CAST(s1 * s1 * 1000000 // (s2 * n_sources) AS BIGINT)
+           END AS ess_ppm_of_n
+    FROM m
+    """,
+    doc="Effective sample size of the temperature-mixture weights — the "
+    "one-number diagnostic for 'is this mixture actually diverse or is "
+    "one source 90% of the draw' (Kish 1965 ESS = (SUM w)^2 / SUM w^2; "
+    "importance-sampling practice reads ESS/n): computed over q195's "
+    "exact per-source weights (FLOOR(sqrt(src_tokens)*1e6) — IEEE sqrt "
+    "is correctly rounded, the q233 rule, so weights are bit-identical "
+    "cross-engine); both quadratic sums run in HUGEINT/decimal(38,0) "
+    "(w^2 reaches ~9e24 at the 100 TB token ceiling — int64 is not "
+    "enough, which is WHY the q190 rule exists), and ESS lands as two "
+    "exact integer divisions. All-empty corpora emit NULL on both "
+    "engines. Shape: the q195 source agg (one token-counting scan) "
+    "folded to ONE row map-side; the diagnostic is free next to the "
+    "mixture it audits.",
+)
+def q238_mixture_ess(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.floor(
+            F.sqrt(
+                F.sum(F.size(tx.tokens(F.lower(F.col("text")))))
+                .cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("w_scaled")
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum(F.col("w_scaled").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("w_scaled").cast("decimal(38,0)") * F.col("w_scaled")
+        ).alias("s2"),
+    )
+    return m.select(
+        "n_sources",
+        F.when(
+            F.col("s2") > 0, F.expr("CAST(s1 * s1 div s2 AS BIGINT)")
+        ).alias("ess_x"),
+        F.when(
+            F.col("s2") > 0,
+            F.expr("CAST(s1 * s1 * 1000000 div (s2 * n_sources) AS BIGINT)"),
+        ).alias("ess_ppm_of_n"),
+    )

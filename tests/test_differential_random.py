@@ -242,6 +242,14 @@ QUERIES = [
     # tokens -> every limit row must read zero losses with identical
     # NULL-vs-0 ppm handling; token-run docs stress the counter)
     "q236_truncation_loss",
+    # round-7: lang confusion (NULL-text docs must score all-zero and
+    # default to 'en' on both engines; NULL declared langs are their
+    # own matrix row; marker-free random words exercise the tie chain)
+    "q237_lang_confusion",
+    # round-7: mixture ESS (empty/NULL-text sources carry w=0 through
+    # the quadratic sums; near-equal source masses push ESS/n toward
+    # 1e6 — the floors must agree exactly at that boundary)
+    "q238_mixture_ess",
 ]
 
 
