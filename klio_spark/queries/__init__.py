@@ -158,6 +158,7 @@ _VERIFY_FIRST = [
     "q236_truncation_loss",
     "q237_lang_confusion",
     "q238_mixture_ess",
+    "q239_spearman_rank_corr",
     # NOTE: 11 new entries + the 46-query stale tail = 57 > the ~50-slot
     # window, so ~7 stale entries may overflow into round 8. First-ever
     # external evidence for the new queries outranks a third re-check of

@@ -1537,3 +1537,119 @@ def q233_neyman_allocation(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("alloc_n"),
     )
+
+
+@register(
+    "q239_spearman_rank_corr",
+    """
+    WITH per AS (
+      SELECT LEAST(COALESCE(n_chars, 0), 2000) * 500 AS a,
+             LEAST(LEN(regexp_extract_all(text, '\\S+')), 512) AS b
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ra AS (
+      SELECT a, 2 * COALESCE(SUM(COUNT(*)) OVER (ORDER BY a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + COUNT(*) + 1 AS ra2
+      FROM per GROUP BY a
+    ),
+    rb AS (
+      SELECT b, 2 * COALESCE(SUM(COUNT(*)) OVER (ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + COUNT(*) + 1 AS rb2
+      FROM per GROUP BY b
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ra2 AS HUGEINT)) AS sa,
+             SUM(CAST(rb2 AS HUGEINT)) AS sb,
+             SUM(CAST(ra2 AS HUGEINT) * ra2) AS saa,
+             SUM(CAST(rb2 AS HUGEINT) * rb2) AS sbb,
+             SUM(CAST(ra2 AS HUGEINT) * rb2) AS sab
+      FROM per JOIN ra USING (a) JOIN rb USING (b)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                THEN ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                           / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                              * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+           END AS spearman_r6
+    FROM m
+    """,
+    doc="Spearman rank correlation between document length and token "
+    "count — the monotone-association check (robust to outliers and "
+    "nonlinearity, which is why EDA reaches for it over Pearson/q49) "
+    "computed WITHOUT a global rank sort: both variables are bounded by "
+    "construction (clipped length ppm <= 2001 values; clipped token "
+    "count <= 513 values, the q219 bound), so tie-correct MIDRANKS come "
+    "from value histograms — r2(v) = 2*cum_below + cnt + 1, exact "
+    "integers — and re-attach to rows via two BROADCAST joins on the "
+    "value key. Rank moments accumulate in HUGEINT/decimal(38,0) (rank "
+    "products reach ~4n^3); the final rho is IEEE arithmetic on "
+    "identical int-derived doubles (two correctly-rounded sqrts, one "
+    "division — the q233 rule), rounded at 6. Zero-variance marginals "
+    "emit NULL on both engines. Shape: one corpus scan, two "
+    "histogram-bounded windows, two broadcast equi joins, one map-side "
+    "moment agg to one row.",
+)
+def q239_spearman_rank_corr(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    from klio_spark.functions import text as tx
+
+    per = d.filter(F.col("text").isNotNull()).select(
+        (
+            F.least(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(2000))
+            * 500
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.least(tx.token_count(F.col("text")), F.lit(512))
+        .cast("bigint")
+        .alias("b"),
+    )
+
+    def rank_map(col):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            per.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(
+                col,
+                (
+                    2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                    + F.col("_c")
+                    + 1
+                )
+                .cast("bigint")
+                .alias(f"r_{col}"),
+            )
+        )
+
+    joined = per.join(F.broadcast(rank_map("a")), "a").join(
+        F.broadcast(rank_map("b")), "b"
+    )
+    ra2 = F.col("r_a").cast("decimal(38,0)")
+    rb2 = F.col("r_b").cast("decimal(38,0)")
+    m = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ra2).alias("sa"),
+        F.sum(rb2).alias("sb"),
+        F.sum(ra2 * F.col("r_a")).alias("saa"),
+        F.sum(rb2 * F.col("r_b")).alias("sbb"),
+        F.sum(ra2 * F.col("r_b")).alias("sab"),
+    )
+    vx = F.expr("n * saa - sa * sa")
+    vy = F.expr("n * sbb - sb * sb")
+    return m.select(
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                F.expr("CAST(n * sab - sa * sb AS DOUBLE)")
+                / (
+                    F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("spearman_r6"),
+    )

@@ -250,6 +250,12 @@ QUERIES = [
     # the quadratic sums; near-equal source masses push ESS/n toward
     # 1e6 — the floors must agree exactly at that boundary)
     "q238_mixture_ess",
+    # round-7: Spearman (duplicate docs create massive rank TIES — the
+    # midrank histogram must replay textbook tie-averaged ranks exactly;
+    # NULL n_chars put a=0 atoms against nonzero token counts; length
+    # and tokens are near-perfectly monotone so rho presses against 1
+    # where float error would show first)
+    "q239_spearman_rank_corr",
 ]
 
 
