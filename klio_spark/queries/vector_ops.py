@@ -1806,3 +1806,84 @@ def q227_retrieval_metrics(spark: SparkSession, sf_dir: str):
             F.expr("CAST(hits_at10 * 10000 div n_rel AS BIGINT)"),
         ).alias("recall_at10_bp"),
     )
+
+
+@register(
+    "q240_split_leakage",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND((CASE WHEN list_dot_product(a.e, a.e) = 0
+                           OR list_dot_product(b.e, b.e) = 0 THEN 0.0
+                    ELSE list_cosine_similarity(a.e, b.e) END), 6)
+               AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND((CASE WHEN list_dot_product(a.e, a.e) = 0
+                          OR list_dot_product(b.e, b.e) = 0 THEN 0.0
+                   ELSE list_cosine_similarity(a.e, b.e) END), 6) >= 0.35
+    ),
+    tagged AS (
+      SELECT id_a, id_b, cosine,
+             ((id_a * 2654435761) % 4294967296) % 10 < 8 AS a_train,
+             ((id_b * 2654435761) % 4294967296) % 10 < 8 AS b_train
+      FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+           CAST(SUM(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_split,
+           CAST(SUM(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS leak_bp,
+           CAST(COUNT(DISTINCT CASE WHEN a_train <> b_train THEN
+                  CASE WHEN a_train THEN id_b ELSE id_a END END)
+                AS BIGINT) AS n_test_leaked
+    FROM tagged
+    """,
+    doc="Train/test split leakage through near-duplicates — the eval-"
+    "hygiene audit q87 runs for text, here for embeddings: near-dup "
+    "pairs (q72's exact kernel: blocked BLAS cosine >= 0.35) whose ends "
+    "land on OPPOSITE sides of an 80/20 hash split (q86's reshuffle-"
+    "stable Knuth-hash bucketing on vec_id) are test examples the model "
+    "effectively saw in training — eval numbers inflate until these "
+    "test members are dropped or the split is re-cut cluster-safely "
+    "(q185's job; this query is the detector that says you must). "
+    "Output: near-dup pair count, cross-split pair count and share bp, "
+    "and the DISTINCT leaked test members (the rows to quarantine). "
+    "Shape: the pair generation is q72's distributed block-matmul "
+    "(never all-pairs in one task); the split tag is a per-end integer "
+    "hash — no join against any split table; the audit agg is "
+    "map-side to one row.",
+)
+def q240_split_leakage(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "embeddings")
+    p = exact_pairs_grouped(e, "embedding", "vec_id", threshold=0.35)
+    tagged = p.select(
+        "id_a",
+        "id_b",
+        F.expr("((id_a * 2654435761) % 4294967296) % 10 < 8").alias(
+            "a_train"
+        ),
+        F.expr("((id_b * 2654435761) % 4294967296) % 10 < 8").alias(
+            "b_train"
+        ),
+    )
+    cross = F.col("a_train") != F.col("b_train")
+    return tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs"),
+        F.sum(cross.cast("long")).cast("bigint").alias("n_cross_split"),
+        F.expr(
+            "CAST(SUM(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END)"
+            " * 10000 div COUNT(*) AS BIGINT)"
+        ).alias("leak_bp"),
+        F.count_distinct(
+            F.when(
+                cross,
+                F.when(F.col("a_train"), F.col("id_b")).otherwise(
+                    F.col("id_a")
+                ),
+            )
+        )
+        .cast("bigint")
+        .alias("n_test_leaked"),
+    )

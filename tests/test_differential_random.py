@@ -635,6 +635,11 @@ EMB_QUERIES = [
     # sparse labels exercise the min(n_rel,10) IDCG truncation and the
     # clamped element_at on both engines)
     "q227_retrieval_metrics",
+    # round-7: split leakage (exact-duplicate vectors form guaranteed
+    # near-dup pairs whose hash-split tags must agree bitwise; the zero
+    # vector's cosine-0 guard keeps it out of the pair set identically;
+    # the leaked-member CASE picks the test end deterministically)
+    "q240_split_leakage",
 ]
 
 
