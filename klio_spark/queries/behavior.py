@@ -3259,3 +3259,163 @@ def q231_bootstrap_ci(spark: SparkSession, sf_dir: str):
         "boot_lo_cents",
         "boot_hi_cents",
     )
+
+
+@register(
+    "q241_burstiness",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, event_id,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    gaps AS (
+      SELECT event_type,
+             s - LAG(s) OVER (PARTITION BY user_id, event_type
+                              ORDER BY s, event_id) AS gap_s
+      FROM t
+    ),
+    m AS (
+      SELECT event_type, COUNT(gap_s) AS n_gaps,
+             SUM(CAST(gap_s AS HUGEINT)) AS s1,
+             SUM(CAST(gap_s AS HUGEINT) * gap_s) AS s2
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(s1 // n_gaps AS BIGINT) AS mean_gap_s,
+           CASE WHEN n_gaps > 1 AND n_gaps * s2 - s1 * s1 > 0 THEN ROUND(
+             (SQRT(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+              - CAST(s1 AS DOUBLE) / n_gaps)
+             / (SQRT(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+                + CAST(s1 AS DOUBLE) / n_gaps), 6)
+           END AS burstiness_r6
+    FROM m
+    """,
+    doc="Inter-arrival burstiness per event type (Goh & Barabasi 2008: "
+    "B = (sigma - mu)/(sigma + mu) of the within-user inter-arrival "
+    "gaps — B~-1 periodic/heartbeat, B~0 Poisson, B->1 bursty/human; "
+    "the traffic-shape diagnostic behind capacity planning and bot "
+    "detection): gaps from ONE LAG window per (user, type) ordered by "
+    "the q198 epoch-second convention with event_id tie-breaks; gap "
+    "moments exact in HUGEINT/decimal(38,0); sigma and mu divide out "
+    "of the SAME exact integers, so B is a handful of IEEE ops on "
+    "identical doubles (correctly-rounded sqrt — the q233 rule), "
+    "rounded at 6. Types with <2 gaps or zero variance emit NULL on "
+    "both engines. Shape: one user-keyed window exchange (the shuffle "
+    "every per-user op shares), then a map-side moment agg to #types "
+    "rows.",
+)
+def q241_burstiness(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "s", "event_id"
+    )
+    gaps = t.select(
+        "event_type", (F.col("s") - F.lag("s").over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    g = F.col("gap_s").cast("decimal(38,0)")
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(g).alias("s1"),
+        F.sum(g * F.col("gap_s")).alias("s2"),
+    )
+    var_n2 = F.expr("n_gaps * s2 - s1 * s1")
+    sd_n = F.sqrt(var_n2.cast("double")) / F.col("n_gaps")
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    return m.select(
+        "event_type",
+        "n_gaps",
+        F.expr("CAST(s1 div n_gaps AS BIGINT)").alias("mean_gap_s"),
+        F.when(
+            (F.col("n_gaps") > 1) & (var_n2 > 0),
+            F.round((sd_n - mu) / (sd_n + mu), 6),
+        ).alias("burstiness_r6"),
+    )
+
+
+@register(
+    "q242_churn_labels",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    cut AS (SELECT MAX(s) - 14 * 86400 AS c FROM t),
+    lab AS (
+      SELECT user_id,
+             COUNT(CASE WHEN s <= c THEN 1 END) AS n_before,
+             COUNT(DISTINCT CASE WHEN s <= c THEN event_type END)
+               AS n_types_before,
+             MAX(CASE WHEN s <= c THEN s END) AS last_s,
+             MAX(CASE WHEN s > c THEN 1 ELSE 0 END) AS label_active
+      FROM t, cut GROUP BY user_id, c
+      HAVING COUNT(CASE WHEN s <= c THEN 1 END) > 0
+    )
+    SELECT user_id,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_types_before AS BIGINT) AS n_types_before,
+           CAST((SELECT MAX(c) FROM cut, (SELECT 1)) - last_s AS BIGINT)
+             AS recency_s,
+           CAST(label_active AS BIGINT) AS label_active
+    FROM lab
+    """,
+    doc="Churn-label generation — the supervised-dataset construction "
+    "step for retention models, built the leakage-safe way: a single "
+    "cutoff (corpus max minus 14 days), FEATURES strictly from events "
+    "at-or-before the cutoff (activity count, type breadth, recency), "
+    "LABEL strictly from after it (any activity in the holdout window "
+    "= retained, else churned) — the temporal firewall whose absence "
+    "is the classic silent leak in retention models. Users with no "
+    "pre-cutoff history drop (nothing to predict from). Epoch seconds "
+    "via the q198 year-1-shift floor convention so pre-epoch and "
+    "sub-second corpora bucket identically. Shape: the 1-row cutoff "
+    "broadcasts; features and label fold in ONE user-keyed agg over "
+    "one scan — label generation costs the shuffle every per-user "
+    "op already pays.",
+)
+def q242_churn_labels(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+    )
+    cut = t.agg((F.max("s") - 14 * 86400).alias("c"))
+    lab = (
+        t.crossJoin(F.broadcast(cut))
+        .groupBy("user_id", "c")
+        .agg(
+            F.count(F.when(F.col("s") <= F.col("c"), 1)).alias("n_before"),
+            F.count_distinct(
+                F.when(F.col("s") <= F.col("c"), F.col("event_type"))
+            ).alias("n_types_before"),
+            F.max(F.when(F.col("s") <= F.col("c"), F.col("s"))).alias(
+                "last_s"
+            ),
+            F.max(
+                F.when(F.col("s") > F.col("c"), 1).otherwise(0)
+            ).alias("label_active"),
+        )
+        .filter(F.col("n_before") > 0)
+    )
+    return lab.select(
+        "user_id",
+        F.col("n_before").cast("bigint").alias("n_before"),
+        F.col("n_types_before").cast("bigint").alias("n_types_before"),
+        (F.col("c") - F.col("last_s")).cast("bigint").alias("recency_s"),
+        F.col("label_active").cast("bigint").alias("label_active"),
+    )

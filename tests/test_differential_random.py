@@ -417,6 +417,15 @@ EVENT_QUERIES = [
     # other row onto the 89-day clamp floor; NULL ts drop; datediff
     # day-boundary semantics must agree across DST and pre-epoch dates)
     "q230_recency_weighted_mix",
+    # round-7: burstiness (dense timestamp TIES make zero-gaps — the
+    # (s, event_id) LAG order must break them identically; pre-epoch
+    # corpora exercise the year-1-shift seconds; single-event users
+    # contribute no gaps on either engine)
+    "q241_burstiness",
+    # round-7: churn labels (a far-future row drags the cutoff past the
+    # whole corpus -> everyone churns; pre-epoch seconds; users whose
+    # first event is inside the holdout drop via the n_before>0 gate)
+    "q242_churn_labels",
 ]
 
 
