@@ -3419,3 +3419,139 @@ def q242_churn_labels(spark: SparkSession, sf_dir: str):
         (F.col("c") - F.col("last_s")).cast("bigint").alias("recency_s"),
         F.col("label_active").cast("bigint").alias("label_active"),
     )
+
+
+@register(
+    "q243_seasonality_profile",
+    """
+    WITH t AS (
+      SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800) AS s
+      FROM events WHERE ts IS NOT NULL
+    ),
+    cells AS (
+      -- s2 = s + 105000 weeks: positive for any timestamp >= year 1 and
+      -- week-aligned, so dow/hod are unchanged while // and div agree
+      -- (trunc == floor on non-negative operands)
+      SELECT ((s + 63504000000) // 86400 + 4) % 7 AS dow,
+             ((s + 63504000000) % 86400) // 3600 AS hod,
+             COUNT(*) AS n
+      FROM t GROUP BY 1, 2
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           CAST(n AS BIGINT) AS n,
+           CAST(CAST(n AS HUGEINT) * 1000000 // SUM(n) OVER () AS BIGINT)
+             AS share_ppm,
+           CAST(CAST(n AS HUGEINT) * 168 * 1000000 // SUM(n) OVER ()
+                - 1000000 AS BIGINT) AS lift_vs_uniform_ppm
+    FROM cells
+    """,
+    doc="Weekday x hour seasonality heatmap with uniformity lift — the "
+    "traffic-calendar profile behind alert-threshold schedules and "
+    "q122's anomaly baselines: per (day-of-week, hour-of-day) cell, "
+    "count, corpus share ppm, and the lift vs a uniform 168-cell week "
+    "(168*share - 1, in ppm — positive = hot cell). Day-of-week comes "
+    "from PURE INTEGER epoch-day arithmetic — (days+4) mod 7, Sunday=0, "
+    "1970-01-01 a Thursday — on seconds pre-shifted by a WEEK-ALIGNED "
+    "positive constant (+105000 weeks) so truncating div and floor // "
+    "agree even on pre-epoch corpora; engine calendar functions "
+    "(dayofweek/dow) disagree on 0-vs-1-based and Sunday-vs-Monday "
+    "conventions, so neither engine's is used. Epoch seconds via the q198 year-1-shift floor "
+    "convention. Shape: one scan, map-side agg bounded at 168 cells, "
+    "cell-bounded share windows.",
+)
+def q243_seasonality_profile(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    t = ev.filter(F.col("ts").isNotNull()).select(
+        F.expr(_SECS.format(c="ts")).alias("s")
+    )
+    cells = t.groupBy(
+        F.expr("((s + 63504000000) div 86400 + 4) % 7")
+        .cast("bigint")
+        .alias("dow"),
+        F.expr("((s + 63504000000) % 86400) div 3600")
+        .cast("bigint")
+        .alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # windows over the <= 168 weekday x hour cells, never the events
+    w = Window.partitionBy()
+    return (
+        cells.withColumn("_tot", F.sum("n").over(w))
+        .select(
+            "dow",
+            "hod",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div _tot"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 168 * 1000000 div _tot"
+                " - 1000000 AS BIGINT)"
+            ).alias("lift_vs_uniform_ppm"),
+        )
+    )
+
+
+@register(
+    "q244_duplicate_delivery",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, event_id, props,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    lagged AS (
+      SELECT event_type,
+             us - LAG(us) OVER (PARTITION BY user_id, event_type, props
+                                ORDER BY us, event_id) AS gap_us
+      FROM t
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 5000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 5000000
+                         THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+                AS BIGINT) AS dup_bp
+    FROM lagged GROUP BY event_type
+    """,
+    doc="Duplicate-delivery audit — the at-least-once-transport health "
+    "check every event pipeline needs (retries and replays surface as "
+    "same-payload events microseconds apart; a rising dup_bp is a "
+    "producer or broker incident): an event is a duplicate when the "
+    "SAME (user, type, props) payload occurred within the preceding 5 "
+    "seconds — one LAG window per payload key ordered by (micros, "
+    "event_id), so k repeated deliveries count exactly k-1 duplicates "
+    "(chained gaps), the idempotent-consumer semantics. NULL props "
+    "group together (null-safe partition key on both engines, the "
+    "payload-absent case). Exact integer micros; per-type rates in "
+    "basis points. Shape: one payload-keyed window exchange, then a "
+    "map-side agg to #types rows.",
+)
+def q244_duplicate_delivery(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "props",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "props").orderBy(
+        "us", "event_id"
+    )
+    lagged = t.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    )
+    dup = F.col("gap_us").isNotNull() & (F.col("gap_us") <= 5_000_000)
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(dup.cast("long")).cast("bigint").alias("n_dups"),
+        F.expr(
+            "CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 5000000"
+            " THEN 1 ELSE 0 END) * 10000 div COUNT(*) AS BIGINT)"
+        ).alias("dup_bp"),
+    )

@@ -426,6 +426,14 @@ EVENT_QUERIES = [
     # whole corpus -> everyone churns; pre-epoch seconds; users whose
     # first event is inside the holdout drop via the n_before>0 gate)
     "q242_churn_labels",
+    # round-7: seasonality (pre-epoch corpora are WHY the week-aligned
+    # positive shift exists — trunc div vs floor // would split dow/hod
+    # on negative seconds; DST-boundary corpora pin the UTC bucketing)
+    "q243_seasonality_profile",
+    # round-7: duplicate delivery (exact-microsecond TIES are gap 0 —
+    # the strongest dup signal; NULL props must group null-safely as a
+    # payload key; out-of-order ids break (us, event_id) ties)
+    "q244_duplicate_delivery",
 ]
 
 
