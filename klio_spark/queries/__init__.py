@@ -164,6 +164,8 @@ _VERIFY_FIRST = [
     "q242_churn_labels",
     "q243_seasonality_profile",
     "q244_duplicate_delivery",
+    "q245_syndication_matrix",
+    "q246_peak_concurrency",
     # NOTE: 11 new entries + the 46-query stale tail = 57 > the ~50-slot
     # window, so ~7 stale entries may overflow into round 8. First-ever
     # external evidence for the new queries outranks a third re-check of

@@ -3555,3 +3555,105 @@ def q244_duplicate_delivery(spark: SparkSession, sf_dir: str):
             " THEN 1 ELSE 0 END) * 10000 div COUNT(*) AS BIGINT)"
         ).alias("dup_bp"),
     )
+
+
+@register(
+    "q246_peak_concurrency",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    marks AS (
+      SELECT (s + 63504000000) // 86400 AS day, s AS t_s, 1 AS delta,
+             event_id
+      FROM t
+      UNION ALL
+      SELECT (s + 63504000000) // 86400 AS day,
+             LEAST(s + 1800,
+                   ((s + 63504000000) // 86400 + 1) * 86400
+                     - 63504000000) AS t_s,
+             -1 AS delta, event_id
+      FROM t
+    ),
+    sweep AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day
+                              ORDER BY t_s, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS load,
+             t_s
+      FROM marks
+    )
+    SELECT CAST(day - 63504000000 // 86400 AS BIGINT) AS epoch_day,
+           CAST(MAX(load) AS BIGINT) AS peak_concurrent,
+           CAST(MIN(CASE WHEN load_rank = 1 THEN t_s END) AS BIGINT)
+             AS peak_at_s
+    FROM (
+      SELECT day, load, t_s,
+             RANK() OVER (PARTITION BY day ORDER BY load DESC) AS load_rank
+      FROM sweep
+    )
+    GROUP BY day
+    """,
+    doc="Daily peak concurrency — the capacity-planning number (max "
+    "simultaneous active sessions, each event opening a 30-minute "
+    "session): the classic sweep-line as SQL — +1 at each start, -1 at "
+    "each end, running sum ordered by (time, delta, event_id) so an "
+    "end at instant t closes BEFORE a start at t opens (half-open "
+    "intervals; delta=-1 sorts first) — per-day partitions bound every "
+    "sort to one day's events (the scale lever: a global sweep would "
+    "be one total order over the corpus), with sessions clamped at "
+    "midnight (standard daily-report semantics, stated). Day ids use "
+    "the q243 week-aligned positive shift so pre-epoch days floor "
+    "identically. Output per day: the peak and the earliest second it "
+    "was reached.",
+)
+def q246_peak_concurrency(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "event_id",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+    )
+    t = t.withColumn("day", F.expr("(s + 63504000000) div 86400"))
+    starts = t.select(
+        "day", F.col("s").alias("t_s"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = t.select(
+        "day",
+        F.least(
+            F.col("s") + 1800,
+            F.expr("(day + 1) * 86400 - 63504000000"),
+        ).alias("t_s"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    marks = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t_s", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = marks.select(
+        "day", "t_s", F.sum("delta").over(w).alias("load")
+    )
+    ranked = sweep.withColumn(
+        "load_rank",
+        F.rank().over(Window.partitionBy("day").orderBy(F.desc("load"))),
+    )
+    return ranked.groupBy("day").agg(
+        F.max("load").cast("bigint").alias("peak_concurrent"),
+        F.min(F.when(F.col("load_rank") == 1, F.col("t_s")))
+        .cast("bigint")
+        .alias("peak_at_s"),
+    ).select(
+        F.expr("CAST(day - 63504000000 div 86400 AS BIGINT)").alias(
+            "epoch_day"
+        ),
+        "peak_concurrent",
+        "peak_at_s",
+    )

@@ -2469,3 +2469,52 @@ def q237_lang_confusion(spark: SparkSession, sf_dir: str):
         ).alias("row_share_bp"),
         F.col("declared").eqNullSafe(F.col("detected")).alias("agree"),
     )
+
+
+@register(
+    "q245_syndication_matrix",
+    """
+    WITH h AS (
+      SELECT DISTINCT sha256(text) AS chash, source
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+    FROM h a JOIN h b
+      ON a.chash = b.chash AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source syndication matrix — which sources republish the "
+    "same text (mirror/scraper/wire-service detection; a corpus that "
+    "counts a syndicated article once per mirror over-weights it "
+    "exactly q235's saved_ppm worth): per source pair, the number of "
+    "DISTINCT texts present in both, via the q64 content digest. The "
+    "dedup-then-join order is the scale lever (q105's rule): the "
+    "self-join runs on the DISTINCT (digest, source) table — bounded "
+    "by texts x sources, orders below the doc count — and joins on "
+    "the digest key, so only same-text rows ever meet; source < "
+    "source keeps each unordered pair once. Shape: one digest "
+    "groupBy-distinct (32-byte shuffle), one digest-keyed self equi "
+    "join, map-side pair agg bounded by #sources^2 cells.",
+)
+def q245_syndication_matrix(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    h = (
+        d.filter(F.col("text").isNotNull())
+        .select(dd.content_hash(F.col("text")).alias("chash"), "source")
+        .distinct()
+    )
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chash") == F.col("b.chash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_texts"))
+    )

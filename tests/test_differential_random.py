@@ -256,6 +256,10 @@ QUERIES = [
     # and tokens are near-perfectly monotone so rho presses against 1
     # where float error would show first)
     "q239_spearman_rank_corr",
+    # round-7: syndication (duplicate texts land in different random
+    # sources -> nonzero cross-source cells, unlike the fixed corpus;
+    # the distinct-before-join must collapse same-source repeats)
+    "q245_syndication_matrix",
 ]
 
 
@@ -434,6 +438,11 @@ EVENT_QUERIES = [
     # the strongest dup signal; NULL props must group null-safely as a
     # payload key; out-of-order ids break (us, event_id) ties)
     "q244_duplicate_delivery",
+    # round-7: peak concurrency (timestamp TIES put starts and ends on
+    # the same instant — the (t, delta, id) order must close-before-
+    # open identically; pre-epoch day clamps exercise the shifted
+    # floor; rank ties for the peak pick the earliest second)
+    "q246_peak_concurrency",
 ]
 
 
