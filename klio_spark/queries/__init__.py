@@ -166,14 +166,16 @@ _VERIFY_FIRST = [
     "q244_duplicate_delivery",
     "q245_syndication_matrix",
     "q246_peak_concurrency",
-    # NOTE: 11 new entries + the 46-query stale tail = 57 > the ~50-slot
-    # window, so ~7 stale entries may overflow into round 8. First-ever
-    # external evidence for the new queries outranks a third re-check of
-    # r2-verified ones; the overflow risk is priced by a full strict-
-    # replica sweep of ALL 46 stale entries recorded in BASELINE.md
-    # (round-7 verification note), and the stale block below is ordered
-    # so the entries with continuous random-differential coverage sit
-    # last (they carry the most independent local evidence).
+    # NOTE: round 7 grew to 44 new entries (q203-q246), so the new
+    # block alone nearly fills the ~50-slot driver window and most of
+    # the 46-query stale tail below will overflow into round 8.
+    # First-ever external evidence for new queries outranks a third
+    # re-check of r2-verified ones; the overflow is priced by TWO
+    # strict-replica records in BASELINE.md: the full 46-entry stale
+    # sweep (round-7 verification note) and the full-registry sweeps at
+    # sf0.01 AND sf0.001 (0 failures each). The stale block is ordered
+    # so entries with continuous random-differential coverage sit last
+    # (they carry the most independent local evidence).
     # -- stale tail, no independent random-differential coverage --
     "q83_payload_roundtrip",
     "q84_udf_quarantine",
