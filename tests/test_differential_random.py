@@ -1081,3 +1081,106 @@ def test_unicode_lower_contract(spark):
     assert d["İstanbul"] == "istanbul"
     assert s["ΣΟΦΟΣ"].endswith("ς")
     assert d["ΣΟΦΟΣ"].endswith("σ")
+
+
+# ---- round 7: random customer/orders corpus (q231/q233/q117) --------
+
+
+def _random_customer_orders(seed: int, n_cust: int = 80):
+    """Customer + orders with the shapes the fixed tables lack: NULL
+    and NEGATIVE account balances, an entire ZERO-VARIANCE segment
+    (every balance identical -> Neyman weight exactly 0), balance ties,
+    customers with no orders, ORPHAN orders (custkey matching no
+    customer -> the left join drops them from per-customer spend), and
+    totalprice values at the floor(x*100) representation boundary."""
+    rng = random.Random(seed)
+    cust, orders = [], []
+    segs = ["AUTO", "BUILD", "FLAT", "ZERO"]
+    for k in range(n_cust):
+        seg = rng.choice(segs)
+        if seg == "ZERO":
+            bal = 777.77  # zero-variance stratum
+        else:
+            r = rng.randrange(10)
+            bal = (
+                None
+                if r == 0
+                else (-round(rng.uniform(0, 999.99), 2) if r == 1
+                      else round(rng.uniform(0, 9999.99), 2))
+            )
+        cust.append(
+            {
+                "c_custkey": k,
+                "c_name": f"cust{k}",
+                "c_nationkey": rng.randrange(5),
+                "c_acctbal": bal,
+                "c_mktsegment": seg,
+            }
+        )
+        for _ in range(rng.choice([0, 0, 1, 1, 2, 3])):
+            orders.append(k)
+    rows = []
+    for i, ck in enumerate(orders):
+        if rng.randrange(12) == 0:
+            ck = n_cust + rng.randrange(10)  # orphan order
+        rows.append(
+            {
+                "o_orderkey": i,
+                "o_custkey": ck,
+                "o_orderstatus": rng.choice(["O", "F", "P"]),
+                # include prices like 19.99 and x.005 boundary shapes
+                "o_totalprice": rng.choice(
+                    [19.99, 0.07, round(rng.uniform(1, 99999), 2)]
+                ),
+                "o_orderdate": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(days=rng.randrange(365)),
+                "o_orderpriority": "1-URGENT",
+            }
+        )
+    c = pd.DataFrame(cust)
+    c["c_acctbal"] = c["c_acctbal"].astype("float64")
+    c["c_nationkey"] = c["c_nationkey"].astype("int32")
+    o = pd.DataFrame(rows)
+    o["o_orderdate"] = o["o_orderdate"].astype("datetime64[us]")
+    return c, o
+
+
+CUSTOMER_QUERIES = [
+    # q117: arms by custkey parity; orphan orders drop via the left
+    # join; customers with zero orders count as non-converted
+    "q117_ab_experiment",
+    # q231: NULL/zero-weight replicates cannot occur here (both parity
+    # arms populated), but boundary prices stress the exact-cents sums
+    # and the deterministic Poisson draws must bit-agree per (k, b)
+    "q231_bootstrap_ci",
+    # q233: NULL balances filtered; the ZERO segment's variance is
+    # exactly 0 -> nsd_floor 0 -> zero Neyman share but nonzero
+    # proportional share; negative balances square positively
+    "q233_neyman_allocation",
+]
+
+
+@pytest.fixture(scope="module")
+def customer_corpora(tmp_path_factory):
+    out = []
+    for seed in (21, 63):
+        d = tmp_path_factory.mktemp(f"cust{seed}")
+        c, o = _random_customer_orders(seed)
+        c.to_parquet(os.path.join(d, "customer.parquet"), index=False)
+        o.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+        out.append(str(d))
+    return out
+
+
+@pytest.mark.parametrize("qname", CUSTOMER_QUERIES)
+def test_random_customer_matches_oracle(spark, customer_corpora, qname):
+    spec = all_queries()[qname]
+    for sf_dir in customer_corpora:
+        got = canon_frame(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        want = canon_frame(con.execute(spec.sql).df())
+        assert got == want, f"{qname} diverged on {sf_dir}"
