@@ -3657,3 +3657,115 @@ def q246_peak_concurrency(spark: SparkSession, sf_dir: str):
         "peak_concurrent",
         "peak_at_s",
     )
+
+
+@register(
+    "q247_ab_significance",
+    """
+    WITH per AS (
+      SELECT c.c_custkey % 2 AS arm,
+             CASE WHEN COUNT(o.o_orderkey) > 0 THEN 1 ELSE 0 END AS conv
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(conv) AS x FROM per GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN x END) AS x1
+      FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+           CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           CAST(x0 * 1000000 // n0 AS BIGINT) AS p0_ppm,
+           CAST(x1 * 1000000 // n1 AS BIGINT) AS p1_ppm,
+           CASE WHEN (x0 + x1) > 0 AND (x0 + x1) < (n0 + n1) THEN ROUND(
+             (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             / SQRT((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6)
+           END AS z_r6,
+           ROUND(((CAST(x1 AS DOUBLE) + 1.9208)
+                  - 1.96 * SQRT(CAST(x1 AS DOUBLE) * (n1 - x1) / n1
+                                + 0.9604))
+                 / (n1 + 3.8416), 6) AS p1_wilson_lo_r6,
+           ROUND(((CAST(x1 AS DOUBLE) + 1.9208)
+                  + 1.96 * SQRT(CAST(x1 AS DOUBLE) * (n1 - x1) / n1
+                                + 0.9604))
+                 / (n1 + 3.8416), 6) AS p1_wilson_hi_r6
+    FROM wide
+    """,
+    doc="A/B conversion significance — the statistical completion of "
+    "q117's point readout and q231's bootstrap band: the two-proportion "
+    "pooled z statistic and the Wilson 95% interval for the treatment "
+    "arm (Wilson 1927 — the interval that behaves at small n and "
+    "extreme p where the naive Wald interval collapses). Every input "
+    "is an exact integer count; z and the Wilson bounds are IEEE "
+    "arithmetic on identical int-derived doubles — divisions, one "
+    "correctly-rounded sqrt each (the q233 rule), and the z-derived "
+    "constants (1.96, 1.96^2=3.8416, half of it, its quarter 0.9604) "
+    "written as exact decimal literals shared by both engines — "
+    "rounded at 6. Degenerate corpora (all convert or none) emit NULL "
+    "z on both engines. Shape: the q117 custkey-shared join, a 2-row "
+    "arm agg, a 1-row pivot — significance costs nothing beyond the "
+    "readout it annotates.",
+)
+def q247_ab_significance(spark: SparkSession, sf_dir: str):
+    c, o = load(spark, sf_dir, "customer", "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            (F.count("o_orderkey") > 0).cast("long").alias("conv"),
+            (F.first("c_custkey") % 2).alias("arm"),
+        )
+    )
+    arms = per.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p1 - p0) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    wl_num_base = F.col("x1").cast("double") + 1.9208
+    wl_sd = F.sqrt(
+        F.col("x1").cast("double")
+        * (F.col("n1") - F.col("x1"))
+        / F.col("n1")
+        + 0.9604
+    )
+    wl_den = (F.col("n1") + 3.8416)
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("x0").cast("bigint").alias("x0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.expr("CAST(x0 * 1000000 div n0 AS BIGINT)").alias("p0_ppm"),
+        F.expr("CAST(x1 * 1000000 div n1 AS BIGINT)").alias("p1_ppm"),
+        F.when(
+            ((F.col("x0") + F.col("x1")) > 0)
+            & ((F.col("x0") + F.col("x1")) < (F.col("n0") + F.col("n1"))),
+            F.round(z, 6),
+        ).alias("z_r6"),
+        F.round((wl_num_base - F.lit(1.96) * wl_sd) / wl_den, 6).alias(
+            "p1_wilson_lo_r6"
+        ),
+        F.round((wl_num_base + F.lit(1.96) * wl_sd) / wl_den, 6).alias(
+            "p1_wilson_hi_r6"
+        ),
+    )

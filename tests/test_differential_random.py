@@ -1157,6 +1157,10 @@ CUSTOMER_QUERIES = [
     # exactly 0 -> nsd_floor 0 -> zero Neyman share but nonzero
     # proportional share; negative balances square positively
     "q233_neyman_allocation",
+    # q247: random order fan-out can leave an arm all-converted or
+    # all-unconverted -> the pooled-z degenerate guard must NULL on
+    # both engines; the Wilson literals must bit-agree
+    "q247_ab_significance",
 ]
 
 
