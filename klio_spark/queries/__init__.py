@@ -167,6 +167,7 @@ _VERIFY_FIRST = [
     "q245_syndication_matrix",
     "q246_peak_concurrency",
     "q247_ab_significance",
+    "q248_cohort_ltv",
     # NOTE: round 7 grew to 44 new entries (q203-q246), so the new
     # block alone nearly fills the ~50-slot driver window and most of
     # the 46-query stale tail below will overflow into round 8.

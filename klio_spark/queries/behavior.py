@@ -3769,3 +3769,96 @@ def q247_ab_significance(spark: SparkSession, sf_dir: str):
             "p1_wilson_hi_r6"
         ),
     )
+
+
+@register(
+    "q248_cohort_ltv",
+    """
+    WITH t AS (
+      SELECT user_id,
+             ((epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 + 63504000000) // 604800 AS wk,
+             CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    coh AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM t GROUP BY user_id
+    ),
+    cell AS (
+      SELECT c.cohort_wk, t.wk - c.cohort_wk AS age_wk,
+             COUNT(DISTINCT t.user_id) AS n_active,
+             SUM(t.cents) AS spend_cents
+      FROM t JOIN coh c ON t.user_id = c.user_id
+      GROUP BY 1, 2
+    ),
+    sized AS (SELECT cohort_wk, COUNT(*) AS n_cohort FROM coh GROUP BY 1)
+    SELECT CAST(cell.cohort_wk - 63504000000 // 604800 AS BIGINT)
+             AS cohort_wk,
+           CAST(age_wk AS BIGINT) AS age_wk,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(spend_cents AS BIGINT) AS spend_cents,
+           CAST(SUM(spend_cents) OVER (PARTITION BY cell.cohort_wk
+                                       ORDER BY age_wk) AS BIGINT)
+             AS cum_spend_cents,
+           CAST(CAST(SUM(spend_cents) OVER (PARTITION BY cell.cohort_wk
+                                            ORDER BY age_wk) AS HUGEINT)
+                * 100 // n_cohort AS BIGINT) AS cum_ltv_cents_x100
+    FROM cell JOIN sized ON cell.cohort_wk = sized.cohort_wk
+    """,
+    doc="Cohort LTV curves — the revenue deepening of q109's retention "
+    "triangle (the growth team's 'when does a cohort pay back' table): "
+    "per (signup-week cohort, age-in-weeks), active users, spend, "
+    "cumulative spend, and cumulative LTV per cohort member (x100 "
+    "fixed-point, denominated over the FULL cohort size so curves are "
+    "comparable across cohorts regardless of week-to-week activity). "
+    "Weeks via the q243 week-aligned positive shift (trunc == floor on "
+    "pre-epoch corpora); spend in exact FLOOR(value*100) cents; the "
+    "cumulative windows partition per cohort over age-bounded rows "
+    "(#weeks, never events). Shape: two user-keyed aggs sharing the "
+    "user shuffle, a cohort-keyed cell agg, cohort-bounded windows.",
+)
+def q248_cohort_ltv(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.expr(
+            "(" + _SECS.format(c="ts") + " + 63504000000) div 604800"
+        ).alias("wk"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    coh = t.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cell = (
+        t.join(coh, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.sum("cents").alias("spend_cents"),
+        )
+    )
+    sized = coh.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_cohort"))
+    j = cell.join(sized, "cohort_wk")
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.expr("CAST(cohort_wk - 63504000000 div 604800 AS BIGINT)").alias(
+            "cohort_wk"
+        ),
+        F.col("age_wk").cast("bigint").alias("age_wk"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("spend_cents").cast("bigint").alias("spend_cents"),
+        F.sum("spend_cents").over(w).cast("bigint").alias("cum_spend_cents"),
+        F.expr(
+            "CAST(CAST(SUM(spend_cents) OVER (PARTITION BY cohort_wk"
+            " ORDER BY age_wk) AS DECIMAL(38,0)) * 100 div n_cohort"
+            " AS BIGINT)"
+        ).alias("cum_ltv_cents_x100"),
+    )

@@ -1870,3 +1870,60 @@ def streaming_benford(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_seasonality(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live weekday x hour traffic profile — the streaming twin of q243
+    (queries/behavior.py): the 168-cell seasonality histogram kept
+    current as events stream in, so the anomaly baselines q122-style
+    monitors compare against are always the latest week shape instead
+    of last quarter's offline profile.
+
+    Uses q243's exact integer calendar math — epoch seconds via the
+    year-1-shift floor convention, then the week-aligned +105000-week
+    positive shift so day/hour bucketing needs no engine calendar
+    function and floors identically for any timestamp — so the live
+    table after any stream prefix equals q243's cell counts over that
+    prefix cell-for-cell (asserted across a checkpoint restart). State
+    is Spark's built-in incremental aggregation in complete mode: one
+    int64 per cell, bounded at 168 cells by construction. Each trigger
+    hands the histogram (dow, hod, n) to ``sink(cells, batch_id)``;
+    shares and uniformity lifts are a 168-row projection the consumer
+    runs per trigger."""
+    secs = (
+        "((CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS BIGINT)"
+        " + 62135596800000000) div 1000000 - 62135596800)"
+    ).format(c=ts_col)
+    cells = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.expr(
+                f"(({secs} + 63504000000) div 86400 + 4) % 7"
+            )
+            .cast("bigint")
+            .alias("dow"),
+            F.expr(f"(({secs} + 63504000000) % 86400) div 3600")
+            .cast("bigint")
+            .alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch.select("dow", "hod", "n"), batch_id)
+
+    writer = (
+        cells.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -443,6 +443,10 @@ EVENT_QUERIES = [
     # open identically; pre-epoch day clamps exercise the shifted
     # floor; rank ties for the peak pick the earliest second)
     "q246_peak_concurrency",
+    # round-7: cohort LTV (pre-epoch weeks via the aligned shift; NULL
+    # value coalesces to 0 cents; a far-future row forms its own
+    # cohort; negative event values floor toward -inf identically)
+    "q248_cohort_ltv",
 ]
 
 

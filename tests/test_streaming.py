@@ -1868,3 +1868,57 @@ def test_streaming_benford_matches_batch_kernel(spark, tmp_path):
     assert got == {9: 1, 1: 1, 7: 1} == replay(b1)
     run(b2)  # restart: cumulative across the checkpoint
     assert live() == replay(b1 + b2)
+
+
+def test_streaming_seasonality_matches_batch_kernel(spark, tmp_path):
+    """streaming_seasonality across a checkpoint restart: the live
+    168-cell histogram equals q243's integer calendar bucketing over
+    the cumulative stream — including a pre-epoch timestamp (the
+    week-aligned shift's reason to exist) and NULL drops."""
+    import datetime as dt
+
+    ddir = tmp_path / "sea"
+    (ddir / "p").mkdir(parents=True)
+    schema = "event_id long, ts timestamp"
+    utc = dt.timezone.utc
+
+    def mk(*args):
+        return dt.datetime(*args, tzinfo=utc).replace(tzinfo=None)
+
+    b1 = [
+        (1, mk(2024, 1, 4, 10, 30)),   # Thursday -> dow 4
+        (2, mk(2024, 1, 7, 0, 5)),     # Sunday -> dow 0
+        (3, None),
+        (4, dt.datetime(1969, 12, 31, 23, 0)),  # pre-epoch Wednesday
+    ]
+    b2 = [
+        (5, mk(2024, 1, 4, 10, 59)),   # same cell as event 1
+        (6, mk(2024, 1, 8, 23, 0)),    # Monday -> dow 1
+    ]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(ddir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(ddir / "p"))
+        q = st.streaming_seasonality(
+            stream,
+            lambda b, bid: b.write.mode("overwrite").parquet(
+                f"{tmp_path}/seaout"
+            ),
+            str(tmp_path / "ckpt-sea"),
+        )
+        q.awaitTermination(60)
+
+    def live():
+        return {
+            (r.dow, r.hod): r.n
+            for r in spark.read.parquet(f"{tmp_path}/seaout").collect()
+        }
+
+    run(b1)
+    got = live()
+    # Thu 10h, Sun 0h, pre-epoch Wed 23h (1969-12-31 -> dow 3)
+    assert got == {(4, 10): 1, (0, 0): 1, (3, 23): 1}
+    run(b2)
+    assert live() == {(4, 10): 2, (0, 0): 1, (3, 23): 1, (1, 23): 1}
