@@ -363,3 +363,152 @@ def q177_grouping_sets(spark: SparkSession, sf_dir: str):
         )
         """
     )
+
+
+@register(
+    "q249_revenue_waterfall",
+    """
+    WITH li AS (
+      SELECT CAST(FLOOR(COALESCE(l_discount, 0) * 100) AS BIGINT)
+               AS disc_pct,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS gross_c,
+             CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS disc_c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    band AS (
+      SELECT disc_pct,
+             COUNT(*) AS n_lines,
+             SUM(gross_c) AS gross_cents,
+             SUM(disc_c) AS discount_cents,
+             SUM(gross_c - disc_c) AS net_cents
+      FROM li GROUP BY disc_pct
+    )
+    SELECT CAST(disc_pct AS BIGINT) AS disc_pct,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(gross_cents AS BIGINT) AS gross_cents,
+           CAST(discount_cents AS BIGINT) AS discount_cents,
+           CAST(net_cents AS BIGINT) AS net_cents,
+           CAST(SUM(discount_cents) OVER (ORDER BY disc_pct) AS BIGINT)
+             AS cum_discount_cents,
+           CAST(CAST(discount_cents AS HUGEINT) * 10000
+                // SUM(gross_cents) OVER () AS BIGINT)
+             AS discount_share_bp
+    FROM band
+    """,
+    doc="Revenue waterfall by discount band — the BI bridge from gross "
+    "to net revenue (which discount tiers cost how much — the margin "
+    "review's first table): per integer discount percent, line count, "
+    "gross, discount given, net, the cumulative discount bridge, and "
+    "each band's discount as bp of total gross. Every money figure is "
+    "exact FLOOR(x*100) integer cents — including the discount amount, "
+    "floored per LINE so the gross/discount/net identity holds row-"
+    "wise by construction on both engines (summing first and "
+    "discounting after would round differently). Shape: one scan, a "
+    "map-side agg bounded by the <= 101 discount bands, band-bounded "
+    "windows.",
+)
+def q249_revenue_waterfall(spark: SparkSession, sf_dir: str):
+    (li,) = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.floor(F.coalesce(F.col("l_discount"), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("disc_pct"),
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("gross_c"),
+        F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("disc_c"),
+    )
+    band = base.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("gross_c").alias("gross_cents"),
+        F.sum("disc_c").alias("discount_cents"),
+        F.sum(F.col("gross_c") - F.col("disc_c")).alias("net_cents"),
+    )
+    # band-bounded windows (<= 101 discount-percent rows)
+    w_cum = Window.orderBy("disc_pct").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return (
+        band.withColumn("_tot", F.sum("gross_cents").over(w_all))
+        .select(
+            F.col("disc_pct").cast("bigint"),
+            F.col("n_lines").cast("bigint"),
+            F.col("gross_cents").cast("bigint"),
+            F.col("discount_cents").cast("bigint"),
+            F.col("net_cents").cast("bigint"),
+            F.sum("discount_cents")
+            .over(w_cum)
+            .cast("bigint")
+            .alias("cum_discount_cents"),
+            F.expr(
+                "CAST(CAST(discount_cents AS DECIMAL(38,0)) * 10000"
+                " div _tot AS BIGINT)"
+            ).alias("discount_share_bp"),
+        )
+    )
+
+
+@register(
+    "q250_basket_dispersion",
+    """
+    WITH b AS (
+      SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(k AS HUGEINT)) AS s1,
+             SUM(CAST(k AS HUGEINT) * k) AS s2,
+             MIN(k) AS k_min, MAX(k) AS k_max
+      FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(s1 AS BIGINT) AS n_lines,
+           CAST(s1 * 1000000 // n AS BIGINT) AS mean_k_ppm,
+           CAST(k_min AS BIGINT) AS k_min, CAST(k_max AS BIGINT) AS k_max,
+           CASE WHEN n > 1 AND s1 > 0
+                THEN CAST((n * s2 - s1 * s1) * 1000000
+                          // ((n - 1) * s1) AS BIGINT)
+           END AS dispersion_ppm
+    FROM m
+    """,
+    doc="Basket-size overdispersion — the variance-to-mean (Fisher "
+    "dispersion) index of order line counts: 1e6 = Poisson-like, above "
+    "= clumped (bulk orders / bot baskets), below = regular — the "
+    "count-data companion to q241's inter-arrival burstiness and the "
+    "modeling gate between Poisson and negative-binomial demand "
+    "models. Sample variance over mean = (n*S2 - S1^2)/((n-1)*S1), "
+    "computed as ONE exact integer expression in HUGEINT/decimal(38,0) "
+    "(no intermediate variance materialized, nothing rounded until the "
+    "final ppm floor). Degenerate corpora (n<=1 or no lines) emit NULL "
+    "on both engines. Shape: one orderkey groupBy (the shuffle every "
+    "basket op shares), one map-side moment fold to one row.",
+)
+def q250_basket_dispersion(spark: SparkSession, sf_dir: str):
+    (li,) = load(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    kd = F.col("k").cast("decimal(38,0)")
+    m = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(kd).alias("s1"),
+        F.sum(kd * F.col("k")).alias("s2"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.col("s1").cast("bigint").alias("n_lines"),
+        F.expr("CAST(s1 * 1000000 div n AS BIGINT)").alias("mean_k_ppm"),
+        "k_min",
+        "k_max",
+        F.when(
+            (F.col("n") > 1) & (F.col("s1") > 0),
+            F.expr(
+                "CAST((n * s2 - s1 * s1) * 1000000"
+                " div ((n - 1) * s1) AS BIGINT)"
+            ),
+        ).alias("dispersion_ppm"),
+    )

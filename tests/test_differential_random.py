@@ -772,6 +772,14 @@ LINEITEM_QUERIES = [
     # ppm floors and the 9-row TVD window must agree on a skewed
     # histogram; sub-10 prices exercise the single-digit cents path)
     "q228_benford_audit",
+    # round-7: revenue waterfall (the per-line FLOOR of price*discount
+    # is where summing-then-discounting would diverge — dense 10.0
+    # price ties and 2-decimal discounts pin the row-wise identity)
+    "q249_revenue_waterfall",
+    # round-7: basket dispersion (single-item-heavy baskets push the
+    # index below 1e6; the one-expression integer variance must agree
+    # on tiny n where (n-1) denominators bite)
+    "q250_basket_dispersion",
 ]
 
 
