@@ -170,6 +170,8 @@ _VERIFY_FIRST = [
     "q248_cohort_ltv",
     "q249_revenue_waterfall",
     "q250_basket_dispersion",
+    "q251_supplier_hhi",
+    "q252_lorenz_deciles",
     # NOTE: round 7 grew to 44 new entries (q203-q246), so the new
     # block alone nearly fills the ~50-slot driver window and most of
     # the 46-query stale tail below will overflow into round 8.

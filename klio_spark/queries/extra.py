@@ -512,3 +512,173 @@ def q250_basket_dispersion(spark: SparkSession, sf_dir: str):
             ),
         ).alias("dispersion_ppm"),
     )
+
+
+@register(
+    "q251_supplier_hhi",
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT))
+               AS rev_cents
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY l_suppkey
+    ),
+    t AS (SELECT SUM(rev_cents) AS tot, COUNT(*) AS n_supp FROM s),
+    sh AS (
+      SELECT CAST(rev_cents * 1000000 // tot AS BIGINT) AS share_ppm
+      FROM s, t WHERE tot > 0
+    )
+    SELECT CAST(MAX(t.n_supp) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(share_ppm AS HUGEINT) * share_ppm) // 1000000
+                AS BIGINT) AS hhi_ppm,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+           CAST(1000000 // MAX(t.n_supp) AS BIGINT) AS uniform_hhi_ppm
+    FROM sh, t
+    GROUP BY ()
+    """,
+    doc="Supplier revenue concentration via the Herfindahl-Hirschman "
+    "index — the market-concentration number (antitrust's screen; a "
+    "supply-chain's single-point-of-failure gauge): HHI = sum of "
+    "squared revenue shares, in ppm of 1e6 (10000 ppm = the classic "
+    "'0.01' unconcentrated read; 1e6 = monopoly), alongside the top "
+    "supplier's share and the uniform-market floor 1/n. Shares floor "
+    "to integer ppm FIRST and the squared sum runs in HUGEINT/"
+    "decimal(38,0), so HHI is exact integer arithmetic end-to-end — "
+    "the floor-then-square convention is stated (±1ppm-per-share "
+    "quantization, identical on both engines). Shape: one supplier "
+    "groupBy (dimension-bounded), a broadcast 1-row total, a map-side "
+    "squared-share fold to one row.",
+)
+def q251_supplier_hhi(spark: SparkSession, sf_dir: str):
+    (li,) = load(spark, sf_dir, "lineitem")
+    s = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    t = s.agg(
+        F.sum("rev_cents").alias("tot"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    sh = (
+        s.crossJoin(F.broadcast(t))
+        .filter(F.col("tot") > 0)
+        .select(
+            F.expr("CAST(rev_cents * 1000000 div tot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "n_supp",
+        )
+    )
+    return sh.agg(
+        F.max("n_supp").cast("bigint").alias("n_suppliers"),
+        F.expr(
+            "CAST(SUM(CAST(share_ppm AS DECIMAL(38,0)) * share_ppm)"
+            " div 1000000 AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.max("share_ppm").cast("bigint").alias("top_share_ppm"),
+        F.expr("CAST(1000000 div MAX(n_supp) AS BIGINT)").alias(
+            "uniform_hhi_ppm"
+        ),
+    )
+
+
+@register(
+    "q252_lorenz_deciles",
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT))
+               AS rev_cents
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY l_suppkey
+    ),
+    r AS (
+      SELECT rev_cents,
+             ROW_NUMBER() OVER (ORDER BY rev_cents, l_suppkey) AS rn,
+             COUNT(*) OVER () AS n,
+             SUM(rev_cents) OVER () AS tot
+      FROM s
+    ),
+    d AS (
+      SELECT (rn - 1) * 10 // n AS decile,
+             COUNT(*) AS n_supp,
+             SUM(rev_cents) AS rev_cents,
+             MAX(n) AS n, MAX(tot) AS tot
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_supp AS BIGINT) AS n_supp,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(rev_cents * 10000 // tot AS BIGINT) AS share_bp,
+           CAST(SUM(rev_cents) OVER (ORDER BY decile) * 10000
+                // MAX(tot) OVER () AS BIGINT) AS cum_share_bp
+    FROM d
+    """,
+    doc="Lorenz curve deciles of supplier revenue — the inequality "
+    "table behind 'the top decile books X% of revenue' (q251's HHI "
+    "summarizes it to one number; q190's Gini is its text-domain "
+    "sibling): suppliers ranked ascending by exact integer revenue "
+    "cents (ties pinned on suppkey), bucketed into ranks-based "
+    "deciles (rn-1)*10//n — the exact-NTILE convention, no "
+    "interpolation — with per-decile and cumulative shares in bp. "
+    "The global rank window runs over the SUPPLIER dimension "
+    "(orders below the fact count at every scale — stated; facts are "
+    "reduced by the groupBy first), and the decile windows over 10 "
+    "rows. Cents sums in HUGEINT/decimal(38,0).",
+)
+def q252_lorenz_deciles(spark: SparkSession, sf_dir: str):
+    (li,) = load(spark, sf_dir, "lineitem")
+    s = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    # rank window over the supplier DIMENSION (reduced by the groupBy),
+    # not the fact table
+    wr = Window.orderBy("rev_cents", "l_suppkey")
+    wall = Window.partitionBy()
+    r = s.select(
+        "rev_cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev_cents").over(wall).alias("tot"),
+    )
+    d = r.groupBy(F.expr("(rn - 1) * 10 div n").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("rev_cents").alias("rev_cents"),
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.withColumn("_cum", F.sum("rev_cents").over(wd))
+        .select(
+            F.col("decile").cast("bigint"),
+            F.col("n_supp").cast("bigint"),
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            F.expr("CAST(rev_cents * 10000 div tot AS BIGINT)").alias(
+                "share_bp"
+            ),
+            # exact decimal floor division — a double division here
+            # would lose integer precision past 2^53 cents
+            F.expr("CAST(_cum * 10000 div tot AS BIGINT)").alias(
+                "cum_share_bp"
+            ),
+        )
+    )

@@ -780,6 +780,13 @@ LINEITEM_QUERIES = [
     # index below 1e6; the one-expression integer variance must agree
     # on tiny n where (n-1) denominators bite)
     "q250_basket_dispersion",
+    # round-7: HHI (10 dense suppliers -> shares near the uniform
+    # floor; the floor-then-square convention must quantize identically)
+    "q251_supplier_hhi",
+    # round-7: Lorenz deciles (10 suppliers over 10 deciles -> one per
+    # bucket, revenue TIES at the rank boundary pinned by suppkey; the
+    # cumulative decimal floor-div must agree at every step)
+    "q252_lorenz_deciles",
 ]
 
 
