@@ -105,84 +105,32 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # verification-scheduling decision: front-load the entries with the LEAST
 # official evidence.
 #
-#   1. _VERIFY_FIRST — round-7 rotation (VERDICT r6 item 2: clear the
-#      stale tail). Order: (a) q203, NEW this round; (b) ALL 46 entries
-#      whose latest driver check is round 1 (q83/q84) or round 2 — one
-#      50-slot window covers the entire stale tail, leaving no registry
-#      entry's external evidence older than r3; (c) what round 7
-#      TOUCHED (the fused-shingler ASCII-tokenizer fix → q183/q184 +
-#      the minhash family, the q186/q203 shared merge loop, q199's
-#      kernel refactor, the scoped-persist conversion) — all
-#      replica-green locally, fronted in case the window runs past 50.
+#   1. _VERIFY_FIRST — round-8 rotation (VERDICT r7 item 1: spend the
+#      ENTIRE window on the stale tail). Order: (a) queries whose CODE
+#      changed this round (ADVICE r7 fixes) — they need fresh evidence
+#      regardless of age; (b) ALL 46 entries whose latest driver check
+#      is round 1 (q83/q84) or round 2 — one 50-slot window covers the
+#      entire stale tail, leaving no registry entry's external evidence
+#      older than r3. Round 7's 50 new entries (q203–q252) are all
+#      CORRECTNESS_r07-green and move to the tail of _DRIVER_GREEN
+#      (freshest evidence). Registry growth is frozen until the stale
+#      tail clears (VERDICT r7 item 2).
 #   2. Everything else in import order — where NEW queries land
 #      automatically (neither in the prefix nor in _DRIVER_GREEN).
 #   3. _DRIVER_GREEN — entries hash-verified by a driver round and
 #      untouched since, ordered stalest-first so future rotations keep
 #      pulling from the head; a repeat truncation costs the least here
-#      (the round-5 wave q181-q194 and the r5 re-verifications sit at
-#      the very end — they have the freshest evidence).
+#      (the round-7 wave q203-q252 sits at the very end — it has the
+#      freshest evidence).
 _VERIFY_FIRST = [
-    "q203_bpe_encode",
-    "q204_mrl_prefix_recall",
-    "q205_dsir_selection",
-    "q206_char_coverage",
-    "q207_budget_mixture",
-    "q208_l_diversity",
-    "q209_repeat_epochs",
-    "q210_line_filter",
-    "q211_tokenizer_fertility",
-    "q212_embedding_frechet",
-    "q213_lag_autocorr",
-    "q214_common_neighbors",
-    "q215_k_core",
-    "q216_script_mix",
-    "q217_theil_sen_trend",
-    "q218_rendezvous_reshard",
-    "q219_padding_waste",
-    "q220_maxsim_late_interaction",
-    "q221_rrf_fusion",
-    "q222_calibration_ece",
-    "q223_ranking_auc",
-    "q224_cohen_kappa",
-    "q225_distinct_ngrams",
-    "q226_hard_negative_mining",
-    "q227_retrieval_metrics",
+    # -- code changed in round 8 (ADVICE r7 fixes): needs fresh driver
+    #    evidence regardless of staleness --
     "q228_benford_audit",
-    "q229_pr_threshold_sweep",
-    "q230_recency_weighted_mix",
-    "q231_bootstrap_ci",
-    "q232_quantile_normalize",
-    "q233_neyman_allocation",
-    "q234_vocab_richness",
-    "q235_dedup_roi",
-    "q236_truncation_loss",
-    "q237_lang_confusion",
-    "q238_mixture_ess",
     "q239_spearman_rank_corr",
-    "q240_split_leakage",
-    "q241_burstiness",
-    "q242_churn_labels",
-    "q243_seasonality_profile",
-    "q244_duplicate_delivery",
-    "q245_syndication_matrix",
-    "q246_peak_concurrency",
-    "q247_ab_significance",
-    "q248_cohort_ltv",
-    "q249_revenue_waterfall",
-    "q250_basket_dispersion",
-    "q251_supplier_hhi",
-    "q252_lorenz_deciles",
-    # NOTE: round 7 grew to 44 new entries (q203-q246), so the new
-    # block alone nearly fills the ~50-slot driver window and most of
-    # the 46-query stale tail below will overflow into round 8.
-    # First-ever external evidence for new queries outranks a third
-    # re-check of r2-verified ones; the overflow is priced by TWO
-    # strict-replica records in BASELINE.md: the full 46-entry stale
-    # sweep (round-7 verification note) and the full-registry sweeps at
-    # sf0.01 AND sf0.001 (0 failures each). The stale block is ordered
-    # so entries with continuous random-differential coverage sit last
-    # (they carry the most independent local evidence).
-    # -- stale tail, no independent random-differential coverage --
+    # -- the 46-entry stale tail (latest driver check r1/r2); together
+    #    with the two entries above this is 48 of the ~50-slot window,
+    #    and slack slots fall through to the _DRIVER_GREEN head, which
+    #    is ordered stalest-first (r3 band next) --
     "q83_payload_roundtrip",
     "q84_udf_quarantine",
     "q100_bloom_semi_join",
@@ -216,9 +164,6 @@ _VERIFY_FIRST = [
     "q97_tfidf_top_terms",
     "q98_hll_distinct_rollup",
     "q99_kll_quantile_ranks",
-    # -- stale tail, ALSO re-verified by the random-differential suites
-    # every test run (events/embeddings corpora) — cheapest to lose to
-    # the window edge --
     "q109_retention_cohorts",
     "q110_activity_runs",
     "q113_keep_latest",
@@ -232,26 +177,16 @@ _VERIFY_FIRST = [
     "q57_gap_fill",
     "q73_vector_norms_by_label",
     "q78_embedding_quantize",
-    "q183_shingle_novelty",
-    "q184_source_overlap_matrix",
-    "q186_bpe_train_rounds",
-    "q199_attribution_last_touch",
-    "q188_winnowing_pairs",
-    "q201_apriori_triples",
-    "q160_triangle_count",
-    "q169_bfs_khop",
-    "q181_misra_gries_heavy_hitters",
-    "q185_cluster_safe_split",
-    "q65_ngram_jaccard_pairs",
-    "q66_minhash_lsh_dedup",
-    "q106_minhash_lsh_recall",
-    "q129_minhash_bucket_table",
-    "q133_dedup_survivors",
-    "q151_shingle_containment",
-    "q195_mixture_temperature",
+    # -- also changed in round 8 (mod-2^31 Knuth pre-reduce, ADVICE r7)
+    #    but provably value-identical for keys < 2^31 (all test SFs) and
+    #    replica-green locally, so they queue BEHIND the stale tail --
+    "q231_bootstrap_ci",
+    "q240_split_leakage",
 ]
 
 _DRIVER_GREEN = [
+    # -- last driver-checked round 3 --
+    "q151_shingle_containment",
     "q04_conditional_agg",
     "q102_unpivot",
     "q131_trigger_upstream_batch",
@@ -281,6 +216,8 @@ _DRIVER_GREEN = [
     "q75_embedding_centroids",
     "q76_binary_meta",
     "q77_bpe_token_count",
+    # -- last driver-checked round 4 --
+    "q133_dedup_survivors",
     "q137_span_corruption",
     "q140_kmeans_assign",
     "q142_time_decay_score",
@@ -297,6 +234,16 @@ _DRIVER_GREEN = [
     "q175_cm_filtered_heavy_keys",
     "q177_grouping_sets",
     "q178_phrase_search",
+    # -- last driver-checked round 5 --
+    "q183_shingle_novelty",
+    "q184_source_overlap_matrix",
+    "q188_winnowing_pairs",
+    "q160_triangle_count",
+    "q169_bfs_khop",
+    "q185_cluster_safe_split",
+    "q66_minhash_lsh_dedup",
+    "q106_minhash_lsh_recall",
+    "q129_minhash_bucket_table",
     "q108_event_funnel",
     "q121_centroid_similarity",
     "q130_interval_join_batch",
@@ -331,6 +278,13 @@ _DRIVER_GREEN = [
     "q71_ann_lsh_topk",
     "q72_embedding_near_dups",
     "q74_ann_ivf_topk",
+    # -- last driver-checked round 6 --
+    "q186_bpe_train_rounds",
+    "q199_attribution_last_touch",
+    "q201_apriori_triples",
+    "q181_misra_gries_heavy_hitters",
+    "q65_ngram_jaccard_pairs",
+    "q195_mixture_temperature",
     "q202_attribution_position_based",
     "q200_k_anonymity",
     "q196_curriculum_phases",
@@ -375,6 +329,53 @@ _DRIVER_GREEN = [
     "q80_prologue_routing",
     "q81_recipients_routing",
     "q82_audit_log",
+    # -- last driver-checked round 7 --
+    "q203_bpe_encode",
+    "q204_mrl_prefix_recall",
+    "q205_dsir_selection",
+    "q206_char_coverage",
+    "q207_budget_mixture",
+    "q208_l_diversity",
+    "q209_repeat_epochs",
+    "q210_line_filter",
+    "q211_tokenizer_fertility",
+    "q212_embedding_frechet",
+    "q213_lag_autocorr",
+    "q214_common_neighbors",
+    "q215_k_core",
+    "q216_script_mix",
+    "q217_theil_sen_trend",
+    "q218_rendezvous_reshard",
+    "q219_padding_waste",
+    "q220_maxsim_late_interaction",
+    "q221_rrf_fusion",
+    "q222_calibration_ece",
+    "q223_ranking_auc",
+    "q224_cohen_kappa",
+    "q225_distinct_ngrams",
+    "q226_hard_negative_mining",
+    "q227_retrieval_metrics",
+    "q229_pr_threshold_sweep",
+    "q230_recency_weighted_mix",
+    "q232_quantile_normalize",
+    "q233_neyman_allocation",
+    "q234_vocab_richness",
+    "q235_dedup_roi",
+    "q236_truncation_loss",
+    "q237_lang_confusion",
+    "q238_mixture_ess",
+    "q241_burstiness",
+    "q242_churn_labels",
+    "q243_seasonality_profile",
+    "q244_duplicate_delivery",
+    "q245_syndication_matrix",
+    "q246_peak_concurrency",
+    "q247_ab_significance",
+    "q248_cohort_ltv",
+    "q249_revenue_waterfall",
+    "q250_basket_dispersion",
+    "q251_supplier_hhi",
+    "q252_lorenz_deciles",
 ]
 
 

@@ -3103,7 +3103,8 @@ _N_BOOT = 20
     drawn AS (
       SELECT arm, b.b,
              len(list_filter({list(_POIS1_CDF_E32)},
-                 t -> t <= ((k + b.b * 1000003) * 2654435761)
+                 t -> t <= (((k % 2147483648 + b.b * 1000003) % 2147483648)
+                            * 2654435761)
                           % 4294967296)) AS w,
              spend_cents
       FROM per, (SELECT unnest(range(1, {_N_BOOT} + 1)) AS b) b
@@ -3152,7 +3153,10 @@ _N_BOOT = 20
     "trick (Poisson bootstrap, Chamandy et al. 2012) that makes the "
     "bootstrap ONE pass with a constant-factor (B=20) explode instead "
     "of B shuffled resamples, and the integer table makes every draw "
-    "replayable and hash-exact cross-engine. Per replicate: weighted "
+    "replayable and hash-exact cross-engine (the key is reduced mod "
+    "2^31 before the Knuth multiply, so the product fits int64 for ANY "
+    "surrogate custkey — no silent Spark wrap vs DuckDB error past "
+    "~3.4e9). Per replicate: weighted "
     "arm means in exact integer cents (HUGEINT/decimal(38,0) "
     "numerators); the 5th/95th-percentile band comes from rank "
     "formulas over the 20-row diff table. Replicates where an arm "
@@ -3187,11 +3191,19 @@ def q231_bootstrap_ci(spark: SparkSession, sf_dir: str):
     ).select(
         "arm",
         "b",
+        # reduce mod 2^31 BEFORE the Knuth multiply (the q112
+        # convention): 2^31 * 2654435761 < 2^63, so the product never
+        # wraps int64 for ANY surrogate key — the unreduced form wrapped
+        # silently in Spark (vs a DuckDB overflow error) once custkey
+        # passed ~3.4e9 (ADVICE r7; TPC-H at 100 TB has custkey ~1.5e10)
         F.size(
             F.filter(
                 cdf,
                 lambda t: t
-                <= F.expr("((k + b * 1000003) * 2654435761) % 4294967296"),
+                <= F.expr(
+                    "(((k % 2147483648 + b * 1000003) % 2147483648)"
+                    " * 2654435761) % 4294967296"
+                ),
             )
         ).alias("w"),
         "spend_cents",

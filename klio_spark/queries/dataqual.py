@@ -1105,11 +1105,17 @@ _BENFORD_PPM = [
 @register(
     "q228_benford_audit",
     f"""
-    WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS INT) AS d
+    WITH cents AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+    ),
+    -- c >= 1: amounts in (0, 0.01) floor to 0 cents, whose "first
+    -- digit" is 0 — out of Benford's domain (and element_at index 0
+    -- raises in Spark while list[0] silently NULLs in DuckDB)
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d
+      FROM cents WHERE c >= 1
     ),
     hist AS (
       SELECT d, COUNT(*) AS n_obs FROM digits GROUP BY d
@@ -1145,18 +1151,17 @@ _BENFORD_PPM = [
 )
 def q228_benford_audit(spark: SparkSession, sf_dir: str):
     (li,) = load(spark, sf_dir, "lineitem")
-    digits = li.filter(
+    # cents >= 1 guard: an amount in (0, 0.01) floors to 0 cents, whose
+    # leading digit is 0 — outside Benford's 1..9 domain, and
+    # element_at(arr, 0) raises ELEMENT_AT_BY_INDEX_ZERO in Spark while
+    # DuckDB's list[0] silently yields NULL (ADVICE r7).
+    cents = li.filter(
         F.col("l_extendedprice").isNotNull() & (F.col("l_extendedprice") > 0)
     ).select(
-        F.substring(
-            F.floor(F.col("l_extendedprice") * 100)
-            .cast("bigint")
-            .cast("string"),
-            1,
-            1,
-        )
-        .cast("int")
-        .alias("d")
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    digits = cents.filter(F.col("c") >= 1).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("d")
     )
     hist = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
     # the unpartitioned windows run over <= 9 digit rows by construction
@@ -1561,20 +1566,30 @@ def q233_neyman_allocation(spark: SparkSession, sf_dir: str):
     ),
     m AS (
       SELECT COUNT(*) AS n,
-             SUM(CAST(ra2 AS HUGEINT)) AS sa,
-             SUM(CAST(rb2 AS HUGEINT)) AS sb,
              SUM(CAST(ra2 AS HUGEINT) * ra2) AS saa,
              SUM(CAST(rb2 AS HUGEINT) * rb2) AS sbb,
              SUM(CAST(ra2 AS HUGEINT) * rb2) AS sab
       FROM per JOIN ra USING (a) JOIN rb USING (b)
+    ),
+    -- centered moments: doubled midranks sum to EXACTLY n*(n+1)
+    -- regardless of ties, so the mean rank is the integer n+1 and
+    -- sum((r-mean)^2) = saa - n*(n+1)^2 — Theta(n^3), vs the Theta(n^4)
+    -- cross-products n*saa - sa*sa of the uncentered form (which
+    -- overflowed HUGEINT/decimal(38,0) near n ~ 2e9)
+    c AS (
+      SELECT n,
+             saa - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS vxx,
+             sbb - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS vyy,
+             sab - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS vxy
+      FROM m
     )
     SELECT CAST(n AS BIGINT) AS n,
-           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
-                THEN ROUND(CAST(n * sab - sa * sb AS DOUBLE)
-                           / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
-                              * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+           CASE WHEN vxx > 0 AND vyy > 0
+                THEN ROUND(CAST(vxy AS DOUBLE)
+                           / (SQRT(CAST(vxx AS DOUBLE))
+                              * SQRT(CAST(vyy AS DOUBLE))), 6)
            END AS spearman_r6
-    FROM m
+    FROM c
     """,
     doc="Spearman rank correlation between document length and token "
     "count — the monotone-association check (robust to outliers and "
@@ -1584,8 +1599,14 @@ def q233_neyman_allocation(spark: SparkSession, sf_dir: str):
     "count <= 513 values, the q219 bound), so tie-correct MIDRANKS come "
     "from value histograms — r2(v) = 2*cum_below + cnt + 1, exact "
     "integers — and re-attach to rows via two BROADCAST joins on the "
-    "value key. Rank moments accumulate in HUGEINT/decimal(38,0) (rank "
-    "products reach ~4n^3); the final rho is IEEE arithmetic on "
+    "value key. Rank moments accumulate in HUGEINT/decimal(38,0) "
+    "(accumulated products reach ~4n^3), and the variance/covariance "
+    "terms are CENTERED — doubled midranks sum to exactly n(n+1) "
+    "regardless of ties, so the mean rank is the integer n+1 and "
+    "var = saa - n(n+1)^2 stays Theta(n^3); the uncentered n*saa - "
+    "sa^2 form is Theta(n^4) and overflows decimal(38,0) near n~2e9, "
+    "the centered form holds to n ~ 2.9e11 rows (past the ~1e11-doc "
+    "100 TB design point). The final rho is IEEE arithmetic on "
     "identical int-derived doubles (two correctly-rounded sqrts, one "
     "division — the q233 rule), rounded at 6. Zero-variance marginals "
     "emit NULL on both engines. Shape: one corpus scan, two "
@@ -1632,20 +1653,24 @@ def q239_spearman_rank_corr(spark: SparkSession, sf_dir: str):
     rb2 = F.col("r_b").cast("decimal(38,0)")
     m = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(ra2).alias("sa"),
-        F.sum(rb2).alias("sb"),
         F.sum(ra2 * F.col("r_a")).alias("saa"),
         F.sum(rb2 * F.col("r_b")).alias("sbb"),
         F.sum(ra2 * F.col("r_b")).alias("sab"),
     )
-    vx = F.expr("n * saa - sa * sa")
-    vy = F.expr("n * sbb - sb * sb")
+    # centered moments (see the oracle comment): mean doubled midrank is
+    # exactly n+1, so var = saa - n(n+1)^2 stays Theta(n^3) — the
+    # uncentered n*saa - sa*sa form is Theta(n^4) and overflows
+    # decimal(38,0) near n ~ 2e9 (ADVICE r7).
+    mu2 = "CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)"
+    vx = F.expr(f"saa - {mu2}")
+    vy = F.expr(f"sbb - {mu2}")
+    vxy = F.expr(f"sab - {mu2}")
     return m.select(
         "n",
         F.when(
             (vx > 0) & (vy > 0),
             F.round(
-                F.expr("CAST(n * sab - sa * sb AS DOUBLE)")
+                vxy.cast("double")
                 / (
                     F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
                 ),

@@ -1826,8 +1826,10 @@ def q227_retrieval_metrics(spark: SparkSession, sf_dir: str):
     ),
     tagged AS (
       SELECT id_a, id_b, cosine,
-             ((id_a * 2654435761) % 4294967296) % 10 < 8 AS a_train,
-             ((id_b * 2654435761) % 4294967296) % 10 < 8 AS b_train
+             (((id_a % 2147483648) * 2654435761) % 4294967296) % 10 < 8
+               AS a_train,
+             (((id_b % 2147483648) * 2654435761) % 4294967296) % 10 < 8
+               AS b_train
       FROM p
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
@@ -1861,12 +1863,16 @@ def q240_split_leakage(spark: SparkSession, sf_dir: str):
     tagged = p.select(
         "id_a",
         "id_b",
-        F.expr("((id_a * 2654435761) % 4294967296) % 10 < 8").alias(
-            "a_train"
-        ),
-        F.expr("((id_b * 2654435761) % 4294967296) % 10 < 8").alias(
-            "b_train"
-        ),
+        # mod 2^31 before the Knuth multiply (q112/q231 convention) so
+        # the product stays in int64 for any surrogate vec_id — the
+        # unreduced form wrapped silently in Spark past ~3.4e9 while
+        # DuckDB raised an overflow error (ADVICE r7)
+        F.expr(
+            "(((id_a % 2147483648) * 2654435761) % 4294967296) % 10 < 8"
+        ).alias("a_train"),
+        F.expr(
+            "(((id_b % 2147483648) * 2654435761) % 4294967296) % 10 < 8"
+        ).alias("b_train"),
     )
     cross = F.col("a_train") != F.col("b_train")
     return tagged.agg(

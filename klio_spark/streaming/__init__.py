@@ -1844,16 +1844,14 @@ def streaming_benford(
     q228's rated stage consumes) to ``sink(hist, batch_id)``; the ppm
     shares, per-digit deviations, and TVD are a 9-row projection the
     consumer runs per trigger."""
-    digits = df.filter(
+    # cents >= 1 guard (same as q228): an amount in (0, 0.01) floors to
+    # 0 cents, whose leading digit 0 is outside Benford's 1..9 domain
+    # and would crash the consumer's element_at(benford_arr, d) stage.
+    cents = df.filter(
         F.col(amount_col).isNotNull() & (F.col(amount_col) > 0)
-    ).select(
-        F.substring(
-            F.floor(F.col(amount_col) * 100).cast("bigint").cast("string"),
-            1,
-            1,
-        )
-        .cast("int")
-        .alias("d")
+    ).select(F.floor(F.col(amount_col) * 100).cast("bigint").alias("c"))
+    digits = cents.filter(F.col("c") >= 1).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("d")
     )
     hist = digits.groupBy("d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_obs")

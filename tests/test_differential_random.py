@@ -736,7 +736,12 @@ def _random_lineitem(seed: int, n_orders: int = 120) -> pd.DataFrame:
                     "l_linenumber": ln,
                     "l_quantity": float(rng.randrange(1, 10)),
                     "l_extendedprice": rng.choice(
-                        [10.0, 10.0, round(rng.uniform(1, 500), 2)]
+                        # 0.005 floors to 0 cents: Benford's first-digit
+                        # domain excludes it (q228's c >= 1 guard — an
+                        # unguarded element_at(arr, 0) raises in Spark
+                        # while DuckDB list[0] NULLs, ADVICE r7); other
+                        # price floors must quantize it identically
+                        [10.0, 10.0, 0.005, round(rng.uniform(1, 500), 2)]
                     ),
                     "l_discount": round(rng.uniform(0, 0.1), 2),
                     "l_tax": 0.05,
