@@ -330,6 +330,102 @@ def q111_cdc_merge(spark: SparkSession, sf_dir: str):
     )
 
 
+def segmented_carry(t, keys, s_col, segment_s, chunk_summary, carry_exprs):
+    """Chunk + carry-fold scaffold — the shared shape of every segmented
+    entity-window lever (q199 last-touch, q179 EWMA, q198 interval
+    coverage; VERDICT r7 item 3 asked for exactly this extraction).
+
+    An entity-ORDERED window (PARTITION BY user ORDER BY time) makes a
+    degenerate hot entity one giant sort task — a 20%-hot user of a
+    100 TB stream is a single 20 TB task, and no join hint fixes
+    ordered-window semantics. When the per-entity fold is ASSOCIATIVE
+    with bounded carry state (each adopting op's streaming twin proves
+    its fold: 2-3 scalars or a K-bounded tail), the window segments:
+
+      1. events split into per-(entity, s div segment_s) time chunks;
+      2. the intra-chunk pass windows over (entity, seg) — task width
+         bounded by the chunk's event count, never the entity's;
+      3. cross-chunk state rides a carry fold over the tiny
+         per-(entity, chunk) summary table (rows per entity = #chunks),
+         evaluated with frame (unbounded preceding, -1) so each chunk
+         sees state STRICTLY BEFORE it;
+      4. the caller joins the carry back on (keys, seg) and combines
+         intra-chunk results with the carry-in.
+
+    Chunking divides the SAME integer-seconds column the window orders
+    by, so every carry-in is strictly older than every in-chunk event
+    and the (s, tiebreak) order is preserved exactly — the segmented
+    output is hash-identical to the monolithic window (each adopter is
+    tested for equality on the fixed corpus, synthetic boundary cases,
+    and the 20%-hot skew twin).
+
+    ``chunk_summary``: fn(chunked events) -> per-(keys, seg) summary,
+    one row per NON-EMPTY chunk (empty chunks need no row — the fold's
+    window frame skips them). ``carry_exprs``: {alias: fn(seg_window)
+    -> Column} over that summary. Returns (chunked events with a
+    ``seg`` column, summary with the carry columns appended)."""
+    t = t.withColumn("seg", F.expr(f"{s_col} div {int(segment_s)}"))
+    seg_tbl = chunk_summary(t)
+    sw = (
+        Window.partitionBy(*keys)
+        .orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = seg_tbl.select(
+        *seg_tbl.columns,
+        *[fn(sw).alias(a) for a, fn in carry_exprs.items()],
+    )
+    return t, carry
+
+
+def keep_latest(e, segment_s: int | None = None):
+    """Keep-latest-per-key kernel (q113's registration docstring has the
+    semantics). ``segment_s`` is the entity-window skew lever
+    (segmented_carry has the general argument); keep-latest is the
+    DEGENERATE fold — one struct of state, a pure argmax — so it needs
+    no carry join at all: a per-(key, chunk) WindowGroupLimit pass
+    picks each chunk's winner under the SAME (ts DESC, event_id DESC)
+    order, and the monolithic pass then runs over the tiny per-chunk
+    winner table (rows per key = #chunks) — a two-level max, exactly
+    how a combiner folds argmax. Identical ordering at both levels
+    (NULL ts sorts last at both; NULL-ts rows chunk to seg NULL) makes
+    the winner provably the monolithic one. Note the monolithic plan
+    is ALREADY skew-resistant per map task (WindowGroupLimit forwards
+    one row per key per partition before the exchange); the lever
+    additionally bounds the reduce-side fan-in when one key dominates
+    whole partitions."""
+    if segment_s is not None:
+        cw = Window.partitionBy("user_id", "event_type", "seg").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        e = (
+            e.withColumn(
+                "seg",
+                F.expr(
+                    _SECS.format(c="ts") + f" div {int(segment_s)}"
+                ),
+            )
+            .withColumn("_crn", F.row_number().over(cw))
+            .filter(F.col("_crn") == 1)
+            .drop("_crn", "seg")
+        )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.floor(F.col("value") * 100)
+            .cast("bigint")
+            .alias("latest_value_cents"),
+        )
+    )
+
+
 @register(
     "q113_keep_latest",
     """
@@ -354,19 +450,9 @@ def q111_cdc_merge(spark: SparkSession, sf_dir: str):
 )
 def q113_keep_latest(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            F.col("event_id").alias("latest_event_id"),
-            F.floor(F.col("value") * 100).cast("bigint").alias("latest_value_cents"),
-        )
-    )
+    # monolithic (segment_s=None) — the registered/oracle-paired shape;
+    # segment_s is the documented skew lever for degenerate keys
+    return keep_latest(e)
 
 
 @register(
@@ -1755,6 +1841,117 @@ def q176_pit_scd2_join(spark: SparkSession, sf_dir: str):
 _EWMA_K = 8  # lags; weight of lag k is 2^(K-1-k)
 
 
+def ewma_features(e, segment_s: int | None = None):
+    """Truncated-EWMA feature kernel (q179's registration docstring has
+    the semantics). ``segment_s`` is the entity-window skew lever
+    (segmented_carry has the general argument); the K-lag fold's carry
+    state is the last K-1 (cents) values per user — bounded by K, which
+    is WHY the truncated form was chosen over the sequential recursive
+    EWMA in the first place. Segmented: each chunk's intra-chunk LAGs
+    run in a (user, seg) window; the per-chunk summary is the chunk's
+    last K-1 cents in (t_s, event_id) order; the carry fold
+    concatenates preceding chunks' tails in seg order (chunk times are
+    disjoint, so concatenation IS global time order) and keeps the last
+    K-1 — exactly the events the chunk's first rows are missing. An
+    event at intra-chunk row r fills its NULL lag k from the carry's
+    (k - r + 1)-th element from the end; lags past the user's history
+    stay NULL, so the warmup denominator mask is preserved exactly and
+    the segmented output is hash-identical to the monolithic window."""
+    p = e.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        F.expr(_SECS.format(c="ts")).alias("t_s"),
+    )
+    if segment_s is None:
+        w = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+        rows = p
+        lags = [F.lag("cents", k).over(w) for k in range(_EWMA_K)]
+    else:
+        tail_len = _EWMA_K - 1
+
+        def tails(c):
+            return (
+                c.groupBy("user_id", "seg")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("t_s", "event_id", "cents")
+                        )
+                    ).alias("_evs")
+                )
+                .select(
+                    "user_id",
+                    "seg",
+                    F.expr(
+                        "transform(slice(_evs,"
+                        f" greatest(1, size(_evs) - {tail_len - 1}),"
+                        f" {tail_len}), x -> x.cents)"
+                    ).alias("tail"),
+                )
+            )
+
+        def carry_expr(sw):
+            arr = F.flatten(F.collect_list("tail").over(sw))
+            return F.slice(
+                arr,
+                F.greatest(F.lit(1), F.size(arr) - F.lit(tail_len - 1)),
+                F.lit(tail_len),
+            )
+
+        chunked, carry = segmented_carry(
+            p, ["user_id"], "t_s", segment_s, tails, {"carry": carry_expr}
+        )
+        cw = Window.partitionBy("user_id", "seg").orderBy(
+            "t_s", "event_id"
+        )
+        rows = chunked.join(
+            carry.select("user_id", "seg", "carry"), ["user_id", "seg"]
+        ).withColumn("_rn", F.row_number().over(cw))
+        lags = [F.col("cents")]
+        for k in range(1, _EWMA_K):
+            intra = F.lag("cents", k).over(cw)
+            # intra is NULL iff _rn <= k; then lag k is the
+            # (k - _rn + 1)-th element from the carry's end, i.e.
+            # 1-based index size - k + _rn (guarded: index < 1 means
+            # the user's history is shorter than k — stay NULL, the
+            # warmup mask shortens the denominator exactly as the
+            # monolithic window does)
+            idx = F.size("carry") - F.lit(k) + F.col("_rn")
+            lags.append(
+                F.coalesce(
+                    intra,
+                    F.when(idx >= 1, F.element_at("carry", idx)),
+                )
+            )
+    num = sum(
+        (
+            F.coalesce(
+                lags[k] * F.lit(1 << (_EWMA_K - 1 - k)), F.lit(0)
+            )
+            for k in range(_EWMA_K)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(lags[k].isNull(), 0).otherwise(
+                F.lit(1 << (_EWMA_K - 1 - k))
+            )
+            for k in range(_EWMA_K)
+        ),
+        F.lit(0),
+    )
+    return rows.select(
+        "user_id",
+        "event_id",
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+    )
+
+
 @register(
     "q179_ewma_features",
     f"""
@@ -1800,38 +1997,9 @@ _EWMA_K = 8  # lags; weight of lag k is 2^(K-1-k)
 )
 def q179_ewma_features(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
-    p = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
-        "user_id",
-        "event_id",
-        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
-        F.expr(_SECS.format(c="ts")).alias("t_s"),
-    )
-    w = Window.partitionBy("user_id").orderBy("t_s", "event_id")
-    lags = [F.lag("cents", k).over(w) for k in range(_EWMA_K)]
-    num = sum(
-        (
-            F.coalesce(
-                lags[k] * F.lit(1 << (_EWMA_K - 1 - k)), F.lit(0)
-            )
-            for k in range(_EWMA_K)
-        ),
-        F.lit(0),
-    )
-    den = sum(
-        (
-            F.when(lags[k].isNull(), 0).otherwise(
-                F.lit(1 << (_EWMA_K - 1 - k))
-            )
-            for k in range(_EWMA_K)
-        ),
-        F.lit(0),
-    )
-    return p.select(
-        "user_id",
-        "event_id",
-        num.cast("bigint").alias("ewma_num"),
-        den.cast("bigint").alias("ewma_den"),
-    )
+    # monolithic (segment_s=None) — the registered/oracle-paired shape;
+    # segment_s is the documented skew lever for degenerate users
+    return ewma_features(e)
 
 
 @register(
@@ -2187,45 +2355,111 @@ def q193_conversion_lifetable(spark: SparkSession, sf_dir: str):
 )
 def q198_interval_coverage(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
+    # monolithic (segment_s=None) — the registered/oracle-paired shape;
+    # segment_s is the documented skew lever for degenerate users
+    return interval_coverage(e)
+
+
+def interval_coverage(e, segment_s: int | None = None):
+    """Interval-union kernel (q198's registration docstring has the
+    semantics). ``segment_s`` is the entity-window skew lever
+    (segmented_carry has the general argument); the gaps-and-islands
+    fold's carry state is THREE scalars — the running max end plus the
+    accumulated (island count, covered seconds) — exactly the state its
+    streaming twin (stateful_interval_coverage) keeps per user.
+    Segmented: islands are computed intra-chunk in (user, seg) windows;
+    the per-chunk summary is (first start fs, max end me, island count
+    ni, covered ci); the carry is the running max of me over preceding
+    chunks. ONLY the chunk's FIRST island can merge with the carry:
+    every previous event's s is below the chunk boundary, so
+    carry < fs + 1800 <= the first island's running-max end, which
+    every later island's start must exceed. A merge (fs <= carry)
+    removes one island and double-counts exactly (carry - fs) covered
+    seconds (the previous piece already covered up to carry, and
+    carry < fs + 1800 <= the first island's end, so the first island
+    always extends past it), so the per-chunk corrections sum to the
+    monolithic answer exactly — multi-chunk islands telescope through
+    consecutive merges. Hash-identical to the monolithic window."""
     t = e.filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     ).select(
         "user_id", "event_id", F.expr(_SECS.format(c="ts")).alias("s")
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    m = t.select(
-        "user_id", "event_id", "s", (F.col("s") + 1800).alias("e"),
-        F.max(F.col("s") + 1800).over(w_prev).alias("prev_end"),
-    )
-    f = m.select(
-        "user_id", "event_id", "s", "e",
-        F.when(
-            F.col("prev_end").isNull() | (F.col("s") > F.col("prev_end")), 1
+
+    def islands(t, seg_keys):
+        """The gaps-and-islands pass over whatever keying it's given —
+        (user) monolithic, (user, seg) intra-chunk."""
+        w_prev = (
+            Window.partitionBy(*seg_keys)
+            .orderBy("s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        .otherwise(0)
-        .alias("new_island"),
+        m = t.select(
+            *seg_keys, "event_id", "s", (F.col("s") + 1800).alias("e"),
+            F.max(F.col("s") + 1800).over(w_prev).alias("prev_end"),
+        )
+        f = m.select(
+            *seg_keys, "event_id", "s", "e",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("s") > F.col("prev_end")),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_island"),
+        )
+        # every window rides ONE (s, event_id) order — ROWS frames are
+        # tie-sensitive, and the island flag's meaning is bound to the
+        # same order that computed prev_end
+        w_run = (
+            Window.partitionBy(*seg_keys)
+            .orderBy("s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        i = f.select(
+            *seg_keys, "s", "e",
+            F.sum("new_island").over(w_run).alias("island"),
+        )
+        return i.groupBy(*seg_keys, "island").agg(
+            F.min("s").alias("ist"), F.max("e").alias("ien")
+        )
+
+    if segment_s is None:
+        return islands(t, ["user_id"]).groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.col("ien") - F.col("ist"))
+            .cast("bigint")
+            .alias("covered_secs"),
+        )
+
+    def chunk_summary(chunked):
+        return (
+            islands(chunked, ["user_id", "seg"])
+            .groupBy("user_id", "seg")
+            .agg(
+                F.min("ist").alias("fs"),
+                F.max("ien").alias("me"),
+                F.count(F.lit(1)).alias("ni"),
+                F.sum(F.col("ien") - F.col("ist")).alias("ci"),
+            )
+        )
+
+    _, fold = segmented_carry(
+        t, ["user_id"], "s", segment_s, chunk_summary,
+        {"carry": lambda sw: F.max("me").over(sw)},
     )
-    # every window rides ONE (s, event_id) order — ROWS frames are
-    # tie-sensitive, and the island flag's meaning is bound to the same
-    # order that computed prev_end
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = F.col("carry").isNotNull() & (F.col("fs") <= F.col("carry"))
+    adj = fold.select(
+        "user_id",
+        (F.col("ni") - merged.cast("long")).alias("ni_adj"),
+        (
+            F.col("ci")
+            - F.when(merged, F.col("carry") - F.col("fs")).otherwise(0)
+        ).alias("ci_adj"),
     )
-    i = f.select(
-        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
-    )
-    g = i.groupBy("user_id", "island").agg(
-        F.min("s").alias("ist"), F.max("e").alias("ien")
-    )
-    return g.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
-        F.sum(F.col("ien") - F.col("ist")).cast("bigint").alias("covered_secs"),
+    return adj.groupBy("user_id").agg(
+        F.sum("ni_adj").cast("bigint").alias("n_intervals"),
+        F.sum("ci_adj").cast("bigint").alias("covered_secs"),
     )
 
 
@@ -2278,21 +2512,23 @@ def last_touch_attribution(
             .alias("lt_s"),
         )
     else:
-        t = t.withColumn("seg", F.expr(f"s div {int(segment_s)}"))
-        seg_last = t.groupBy("user_id", "seg").agg(
-            F.max(
-                F.when(np_, F.struct("s", "event_id", "event_type"))
-            ).alias("seg_touch")
+        t, carry = segmented_carry(
+            t,
+            ["user_id"],
+            "s",
+            segment_s,
+            lambda c: c.groupBy("user_id", "seg").agg(
+                F.max(
+                    F.when(np_, F.struct("s", "event_id", "event_type"))
+                ).alias("seg_touch")
+            ),
+            {
+                "carry": lambda sw: F.last(
+                    "seg_touch", ignorenulls=True
+                ).over(sw)
+            },
         )
-        sw = (
-            Window.partitionBy("user_id")
-            .orderBy("seg")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        carry = seg_last.select(
-            "user_id", "seg",
-            F.last("seg_touch", ignorenulls=True).over(sw).alias("carry"),
-        )
+        carry = carry.select("user_id", "seg", "carry")
         cw = (
             Window.partitionBy("user_id", "seg")
             .orderBy("s", "event_id")

@@ -274,3 +274,199 @@ def test_last_touch_segmented_window_is_chunk_partitioned(spark, sf_dir):
             assert o.strip().startswith("seg"), (
                 f"event-level window not chunk-bounded: [{p}], [{o}]"
             )
+
+
+# ------------------- generalized segmented-window lever (VERDICT r7 item 3)
+
+
+def test_segmented_kernels_equal_monolithic(spark, sf_dir):
+    """keep_latest / ewma_features / interval_coverage adopt the
+    segmented_carry lever: with segment_s set, each must reproduce the
+    monolithic window EXACTLY — one-day chunks (most state crosses
+    chunks via the carry), one-hour chunks (many tiny chunks, empty
+    chunks everywhere), and a chunk wider than the data (degenerates to
+    the intra-chunk path alone)."""
+    from klio_spark.queries import load
+    from klio_spark.queries.behavior import (
+        ewma_features,
+        interval_coverage,
+        keep_latest,
+    )
+
+    (e,) = load(spark, sf_dir, "events")
+    for fn in (keep_latest, ewma_features, interval_coverage):
+        mono = sorted(map(tuple, fn(e).collect()))
+        for seg in (86400, 3600, 2**40):
+            got = sorted(map(tuple, fn(e, segment_s=seg).collect()))
+            assert got == mono, f"{fn.__name__} segment_s={seg}"
+
+
+def test_keep_latest_segmented_edge_cases(spark):
+    """Boundary semantics: NULL-ts rows (chunk to seg NULL, lose to any
+    timestamped row, win by event_id among themselves), a same-second
+    tie inside one chunk (event_id DESC breaks it), and a key whose
+    events span chunks (the later chunk's winner must prevail)."""
+    import datetime as dt
+
+    from klio_spark.queries.behavior import keep_latest
+
+    t = lambda d, s=0: dt.datetime(2024, 1, 1 + d, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: two chunks; day-1 event wins
+        (1, 1, "view", 1.0, t(0)),
+        (2, 1, "view", 2.0, t(1)),
+        # user 2: same-second tie; higher event_id wins
+        (3, 2, "click", 3.0, t(0, 30)),
+        (4, 2, "click", 4.0, t(0, 30)),
+        # user 3: all-NULL ts; higher event_id wins
+        (5, 3, "view", 5.0, None),
+        (6, 3, "view", 6.0, None),
+        # user 4: NULL ts loses to any timestamped event
+        (7, 4, "view", 7.0, None),
+        (8, 4, "view", 8.0, t(0)),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp",
+    )
+    want = sorted(map(tuple, keep_latest(e).collect()))
+    assert [r[2] for r in want] == [2, 4, 6, 8]  # winners by event_id
+    for seg in (86400, 3600):
+        got = sorted(map(tuple, keep_latest(e, segment_s=seg).collect()))
+        assert got == want, f"segment_s={seg}"
+
+
+def test_ewma_segmented_edge_cases(spark):
+    """Boundary semantics: lags reaching back across MULTIPLE chunks
+    (1 event/day for 10 days — every lag >= 1 is a carry fill), a chunk
+    with more than K-1 events (the per-chunk tail truncates, yet
+    in-chunk lags still see all K-1), empty chunks between events, and
+    the warmup mask (first rows' missing lags shorten the denominator
+    identically on both paths)."""
+    import datetime as dt
+
+    from klio_spark.queries.behavior import ewma_features
+
+    t = lambda d, s=0: dt.datetime(2024, 1, 1 + d, 0, 0, s)  # noqa: E731
+    rows = []
+    eid = 0
+    # user 1: one event per day, days 0..9 (carry chains across chunks)
+    for d in range(10):
+        eid += 1
+        rows.append((eid, 1, "view", float(d + 1), t(d)))
+    # user 2: 12 same-day events (single chunk > K-1 events), then one
+    # event 3 days later (its lags hit the truncated tail)
+    for s in range(12):
+        eid += 1
+        rows.append((eid, 2, "view", float(s + 1), t(0, s)))
+    eid += 1
+    rows.append((eid, 2, "view", 99.0, t(3)))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp",
+    )
+    mono = sorted(map(tuple, ewma_features(e).collect()))
+    for seg in (86400, 3600):
+        got = sorted(
+            map(tuple, ewma_features(e, segment_s=seg).collect())
+        )
+        assert got == mono, f"segment_s={seg}"
+
+
+def test_interval_coverage_segmented_edge_cases(spark):
+    """Boundary semantics: an interval crossing the chunk edge (first
+    island of the next chunk must merge via the carry), an island
+    chain spanning THREE chunks (consecutive merges telescope), an
+    empty chunk between islands (no merge), same-second ties, and a
+    gap exactly at the 30-min boundary (s == prev_end merges — strict
+    > starts a new island)."""
+    import datetime as dt
+
+    from klio_spark.queries.behavior import interval_coverage
+
+    t = lambda h, m=0, s=0: dt.datetime(2024, 1, 1, h, m, s)  # noqa: E731
+    rows = [
+        # user 1: events at 00:50 and 01:10 — the 00:50 interval ends
+        # 01:20, crossing the 01:00 hour-chunk edge; one merged island
+        (1, 1, "view", None, t(0, 50)),
+        (2, 1, "view", None, t(1, 10)),
+        # user 2: chain 01:50 → 02:15 → 02:45 → 03:10 (each within 30
+        # min of the previous end) — ONE island across three hour-chunks
+        (3, 2, "view", None, t(1, 50)),
+        (4, 2, "view", None, t(2, 15)),
+        (5, 2, "view", None, t(2, 45)),
+        (6, 2, "view", None, t(3, 10)),
+        # user 3: islands at 05:00 and 08:00 with empty chunks between
+        (7, 3, "view", None, t(5)),
+        (8, 3, "view", None, t(8)),
+        # user 4: second event EXACTLY at prev_end (10:00 + 30 min):
+        # s == prev_end is NOT s > prev_end → same island
+        (9, 4, "view", None, t(10, 0)),
+        (10, 4, "view", None, t(10, 30)),
+        # user 5: same-second tie
+        (11, 5, "view", None, t(12, 0, 5)),
+        (12, 5, "view", None, t(12, 0, 5)),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp",
+    )
+    mono = {
+        (r.user_id, r.n_intervals, r.covered_secs)
+        for r in interval_coverage(e).collect()
+    }
+    assert mono == {
+        (1, 1, 3000),  # 00:50 → 01:40
+        (2, 1, 6600),  # 01:50 → 03:40
+        (3, 2, 3600),
+        (4, 1, 3600),  # touching at the boundary merges
+        (5, 1, 1800),
+    }
+    for seg in (3600, 86400, 900):
+        got = {
+            (r.user_id, r.n_intervals, r.covered_secs)
+            for r in interval_coverage(e, segment_s=seg).collect()
+        }
+        assert got == mono, f"segment_s={seg}: {got}"
+
+
+@pytest.mark.parametrize(
+    "kernel", ["keep_latest", "ewma_features", "interval_coverage"]
+)
+def test_segmented_kernels_window_is_chunk_partitioned(
+    spark, sf_dir, kernel
+):
+    """The plan property the lever exists for (same as q199's): with
+    segment_s set, the pass over RAW EVENTS partitions by seg too —
+    task width bounded by the chunk — and any coarser-keyed window runs
+    only over a chunk-bounded table: the seg-ORDERED carry fold over
+    the per-chunk summary (ewma/coverage), or keep_latest's second
+    argmax pass over the per-chunk WINNERS (it sits strictly ABOVE the
+    seg-partitioned chunk compaction, so its input has one row per
+    (key, chunk))."""
+    from klio_spark.queries import behavior, load
+
+    (e,) = load(spark, sf_dir, "events")
+    txt = plans.plan_str(
+        getattr(behavior, kernel)(e, segment_s=86400), mode="simple"
+    )
+    lines = [
+        (i, ln)
+        for i, ln in enumerate(txt.splitlines())
+        if "Window" in ln
+    ]
+    assert lines, txt
+    # in a printed plan, children render BELOW their parent, so a larger
+    # line index = deeper = closer to the raw scan
+    seg_lines = [i for i, ln in lines if "seg" in ln]
+    assert seg_lines, f"no seg-partitioned window pass:\n{txt[:2000]}"
+    deepest_seg = max(seg_lines)
+    for i, ln in lines:
+        if "seg" not in ln:
+            assert i < deepest_seg, (
+                "a non-chunked window runs below the chunk compaction "
+                f"(raw events):\n{ln}"
+            )
