@@ -1925,3 +1925,60 @@ def streaming_seasonality(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_quantile_hist(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    source_col: str = "source",
+    len_col: str = "n_chars",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Live per-source score histograms — the streaming twin of q232
+    quantile normalization (queries/dataqual.py): the (source, score)
+    count table kept current as scored documents stream in, so the
+    cross-source score-fusion mapping (each source's empirical CDF onto
+    the global one) is always computed from the latest distributions
+    instead of last night's offline histograms — score drift in ONE
+    source immediately moves only that source's normalization curve.
+
+    Uses q232's exact integer score construction — clipped length ppm,
+    LEAST(COALESCE(n_chars, 0), 2000) * 500 — so the live table after
+    any stream prefix equals q232's h stage over that prefix
+    cell-for-cell (asserted against the batch kernel across a
+    checkpoint restart). ONE state table serves BOTH histograms the
+    mapping needs: the global histogram is the per-source table summed
+    over sources — a projection, not more state. State is Spark's
+    built-in incremental streaming aggregation in complete mode: one
+    int64 per (source, score) cell, bounded at #sources x 2001 cells by
+    the score construction — never by the corpus. Each trigger hands
+    the histogram (source, conf_ppm, cnt — the exact schema q232's
+    windowed stages consume) to ``sink(hist, batch_id)``; the mid-rank
+    CDFs and the inverse-CDF mapping are a dimension-sized projection
+    (q232's hs/g/mapped stages) the consumer runs per trigger or on
+    demand."""
+    scored = df.select(
+        F.col(source_col).alias("source"),
+        (
+            F.least(F.coalesce(F.col(len_col), F.lit(0)), F.lit(2000))
+            * 500
+        )
+        .cast("bigint")
+        .alias("conf_ppm"),
+    )
+    hist = scored.groupBy("source", "conf_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        sink(batch.select("source", "conf_ppm", "cnt"), batch_id)
+
+    writer = (
+        hist.writeStream.outputMode("complete")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

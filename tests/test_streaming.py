@@ -1922,3 +1922,77 @@ def test_streaming_seasonality_matches_batch_kernel(spark, tmp_path):
     assert got == {(4, 10): 1, (0, 0): 1, (3, 23): 1}
     run(b2)
     assert live() == {(4, 10): 2, (0, 0): 1, (3, 23): 1, (1, 23): 1}
+
+
+def test_streaming_quantile_hist_matches_batch_kernel(spark, tmp_path):
+    """streaming_quantile_hist across a checkpoint restart: the live
+    (source, conf_ppm) table equals q232's h stage over the cumulative
+    stream cell-for-cell — NULL n_chars scores 0, the clip pins long
+    docs to 1,000,000 ppm, a NULL source keeps its own group, and the
+    b1 state survives the restart. The global histogram the inverse-CDF
+    mapping needs is the same table summed over sources (a projection,
+    not more state), so h-equality pins the whole q232 derivation."""
+    ddir = tmp_path / "qh"
+    (ddir / "p").mkdir(parents=True)
+    schema = "doc_id long, source string, n_chars long"
+    b1 = [
+        (1, "web", 40),
+        (2, "web", 2500),
+        (3, "book", None),
+        (4, "book", 40),
+    ]
+    b2 = [
+        (5, "web", 40),
+        (6, None, 120),
+        (7, "book", 2000),
+        (8, "web", 0),
+    ]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(ddir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(ddir / "p"))
+        q = st.streaming_quantile_hist(
+            stream,
+            lambda b, bid: b.write.mode("overwrite").parquet(
+                f"{tmp_path}/qhout"
+            ),
+            str(tmp_path / "ckpt-qh"),
+        )
+        q.awaitTermination(60)
+
+    def live():
+        return {
+            (r.source, r.conf_ppm): r.cnt
+            for r in spark.read.parquet(f"{tmp_path}/qhout").collect()
+        }
+
+    def batch_h(rows):
+        # q232's h stage on the cumulative prefix (the batch kernel)
+        df = spark.createDataFrame(rows, schema).select(
+            "source",
+            (
+                F.least(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(2000))
+                * 500
+            )
+            .cast("bigint")
+            .alias("conf_ppm"),
+        )
+        got = (
+            df.groupBy("source", "conf_ppm")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        return {(r.source, r.conf_ppm): r.cnt for r in got}
+
+    run(b1)
+    got = live()
+    assert got == batch_h(b1)
+    # explicit shapes: 2500 clips to 1e6 ppm; NULL n_chars scores 0
+    assert got[("web", 1000000)] == 1 and got[("book", 0)] == 1
+    run(b2)  # restart: cumulative across the checkpoint
+    got = live()
+    assert got == batch_h(b1 + b2)
+    assert got[("web", 20000)] == 2  # b1 state survived and accumulated
+    assert (None, 60000) in got  # NULL source keeps its own group
