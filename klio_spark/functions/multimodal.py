@@ -2,11 +2,14 @@
 
 The Spark-side plumbing is real — schemas, batch shapes, partition-aware
 mapInPandas UDFs — and decode is real for formats that need no codec
-library: binary netpbm images (PGM/PPM, pure numpy) and WAV audio
-(stdlib). Compressed formats (PNG/JPEG, mp3/ogg) gate on PIL/librosa
-with an honest NotImplementedError, mirroring how klio_audio gates on
-librosa (audio/src/klio_audio/transforms/audio.py:26-73);
-fake_image_decode/fake_audio_decode remain for plumbing tests.
+library: binary netpbm images (PGM/PPM, pure numpy), 8-bit
+non-interlaced PNG (stdlib zlib inflate + per-spec un-filtering — the
+inverse of klio_spark.audio's numpy+zlib encoder), and WAV audio
+(stdlib). Remaining compressed formats (JPEG, mp3/ogg) gate on
+PIL/librosa with an honest NotImplementedError, mirroring how
+klio_audio gates on librosa (audio/src/klio_audio/transforms/
+audio.py:26-73); fake_image_decode/fake_audio_decode remain for
+plumbing tests.
 
 Design rule (SURVEY §7 rule 2): heavy bytes stay OUT of shuffles. The
 canonical flow is: envelope rows carry paths → repartition by element →
@@ -108,13 +111,103 @@ def _decode_pnm(raw: bytes) -> np.ndarray:
     return img.astype(np.float32) / float(maxval)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(raw: bytes) -> np.ndarray:
+    """Pure stdlib+numpy PNG decoder — the exact inverse of the repo's
+    numpy+zlib encoder (klio_spark.audio._matrix_to_png): parse chunks
+    (CRC-checked), inflate the IDAT stream, un-filter scanlines per the
+    PNG spec, reshape. Supports the mainstream still-image subset:
+    8-bit non-interlaced grayscale (color type 0), RGB (2), gray+alpha
+    (4) and RGBA (6) — alpha is returned as-is in the last channel;
+    palette (3), 16-bit, sub-byte depths, and Adam7 interlace raise.
+    All five scanline filters decode (the encoder emits only filter 0,
+    but foreign PNGs routinely use Sub/Up/Average/Paeth): Up/None are
+    vectorized; Sub/Average/Paeth walk the row because each byte needs
+    the RECONSTRUCTED left neighbor. Returns float32 in [0,1], (H,W)
+    for grayscale or (H,W,C) otherwise."""
+    import struct
+    import zlib
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", raw[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    stride = w * channels
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    data = data.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for r in range(h):
+        ft, line = int(data[r, 0]), data[r, 1:].astype(np.int64)
+        prior = out[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    rec[i] = (line[i] + a) & 0xFF
+                elif ft == 3:
+                    rec[i] = (line[i] + ((a + prior[i]) >> 1)) & 0xFF
+                else:
+                    b = prior[i]
+                    c = prior[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+    img = out.reshape((h, w) if channels == 1 else (h, w, channels))
+    return img.astype(np.float32) / 255.0
+
+
 def decode_image(raw: bytes) -> np.ndarray:
-    """Real decode for formats needing no codec library (binary PGM/PPM);
-    PNG/JPEG and friends still gate on PIL/cv2 with an honest error —
-    mirroring how klio_audio gates on librosa. Returns float32 in [0,1],
-    (H,W) gray or (H,W,3) RGB."""
+    """Real decode for formats needing no codec library: binary PGM/PPM
+    (pure numpy) and PNG (stdlib zlib inflate + un-filter — the inverse
+    of the repo's own encoder; 8-bit non-interlaced gray/RGB/alpha
+    variants). JPEG and friends still gate on PIL/cv2 with an honest
+    error — mirroring how klio_audio gates on librosa. Returns float32
+    in [0,1], (H,W) gray or (H,W,C) otherwise."""
     if raw[:2] in (b"P5", b"P6"):
         return _decode_pnm(raw)
+    if raw[:8] == _PNG_SIG:
+        return _decode_png(raw)
     try:  # pragma: no cover - exercised only when PIL exists
         import io
 
@@ -124,8 +217,9 @@ def decode_image(raw: bytes) -> np.ndarray:
     except ImportError:
         pass
     raise NotImplementedError(
-        "only netpbm (PGM/PPM) decodes without a codec library; PNG/JPEG "
-        "need PIL/cv2 — use fake_image_decode for plumbing tests"
+        "only netpbm (PGM/PPM) and 8-bit non-interlaced PNG decode "
+        "without a codec library; JPEG and exotic PNG variants need "
+        "PIL/cv2 — use fake_image_decode for plumbing tests"
     )
 
 
