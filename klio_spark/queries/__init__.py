@@ -182,6 +182,14 @@ _VERIFY_FIRST = [
     #    replica-green locally, so they queue BEHIND the stale tail --
     "q231_bootstrap_ci",
     "q240_split_leakage",
+    # -- same pre-reduce applied to the _conf_label family after the sf1
+    #    rehearsal REPRODUCED the predicted overflow (ARITHMETIC_OVERFLOW
+    #    at doc_id ~1e9 stride); value-identical at driver SFs,
+    #    replica-green at sf0.01 AND on the 10x corpus --
+    "q222_calibration_ece",
+    "q223_ranking_auc",
+    "q224_cohen_kappa",
+    "q229_pr_threshold_sweep",
 ]
 
 _DRIVER_GREEN = [
@@ -349,13 +357,9 @@ _DRIVER_GREEN = [
     "q219_padding_waste",
     "q220_maxsim_late_interaction",
     "q221_rrf_fusion",
-    "q222_calibration_ece",
-    "q223_ranking_auc",
-    "q224_cohen_kappa",
     "q225_distinct_ngrams",
     "q226_hard_negative_mining",
     "q227_retrieval_metrics",
-    "q229_pr_threshold_sweep",
     "q230_recency_weighted_mix",
     "q232_quantile_normalize",
     "q233_neyman_allocation",

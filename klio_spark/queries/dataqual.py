@@ -796,14 +796,18 @@ def q208_l_diversity(spark: SparkSession, sf_dir: str):
 # exact integer); the ground-truth label is drawn CALIBRATED-BY-
 # CONSTRUCTION from that confidence via a Knuth multiplicative hash of
 # doc_id — label = 1 iff hash_u32 * 1e6 < conf_ppm * 2^32, all int64
-# (bounds: conf_ppm*2^32 <= 4.3e15 and hash*1e6 <= 4.3e15, and the hash
-# product doc_id*2654435761 stays in int64 for doc_id <= ~3.4e9 — document
-# ids at the 100 TB design point are re-keyed surrogates, not raw 64-bit
-# hashes). Identical integer expressions evaluate identically on both
-# engines, so the synthetic eval set is bit-identical everywhere.
+# (bounds: conf_ppm*2^32 <= 4.3e15 and hash*1e6 <= 4.3e15; doc_id is
+# reduced mod 2^31 BEFORE the Knuth multiply — the q112/q231/q240
+# convention — so the product fits int64 for ANY surrogate id: the
+# unreduced form raised ARITHMETIC_OVERFLOW at the 10x-amplified sf1
+# rehearsal, whose id stride pushes doc_id past 3.4e9, exactly as
+# ADVICE r7 predicted). Identical integer expressions evaluate
+# identically on both engines, so the synthetic eval set is
+# bit-identical everywhere.
 _CONF_LABEL_SQL = """
       SELECT LEAST(COALESCE(n_chars, 0), 2000) * 500 AS conf_ppm,
-             CASE WHEN ((COALESCE(doc_id, 0) * 2654435761) % 4294967296)
+             CASE WHEN (((COALESCE(doc_id, 0) % 2147483648) * 2654435761)
+                        % 4294967296)
                        * 1000000
                        < LEAST(COALESCE(n_chars, 0), 2000) * 500 * 4294967296
                   THEN 1 ELSE 0 END AS label
@@ -816,7 +820,9 @@ def _conf_label(d):
     conf = (
         F.least(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(2000)) * 500
     ).cast("bigint")
-    h = F.expr("(COALESCE(doc_id, 0) * 2654435761) % 4294967296")
+    h = F.expr(
+        "(((COALESCE(doc_id, 0) % 2147483648) * 2654435761) % 4294967296)"
+    )
     return d.select(
         conf.alias("conf_ppm"),
         F.when(h * 1000000 < conf * 4294967296, 1)
@@ -1003,7 +1009,8 @@ def q223_ranking_auc(spark: SparkSession, sf_dir: str):
     """
     WITH rated AS (
       SELECT CASE WHEN COALESCE(n_chars, 0) >= 600 THEN 1 ELSE 0 END AS a,
-             CASE WHEN ((COALESCE(doc_id, 0) * 1099087573) % 4294967296)
+             CASE WHEN (((COALESCE(doc_id, 0) % 2147483648) * 1099087573)
+                        % 4294967296)
                        % 2000
                        < LEAST(COALESCE(n_chars, 0), 2000)
                   THEN 1 ELSE 0 END AS b
@@ -1054,8 +1061,11 @@ def q224_cohen_kappa(spark: SparkSession, sf_dir: str):
         .otherwise(0)
         .alias("a"),
         F.when(
+            # mod 2^31 before the Knuth multiply (q112/q231 convention):
+            # product fits int64 for any surrogate doc_id
             F.expr(
-                "((COALESCE(doc_id, 0) * 1099087573) % 4294967296) % 2000"
+                "(((COALESCE(doc_id, 0) % 2147483648) * 1099087573)"
+                " % 4294967296) % 2000"
             )
             < F.least(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(2000)),
             1,

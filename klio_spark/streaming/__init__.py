@@ -1790,7 +1790,12 @@ def streaming_calibration(
     conf = (
         F.least(F.coalesce(F.col(len_col), F.lit(0)), F.lit(2000)) * 500
     ).cast("bigint")
-    h = F.expr(f"(COALESCE({id_col}, 0) * 2654435761) % 4294967296")
+    # mod 2^31 before the Knuth multiply (matches _conf_label exactly):
+    # product fits int64 for any surrogate id
+    h = F.expr(
+        f"(((COALESCE({id_col}, 0) % 2147483648) * 2654435761)"
+        " % 4294967296)"
+    )
     scored = df.select(
         conf.alias("conf_ppm"),
         F.when(h * 1000000 < conf * 4294967296, 1)

@@ -736,3 +736,58 @@ def test_streaming_benford_crash_fuzz(spark, tmp_path):
             d = int(str(int(math.floor(x * 100)))[0])
             replay[d] = replay.get(d, 0) + 1
     assert clean == {(d, n) for d, n in replay.items()}
+
+
+def test_streaming_quantile_hist_crash_fuzz(spark, tmp_path):
+    """Per-source score-histogram state torn mid-batch: the final live
+    (source, conf_ppm) table must equal the clean run's AND the Python
+    replay of q232's integer score construction over all docs
+    cell-for-cell (NULL n_chars scores 0, clip at 2000, NULL source
+    keeps its own group)."""
+    rng = random.Random(232)
+    pdfs, did = [], 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(5, 12)):
+            did += 1
+            rows.append(
+                {
+                    "doc_id": did,
+                    "source": rng.choice(["web", "book", "wiki", None]),
+                    "n_chars": (
+                        None
+                        if rng.randrange(8) == 0
+                        else rng.randrange(0, 3000)
+                    ),
+                }
+            )
+        pdfs.append(pd.DataFrame({
+            "doc_id": pd.array([r["doc_id"] for r in rows], dtype="Int64"),
+            "source": pd.array(
+                [r["source"] for r in rows], dtype="string"
+            ),
+            "n_chars": pd.array([r["n_chars"] for r in rows], dtype="Int64"),
+        }))
+
+    def read_final(outdir):
+        return {
+            (r.source, r.conf_ppm, r.cnt)
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    crash, clean = _sink_crash_fuzz(
+        spark, tmp_path, name="qhcf", seed=32,
+        start_op=lambda s, sink, ck: st.streaming_quantile_hist(s, sink, ck),
+        pdfs=pdfs,
+        schema="doc_id long, source string, n_chars long",
+        read_final=read_final,
+    )
+    assert crash == clean
+    replay = {}
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            n_chars = 0 if pd.isna(r.n_chars) else int(r.n_chars)
+            conf = min(n_chars, 2000) * 500
+            src = None if pd.isna(r.source) else str(r.source)
+            replay[(src, conf)] = replay.get((src, conf), 0) + 1
+    assert clean == {(s, c, n) for (s, c), n in replay.items()}

@@ -79,17 +79,34 @@ def main() -> int:
 
     from __spark_entry__ import oracle_sql, queries
 
-    # vanilla session — deliberately NOT klio_spark.session.get_spark
-    spark = (
-        SparkSession.builder.master("local[8]")
+    # vanilla session — deliberately NOT klio_spark.session.get_spark.
+    # DRIVER_CHECK_MEMORY/CORES exist ONLY for amplified-corpus runs
+    # (.scale/x10, 10x the driver's largest SF): the default 1g local[8]
+    # JVM dies there. Leave them unset for driver-SF replication.
+    import os as _os
+
+    mem = _os.environ.get("DRIVER_CHECK_MEMORY")
+    cores = _os.environ.get("DRIVER_CHECK_CORES", "8")
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
         .appName("driver-replica")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", cores)
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    if mem:
+        b = b.config("spark.driver.memory", mem)
+    spark = b.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; Spark-written
+        # corpora (.scale/x10 amplified twins) are DIRECTORIES of part
+        # files — DuckDB needs the glob form for those
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = queries()
     oracles = oracle_sql()
