@@ -1830,7 +1830,10 @@ def test_streaming_benford_matches_batch_kernel(spark, tmp_path):
     (ddir / "p").mkdir(parents=True)
     schema = "l_extendedprice double"
     b1 = [(901.82,), (104997.88,), (None,), (0.0,), (-5.0,), (0.07,)]
-    b2 = [(19.99,), (200.0,), (901.82,), (3.5,)]
+    # 0.005 floors to 0 cents — outside Benford's 1..9 domain, must
+    # drop via the c >= 1 guard (ADVICE r7) instead of crashing the
+    # consumer's element_at(benford_arr, d) stage
+    b2 = [(19.99,), (200.0,), (901.82,), (3.5,), (0.005,)]
 
     def run(batch_rows):
         spark.createDataFrame(batch_rows, schema).write.mode(
@@ -1857,7 +1860,10 @@ def test_streaming_benford_matches_batch_kernel(spark, tmp_path):
         for (x,) in rows:
             if x is None or x <= 0:
                 continue
-            d = int(str(int(x * 100 // 1))[0])
+            c = int(x * 100 // 1)
+            if c < 1:  # sub-cent: outside the first-digit domain
+                continue
+            d = int(str(c)[0])
             out[d] = out.get(d, 0) + 1
         return out
 

@@ -709,6 +709,10 @@ def test_streaming_benford_crash_fuzz(spark, tmp_path):
                 vals.append(0.0)
             elif r == 2:
                 vals.append(round(rng.uniform(0.01, 0.99), 2))
+            elif r == 3:
+                # sub-cent: floors to 0 cents, OUTSIDE Benford's 1..9
+                # domain — the c >= 1 guard must drop it on both sides
+                vals.append(0.005)
             else:
                 vals.append(round(rng.uniform(1, 99999), 2))
         pdfs.append(pd.DataFrame({"l_extendedprice": vals}))
@@ -733,7 +737,11 @@ def test_streaming_benford_crash_fuzz(spark, tmp_path):
             if x is None or pd.isna(x) or x <= 0:
                 continue
             import math
-            d = int(str(int(math.floor(x * 100)))[0])
+
+            c = int(math.floor(x * 100))
+            if c < 1:  # sub-cent: outside Benford's first-digit domain
+                continue
+            d = int(str(c)[0])
             replay[d] = replay.get(d, 0) + 1
     assert clean == {(d, n) for d, n in replay.items()}
 
