@@ -217,9 +217,16 @@ def main() -> int:
             if label == "base" and args.skip_base:
                 continue
             t0 = time.perf_counter()
-            n = spec.fn(spark, d).count()
+            # noop write, NOT count(): count() lets Catalyst PRUNE
+            # expressions the aggregate doesn't need (window/computed
+            # columns vanish from the plan), so a count-timed window op
+            # measures a different, cheaper query (round-8 lesson:
+            # ewma read 0.62 s by count, 19.9 s materialized). The noop
+            # sink forces every output column like bench.py does.
+            df = spec.fn(spark, d)
+            df.write.mode("overwrite").format("noop").save()
             entry[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
-            entry[f"{label}_rows"] = n
+            entry[f"{label}_rows"] = df.count()  # untimed re-run
             spark.catalog.clearCache()
         if "base_sec" in entry and entry["base_sec"] > 0:
             entry["ratio"] = round(entry["scaled_sec"] / entry["base_sec"], 2)

@@ -197,9 +197,13 @@ def _time_queries(spark, qs, names, dirs):
         entry = {}
         for label, d in dirs:
             t0 = time.perf_counter()
-            n = spec.fn(spark, d).count()
+            # noop write before count: count() alone lets Catalyst
+            # prune window/computed columns (round-8 lesson — see
+            # scale_rehearsal.py) and would time a cheaper query
+            df = spec.fn(spark, d)
+            df.write.mode("overwrite").format("noop").save()
             entry[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
-            entry[f"{label}_rows"] = n
+            entry[f"{label}_rows"] = df.count()  # untimed re-run
             spark.catalog.clearCache()
         if entry.get("base_sec", 0) > 0 and "skew_sec" in entry:
             entry["ratio"] = round(entry["skew_sec"] / entry["base_sec"], 2)
