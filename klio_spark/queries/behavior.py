@@ -476,11 +476,17 @@ def q113_keep_latest(spark: SparkSession, sf_dir: str):
     "form of a range join Spark would otherwise nest-loop per key: each "
     "7-day ship window explodes into the week buckets it covers (≤3 "
     "small-int rows), the join runs EQUI on (part, week), and the true "
-    "overlap predicate filters inside co-partitions; distinct collapses "
-    "pairs that met in two shared buckets. Candidate count is bounded by "
-    "week-colocated rows per part, not per-key n². The ORACLE runs the "
-    "naive non-equi join — identical result is the proof the banding "
-    "loses nothing. Output: pair counts per overlap length (days).",
+    "overlap predicate filters inside co-partitions; the OWNING-BUCKET "
+    "rule (emit a pair only from the bucket holding GREATEST(a.s, b.s), "
+    "which the band predicate guarantees both rows cover) makes each "
+    "row pair appear exactly once — row MULTIPLICITY preserved, unlike "
+    "a distinct() bucket-dedup, which silently collapsed duplicate "
+    "(l_orderkey, l_linenumber) rows this corpus contains (caught by "
+    "the 3x-amplified strict sweep), and no distinct exchange either. "
+    "Candidate count is bounded by week-colocated rows per part, not "
+    "per-key n². The ORACLE runs the naive non-equi join — identical "
+    "result is the proof the banding loses nothing. Output: pair "
+    "counts per overlap length (days).",
 )
 def q114_interval_overlap_join(spark: SparkSession, sf_dir: str):
     (li,) = load(spark, sf_dir, "lineitem")
@@ -495,23 +501,33 @@ def q114_interval_overlap_join(spark: SparkSession, sf_dir: str):
         "wk", F.explode(F.sequence(F.expr("s div 7"), F.expr("(s + 7) div 7")))
     )
     a_, b_ = b.alias("a"), b.alias("b")
+    # owning-bucket rule instead of DISTINCT: a pair can meet in up to
+    # two shared week buckets, so emit it only from the bucket holding
+    # GREATEST(a.s, b.s) — always inside both rows' bucket ranges when
+    # the band predicate holds, so each ROW pair is emitted exactly
+    # once. DISTINCT on (id_a, id_b, overlap) was wrong on corpora
+    # where (l_orderkey, l_linenumber) is NOT unique (this testdata has
+    # such rows — the 3x-amplified sweep caught Spark collapsing
+    # genuine row multiplicity the naive oracle counts), and the rule
+    # is also cheaper: no distinct exchange at all.
     pairs = (
         a_.join(b_, ["l_partkey", "wk"])
         .filter(
             (F.col("a.id") < F.col("b.id"))
             & (F.col("a.s") <= F.col("b.s") + 7)
             & (F.col("b.s") <= F.col("a.s") + 7)
+            & (
+                F.col("wk")
+                == F.expr("GREATEST(a.s, b.s) div 7")
+            )
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
             (
                 F.least(F.col("a.s") + 7, F.col("b.s") + 7)
                 - F.greatest(F.col("a.s"), F.col("b.s"))
                 + 1
             ).alias("overlap_days"),
         )
-        .distinct()
     )
     return pairs.groupBy(F.col("overlap_days").cast("bigint").alias("overlap_days")).agg(
         F.count(F.lit(1)).alias("n_pairs")

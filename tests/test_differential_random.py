@@ -750,6 +750,20 @@ def _random_lineitem(seed: int, n_orders: int = 120) -> pd.DataFrame:
                     "l_shipdate": ship,
                 }
             )
+    # duplicate (l_orderkey, l_linenumber) rows with DIFFERENT partkey/
+    # shipdate — the driver's real testdata contains this shape, and it
+    # broke q114's banded pair join (a distinct() on the composite
+    # orderkey*16+linenumber id collapsed genuine row multiplicity the
+    # naive oracle counts; caught by the 3x-amplified strict sweep).
+    # Keep them joining the SAME part as an existing row so the banded
+    # self-join actually pairs through a duplicated id.
+    dups = []
+    for r in rows[:: max(1, len(rows) // 12)]:
+        d = dict(r)
+        d["l_partkey"] = (r["l_partkey"] + 1) % 30
+        d["l_extendedprice"] = round(rng.uniform(1, 500), 2)
+        dups.append(d)
+    rows.extend(dups)
     pdf = pd.DataFrame(rows)
     pdf["l_linenumber"] = pdf["l_linenumber"].astype("int32")
     # micros, not pandas-default nanos: Spark reads TIMESTAMP(NANOS)
@@ -769,6 +783,10 @@ LINEITEM_QUERIES = [
     # price ties in the non-equi pair spread
     "q14_nonequi_self_join",
     "q128_weighted_median",
+    # round-8: banded interval pair join — duplicated (orderkey,
+    # linenumber) ids must keep their row multiplicity (the owning-
+    # bucket rule; a distinct()-based bucket dedup collapsed them)
+    "q114_interval_overlap_join",
     # round-5: association rules (single-item baskets form no pairs;
     # sub-support pairs drop on both engines; lift ties at the top-20
     # boundary break lexicographically)
