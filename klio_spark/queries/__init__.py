@@ -190,6 +190,12 @@ _VERIFY_FIRST = [
     "q223_ranking_auc",
     "q224_cohen_kappa",
     "q229_pr_threshold_sweep",
+    # -- round-8 3x-amplified-sweep catches, code changed: q114's
+    #    distinct() collapsed duplicate-id row multiplicity (owning-
+    #    bucket rule now), q09's price arg_max was tie-arbitrary
+    #    (composite (cents, orderkey) key now). q114 already sits in
+    #    the stale tail above; q09 fronts here --
+    "q09_arg_min_max",
 ]
 
 _DRIVER_GREEN = [
@@ -310,7 +316,6 @@ _DRIVER_GREEN = [
     "q06_count_distinct",
     "q07_median_percentile",
     "q08_grouped_pandas_udaf",
-    "q09_arg_min_max",
     "q10_semi_join",
     "q11_anti_join",
     "q12_outer_join_coalesce",

@@ -88,7 +88,9 @@ def q46_calendar_funcs(spark: SparkSession, sf_dir: str):
     "q09_arg_min_max",
     """
     SELECT o_custkey,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_max(o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                     * 10000000000 + o_orderkey) AS biggest_order,
            arg_min(o_orderkey,
                    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                      * 10000000000 + o_orderkey) AS first_order,
@@ -97,9 +99,14 @@ def q46_calendar_funcs(spark: SparkSession, sf_dir: str):
     GROUP BY o_custkey
     """,
     doc="arg-max/arg-min aggregation (Spark max_by/min_by): the 'row of "
-    "the extreme' without a window sort. The date arg-min orders by a "
-    "composite (day, orderkey) bigint — day-granular dates tie, and a "
-    "tied arg_min is engine-arbitrary.",
+    "the extreme' without a window sort. BOTH args order by a composite "
+    "(value, orderkey) bigint — day-granular dates tie, amplified "
+    "corpora duplicate prices within a customer, and a tied arg is "
+    "engine-arbitrary (the 3x-amplified sweep caught exactly that on "
+    "the price arg_max). Price integerizes to exact cents first "
+    "(2-decimal corpus); bounds: cents*1e10 fits int64 to ~$92M and "
+    "the composite assumes orderkey < 1e10 (the documented surrogate "
+    "convention).",
 )
 def q09_arg_min_max(spark: SparkSession, sf_dir: str):
     (o,) = load(spark, sf_dir, "orders")
@@ -108,8 +115,13 @@ def q09_arg_min_max(spark: SparkSession, sf_dir: str):
         * F.lit(10000000000).cast("long")
         + F.col("o_orderkey")
     )
+    biggest_key = (
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        * F.lit(10000000000).cast("long")
+        + F.col("o_orderkey")
+    )
     return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.max_by("o_orderkey", biggest_key).alias("biggest_order"),
         F.min_by("o_orderkey", first_key).alias("first_order"),
         F.max("o_totalprice").alias("max_price"),
     )

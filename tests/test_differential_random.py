@@ -1203,6 +1203,11 @@ CUSTOMER_QUERIES = [
     # all-unconverted -> the pooled-z degenerate guard must NULL on
     # both engines; the Wilson literals must bit-agree
     "q247_ab_significance",
+    # round-8: arg_max/arg_min — the repeated 19.99/0.07 prices tie
+    # WITHIN a customer, so a bare arg_max(orderkey, price) is engine-
+    # arbitrary (caught by the 3x-amplified sweep); the composite
+    # (cents, orderkey) key must pin the winner identically
+    "q09_arg_min_max",
 ]
 
 
