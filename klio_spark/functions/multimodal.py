@@ -136,6 +136,11 @@ def _decode_png(raw: bytes) -> np.ndarray:
     while pos + 8 <= len(raw):
         (length,) = struct.unpack(">I", raw[pos : pos + 4])
         tag = raw[pos + 4 : pos + 8]
+        if pos + 12 + length > len(raw):
+            raise ValueError(
+                f"PNG chunk {tag!r} declares {length} bytes but the "
+                "stream is truncated"
+            )
         body = raw[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", raw[pos + 8 + length : pos + 12 + length]
@@ -152,6 +157,12 @@ def _decode_png(raw: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        # the spec defines only method 0 for both; anything else would
+        # be silently misdecoded if we carried on
+        raise ValueError(
+            f"PNG compression/filter method {comp}/{filt} (only 0/0)"
+        )
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
     if interlace:
@@ -206,8 +217,15 @@ def decode_image(raw: bytes) -> np.ndarray:
     in [0,1], (H,W) gray or (H,W,C) otherwise."""
     if raw[:2] in (b"P5", b"P6"):
         return _decode_pnm(raw)
+    png_gap = None
     if raw[:8] == _PNG_SIG:
-        return _decode_png(raw)
+        try:
+            return _decode_png(raw)
+        except NotImplementedError as exc:
+            # palette / 16-bit / interlaced: outside the builtin subset,
+            # but PIL (when installed) decodes them — fall through and
+            # only re-raise if the import path is also unavailable
+            png_gap = exc
     try:  # pragma: no cover - exercised only when PIL exists
         import io
 
@@ -216,6 +234,12 @@ def decode_image(raw: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(raw)), dtype=np.float32) / 255.0
     except ImportError:
         pass
+    if png_gap is not None:
+        raise NotImplementedError(
+            f"PNG variant outside the builtin decoder ({png_gap}) and "
+            "PIL is not installed — use fake_image_decode for plumbing "
+            "tests"
+        ) from png_gap
     raise NotImplementedError(
         "only netpbm (PGM/PPM) and 8-bit non-interlaced PNG decode "
         "without a codec library; JPEG and exotic PNG variants need "

@@ -1923,9 +1923,25 @@ def ewma_features(e, segment_s: int | None = None):
         cw = Window.partitionBy("user_id", "seg").orderBy(
             "t_s", "event_id"
         )
-        rows = chunked.join(
-            carry.select("user_id", "seg", "carry"), ["user_id", "seg"]
-        ).withColumn("_rn", F.row_number().over(cw))
+        # null-safe on user_id: the monolithic window keeps NULL user_id
+        # rows as their own partition (p filters only ts/value), and the
+        # carry table groups them the same way — a plain equi-join would
+        # silently drop them and break the hash-identical guarantee.
+        # <=> is still planned as an equi-join key (no cartesian).
+        c = carry.select(
+            F.col("user_id").alias("_cu"),
+            F.col("seg").alias("_cs"),
+            "carry",
+        )
+        rows = (
+            chunked.join(
+                c,
+                F.col("user_id").eqNullSafe(F.col("_cu"))
+                & (F.col("seg") == F.col("_cs")),
+            )
+            .drop("_cu", "_cs")
+            .withColumn("_rn", F.row_number().over(cw))
+        )
         lags = [F.col("cents")]
         for k in range(1, _EWMA_K):
             intra = F.lag("cents", k).over(cw)

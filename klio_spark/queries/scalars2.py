@@ -104,9 +104,11 @@ def q46_calendar_funcs(spark: SparkSession, sf_dir: str):
     "corpora duplicate prices within a customer, and a tied arg is "
     "engine-arbitrary (the 3x-amplified sweep caught exactly that on "
     "the price arg_max). Price integerizes to exact cents first "
-    "(2-decimal corpus); bounds: cents*1e10 fits int64 to ~$92M and "
-    "the composite assumes orderkey < 1e10 (the documented surrogate "
-    "convention).",
+    "(2-decimal corpus); bounds: cents*1e10 fits int64 only up to "
+    "cents ~9.2e8, i.e. ~$9.2M (the orderkey addend tightens it "
+    "slightly), and the composite assumes orderkey < 1e10 (the "
+    "documented surrogate convention). TPC-H prices top out ~$600K, "
+    "well inside the bound.",
 )
 def q09_arg_min_max(spark: SparkSession, sf_dir: str):
     (o,) = load(spark, sf_dir, "orders")

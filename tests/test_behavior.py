@@ -362,15 +362,24 @@ def test_ewma_segmented_edge_cases(spark):
         rows.append((eid, 2, "view", float(s + 1), t(0, s)))
     eid += 1
     rows.append((eid, 2, "view", 99.0, t(3)))
+    # NULL user_id rows: the monolithic window keeps them as their own
+    # partition (only ts/value are filtered), so the segmented carry
+    # join must be null-safe or they'd vanish (ADVICE r8)
+    for d in range(4):
+        eid += 1
+        rows.append((eid, None, "view", float(10 * d + 1), t(d)))
     e = spark.createDataFrame(
         rows,
         "event_id long, user_id long, event_type string,"
         " value double, ts timestamp",
     )
-    mono = sorted(map(tuple, ewma_features(e).collect()))
+    nkey = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    mono = sorted(map(tuple, ewma_features(e).collect()), key=nkey)
+    assert any(r[0] is None for r in mono), "NULL-user rows must survive"
     for seg in (86400, 3600):
         got = sorted(
-            map(tuple, ewma_features(e, segment_s=seg).collect())
+            map(tuple, ewma_features(e, segment_s=seg).collect()),
+            key=nkey,
         )
         assert got == mono, f"segment_s={seg}"
 

@@ -224,6 +224,31 @@ def test_png_decode_rejects_unsupported_variants():
     bad = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]
     with pytest.raises(ValueError, match="CRC"):
         mm.decode_image(bad)
+    # a chunk cut mid-body is a clean ValueError, not a struct.error
+    # (drop IEND and the tail of IDAT so IDAT's declared length overruns)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image(good[: len(good) - 20])
+    # nonzero IHDR compression/filter method would be silently
+    # misdecoded if accepted — reject explicitly
+    import struct as _s
+    import zlib as _z
+
+    def mk_method(comp=0, filt=0):
+        ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, comp, filt, 0)
+        def chunk(tag, body):
+            return (
+                _s.pack(">I", len(body)) + tag + body
+                + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+            )
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+
+    for kw in ({"comp": 1}, {"filt": 1}):
+        with pytest.raises(ValueError, match="method"):
+            mm.decode_image(mk_method(**kw))
 
 
 def test_extract_features_e2e_on_png_bytes(spark):
