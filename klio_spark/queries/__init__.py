@@ -105,16 +105,15 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # verification-scheduling decision: front-load the entries with the LEAST
 # official evidence.
 #
-#   1. _VERIFY_FIRST — round-8 rotation (VERDICT r7 item 1: spend the
-#      ENTIRE window on the stale tail). Order: (a) queries whose CODE
-#      changed this round (ADVICE r7 fixes) — they need fresh evidence
-#      regardless of age; (b) ALL 46 entries whose latest driver check
-#      is round 1 (q83/q84) or round 2 — one 50-slot window covers the
-#      entire stale tail, leaving no registry entry's external evidence
-#      older than r3. Round 7's 50 new entries (q203–q252) are all
-#      CORRECTNESS_r07-green and move to the tail of _DRIVER_GREEN
-#      (freshest evidence). Registry growth is frozen until the stale
-#      tail clears (VERDICT r7 item 2).
+#   1. _VERIFY_FIRST — round-9 rotation (VERDICT r8 item 1). Order:
+#      (a) the 8 queries whose code changed in round 8 but whose latest
+#      driver evidence predates the change (q09 + conf-label four missed
+#      the 50-slot r8 window; q179/q198/q199 were replica-only); (b) the
+#      full r3 band (30 entries — the oldest evidence after r8 cleared
+#      the r1/r2 tail); (c) this round's NEW queries (growth resumed,
+#      capped per VERDICT r8 item 2 — every new entry enters the window
+#      immediately). The 50 entries CORRECTNESS_r08 verified move to the
+#      tail of _DRIVER_GREEN (freshest evidence).
 #   2. Everything else in import order — where NEW queries land
 #      automatically (neither in the prefix nor in _DRIVER_GREEN).
 #   3. _DRIVER_GREEN — entries hash-verified by a driver round and
@@ -123,83 +122,22 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 #      (the round-7 wave q203-q252 sits at the very end — it has the
 #      freshest evidence).
 _VERIFY_FIRST = [
-    # -- code changed in round 8 (ADVICE r7 fixes): needs fresh driver
-    #    evidence regardless of staleness --
-    "q228_benford_audit",
-    "q239_spearman_rank_corr",
-    # -- the 46-entry stale tail (latest driver check r1/r2); together
-    #    with the two entries above this is 48 of the ~50-slot window,
-    #    and slack slots fall through to the _DRIVER_GREEN head, which
-    #    is ordered stalest-first (r3 band next) --
-    "q83_payload_roundtrip",
-    "q84_udf_quarantine",
-    "q100_bloom_semi_join",
-    "q101_theta_set_ops",
-    "q103_quality_constraints",
-    "q104_snapshot_diff",
-    "q105_fuzzy_name_match",
-    "q107_ann_quality",
-    "q111_cdc_merge",
-    "q112_negative_sampling",
-    "q115_table_profile",
-    "q116_latency_histogram",
-    "q117_ab_experiment",
-    "q118_mixture_resample",
-    "q123_revenue_share_bp",
-    "q125_copurchase_pairs",
-    "q127_hierarchy_depth",
-    "q79_repetition_quality",
-    "q85_dedup_clusters",
-    "q86_hash_split",
-    "q87_contamination",
-    "q88_stratified_sample",
-    "q89_heavy_hitters",
-    "q90_sequence_packing",
-    "q91_passage_dedup",
-    "q92_domain_mixture",
-    "q93_pii_redaction",
-    "q94_quality_filter",
-    "q95_doc_chunking",
-    "q96_lm_rarity_score",
-    "q97_tfidf_top_terms",
-    "q98_hll_distinct_rollup",
-    "q99_kll_quantile_ranks",
-    "q109_retention_cohorts",
-    "q110_activity_runs",
-    "q113_keep_latest",
-    "q114_interval_overlap_join",
-    "q119_growth_accounting",
-    "q120_sliding_window_counts",
-    "q122_anomalous_hours",
-    "q124_funnel_windowed",
-    "q126_bounce_rate",
-    "q128_weighted_median",
-    "q57_gap_fill",
-    "q73_vector_norms_by_label",
-    "q78_embedding_quantize",
-    # -- also changed in round 8 (mod-2^31 Knuth pre-reduce, ADVICE r7)
-    #    but provably value-identical for keys < 2^31 (all test SFs) and
-    #    replica-green locally, so they queue BEHIND the stale tail --
-    "q231_bootstrap_ci",
-    "q240_split_leakage",
-    # -- same pre-reduce applied to the _conf_label family after the sf1
-    #    rehearsal REPRODUCED the predicted overflow (ARITHMETIC_OVERFLOW
-    #    at doc_id ~1e9 stride); value-identical at driver SFs,
-    #    replica-green at sf0.01 AND on the 10x corpus --
+    # -- round-9 rotation (VERDICT r8 item 1). (a) the 8 queries whose
+    #    CODE changed in round 8 but whose latest DRIVER evidence
+    #    predates the change (r5-r7): the conf-label four + q09 missed
+    #    the r8 window (positions 51-55), q179/q198/q199 were replica-
+    #    verified only. q179's segmented path changed AGAIN this round
+    #    (null-safe carry join, ADVICE r8). --
+    "q09_arg_min_max",
+    "q179_ewma_features",
+    "q198_interval_coverage",
+    "q199_attribution_last_touch",
     "q222_calibration_ece",
     "q223_ranking_auc",
     "q224_cohen_kappa",
     "q229_pr_threshold_sweep",
-    # -- round-8 3x-amplified-sweep catches, code changed: q114's
-    #    distinct() collapsed duplicate-id row multiplicity (owning-
-    #    bucket rule now), q09's price arg_max was tie-arbitrary
-    #    (composite (cents, orderkey) key now). q114 already sits in
-    #    the stale tail above; q09 fronts here --
-    "q09_arg_min_max",
-]
-
-_DRIVER_GREEN = [
-    # -- last driver-checked round 3 --
+    # -- the r3 band: 30 entries whose latest driver check is round 3,
+    #    the oldest evidence left after r8 cleared the r1/r2 tail. --
     "q151_shingle_containment",
     "q04_conditional_agg",
     "q102_unpivot",
@@ -230,6 +168,13 @@ _DRIVER_GREEN = [
     "q75_embedding_centroids",
     "q76_binary_meta",
     "q77_bpe_token_count",
+    # -- round-9 NEW queries are appended below as they land (VERDICT
+    #    r8 item 2: growth capped, every new entry enters the window
+    #    immediately); slack slots past ~50 fall through to the r4
+    #    band at the head of _DRIVER_GREEN. --
+]
+
+_DRIVER_GREEN = [
     # -- last driver-checked round 4 --
     "q133_dedup_survivors",
     "q137_span_corruption",
@@ -280,7 +225,6 @@ _DRIVER_GREEN = [
     "q163_cusum_changepoint",
     "q170_gram_matrix",
     "q176_pit_scd2_join",
-    "q179_ewma_features",
     "q180_mad_outliers",
     "q182_vocab_growth",
     "q191_event_paths",
@@ -294,7 +238,6 @@ _DRIVER_GREEN = [
     "q74_ann_ivf_topk",
     # -- last driver-checked round 6 --
     "q186_bpe_train_rounds",
-    "q199_attribution_last_touch",
     "q201_apriori_triples",
     "q181_misra_gries_heavy_hitters",
     "q65_ngram_jaccard_pairs",
@@ -303,7 +246,6 @@ _DRIVER_GREEN = [
     "q200_k_anonymity",
     "q196_curriculum_phases",
     "q197_filtered_ann_topk",
-    "q198_interval_coverage",
     "q187_pmi_collocations",
     "q189_textrank_keywords",
     "q190_lexical_gini",
@@ -385,6 +327,58 @@ _DRIVER_GREEN = [
     "q250_basket_dispersion",
     "q251_supplier_hhi",
     "q252_lorenz_deciles",
+    # -- last driver-checked round 8 (the freshest evidence: the full
+    #    r1/r2 stale tail + q228/q239/q231/q240) --
+    "q228_benford_audit",
+    "q239_spearman_rank_corr",
+    "q83_payload_roundtrip",
+    "q84_udf_quarantine",
+    "q100_bloom_semi_join",
+    "q101_theta_set_ops",
+    "q103_quality_constraints",
+    "q104_snapshot_diff",
+    "q105_fuzzy_name_match",
+    "q107_ann_quality",
+    "q111_cdc_merge",
+    "q112_negative_sampling",
+    "q115_table_profile",
+    "q116_latency_histogram",
+    "q117_ab_experiment",
+    "q118_mixture_resample",
+    "q123_revenue_share_bp",
+    "q125_copurchase_pairs",
+    "q127_hierarchy_depth",
+    "q79_repetition_quality",
+    "q85_dedup_clusters",
+    "q86_hash_split",
+    "q87_contamination",
+    "q88_stratified_sample",
+    "q89_heavy_hitters",
+    "q90_sequence_packing",
+    "q91_passage_dedup",
+    "q92_domain_mixture",
+    "q93_pii_redaction",
+    "q94_quality_filter",
+    "q95_doc_chunking",
+    "q96_lm_rarity_score",
+    "q97_tfidf_top_terms",
+    "q98_hll_distinct_rollup",
+    "q99_kll_quantile_ranks",
+    "q109_retention_cohorts",
+    "q110_activity_runs",
+    "q113_keep_latest",
+    "q114_interval_overlap_join",
+    "q119_growth_accounting",
+    "q120_sliding_window_counts",
+    "q122_anomalous_hours",
+    "q124_funnel_windowed",
+    "q126_bounce_rate",
+    "q128_weighted_median",
+    "q57_gap_fill",
+    "q73_vector_norms_by_label",
+    "q78_embedding_quantize",
+    "q231_bootstrap_ci",
+    "q240_split_leakage",
 ]
 
 
