@@ -4142,3 +4142,161 @@ def q248_cohort_ltv(spark: SparkSession, sf_dir: str):
             " AS BIGINT)"
         ).alias("cum_ltv_cents_x100"),
     )
+
+
+@register(
+    "q259_rolling_exact_distinct",
+    """
+    WITH base AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    x AS (
+      SELECT user_id, d + CAST(i AS INTEGER) AS day, i
+      FROM base, LATERAL unnest(range(0, 7)) AS u(i)
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+             AS day_epoch,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_7d,
+           CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END) AS BIGINT)
+             AS n_active_today
+    FROM x GROUP BY 1
+    """,
+    doc="EXACT 7-day rolling distinct actives per day — the ground-truth "
+    "twin of q146's rolling HLL sketch (same readout, zero error; run "
+    "both and the delta IS the sketch's measured accuracy). The naive "
+    "formulation — per-day distinct user SETS unioned across a sliding "
+    "window — is quadratic state; the scalable identity: dedup to "
+    "(user, day) pairs FIRST (one exchange, output bounded by "
+    "users x days, not events), then each pair votes for the 7 target "
+    "days it covers via a 7-wide explode, and one count-distinct per "
+    "target day finishes. Shuffle volume is 7x the deduped pair table "
+    "— independent of event count, the term that dominates at 100 TB. "
+    "Trailing days past the corpus edge appear with their partial "
+    "windows on both engines (a calendar dim would trim them in "
+    "production).",
+)
+def q259_rolling_exact_distinct(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    x = base.select(
+        "user_id",
+        F.posexplode(F.expr("sequence(d, date_add(d, 6))")).alias("i", "day"),
+    ).select(
+        "user_id",
+        "i",
+        # integer epoch-days, not DATE: pandas date-vs-timestamp dtype
+        # divergence between the two engines is a canon hazard (module
+        # convention — every date output ships as a day count)
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_epoch"),
+    )
+    return x.groupBy("day_epoch").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active_7d"),
+        F.countDistinct(F.when(F.col("i") == 0, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_active_today"),
+    )
+
+
+@register(
+    "q262_groupwise_ols",
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             (epoch_us(ts) + 62135596800000000) // 1000000 // 3600
+               - 17733240 AS x,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+             THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx), 6)
+           END AS slope_r6,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+             THEN ROUND((CAST(sy AS DOUBLE)
+                         - (CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx) * sx)
+                        / CAST(n AS DOUBLE), 6)
+           END AS intercept_r6,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+             THEN ROUND(
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS r2_r6
+    FROM m
+    """,
+    doc="group-wise OLS trend (slope / intercept / R^2 per event type, "
+    "value-cents against hours) — the parametric complement to q217's "
+    "Theil-Sen median slope: one scan, five exact-bigint moment sums "
+    "per group (map-side combine does all the work; the shuffle "
+    "carries 6 integers per group), then closed-form IEEE arithmetic "
+    "rounded 6. The x axis is integer HOURS since 2024-01-01, shifted "
+    "through the year-1 epoch so the floor-division is on a "
+    "non-negative numerator (the _SECS trick — Spark div truncates, "
+    "DuckDB // floors; they agree only for non-negative operands). "
+    "Bounds documented: sxx <= n * max_hours^2 and syy <= n * "
+    "max_cents^2 must stay under 2^63 — at 1e5-cent values that is "
+    "~9e8 rows per group; past that, pre-aggregate y to coarser units. "
+    "Degenerate groups (constant x or y) emit NULL slope/R^2 on both "
+    "engines.",
+)
+def q262_groupwise_ols(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    p = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr(
+            "((CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " + 62135596800000000) div 1000000 div 3600) - 17733240"
+        ).alias("x"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("y"),
+    )
+    m = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    cov = nd * F.col("sxy") - sxd * F.col("sy")
+    deny = nd * F.col("syy") - syd * F.col("sy")
+    slope = cov / den
+    return m.select(
+        "event_type",
+        "n",
+        F.when(den > 0, F.round(slope, 6)).alias("slope_r6"),
+        F.when(
+            den > 0,
+            F.round((syd - slope * F.col("sx")) / nd, 6),
+        ).alias("intercept_r6"),
+        F.when(den * deny > 0, F.round(cov * cov / (den * deny), 6)).alias(
+            "r2_r6"
+        ),
+    )

@@ -1688,3 +1688,355 @@ def q239_spearman_rank_corr(spark: SparkSession, sf_dir: str):
             ),
         ).alias("spearman_r6"),
     )
+
+
+@register(
+    "q256_mann_whitney",
+    """
+    WITH p AS (
+      SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    g AS (
+      SELECT cents, CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(1 - g1) AS BIGINT) AS c2
+      FROM p GROUP BY cents
+    ),
+    r AS (
+      SELECT c1, c2, c1 + c2 AS t,
+             CAST(COALESCE(SUM(c1 + c2) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cb
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+      FROM r
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           tie_t,
+           CASE WHEN n1 > 0 AND n2 > 0 AND
+                     (CAST(n1 + n2 + 1 AS DOUBLE)
+                      - CAST(tie_t AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) > 0
+             THEN ROUND(
+               (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                - CAST(n1 AS DOUBLE) * n2 / 2.0)
+               / SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+                      * (CAST(n1 + n2 + 1 AS DOUBLE)
+                         - CAST(tie_t AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6)
+           END AS z_r6
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test (purchase vs view amounts) — the "
+    "nonparametric complement to q247's parametric z: no normality "
+    "assumption, robust to the heavy-tailed value distributions real "
+    "revenue has. Integer-exact construction: ranks are NEVER "
+    "materialized per row — values aggregate to distinct-cents counts "
+    "(c1, c2) first, and the tied-average rank of a value group is "
+    "recovered in DOUBLED units (avg_rank*2 = 2*cum_before + t + 1, an "
+    "exact bigint), so R1 and U1 are exact integers and the tie "
+    "correction sum(t^3 - t) rides the same aggregation. The only "
+    "window runs over DISTINCT cents (bounded by the price domain, not "
+    "the row count) — no global per-row sort at any scale. z is IEEE "
+    "arithmetic on the exact integers with one sqrt, rounded 6 (the "
+    "q247 convention). Bound: t^3 needs the largest tie group < 2.1e6 "
+    "rows (int64); u1_x2 ~ 2N^2 needs N < 2.1e9. SURVEY §2.9 "
+    "statistics family (q247/q231/q239).",
+)
+def q256_mann_whitney(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    p = e.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("g1"),
+    )
+    g = p.groupBy("cents").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    wcb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wcb), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    s = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cb") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1_x2 = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("bigint")
+    tcorr = (F.col("n1") + F.col("n2") + 1).cast("double") - F.col(
+        "tie_t"
+    ).cast("double") / (nd * (F.col("n1") + F.col("n2") - 1))
+    z = (
+        u1_x2.cast("double") / F.lit(2.0) - n1d * F.col("n2") / F.lit(2.0)
+    ) / F.sqrt(n1d * F.col("n2") / F.lit(12.0) * tcorr)
+    return s.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        "tie_t",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (tcorr > 0), F.round(z, 6)
+        ).alias("z_r6"),
+    )
+
+
+@register(
+    "q261_fleiss_kappa",
+    """
+    WITH rat AS (
+      SELECT doc_id,
+             ((doc_id % 2147483648) * 2654435761 + 1 * 40503)
+               % 2147483648 % 3 AS r0,
+             ((doc_id % 2147483648) * 2654435761 + 2 * 40503)
+               % 2147483648 % 3 AS r1,
+             ((doc_id % 2147483648) * 2654435761 + 3 * 40503)
+               % 2147483648 % 3 AS r2
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id,
+             CASE WHEN r0 = r1 THEN 1 ELSE 0 END
+             + CASE WHEN r0 = r2 THEN 1 ELSE 0 END
+             + CASE WHEN r1 = r2 THEN 1 ELSE 0 END AS agree,
+             CASE WHEN r0 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN r1 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN r2 = 0 THEN 1 ELSE 0 END AS k0,
+             CASE WHEN r0 = 1 THEN 1 ELSE 0 END
+             + CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+             + CASE WHEN r2 = 1 THEN 1 ELSE 0 END AS k1,
+             CASE WHEN r0 = 2 THEN 1 ELSE 0 END
+             + CASE WHEN r1 = 2 THEN 1 ELSE 0 END
+             + CASE WHEN r2 = 2 THEN 1 ELSE 0 END AS k2
+      FROM rat
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(agree) AS BIGINT) AS agree_pairs,
+             CAST(SUM(k0) AS BIGINT) AS c0,
+             CAST(SUM(k1) AS BIGINT) AS c1,
+             CAST(SUM(k2) AS BIGINT) AS c2
+      FROM per
+    )
+    SELECT n_docs, agree_pairs, c0, c1, c2,
+           CASE WHEN n_docs > 0 AND
+                  (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1
+                   + CAST(c2 AS DOUBLE) * c2)
+                  / ((3.0 * n_docs) * (3.0 * n_docs)) < 1.0
+             THEN ROUND(
+               (CAST(agree_pairs AS DOUBLE) / (3.0 * n_docs)
+                - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1
+                   + CAST(c2 AS DOUBLE) * c2)
+                  / ((3.0 * n_docs) * (3.0 * n_docs)))
+               / (1.0
+                  - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1
+                     + CAST(c2 AS DOUBLE) * c2)
+                    / ((3.0 * n_docs) * (3.0 * n_docs))), 6)
+           END AS kappa_r6
+    FROM s
+    """,
+    doc="Fleiss' kappa multi-rater agreement (3 raters, 3 categories) — "
+    "the n-rater generalization of q224's two-rater Cohen's kappa, the "
+    "standard readout when labeling crowds annotate training data. "
+    "Raters are deterministic Knuth-hash labelers (the q224/q112 "
+    "convention, doc_id pre-reduced mod 2^31 before the multiply so "
+    "the product never overflows — the r8 rehearsal lesson). "
+    "Integer-exact core: with n raters, sum_j n_ij^2 = n + 2*"
+    "(agreeing pairs), so observed agreement needs only pair-equality "
+    "counts — P_o = agree_pairs/(3N) — and expected agreement needs "
+    "only per-category column sums — P_e = sum c_j^2/(3N)^2. One scan, "
+    "one 1-row aggregate, kappa = (Po-Pe)/(1-Pe) in IEEE arithmetic on "
+    "exact integers, rounded 6. Degenerate all-one-category corpora "
+    "(Pe = 1) emit NULL on both engines.",
+)
+def q261_fleiss_kappa(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+
+    def rater(i: int):
+        return (
+            (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+            + F.lit(i) * F.lit(40503)
+        ) % F.lit(2147483648) % 3
+
+    rat = d.select(
+        "doc_id",
+        rater(1).alias("r0"),
+        rater(2).alias("r1"),
+        rater(3).alias("r2"),
+    )
+
+    def eq(a, b):
+        return (F.col(a) == F.col(b)).cast("int")
+
+    def cat(j: int):
+        return sum(
+            (F.col(c) == j).cast("int") for c in ("r0", "r1", "r2")
+        )
+
+    per = rat.select(
+        (eq("r0", "r1") + eq("r0", "r2") + eq("r1", "r2")).alias("agree"),
+        cat(0).alias("k0"),
+        cat(1).alias("k1"),
+        cat(2).alias("k2"),
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("agree").cast("bigint").alias("agree_pairs"),
+        F.sum("k0").cast("bigint").alias("c0"),
+        F.sum("k1").cast("bigint").alias("c1"),
+        F.sum("k2").cast("bigint").alias("c2"),
+    )
+    nd = F.lit(3.0) * F.col("n_docs")
+    pe = (
+        F.col("c0").cast("double") * F.col("c0")
+        + F.col("c1").cast("double") * F.col("c1")
+        + F.col("c2").cast("double") * F.col("c2")
+    ) / (nd * nd)
+    po = F.col("agree_pairs").cast("double") / nd
+    return s.select(
+        "n_docs",
+        "agree_pairs",
+        "c0",
+        "c1",
+        "c2",
+        F.when(
+            (F.col("n_docs") > 0) & (pe < 1.0),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6),
+        ).alias("kappa_r6"),
+    )
+
+
+@register(
+    "q263_page_hinkley",
+    """
+    WITH p AS (
+      SELECT event_type, event_id,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS t_s,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    a AS (
+      SELECT event_type, event_id, t_s, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS i
+      FROM p WINDOW w AS (PARTITION BY event_type ORDER BY t_s, event_id)
+    ),
+    b AS (
+      SELECT event_type, event_id, t_s,
+             cents * 1000
+             - CAST(FLOOR(1000.0 * CAST(s AS DOUBLE) / i) AS BIGINT)
+             - 50000 AS dev
+      FROM a
+    ),
+    c AS (
+      SELECT event_type, event_id, t_s,
+             CAST(SUM(dev) OVER w AS BIGINT) AS m
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY t_s, event_id)
+    ),
+    d AS (
+      SELECT event_type, t_s,
+             m - CAST(MIN(m) OVER w AS BIGINT) AS ph
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY t_s, event_id)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(ph) AS BIGINT) AS max_ph_milli,
+           CAST(MIN(CASE WHEN ph > 1000000 THEN t_s END) AS BIGINT)
+             AS first_alarm_t_s
+    FROM d GROUP BY event_type
+    """,
+    doc="Page-Hinkley changepoint detection per event type — the "
+    "sequential mean-shift test that completes the drift family "
+    "(PSI q139 = distribution vs reference, KS q162 = two-window "
+    "shape, CUSUM q163 = known-target mean shift; PH tracks the "
+    "RUNNING mean, so no target needs configuring). Classic PH is a "
+    "per-step recurrence on the running mean — distributed here as "
+    "three stacked prefix windows over ONE (event_type) exchange and "
+    "sort: prefix sum + row count give the running mean, the per-row "
+    "deviation dev_i = x_i - mean_i - delta integerizes at 1e-3 cent "
+    "(FLOOR of an IEEE division of exact ints — identical on both "
+    "engines, the integerize-the-transcendental rule), a second "
+    "prefix sum accumulates m_t, and PH_t = m_t - min(m_<=t) is a "
+    "prefix min. Alarm when PH > lambda (1000 cents). delta=50c "
+    "tolerates drift; ties ordered (t_s, event_id) — total. The "
+    "event_type partition is sequential by nature (PH is a sequential "
+    "statistic); a hot single series at 100 TB takes the "
+    "segmented_carry lever (behavior.py:333) with per-chunk (sum, "
+    "count, min-m) carries.",
+)
+def q263_page_hinkley(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    p = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " + 62135596800000000) div 1000000 - 62135596800"
+        ).alias("t_s"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t_s", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a = p.select(
+        "event_type",
+        "event_id",
+        "t_s",
+        "cents",
+        F.sum("cents").over(wr).cast("bigint").alias("s"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    b = a.select(
+        "event_type",
+        "event_id",
+        "t_s",
+        (
+            F.col("cents") * 1000
+            - F.floor(
+                F.lit(1000.0) * F.col("s").cast("double") / F.col("i")
+            ).cast("bigint")
+            - 50000
+        ).alias("dev"),
+    )
+    c = b.select(
+        "event_type",
+        "event_id",
+        "t_s",
+        F.sum("dev").over(wr).cast("bigint").alias("m"),
+    )
+    d = c.select(
+        "event_type",
+        "t_s",
+        (F.col("m") - F.min("m").over(wr).cast("bigint")).alias("ph"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("ph").cast("bigint").alias("max_ph_milli"),
+        F.min(F.when(F.col("ph") > 1000000, F.col("t_s")))
+        .cast("bigint")
+        .alias("first_alarm_t_s"),
+    )

@@ -487,3 +487,83 @@ def q218_rendezvous_reshard(spark: SparkSession, sf_dir: str):
             " * 10000 div COUNT(*) AS BIGINT)"
         ).alias("moved_mod_bp"),
     )
+
+
+@register(
+    "q253_incremental_distinct_view",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active_custs,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 17 <> 0
+    GROUP BY 1
+    """,
+    doc="incremental view maintenance with COUNT(DISTINCT) — the "
+    "non-abelian case q161 documents away (retract/assert works only "
+    "for group-valued aggregates; a distinct count cannot subtract a "
+    "deletion without knowing whether other contributions remain). The "
+    "standard two-level construction: a SUPPORT table keyed by "
+    "(group, distinct-key) holds abelian per-key counts (maintained by "
+    "retract/assert exactly like q161 — here orders with orderkey%17=0 "
+    "are the deleted delta), and the view re-derives the distinct "
+    "count as COUNT(*) of support rows whose refcount stays > 0. The "
+    "oracle aggregates the post-delete tables directly; the hash match "
+    "proves the algebra including the hard case — a customer whose "
+    "LAST order is deleted leaves the distinct count. At 100 TB the "
+    "support table is the only state kept (one row per (nation, "
+    "customer)), the delta semi-join touches only deleted keys, and "
+    "both shuffles key on the same c_custkey exchange. "
+    "Ref parity: reference has no SQL engine; this extends SURVEY §2.9 "
+    "north-star coverage (materialized-view maintenance family with "
+    "q147/q161).",
+)
+def q253_incremental_distinct_view(spark: SparkSession, sf_dir: str):
+    o, c = load(spark, sf_dir, "orders", "customer")
+    oo = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("bigint").alias("_pc"),
+    )
+    cd = c.select("c_custkey", "c_nationkey")
+    joined = oo.join(cd, oo.o_custkey == cd.c_custkey)
+    # previous materialization: per-(nation, customer) support counts
+    sup_old = joined.groupBy("c_nationkey", "c_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("_pc").cast("bigint").alias("pc"),
+    )
+    # the deletion delta: only deleted orders are rescanned/joined
+    retract = (
+        joined.filter(F.col("o_orderkey") % 17 == 0)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_rc"),
+            F.sum("_pc").cast("bigint").alias("_rp"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    sup_new = (
+        sup_old.join(retract, ["c_nationkey", "c_custkey"], "left")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            (F.col("cnt") - F.coalesce("_rc", z)).alias("cnt"),
+            (F.col("pc") - F.coalesce("_rp", z)).alias("pc"),
+        )
+        # refcount 0 = the customer's last order was deleted: the row
+        # leaves the support table and the distinct count drops — the
+        # exact step plain retract/assert cannot express
+        .filter(F.col("cnt") > 0)
+    )
+    return sup_new.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_custs"),
+        F.sum("cnt").cast("bigint").alias("n_orders"),
+        F.sum("pc").cast("bigint").alias("sum_price_cents"),
+    ).select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n_active_custs",
+        "n_orders",
+        "sum_price_cents",
+    )

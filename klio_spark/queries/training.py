@@ -1393,3 +1393,73 @@ def q238_mixture_ess(spark: SparkSession, sf_dir: str):
             F.expr("CAST(s1 * s1 * 1000000 div (s2 * n_sources) AS BIGINT)"),
         ).alias("ess_ppm_of_n"),
     )
+
+
+@register(
+    "q254_stratified_min_sample",
+    """
+    WITH h AS (
+      SELECT source, doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY hkey, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM h
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(GREATEST(15, MAX(n) // 10) AS BIGINT) AS n_target,
+           CAST(SUM(CASE WHEN rn <= GREATEST(15, n // 10)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= GREATEST(15, n // 10)
+                         THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+    FROM r GROUP BY source
+    """,
+    doc="stratified sampling with EXACT per-stratum counts and a "
+    "minimum-allocation floor — the q88 gap (q88's bernoulli hash gate "
+    "gives each source a keep-RATE, so a rare stratum can keep near "
+    "zero docs; eval sets and per-domain probes need max(min_n, "
+    "floor(rate*n)) EXACTLY). Mechanism: rank docs within each source "
+    "by (md5(doc_id), doc_id) — a deterministic permutation, stable "
+    "under reshuffles and appends in expectation — and keep rank <= "
+    "target. The rank <= k filter is Spark's WindowGroupLimit "
+    "pre-filter when k is a literal; with a data-dependent target it "
+    "stays one window over one source exchange, and the per-source "
+    "COUNT rides the same window. Small strata (n < min) keep "
+    "everything — n_kept = least(target, n) proves the floor on both "
+    "engines. doc_id tiebreak makes the permutation total (md5 "
+    "collisions). SURVEY §2.9 sampling family (q88/q118/q153/q233).",
+)
+def q254_stratified_min_sample(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    (d,) = load(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    wp = Window.partitionBy("source")
+    r = h.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    target = F.greatest(F.lit(15), (F.col("n") / 10).cast("bigint"))
+    kept = F.col("rn") <= target
+    return r.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.greatest(F.lit(15), (F.max("n") / 10).cast("bigint"))
+        .cast("bigint")
+        .alias("n_target"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_kept_ids"),
+    )
