@@ -168,10 +168,21 @@ _VERIFY_FIRST = [
     "q75_embedding_centroids",
     "q76_binary_meta",
     "q77_bpe_token_count",
-    # -- round-9 NEW queries are appended below as they land (VERDICT
-    #    r8 item 2: growth capped, every new entry enters the window
-    #    immediately); slack slots past ~50 fall through to the r4
-    #    band at the head of _DRIVER_GREEN. --
+    # -- round-9 NEW queries (VERDICT r8 item 2: growth capped at
+    #    15-20, every new entry enters the window immediately); slack
+    #    slots past ~50 fall through to the r4 band at the head of
+    #    _DRIVER_GREEN. --
+    "q253_incremental_distinct_view",
+    "q254_stratified_min_sample",
+    "q255_suffix_span_dedup",
+    "q256_mann_whitney",
+    "q257_bh_fdr",
+    "q258_kaplan_meier",
+    "q259_rolling_exact_distinct",
+    "q260_asof_nearest_tolerance",
+    "q261_fleiss_kappa",
+    "q262_groupwise_ols",
+    "q263_page_hinkley",
 ]
 
 _DRIVER_GREEN = [

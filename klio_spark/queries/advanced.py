@@ -1021,3 +1021,110 @@ def q215_k_core(spark: SparkSession, sf_dir: str):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@register(
+    "q260_asof_nearest_tolerance",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS t
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IN ('click', 'error')
+    ),
+    u AS (
+      SELECT event_id, user_id, t,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS tag
+      FROM p
+    ),
+    f AS (
+      SELECT event_id, user_id, t, tag,
+             MAX(CASE WHEN tag = 0 THEN t END) OVER wb AS prev_t,
+             MIN(CASE WHEN tag = 0 THEN t END) OVER wf AS next_t
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY t, tag, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY t, tag, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    pick AS (
+      SELECT event_id, user_id, t,
+             CASE
+               WHEN prev_t IS NOT NULL
+                    AND (next_t IS NULL OR t - prev_t <= next_t - t)
+                 THEN prev_t
+               ELSE next_t
+             END AS cand
+      FROM f WHERE tag = 1
+    )
+    SELECT event_id, user_id, t AS t_err_s,
+           CASE WHEN ABS(cand - t) <= 300 THEN cand END AS t_click_s,
+           CASE WHEN ABS(cand - t) <= 300 THEN ABS(cand - t) END AS delta_s
+    FROM pick
+    """,
+    doc="nearest-in-time join with tolerance — the BIDIRECTIONAL "
+    "completion of q15's backward as-of join (sensor fusion and "
+    "click-to-error triage want the CLOSEST companion event within a "
+    "window, not the latest preceding one). One union + one (user_id) "
+    "exchange + TWO frames over the SAME sort (Spark fuses same-"
+    "window-spec functions; no second shuffle): a backward "
+    "running-max of click times and a forward running-min give each "
+    "error its flanking clicks; the nearer one wins, equidistant ties "
+    "go to the EARLIER click (backward candidate preferred on <=), "
+    "and candidates beyond 300 s are nulled — all integer seconds. "
+    "Ordering (t, tag, event_id) is total (event_id unique); a click "
+    "at the error's exact timestamp sorts before it (tag order) and "
+    "matches at delta 0 through the backward frame. "
+    "Citation: reference lib/src/klio/transforms (no relational "
+    "surface); SURVEY §2.8 joins family (q14/q15/q130/q176).",
+)
+def q260_asof_nearest_tolerance(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    p = e.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "error")
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("event_type") == "error").cast("int").alias("tag"),
+        F.expr(
+            "(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " + 62135596800000000) div 1000000 - 62135596800"
+        ).alias("t"),
+    )
+    base = Window.partitionBy("user_id").orderBy("t", "tag", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    click_t = F.when(F.col("tag") == 0, F.col("t"))
+    f = p.select(
+        "event_id",
+        "user_id",
+        "t",
+        "tag",
+        F.max(click_t).over(wb).alias("prev_t"),
+        F.min(click_t).over(wf).alias("next_t"),
+    )
+    pick = f.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "t",
+        F.when(
+            F.col("prev_t").isNotNull()
+            & (
+                F.col("next_t").isNull()
+                | (F.col("t") - F.col("prev_t") <= F.col("next_t") - F.col("t"))
+            ),
+            F.col("prev_t"),
+        )
+        .otherwise(F.col("next_t"))
+        .alias("cand"),
+    )
+    within = F.abs(F.col("cand") - F.col("t")) <= 300
+    return pick.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("t_err_s"),
+        F.when(within, F.col("cand")).alias("t_click_s"),
+        F.when(within, F.abs(F.col("cand") - F.col("t"))).alias("delta_s"),
+    )

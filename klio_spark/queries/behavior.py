@@ -4300,3 +4300,189 @@ def q262_groupwise_ols(spark: SparkSession, sf_dir: str):
             "r2_r6"
         ),
     )
+
+
+@register(
+    "q258_kaplan_meier",
+    """
+    WITH p AS (
+      SELECT user_id, event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS t_s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    s0 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN t_s END) AS t0
+      FROM p GROUP BY user_id
+    ),
+    ev AS (
+      SELECT p.user_id, MIN(p.t_s) AS te
+      FROM p JOIN s0 USING (user_id)
+      WHERE p.event_type = 'purchase' AND p.t_s >= s0.t0
+      GROUP BY p.user_id
+    ),
+    mx AS (SELECT MAX(t_s) AS tmax FROM p),
+    u AS (
+      SELECT s0.user_id % 2 AS arm,
+             CASE WHEN ev.te IS NOT NULL
+                  THEN (ev.te - s0.t0) // 86400
+                  ELSE (mx.tmax - s0.t0) // 86400 END AS t_day,
+             CASE WHEN ev.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM s0 CROSS JOIN mx LEFT JOIN ev USING (user_id)
+      WHERE s0.t0 IS NOT NULL
+    ),
+    g AS (
+      SELECT arm, t_day,
+             CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(1 - obs) AS BIGINT) AS c
+      FROM u GROUP BY arm, t_day
+    ),
+    r AS (
+      SELECT arm, t_day, d, c,
+             CAST(SUM(d + c) OVER (PARTITION BY arm) AS BIGINT)
+             - CAST(COALESCE(SUM(d + c) OVER (
+                 PARTITION BY arm ORDER BY t_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM g
+    ),
+    li AS (
+      SELECT arm, t_day, d, c, n_risk,
+             CASE WHEN d = 0 THEN 0
+                  WHEN d < n_risk THEN CAST(FLOOR(
+                    1000000000000.0
+                    * LN(1.0 - CAST(d AS DOUBLE) / n_risk)) AS BIGINT)
+             END AS lt,
+             CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS dead
+      FROM r
+    ),
+    cum AS (
+      SELECT arm, t_day, d, c, n_risk,
+             CAST(SUM(lt) OVER w AS BIGINT) AS cl,
+             MAX(dead) OVER w AS cd
+      FROM li
+      WINDOW w AS (PARTITION BY arm ORDER BY t_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, CAST(t_day AS BIGINT) AS t_day,
+           n_risk, d AS n_event, c AS n_censor,
+           CASE WHEN cd = 1 THEN 0.0
+                ELSE ROUND(EXP(CAST(cl AS DOUBLE) / 1000000000000.0), 6)
+           END AS surv_r6
+    FROM cum
+    """,
+    doc="Kaplan-Meier survival estimate (signup -> first purchase, "
+    "censored at corpus end, two arms by user parity) — the time-to-"
+    "event completion of the funnel/retention family (q108 counts "
+    "conversions, q193 builds the lifetable; KM is THE estimator "
+    "under right-censoring). Distributed shape: per-user reduction to "
+    "(arm, duration_day, observed) — two aggs on the user_id exchange "
+    "— then the KM product over the tiny (arm, day) table: n_risk by "
+    "prefix-subtraction, and the product turned into a SUM by the "
+    "integerize-the-transcendental rule — per-row floor(1e12 * "
+    "ln(1 - d/n)) is an exact bigint (identical IEEE inputs -> "
+    "identical ln -> identical floor), prefix-summed exactly, "
+    "exponentiated and rounded 6 once per row. The d = n_risk "
+    "boundary (everyone at risk dies) sets survival EXACTLY 0 from "
+    "that day on via a prefix-max flag — no ln(0) on either engine. "
+    "Censored-at-t users count at risk for deaths at t (the standard "
+    "deaths-before-censors convention, encoded identically by the "
+    "shared grouping).",
+)
+def q258_kaplan_meier(spark: SparkSession, sf_dir: str):
+    (e,) = load(spark, sf_dir, "events")
+    p = e.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        F.expr(_SECS.format(c="ts")).alias("t_s"),
+    )
+    s0 = p.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("t_s"))).alias(
+            "t0"
+        )
+    )
+    ev = (
+        p.filter(F.col("event_type") == "purchase")
+        .join(s0, "user_id")
+        .filter(F.col("t_s") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t_s").alias("te"))
+    )
+    mx = p.agg(F.max("t_s").alias("tmax"))
+    u = (
+        s0.filter(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .join(ev, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.when(
+                F.col("te").isNotNull(),
+                F.expr("(te - t0) div 86400"),
+            )
+            .otherwise(F.expr("(tmax - t0) div 86400"))
+            .alias("t_day"),
+            F.col("te").isNotNull().cast("int").alias("obs"),
+        )
+    )
+    g = u.groupBy("arm", "t_day").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("obs")).cast("bigint").alias("c"),
+    )
+    wa = Window.partitionBy("arm")
+    wb = Window.partitionBy("arm").orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wc = Window.partitionBy("arm").orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "arm",
+        "t_day",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wa).cast("bigint")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wb), F.lit(0)
+            ).cast("bigint")
+        ).alias("n_risk"),
+    )
+    lt = F.when(F.col("d") == 0, F.lit(0).cast("bigint")).when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.lit(1000000000000.0)
+            * F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+        ).cast("bigint"),
+    )
+    dead = (
+        (F.col("d") >= F.col("n_risk")) & (F.col("d") > 0)
+    ).cast("int")
+    li = r.select(
+        "arm", "t_day", "d", "c", "n_risk", lt.alias("lt"), dead.alias("dead")
+    )
+    cum = li.select(
+        "arm",
+        "t_day",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lt").over(wc).cast("bigint").alias("cl"),
+        F.max("dead").over(wc).alias("cd"),
+    )
+    return cum.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("t_day").cast("bigint").alias("t_day"),
+        "n_risk",
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censor"),
+        F.when(F.col("cd") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("cl").cast("double") / F.lit(1000000000000.0)), 6
+            )
+        )
+        .alias("surv_r6"),
+    )

@@ -2040,3 +2040,182 @@ def q263_page_hinkley(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("first_alarm_t_s"),
     )
+
+
+@register(
+    "q257_bh_fdr",
+    """
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT source, n, x,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(SUM(x) OVER () AS BIGINT) AS xx
+      FROM per
+    ),
+    zed AS (
+      SELECT source, n, x,
+             CASE WHEN n > 0 AND nn - n > 0 AND xx > 0 AND xx < nn THEN
+               ABS((CAST(x AS DOUBLE) / n
+                    - CAST(xx - x AS DOUBLE) / (nn - n))
+                   / SQRT((CAST(xx AS DOUBLE) / nn)
+                          * (1.0 - CAST(xx AS DOUBLE) / nn)
+                          * (1.0 / n + 1.0 / (nn - n))))
+             END AS az
+      FROM tot
+    ),
+    pv AS (
+      SELECT source, n, x,
+             CASE WHEN az IS NOT NULL THEN ROUND(
+               (1.0 / (1.0 + 0.3275911 * (az / 1.4142135623730951)))
+               * (0.254829592
+                  + (1.0 / (1.0 + 0.3275911 * (az / 1.4142135623730951)))
+                  * (-0.284496736
+                     + (1.0 / (1.0 + 0.3275911 * (az / 1.4142135623730951)))
+                     * (1.421413741
+                        + (1.0 / (1.0 + 0.3275911 * (az / 1.4142135623730951)))
+                        * (-1.453152027
+                           + (1.0 / (1.0 + 0.3275911
+                                     * (az / 1.4142135623730951)))
+                           * 1.061405429))))
+               * EXP(-(az / 1.4142135623730951)
+                     * (az / 1.4142135623730951)), 6)
+             END AS p_r6
+      FROM zed
+    ),
+    ranked AS (
+      SELECT source, n, x, p_r6,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_r6 ASC NULLS LAST, source)
+                  AS BIGINT) AS k,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    kstar AS (
+      SELECT source, n, x, p_r6, k,
+             MAX(CASE WHEN p_r6 * m <= 0.05 * k THEN k END) OVER ()
+               AS k_star
+      FROM ranked
+    )
+    SELECT source, n AS n_docs, x AS n_long, p_r6, k,
+           COALESCE(k <= k_star, FALSE) AS rejected
+    FROM kstar
+    """,
+    doc="Benjamini-Hochberg FDR control across per-source proportion "
+    "tests — the multiple-testing completion of q247 (one test) and "
+    "q117 (point readout): screening 20+ sources for anomalous "
+    "long-doc rates at a naive 0.05 each would false-alarm "
+    "constantly; BH bounds the FALSE DISCOVERY RATE. Per source: "
+    "leave-one-out two-proportion z (exact integer counts, IEEE "
+    "arithmetic, one sqrt), then the two-sided normal p via the "
+    "Abramowitz-Stegun 7.1.26 erfc polynomial — spelled as the "
+    "IDENTICAL Horner form on both engines (exp is bit-identical on "
+    "identical inputs across these platforms; the q142 precedent) and "
+    "ROUNDED AT 6 BEFORE the BH comparison so both engines step "
+    "through the procedure on identical numbers. BH itself: rank p "
+    "ascending (tie-broken by source — unique), k* = max k with "
+    "p_(k) <= 0.05 k/m, reject all k <= k*. Shape: one groupBy to "
+    "#sources rows, then scalar windows over that tiny frame — the "
+    "statistical machinery costs nothing at any scale. Degenerate "
+    "sources (empty rest, pooled rate 0 or 1) carry NULL p and are "
+    "never rejected on either engine.",
+)
+def q257_bh_fdr(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("n_chars") > 1000).cast("int"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    wall = Window.partitionBy()
+    tot = per.select(
+        "source",
+        "n",
+        "x",
+        F.sum("n").over(wall).cast("bigint").alias("nn"),
+        F.sum("x").over(wall).cast("bigint").alias("xx"),
+    )
+    nd = F.col("n").cast("double")
+    nr = (F.col("nn") - F.col("n")).cast("double")
+    pp = F.col("xx").cast("double") / F.col("nn")
+    z = (
+        F.col("x").cast("double") / F.col("n")
+        - (F.col("xx") - F.col("x")).cast("double") / (F.col("nn") - F.col("n"))
+    ) / F.sqrt(
+        (F.col("xx").cast("double") / F.col("nn"))
+        * (F.lit(1.0) - F.col("xx").cast("double") / F.col("nn"))
+        * (F.lit(1.0) / F.col("n") + F.lit(1.0) / (F.col("nn") - F.col("n")))
+    )
+    zed = tot.select(
+        "source",
+        "n",
+        "x",
+        F.when(
+            (F.col("n") > 0)
+            & (F.col("nn") - F.col("n") > 0)
+            & (F.col("xx") > 0)
+            & (F.col("xx") < F.col("nn")),
+            F.abs(z),
+        ).alias("az"),
+    )
+    xs = F.col("az") / F.lit(1.4142135623730951)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * xs)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    pv = zed.select(
+        "source",
+        "n",
+        "x",
+        F.when(
+            F.col("az").isNotNull(),
+            F.round(poly * F.exp(-xs * xs), 6),
+        ).alias("p_r6"),
+    )
+    wk = Window.orderBy(F.asc_nulls_last("p_r6"), F.asc("source"))
+    ranked = pv.select(
+        "source",
+        "n",
+        "x",
+        "p_r6",
+        F.row_number().over(wk).cast("bigint").alias("k"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
+    )
+    kstar = ranked.select(
+        "source",
+        "n",
+        "x",
+        "p_r6",
+        "k",
+        F.max(
+            F.when(
+                F.col("p_r6") * F.col("m") <= F.lit(0.05) * F.col("k"),
+                F.col("k"),
+            )
+        )
+        .over(wall)
+        .alias("k_star"),
+    )
+    return kstar.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("x").alias("n_long"),
+        "p_r6",
+        "k",
+        F.coalesce(F.col("k") <= F.col("k_star"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )

@@ -2518,3 +2518,105 @@ def q245_syndication_matrix(spark: SparkSession, sf_dir: str):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_texts"))
     )
+
+
+@register(
+    "q255_suffix_span_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS g
+      FROM toks, LATERAL unnest(range(1, len(tk) - 6)) AS u(i)
+      WHERE len(tk) >= 8
+    ),
+    rare AS (
+      SELECT doc_id, pos, g FROM
+        (SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS c FROM kg)
+      WHERE c BETWEEN 2 AND 8
+    ),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM rare a JOIN rare b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM pr
+    ),
+    spans AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS len
+      FROM runs GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(len) + 7 AS BIGINT) AS max_span_tokens,
+           CAST(SUM(len) AS BIGINT) AS n_shared_pos
+    FROM spans GROUP BY id_a, id_b
+    """,
+    doc="cross-document maximal shared spans — the span-level exact-"
+    "substring dedup q136 documents away (q136 reports WITHIN-doc "
+    "duplicated-position stats; removing syndicated passages needs the "
+    "(doc_a, doc_b, span) table itself). Suffix-array-free exact "
+    "construction: anchor on shared token 8-grams, then positions a "
+    "pair shares along one alignment DIAGONAL (pos_a - pos_b) merge "
+    "into maximal runs by the gaps-and-islands delta — a run of L "
+    "consecutive shared 8-gram positions IS a maximal shared span of "
+    "L+7 tokens (the suffix-array LCP result, computed by equi-join + "
+    "window instead of a sequential scan). The frequency cap (grams "
+    "occurring 2..8 times corpus-wide) is the standard boilerplate cut "
+    "and the quadratic-blowup bound: a gram contributes at most "
+    "C(8,2) pair rows, so the join output is linear in the rare-gram "
+    "table, never all-pairs. Spark joins 8-byte xxhash64 keys (the "
+    "q136 convention); the oracle joins the gram strings. row_number "
+    "ties impossible: pos is unique within (id_a, id_b, diag) — one "
+    "gram per position, one diagonal per (pa, pb).",
+)
+def q255_suffix_span_dedup(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    k = 8
+    toks = d.select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("tk")
+    ).filter(F.size("tk") >= k)
+    kg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i, k))),
+            )
+        ).alias("_p0", "_kh"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_kh")
+    wk = Window.partitionBy("_kh")
+    rare = scoped_persist(
+        kg.withColumn("_c", F.count(F.lit(1)).over(wk))
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= 8))
+        .select("doc_id", "pos", "_kh")
+    )
+    a = rare.select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "_kh"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "_kh"
+    )
+    pr = (
+        a.join(b, "_kh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wr = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = pr.withColumn("grp", F.col("pa") - F.row_number().over(wr))
+    spans = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        (F.max("len") + (k - 1)).cast("bigint").alias("max_span_tokens"),
+        F.sum("len").cast("bigint").alias("n_shared_pos"),
+    )

@@ -260,6 +260,21 @@ QUERIES = [
     # sources -> nonzero cross-source cells, unlike the fixed corpus;
     # the distinct-before-join must collapse same-source repeats)
     "q245_syndication_matrix",
+    # round-9: stratified min-sample (tiny random strata force the
+    # minimum floor: n_kept = n_total when n < 15; md5-rank ties break
+    # on doc_id)
+    "q254_stratified_min_sample",
+    # round-9: shared-span pairs (duplicate texts share FULL diagonals;
+    # NULL/short docs contribute no 8-grams; the 2..8 frequency cap
+    # drops the most-repeated boilerplate on both engines identically)
+    "q255_suffix_span_dedup",
+    # round-9: BH-FDR (NULL n_chars rows count as not-long on both
+    # engines; 3 sources -> tiny m stresses the k/m thresholds; a
+    # source with every doc long drives a degenerate-z NULL p)
+    "q257_bh_fdr",
+    # round-9: Fleiss kappa (negative doc_ids exercise the mod-2^31
+    # pre-reduce sign convention on both engines)
+    "q261_fleiss_kappa",
 ]
 
 
@@ -320,7 +335,11 @@ def _random_events(
                 prev = rows[rng.randrange(len(rows))]
                 ts = prev["_us"] if prev["_us"] is not None else ts  # tie
         etype = rng.choice(
-            ["view"] * 6 + ["click"] * 3 + ["purchase", "refund"]
+            # signup/error joined the mix in round 9 (q258 Kaplan-Meier
+            # needs signups, q260 nearest-join needs errors); the tests
+            # are differential, so the corpus shift is safe by design
+            ["view"] * 5 + ["click"] * 3
+            + ["purchase", "refund", "signup", "error"]
         )
         # 'refund' value is ALWAYS NULL: an all-NULL SUM group probes the
         # coalesce-vs-NULL merge semantics (q147); other types go NULL
@@ -447,6 +466,32 @@ EVENT_QUERIES = [
     # value coalesces to 0 cents; a far-future row forms its own
     # cohort; negative event values floor toward -inf identically)
     "q248_cohort_ltv",
+    # round-9: Mann-Whitney (tie groups are the WHOLE point — repeated
+    # two-decimal values collide in cents; all-NULL refund values drop;
+    # one-arm-empty corpora NULL the z on both engines)
+    "q256_mann_whitney",
+    # round-9: Kaplan-Meier (ties between event and censor at the same
+    # day exercise the deaths-before-censors convention; users with no
+    # signup vanish; pre-epoch anchors stress the div-vs-floor shift)
+    "q258_kaplan_meier",
+    # round-9: exact rolling distinct (pre-epoch days; NULL ts/user
+    # filtered; duplicate (user, day) pairs must collapse BEFORE the
+    # 7-day explode or counts inflate)
+    "q259_rolling_exact_distinct",
+    # round-9: nearest-tolerance join (identical-microsecond corpora
+    # put clicks AT error timestamps -> delta 0 through the backward
+    # frame; equidistant flanks tie to the earlier click on both
+    # engines)
+    "q260_asof_nearest_tolerance",
+    # round-9: group-wise OLS (pre-epoch hours go NEGATIVE -> the
+    # year-1 shift keeps div == floor; constant-y refund groups drop
+    # to NULL slope via the degenerate guard... refund is all-NULL
+    # value so it vanishes entirely; ties in x stress sxx exactness)
+    "q262_groupwise_ols",
+    # round-9: Page-Hinkley (timestamp ties order by event_id; negative
+    # cents swing the running mean below zero — the FLOOR of the IEEE
+    # division must agree on negatives, which the double-div form does)
+    "q263_page_hinkley",
 ]
 
 
@@ -473,7 +518,11 @@ def _pathological_events(seed: int, flavor: str, n: int = 400) -> pd.DataFrame:
 
     def emit(i, ts, user):
         etype = rng.choice(
-            ["view"] * 6 + ["click"] * 3 + ["purchase", "refund"]
+            # signup/error joined the mix in round 9 (q258 Kaplan-Meier
+            # needs signups, q260 nearest-join needs errors); the tests
+            # are differential, so the corpus shift is safe by design
+            ["view"] * 5 + ["click"] * 3
+            + ["purchase", "refund", "signup", "error"]
         )
         value = (
             None
@@ -1208,6 +1257,11 @@ CUSTOMER_QUERIES = [
     # arbitrary (caught by the 3x-amplified sweep); the composite
     # (cents, orderkey) key must pin the winner identically
     "q09_arg_min_max",
+    # round-9: distinct-count view maintenance (orphan orders drop via
+    # the inner join; a customer whose ONLY order has orderkey%17=0
+    # must leave the distinct count — the non-abelian step; zero-order
+    # customers never enter the support table)
+    "q253_incremental_distinct_view",
 ]
 
 

@@ -174,6 +174,21 @@ ALLOWED: dict[str, str] = {
     "klio_spark/queries/behavior.py::q202_attribution_position_based::sql_row_number": ALIASED_ROW_ID
     + ": (st, tid) where tid aliases the touch's event_id (corpus-"
     "unique)",
+    # --- round-9 wave ---
+    "klio_spark/queries/dataqual.py::q257_bh_fdr::row_number": UNIQUE_IN_PARTITION
+    + ": source, the p-value table is GROUP BY source (one test per "
+    "source); (p_r6, source) is total",
+    "klio_spark/queries/dataqual.py::q257_bh_fdr::sql_row_number": UNIQUE_IN_PARTITION
+    + ": source, the p-value table is GROUP BY source (one test per "
+    "source); (p_r6, source) is total",
+    "klio_spark/queries/textops.py::q255_suffix_span_dedup::row_number": UNIQUE_IN_PARTITION
+    + ": pa within (id_a, id_b, diag) — one 8-gram per position, one "
+    "diagonal per (pa, pb), so the pair join emits each (pa, diag) "
+    "once",
+    "klio_spark/queries/textops.py::q255_suffix_span_dedup::sql_row_number": UNIQUE_IN_PARTITION
+    + ": pa within (id_a, id_b, diag) — one 8-gram per position, one "
+    "diagonal per (pa, pb), so the pair join emits each (pa, diag) "
+    "once",
 }
 
 
