@@ -1987,3 +1987,91 @@ def streaming_quantile_hist(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_page_hinkley(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    *,
+    delta_milli: int = 50000,
+    lambda_milli: int = 1000000,
+) -> DataFrame:
+    """Online Page-Hinkley mean-shift alarm per key — q263's live twin
+    (queries/dataqual.py) and the 30th stateful op, completing the
+    drift family's batch/live pairing (PSI, KS, CUSUM, calibration,
+    Benford, seasonality, quantile-norm all have one). CUSUM needs a
+    configured TARGET mean; PH tracks the RUNNING mean, so it monitors
+    metrics nobody baselined — the common case.
+
+    Exactly q263's integer construction, folded incrementally: state =
+    (n, sum_cents, m_milli, min_m_milli, alarmed) — five int64s per
+    key, checkpoint-durable. Per event in (ts, id) order: the running
+    mean integerizes as floor(1000.0 * sum / n) (an IEEE division of
+    exact ints — Python, Spark, and DuckDB agree bit-for-bit, the
+    integerize-the-transcendental rule), dev = cents*1000 - mean_milli
+    - delta_milli accumulates into m, and PH = m - min(m so far,
+    including now). The FIRST crossing of lambda_milli emits one alarm
+    row (key, t_s, ph_milli, n) and latches — matching q263's
+    first_alarm_t_s exactly, which is what the restart-twin test
+    asserts. Within a batch events sort by (ts, id); cross-batch
+    stragglers fold in arrival order (the stateful_funnel relaxation).
+    NaT timestamps and NULL values are skipped, like the batch
+    kernel's filter."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        evs = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                t = pd.Timestamp(ts)
+                if t is not pd.NaT and not pd.isna(t) and not pd.isna(val):
+                    ik = -(2**63) if pd.isna(eid) else int(eid)
+                    cents = int(math.floor(val * 100.0))
+                    # epoch seconds (t.value is NANOseconds), floor —
+                    # matches _SECS for the non-negative post-1970
+                    # suite corpora; the batch kernel's year-1 shift
+                    # generalizes it
+                    evs.append((int(t.value // 1_000_000_000), ik, cents))
+        if not evs:
+            return
+        evs.sort(key=lambda x: (x[0], x[1]))
+        n, s, m, min_m, alarmed = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        out = []
+        for tm, _ik, cents in evs:
+            n += 1
+            s += cents
+            mu = int(math.floor(1000.0 * s / n))
+            m += cents * 1000 - mu - delta_milli
+            if m < min_m:
+                min_m = m
+            ph = m - min_m
+            if not alarmed and ph > lambda_milli:
+                alarmed = 1
+                out.append((key[0], tm, ph, n))
+        state.update((n, s, m, min_m, alarmed))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, "t_s", "ph_milli", "n_at_alarm"]
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, t_s long, ph_milli long,"
+            " n_at_alarm long"
+        ),
+        stateStructType=(
+            "n long, s long, m long, min_m long, alarmed long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2002,3 +2002,69 @@ def test_streaming_quantile_hist_matches_batch_kernel(spark, tmp_path):
     assert got == batch_h(b1 + b2)
     assert got[("web", 20000)] == 2  # b1 state survived and accumulated
     assert (None, 60000) in got  # NULL source keeps its own group
+
+
+def test_stateful_page_hinkley_matches_batch_kernel(spark, tmp_path):
+    """stateful_page_hinkley across a checkpoint restart: the live
+    first-alarm rows must equal q263's batch kernel over the cumulative
+    events — including an alarm whose drift accumulates ACROSS the
+    restart boundary — and a stable key raises none. The live op and
+    the batch query share one integer construction (floor(1000*s/n)
+    running mean, dev accumulation, prefix-min), so (key, t_s) of the
+    first crossing must agree exactly."""
+    import datetime as dt
+
+    from klio_spark.queries import all_queries
+
+    edir = tmp_path / "ph"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, event_type string, value double, ts timestamp"
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # 'drift': 4 calm events then a big sustained shift; the PH sum
+    # crosses lambda (1000 cents) in batch 2. 'ok' stays at the mean.
+    b1 = [(i, "drift", 10.0, t(i)) for i in range(4)] + [
+        (100 + i, "ok", 10.0, t(i)) for i in range(8)
+    ]
+    b2 = [(10 + i, "drift", 60.0, t(10 + i)) for i in range(6)] + [
+        (108 + i, "ok", 10.0, t(8 + i)) for i in range(4)
+    ]
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, schema).write.mode(
+            "append"
+        ).parquet(str(edir / "p"))
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_page_hinkley(stream),
+            lambda b, bid: b.write.mode("append").parquet(
+                f"{tmp_path}/phout"
+            ),
+            str(tmp_path / "ckpt-ph"),
+        )
+        q.awaitTermination(60)
+
+    run(b1)
+    run(b2)
+    live = {
+        r.event_type: (r.t_s, r.n_at_alarm)
+        for r in spark.read.parquet(f"{tmp_path}/phout").collect()
+    }
+
+    # batch kernel over the cumulative events
+    kdir = tmp_path / "kernel"
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        str(kdir / "events.parquet")
+    )
+    batch = {
+        r.event_type: r.first_alarm_t_s
+        for r in all_queries()["q263_page_hinkley"]
+        .fn(spark, str(kdir))
+        .collect()
+    }
+    assert set(batch) == {"drift", "ok"}
+    assert batch["ok"] is None and "ok" not in live
+    assert batch["drift"] is not None
+    assert live["drift"][0] == batch["drift"]
+    # the alarm event sits in batch 2: state crossed the restart
+    alarm_ids = [e for e in b2 if e[1] == "drift"]
+    assert live["drift"][0] >= int(alarm_ids[0][3].timestamp())

@@ -799,3 +799,44 @@ def test_streaming_quantile_hist_crash_fuzz(spark, tmp_path):
             src = None if pd.isna(r.source) else str(r.source)
             replay[(src, conf)] = replay.get((src, conf), 0) + 1
     assert clean == {(s, c, n) for (s, c), n in replay.items()}
+
+
+def test_stateful_page_hinkley_crash_fuzz(spark, tmp_path):
+    """Running-mean PH state (n, sum, m, min_m, latch) torn mid-batch:
+    the replayed run must emit the same single first-alarm row per
+    drifting key — no duplicate alarms (the latch must survive replay)
+    and no missed crossing (the accumulated m must not rewind)."""
+    rng = random.Random(263)
+    pdfs, eid = [], 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(6, 12)):
+            eid += 1
+            shift = 80.0 if b >= 3 else 0.0  # sustained mean shift
+            rows.append(
+                {
+                    "event_id": eid,
+                    "event_type": rng.choice(["drift", "calm"]),
+                    "value": (
+                        None
+                        if rng.randrange(12) == 0
+                        else round(rng.uniform(8, 12), 2)
+                        + (shift if rng.random() < 0.9 else 0.0)
+                    ),
+                    "ts": _ts(b * 10 + rng.randrange(10)),
+                }
+            )
+        pdfs.append(pd.DataFrame(rows))
+    rows = _fuzz_op(
+        spark, tmp_path, name="ph", seed=26,
+        build_op=st.stateful_page_hinkley,
+        schema=(
+            "event_id long, event_type string, value double, ts timestamp"
+        ),
+        pdfs=pdfs,
+    )
+    # rows canon column-sorted: (_bid, event_type, n_at_alarm, ph_milli,
+    # t_s); both keys see the batch-3 shift and each alarms exactly once
+    keys = [r[1] for r in rows]
+    assert sorted(keys) == sorted(set(keys)), "duplicate alarm per key"
+    assert len(rows) >= 1
