@@ -64,9 +64,13 @@ SKEW_QUERIES = [
     "q120_sliding_window_counts", "q122_anomalous_hours",
     "q124_funnel_windowed", "q126_bounce_rate", "q148_transition_matrix",
     "q191_event_paths", "q143_skew_profile",
-    # co-purchase graph + interval join (hot order clique, hot part)
+    # co-purchase graph + interval join (hot order clique, hub part)
     "q114_interval_overlap_join", "q125_copurchase_pairs",
     "q152_pagerank", "q160_triangle_count", "q169_bfs_khop",
+    # round-9 (VERDICT r8 item 5): the two most expensive graph queries
+    # get hub evidence — q214's top-32-strongest truncation should
+    # absorb the hub, q160's degree-ordered orientation bounds it
+    "q214_common_neighbors", "q215_k_core",
     # dedup stack on the near-dup mega-cluster
     "q64_exact_dedup", "q66_minhash_lsh_dedup", "q67_simhash_dedup",
     "q85_dedup_clusters", "q133_dedup_survivors", "q185_cluster_safe_split",
@@ -116,7 +120,12 @@ def build_skew_twin(spark, src: str, dst: str) -> None:
             ).otherwise(F.col("user_id")),
         ).repartition(8).write.mode("overwrite").parquet(out)
 
-    # lineitem: hot basket (1/1200 rows -> one order) + hot part (2%)
+    # lineitem: hot basket (1/1200 rows -> one order) + HUB part.
+    # The hub rule (round 9, VERDICT r8 item 5): besides the original
+    # 2%-of-rows remap, line 1 of every 5th ORDER becomes the hub part,
+    # so the hub sits in ~20% of BASKETS — the degree-structural shape
+    # q214's top-32 truncation and q160's orientation bound must absorb
+    # (a graph HUB, not just a fat join key).
     out = os.path.join(dst, "lineitem.parquet")
     if not os.path.exists(out):
         li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
@@ -125,6 +134,9 @@ def build_skew_twin(spark, src: str, dst: str) -> None:
         )
         hot_part = li.agg(F.min("l_partkey")).first()[0]
         h = F.xxhash64("l_orderkey", "l_linenumber")
+        hub = (F.pmod(F.col("l_orderkey"), F.lit(5)) == 0) & (
+            F.col("l_linenumber") == 1
+        )
         li.withColumn(
             "l_orderkey",
             F.when(F.pmod(h, F.lit(1200)) == 0, F.lit(hot_order)).otherwise(
@@ -132,9 +144,9 @@ def build_skew_twin(spark, src: str, dst: str) -> None:
             ),
         ).withColumn(
             "l_partkey",
-            F.when(F.pmod(h, F.lit(50)) == 1, F.lit(hot_part)).otherwise(
-                F.col("l_partkey")
-            ),
+            F.when(
+                (F.pmod(h, F.lit(50)) == 1) | hub, F.lit(hot_part)
+            ).otherwise(F.col("l_partkey")),
         ).repartition(8).write.mode("overwrite").parquet(out)
 
     # documents: + one 2,000-doc near-dup family (unique tail tokens)
