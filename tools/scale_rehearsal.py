@@ -209,6 +209,12 @@ def main() -> int:
 
     qs = all_queries()
     names = [n for n in args.queries.split(",") if n]
+    # warm the JVM/codegen/parquet paths before the first timed slot:
+    # the first query otherwise absorbs ~5-6 s of session warmup and
+    # reads as a phantom regression (round-9 q240 misread x0.44)
+    spark.read.parquet(os.path.join(args.src, "nation.parquet")).write.mode(
+        "overwrite"
+    ).format("noop").save()
     result = {"factor": args.factor, "queries": {}}
     for name in names:
         spec = qs[name]
