@@ -435,3 +435,39 @@ def test_textrank_broadcast_lever_forced_shuffle_identical(spark, sf_dir):
     got_h = [(r["word"], r["score_ppb"]) for r in hinted.collect()]
     got_s = [(r["word"], r["score_ppb"]) for r in shuffled.collect()]
     assert got_h == got_s and len(got_h) == 20
+
+
+def test_q259_dedup_before_window_fanout(spark, sf_dir, specs):
+    """The scalable identity q259 exists for: the (user, day) DISTINCT
+    aggregation must sit BELOW the 7-day explode, so the fan-out
+    multiplies the deduped pair table (users x days), never raw
+    events. In the numbered plan tree the Generate's node id must be
+    above the lowest exchange (the dedup shuffle)."""
+    import re
+
+    df = specs["q259_rolling_exact_distinct"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    gen = re.search(r"\((\d+)\) Generate", s)
+    exchanges = [int(m) for m in re.findall(r"\((\d+)\) Exchange", s)]
+    assert gen and exchanges, s[:2000]
+    assert int(gen.group(1)) > min(exchanges), (
+        "explode sits below the dedup exchange — raw events would fan "
+        "out 7x through the shuffle:\n" + s[:3000]
+    )
+
+
+def test_q263_three_windows_share_one_exchange(spark, sf_dir, specs):
+    """Page-Hinkley's three stacked prefix windows (sum/count -> dev
+    sum -> prefix min) must ride ONE (event_type) exchange and sort —
+    re-partitioning between them would triple the shuffle volume of a
+    sequential statistic."""
+    import re
+
+    df = specs["q263_page_hinkley"].fn(spark, sf_dir)
+    s = plans.plan_str(df)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", s))
+    n_window = len(re.findall(r"\(\d+\) Window", s))
+    n_sort = len(re.findall(r"\(\d+\) Sort", s))
+    assert n_window == 3, s[:3000]
+    assert n_exchange == 1, s[:3000]
+    assert n_sort == 1, s[:3000]
