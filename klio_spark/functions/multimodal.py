@@ -4,9 +4,11 @@ The Spark-side plumbing is real — schemas, batch shapes, partition-aware
 mapInPandas UDFs — and decode is real for formats that need no codec
 library: binary netpbm images (PGM/PPM, pure numpy), 8-bit
 non-interlaced PNG (stdlib zlib inflate + per-spec un-filtering — the
-inverse of klio_spark.audio's numpy+zlib encoder), and WAV audio
-(stdlib). Remaining compressed formats (JPEG, mp3/ogg) gate on
-PIL/librosa with an honest NotImplementedError, mirroring how
+inverse of klio_spark.audio's numpy+zlib encoder), BASELINE JPEG
+(SOF0/SOF1: canonical Huffman entropy decode, dequant, float IDCT,
+chroma upsampling, YCbCr→RGB — pure stdlib+numpy), and WAV audio
+(stdlib). Remaining compressed formats (progressive JPEG, mp3/ogg)
+gate on PIL/librosa with an honest NotImplementedError, mirroring how
 klio_audio gates on librosa (audio/src/klio_audio/transforms/
 audio.py:26-73); fake_image_decode/fake_audio_decode remain for
 plumbing tests.
@@ -208,16 +210,297 @@ def _decode_png(raw: bytes) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
+# ---------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (SOF0/SOF1), pure stdlib+numpy — the same
+# dependency-free philosophy as _decode_png. Progressive (SOF2),
+# arithmetic coding, 12-bit precision, and hierarchical modes raise
+# NotImplementedError and fall through to PIL when installed.
+
+# zigzag index k -> natural (row-major) flat index in the 8x8 block
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _jpeg_idct_basis() -> np.ndarray:
+    """A[u, x] = c(u)/2 * cos((2x+1) u pi / 16): spatial = A.T @ F @ A."""
+    x = np.arange(8, dtype=np.float64)
+    u = np.arange(8, dtype=np.float64)
+    a = np.cos((2.0 * x[None, :] + 1.0) * u[:, None] * np.pi / 16.0) / 2.0
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+def _jpeg_huff_table(counts, symbols) -> dict:
+    """Canonical Huffman per JPEG C.2: {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    stops (hard error) on a real marker mid-symbol, and consumes RSTn
+    markers at restart boundaries."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.pos, self.cur, self.nleft = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.nleft == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos] if self.pos < len(self.d) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    self.pos -= 1
+                    raise ValueError("JPEG hit a marker inside a symbol")
+            self.cur, self.nleft = b, 8
+        self.nleft -= 1
+        return (self.cur >> self.nleft) & 1
+
+    def restart(self) -> None:
+        self.nleft = 0  # byte-align
+        if (
+            self.pos + 1 >= len(self.d)
+            or self.d[self.pos] != 0xFF
+            or not (0xD0 <= self.d[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("JPEG expected RSTn at restart interval")
+        self.pos += 2
+
+
+def _jpeg_decode_symbol(br: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_receive_extend(br: _JpegBits, t: int) -> int:
+    if t == 0:
+        return 0
+    v = 0
+    for _ in range(t):
+        v = (v << 1) | br.bit()
+    if v < (1 << (t - 1)):
+        v -= (1 << t) - 1
+    return v
+
+
+def _jpeg_decode_block(br, dc_tab, ac_tab, pred):
+    coef = np.zeros(64, dtype=np.int64)
+    t = _jpeg_decode_symbol(br, dc_tab)
+    pred += _jpeg_receive_extend(br, t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_symbol(br, ac_tab)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index overflow")
+        coef[k] = _jpeg_receive_extend(br, size)
+        k += 1
+    return coef, pred
+
+
+def _decode_jpeg(raw: bytes) -> np.ndarray:
+    """Pure stdlib+numpy BASELINE JPEG decoder: marker parse (DQT/SOF0/
+    SOF1/DHT/DRI/SOS, APPn/COM skipped), canonical Huffman entropy
+    decode with 0xFF00 un-stuffing and RSTn restart handling, dequant +
+    de-zigzag, exact float IDCT (8x8 basis matmul), nearest-neighbor
+    chroma upsampling for subsampled scans, JFIF YCbCr->RGB. Returns
+    float32 in [0,1], (H,W) gray or (H,W,3) color. Progressive (SOF2+)
+    and non-8-bit precision raise NotImplementedError (PIL decodes
+    them when installed — decode_image falls through)."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    restart = 0
+    frame = None
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = raw[pos + 1]
+        if m == 0xD8:
+            pos += 2
+            continue
+        if m == 0xD9:
+            break
+        if pos + 4 > len(raw):
+            raise ValueError("truncated JPEG segment header")
+        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        if ln < 2 or pos + 2 + ln > len(raw):
+            raise ValueError("truncated JPEG segment")
+        seg = raw[pos + 4 : pos + 2 + ln]
+        if m == 0xDB:  # DQT (one or more tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"JPEG sample precision {seg[0]} (only 8)"
+                )
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                comps.append(
+                    {
+                        "id": seg[6 + 3 * c],
+                        "h": seg[7 + 3 * c] >> 4,
+                        "v": seg[7 + 3 * c] & 15,
+                        "tq": seg[8 + 3 * c],
+                    }
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG with {nc} components")
+            frame = (fh, fw, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic/lossless)"
+            )
+        elif m == 0xC4:  # DHT (one or more tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                i += 1
+                counts = list(seg[i : i + 16])
+                i += 16
+                n = sum(counts)
+                symbols = list(seg[i : i + n])
+                i += n
+                tab = _jpeg_huff_table(counts, symbols)
+                (hdc if tc == 0 else hac)[th] = tab
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS — baseline: single scan, decode and return
+            ns = seg[0]
+            scomp = {}
+            for c in range(ns):
+                scomp[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+            return _jpeg_decode_scan(
+                raw, pos + 2 + ln, frame, scomp, qt, hdc, hac, restart
+            )
+        pos += 2 + ln
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _jpeg_decode_scan(raw, pos, frame, scomp, qt, hdc, hac, restart):
+    if frame is None:
+        raise ValueError("JPEG SOS before SOF")
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    a = _jpeg_idct_basis()
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+    br = _JpegBits(raw, pos)
+    preds = [0] * len(comps)
+    f8 = np.zeros(64, dtype=np.float64)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                br.restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = hdc[scomp[c["id"]][0]]
+                ac_tab = hac[scomp[c["id"]][1]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef, preds[ci] = _jpeg_decode_block(
+                            br, dc_tab, ac_tab, preds[ci]
+                        )
+                        f8[:] = 0.0
+                        f8[_JPEG_ZIGZAG] = (coef * q).astype(np.float64)
+                        blk = f8.reshape(8, 8)
+                        spatial = a.T @ blk @ a + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            n_mcu += 1
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out.append(p[:fh, :fw])
+    if len(out) == 1:
+        return (np.clip(out[0], 0.0, 255.0) / 255.0).astype(np.float32)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return (np.clip(rgb, 0.0, 255.0) / 255.0).astype(np.float32)
+
+
 def decode_image(raw: bytes) -> np.ndarray:
     """Real decode for formats needing no codec library: binary PGM/PPM
-    (pure numpy) and PNG (stdlib zlib inflate + un-filter — the inverse
+    (pure numpy), PNG (stdlib zlib inflate + un-filter — the inverse
     of the repo's own encoder; 8-bit non-interlaced gray/RGB/alpha
-    variants). JPEG and friends still gate on PIL/cv2 with an honest
-    error — mirroring how klio_audio gates on librosa. Returns float32
-    in [0,1], (H,W) gray or (H,W,C) otherwise."""
+    variants), and BASELINE JPEG (SOF0/SOF1 — marker parse, canonical
+    Huffman, dequant, float IDCT, chroma upsampling, YCbCr→RGB).
+    Out-of-subset variants (palette/16-bit/interlaced PNG, progressive
+    JPEG) fall through to PIL when installed, else raise honestly —
+    mirroring how klio_audio gates on librosa. Returns float32 in
+    [0,1], (H,W) gray or (H,W,C) otherwise."""
     if raw[:2] in (b"P5", b"P6"):
         return _decode_pnm(raw)
-    png_gap = None
+    builtin_gap = None
     if raw[:8] == _PNG_SIG:
         try:
             return _decode_png(raw)
@@ -225,7 +508,13 @@ def decode_image(raw: bytes) -> np.ndarray:
             # palette / 16-bit / interlaced: outside the builtin subset,
             # but PIL (when installed) decodes them — fall through and
             # only re-raise if the import path is also unavailable
-            png_gap = exc
+            builtin_gap = exc
+    if raw[:2] == b"\xff\xd8":
+        try:
+            return _decode_jpeg(raw)
+        except NotImplementedError as exc:
+            # progressive / 12-bit / arithmetic: PIL's territory
+            builtin_gap = exc
     try:  # pragma: no cover - exercised only when PIL exists
         import io
 
@@ -234,15 +523,15 @@ def decode_image(raw: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(raw)), dtype=np.float32) / 255.0
     except ImportError:
         pass
-    if png_gap is not None:
+    if builtin_gap is not None:
         raise NotImplementedError(
-            f"PNG variant outside the builtin decoder ({png_gap}) and "
-            "PIL is not installed — use fake_image_decode for plumbing "
-            "tests"
-        ) from png_gap
+            f"image variant outside the builtin decoders ({builtin_gap}) "
+            "and PIL is not installed — use fake_image_decode for "
+            "plumbing tests"
+        ) from builtin_gap
     raise NotImplementedError(
-        "only netpbm (PGM/PPM) and 8-bit non-interlaced PNG decode "
-        "without a codec library; JPEG and exotic PNG variants need "
+        "only netpbm (PGM/PPM), 8-bit non-interlaced PNG, and baseline "
+        "JPEG decode without a codec library; other formats need "
         "PIL/cv2 — use fake_image_decode for plumbing tests"
     )
 

@@ -38,11 +38,10 @@ def test_fake_decoders_deterministic():
 
 
 def test_compressed_formats_are_gated():
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="PGM/PPM"):
-            mm.decode_image(b"\xff\xd8\xff\xe0fake-jpeg")  # JPEG magic
+    # a CORRUPT JPEG is a hard error from the real baseline decoder
+    # (round 9), never a silent fake decode
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\xff\xd8\xff\xe0fake-jpeg")
     # a truncated PNG is a hard error, not a silent fake decode
     with pytest.raises(ValueError, match="IHDR"):
         mm.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
@@ -272,3 +271,329 @@ def test_extract_features_e2e_on_png_bytes(spark):
     ).collect()
     assert all(len(r.features) == 4 * 4 * 3 for r in out)
     assert "blob" not in out[0].asDict()
+
+
+# ---------------------------------------------------------------- JPEG
+# Coefficient-level baseline JPEG packer (test reference encoder): the
+# tests hand it QUANTIZED ZIGZAG coefficients per block, so expected
+# pixels are computable independently (flat blocks and single-AC
+# cosine ramps have closed forms) — exercising the decoder's Huffman,
+# zigzag, dequant, IDCT, MCU layout, subsampling, and restart paths.
+
+
+class _JpegBW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc & 0xFF
+                self.buf.append(b)
+                if b == 0xFF:
+                    self.buf.append(0)  # stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+def _jsize(v):
+    t, a = 0, abs(int(v))
+    while a:
+        t += 1
+        a >>= 1
+    return t
+
+
+def _jpeg_block_symbols(coef, pred):
+    """-> (dc_sym, dc_bits, [(ac_sym, ac_bits)...], new_pred)."""
+    diff = int(coef[0]) - pred
+    t = _jsize(diff)
+    dc_bits = (diff if diff >= 0 else diff + (1 << t) - 1, t)
+    acs = []
+    run = 0
+    for k in range(1, 64):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, (0, 0)))  # ZRL
+            run -= 16
+        s = _jsize(v)
+        acs.append(((run << 4) | s, (v if v >= 0 else v + (1 << s) - 1, s)))
+        run = 0
+    if run:
+        acs.append((0x00, (0, 0)))  # EOB
+    return t, dc_bits, acs, int(coef[0])
+
+
+def _mk_canonical(symbols):
+    syms = sorted(set(symbols))
+    L = 1
+    while (1 << L) < len(syms) + 1:
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return counts, syms, codes
+
+
+def _pack_jpeg(w, h, comps, qtables, restart=0):
+    """comps: [{id, h, v, tq, blocks}] where blocks[row][col] is a
+    64-int QUANTIZED ZIGZAG coefficient list covering the component
+    plane in block raster order (mcuy*v rows, mcux*h cols).
+    qtables: {tq: 64 ints, zigzag order}."""
+    import struct
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # pass 1: collect symbols in MCU order
+    def walk(emit_dc, emit_ac, emit_restart):
+        preds = [0] * len(comps)
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    emit_restart(n_mcu // restart - 1)
+                    preds = [0] * len(comps)
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = c["blocks"][my * c["v"] + by][
+                                mx * c["h"] + bx
+                            ]
+                            t, dcb, acs, preds[ci] = _jpeg_block_symbols(
+                                coef, preds[ci]
+                            )
+                            emit_dc(t, dcb)
+                            for sym, bits in acs:
+                                emit_ac(sym, bits)
+                n_mcu += 1
+
+    dc_syms, ac_syms = [], []
+    walk(
+        lambda t, b: dc_syms.append(t),
+        lambda s, b: ac_syms.append(s),
+        lambda i: None,
+    )
+    dc_counts, dc_list, dc_codes = _mk_canonical(dc_syms)
+    ac_counts, ac_list, ac_codes = _mk_canonical(ac_syms)
+
+    bw = _JpegBW()
+
+    def emit_dc(t, bits):
+        code, L = dc_codes[t]
+        bw.put(code, L)
+        if bits[1]:
+            bw.put(bits[0], bits[1])
+
+    def emit_ac(sym, bits):
+        code, L = ac_codes[sym]
+        bw.put(code, L)
+        if bits[1]:
+            bw.put(bits[0], bits[1])
+
+    def emit_restart(i):
+        bw.flush()
+        bw.buf += bytes([0xFF, 0xD0 + (i % 8)])
+
+    walk(emit_dc, emit_ac, emit_restart)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in sorted(qtables.items()):
+        out += seg(0xDB, bytes([tq]) + bytes(int(x) for x in q))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00] + dc_counts) + bytes(dc_list))
+    out += seg(0xC4, bytes([0x10] + ac_counts) + bytes(ac_list))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _flat_block(dc):
+    return [int(dc)] + [0] * 63
+
+
+def test_jpeg_flat_gray_exact():
+    """A flat block has a closed form the test computes independently:
+    pixel = DC*q/8 + 128 (only the DC basis term is nonzero). Four
+    blocks with DC-diff coding across them; quant table of ones."""
+    q = {0: [1] * 64}
+    dc = 8 * (200 - 128)  # -> exactly 200
+    blocks = [[_flat_block(dc), _flat_block(dc)],
+              [_flat_block(dc), _flat_block(dc)]]
+    raw = _pack_jpeg(
+        16, 16,
+        [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+        q,
+    )
+    img = mm.decode_image(raw)
+    assert img.shape == (16, 16)
+    np.testing.assert_allclose(img, 200.0 / 255.0, atol=1e-6)
+
+
+def test_jpeg_single_ac_cosine_ramp():
+    """One AC coefficient (zigzag k=1 -> F[0,1]) decodes to a cosine
+    ramp with an independent closed form: spatial[x,y] =
+    v * (1/(2*sqrt(2))) * cos((2y+1)pi/16)/2 + 128."""
+    v = 100
+    coef = [0] * 64
+    coef[1] = v
+    raw = _pack_jpeg(
+        8, 8, [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": [[coef]]}],
+        {0: [1] * 64},
+    )
+    img = mm.decode_image(raw) * 255.0
+    y = np.arange(8)
+    want = (
+        v / (2.0 * np.sqrt(2.0)) * np.cos((2 * y + 1) * np.pi / 16.0) / 2.0
+        + 128.0
+    )
+    np.testing.assert_allclose(img, np.tile(want, (8, 1)), atol=1e-3)
+
+
+def test_jpeg_random_coeffs_match_reference_idct():
+    """Random quantized coefficients through the full pipeline equal a
+    test-side IDCT built from its own basis (exercises Huffman ACs,
+    runs/ZRL/EOB, dequant with a non-trivial table, multi-block DC
+    chaining)."""
+    rng = np.random.default_rng(9)
+    qtab = rng.integers(1, 5, 64).tolist()
+    rows, cols = 2, 3  # 24x16
+    blocks = [
+        [rng.integers(-20, 21, 64).tolist() for _ in range(cols)]
+        for _ in range(rows)
+    ]
+    raw = _pack_jpeg(
+        24, 16,
+        [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+        {0: qtab},
+    )
+    img = mm.decode_image(raw) * 255.0
+
+    # independent reference IDCT
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0) / 2.0
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    zz = mm._JPEG_ZIGZAG
+    want = np.zeros((16, 24))
+    for r in range(rows):
+        for c in range(cols):
+            f = np.zeros(64)
+            f[zz] = np.array(blocks[r][c], dtype=np.float64) * np.array(
+                qtab, dtype=np.float64
+            )
+            want[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                a.T @ f.reshape(8, 8) @ a + 128.0
+            )
+    np.testing.assert_allclose(img, np.clip(want, 0, 255), atol=1e-3)
+
+
+def test_jpeg_color_444_and_420_flat():
+    """Solid-color JPEGs decode exactly under both 4:4:4 and 4:2:0
+    (the 2x2-subsampled chroma of a flat image is lossless), checking
+    MCU interleave, per-component planes, upsampling, and YCbCr->RGB
+    against the JFIF closed form computed here."""
+    yv, cbv, crv = 120, 90, 160
+    exp_r = yv + 1.402 * (crv - 128.0)
+    exp_g = yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0)
+    exp_b = yv + 1.772 * (cbv - 128.0)
+    want = np.clip(np.array([exp_r, exp_g, exp_b]), 0, 255)
+
+    def flat(v, rows, cols):
+        return [[_flat_block(8 * (v - 128)) for _ in range(cols)]
+                for _ in range(rows)]
+
+    # 4:4:4, 8x8
+    raw = _pack_jpeg(
+        8, 8,
+        [
+            {"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": flat(yv, 1, 1)},
+            {"id": 2, "h": 1, "v": 1, "tq": 0, "blocks": flat(cbv, 1, 1)},
+            {"id": 3, "h": 1, "v": 1, "tq": 0, "blocks": flat(crv, 1, 1)},
+        ],
+        {0: [1] * 64},
+    )
+    img = mm.decode_image(raw) * 255.0
+    assert img.shape == (8, 8, 3)
+    np.testing.assert_allclose(img, np.tile(want, (8, 8, 1)), atol=1e-3)
+
+    # 4:2:0, 16x16: Y is 2x2 blocks per MCU, chroma 1
+    raw = _pack_jpeg(
+        16, 16,
+        [
+            {"id": 1, "h": 2, "v": 2, "tq": 0, "blocks": flat(yv, 2, 2)},
+            {"id": 2, "h": 1, "v": 1, "tq": 0, "blocks": flat(cbv, 1, 1)},
+            {"id": 3, "h": 1, "v": 1, "tq": 0, "blocks": flat(crv, 1, 1)},
+        ],
+        {0: [1] * 64},
+    )
+    img = mm.decode_image(raw) * 255.0
+    assert img.shape == (16, 16, 3)
+    np.testing.assert_allclose(img, np.tile(want, (16, 16, 1)), atol=1e-3)
+
+
+def test_jpeg_restart_markers():
+    """DRI=2 inserts RSTn every two MCUs; the decoder must byte-align,
+    consume the marker, and reset DC predictors exactly where the
+    encoder did."""
+    vals = [64, 128, 192, 255]
+    blocks = [[_flat_block(8 * (v - 128)) for v in vals]]
+    raw = _pack_jpeg(
+        32, 8,
+        [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+        {0: [1] * 64},
+        restart=2,
+    )
+    assert any(
+        raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7
+        for i in range(len(raw) - 1)
+    ), "encoder emitted no RSTn — the test would prove nothing"
+    img = mm.decode_image(raw) * 255.0
+    for i, v in enumerate(vals):
+        np.testing.assert_allclose(
+            img[:, i * 8 : i * 8 + 8], float(v), atol=1e-3
+        )
+
+
+def test_jpeg_rejects_progressive_and_truncation():
+    blocks = [[_flat_block(0)]]
+    raw = _pack_jpeg(
+        8, 8, [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+        {0: [1] * 64},
+    )
+    # flip SOF0 -> SOF2 (progressive): honest gate, PIL's territory
+    prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        mm.decode_image(prog)
+    # truncated entropy stream is a clean ValueError
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(raw[: len(raw) - 4])
+    # bad SOI
+    with pytest.raises(ValueError, match="SOI"):
+        mm._decode_jpeg(b"\x00\x01\x02")
