@@ -597,3 +597,49 @@ def test_jpeg_rejects_progressive_and_truncation():
     # bad SOI
     with pytest.raises(ValueError, match="SOI"):
         mm._decode_jpeg(b"\x00\x01\x02")
+
+
+def test_extract_features_e2e_on_jpeg_bytes(spark):
+    """The multimodal pipeline end-to-end on REAL JPEG bytes: binary
+    column → mapInPandas decode (builtin baseline-JPEG path) → resize →
+    fixed-dim features. Assets mix grayscale and 4:2:0 color; the raw
+    bytes never leave the decode stage."""
+    rng = np.random.default_rng(33)
+
+    def gray_jpeg(rows_b, cols_b):
+        blocks = [
+            [rng.integers(-12, 13, 64).tolist() for _ in range(cols_b)]
+            for _ in range(rows_b)
+        ]
+        return _pack_jpeg(
+            cols_b * 8, rows_b * 8,
+            [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+            {0: [2] * 64},
+        )
+
+    def color_jpeg():
+        flat = lambda v, r, c: [  # noqa: E731
+            [_flat_block(8 * (v - 128)) for _ in range(c)] for _ in range(r)
+        ]
+        return _pack_jpeg(
+            16, 16,
+            [
+                {"id": 1, "h": 2, "v": 2, "tq": 0, "blocks": flat(150, 2, 2)},
+                {"id": 2, "h": 1, "v": 1, "tq": 0, "blocks": flat(100, 1, 1)},
+                {"id": 3, "h": 1, "v": 1, "tq": 0, "blocks": flat(140, 1, 1)},
+            ],
+            {0: [1] * 64},
+        )
+
+    rows = [
+        ("g1", gray_jpeg(1, 2)),
+        ("g2", gray_jpeg(2, 1)),
+        ("c1", color_jpeg()),
+    ]
+    df = spark.createDataFrame(rows, "element string, blob binary")
+    out = mm.extract_features(
+        df, "blob", decoder=mm.decode_image, resize=(4, 4)
+    ).collect()
+    got = {r.element: len(r.features) for r in out}
+    assert got == {"g1": 16, "g2": 16, "c1": 48}  # gray 4x4, color 4x4x3
+    assert "blob" not in out[0].asDict()
