@@ -82,7 +82,11 @@ def main() -> int:
         pass
     n = len(results)
     bad = sorted(
-        k for k, v in results.items() if not (v.get("ok") or v.get("rows_only"))
+        # "ok"/"rows_only" carry the ROW COUNT — 0 rows hash-matching on
+        # both engines is green, so membership, not truthiness
+        k
+        for k, v in results.items()
+        if "ok" not in v and "rows_only" not in v
     )
     record = {
         "corpus": ".scale/x3",
