@@ -2075,3 +2075,68 @@ def stateful_page_hinkley(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_rolling_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """EXACT 7-day rolling distinct actives per day — q259's live twin
+    (queries/behavior.py) and the exact counterpart of
+    rolling_distinct_sketch's HLL estimate: run both and the live
+    delta IS the sketch's measured error, continuously.
+
+    Same decomposition as the batch kernel: each event votes for the 7
+    target days its calendar day serves (a stateless integer-day
+    explode — no range join), and per target day the state is the SET
+    of distinct voters, kept as a sorted int64 array in keyed state.
+    Each batch folds its votes in and emits the updated
+    (day_epoch, n_active_7d) — latest row per day is current, the
+    stateful_element_counts running-value convention. State per day is
+    bounded by that window's true distinct count — the same bound the
+    batch exact computation carries, which is WHY the HLL twin is the
+    documented 100 TB path and this op is its always-on referee
+    (sketch accuracy is only provable against an exact count). NaT
+    timestamps and NULL users are skipped like the batch kernel's
+    filter."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    votes = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.explode(
+                F.sequence(
+                    F.datediff(
+                        F.to_date(ts_col), F.lit("1970-01-01").cast("date")
+                    ).cast("long"),
+                    F.datediff(
+                        F.to_date(ts_col), F.lit("1970-01-01").cast("date")
+                    ).cast("long")
+                    + 6,
+                )
+            ).alias("day_epoch"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        incoming = set()
+        for pdf in pdfs:
+            incoming.update(int(u) for u in pdf["_u"])
+        (users,) = state.get if state.exists else ([],)
+        seen = set(users)
+        seen.update(incoming)
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {"day_epoch": [key[0]], "n_active_7d": [len(seen)]}
+        )
+
+    return votes.groupBy("day_epoch").applyInPandasWithState(
+        update,
+        outputStructType="day_epoch long, n_active_7d long",
+        stateStructType="users array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

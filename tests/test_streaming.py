@@ -2068,3 +2068,78 @@ def test_stateful_page_hinkley_matches_batch_kernel(spark, tmp_path):
     # the alarm event sits in batch 2: state crossed the restart
     alarm_ids = [e for e in b2 if e[1] == "drift"]
     assert live["drift"][0] >= int(alarm_ids[0][3].timestamp())
+
+
+def test_stateful_rolling_distinct_matches_batch_kernel(spark, tmp_path):
+    """stateful_rolling_distinct across a checkpoint restart: the
+    latest live row per day must equal q259's batch kernel
+    (n_active_7d) over the cumulative events — including windows whose
+    membership accumulates ACROSS the restart — and duplicate
+    (user, day) events must not inflate any count."""
+    import datetime as dt
+
+    from klio_spark.queries import all_queries
+
+    edir = tmp_path / "rd"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, user_id long, ts timestamp"
+    t = lambda d, hh=3: dt.datetime(2024, 1, 1 + d, hh)  # noqa: E731
+    b1 = [
+        (1, 10, t(0)),
+        (2, 10, t(0, 9)),  # duplicate (user, day): must not inflate
+        (3, 11, t(0)),
+        (4, 12, t(2)),
+        (5, None, t(1)),  # NULL user skipped
+    ]
+    b2 = [
+        (6, 13, t(1)),  # joins day-0..1 windows across the restart
+        (7, 10, t(8)),  # far day: new windows
+        (8, 12, t(2, 9)),  # duplicate again, post-restart
+    ]
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(edir / "p")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_rolling_distinct(stream),
+            lambda b, bid: b.withColumn("_bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(f"{tmp_path}/rdout"),
+            str(tmp_path / "ckpt-rd"),
+        )
+        q.awaitTermination(60)
+
+    def live_latest():
+        rows = spark.read.parquet(f"{tmp_path}/rdout").collect()
+        latest = {}
+        for r in rows:
+            k = r.day_epoch
+            if k not in latest or r._bid > latest[k][0]:
+                latest[k] = (r._bid, r.n_active_7d)
+        return {k: v[1] for k, v in latest.items()}
+
+    def batch(rows):
+        kdir = tmp_path / f"kernel{len(rows)}"
+        spark.createDataFrame(rows, schema).withColumn(
+            "event_type", F.lit("view")
+        ).withColumn("value", F.lit(1.0)).withColumn(
+            "props", F.lit("{}")
+        ).write.mode("overwrite").parquet(str(kdir / "events.parquet"))
+        out = (
+            all_queries()["q259_rolling_exact_distinct"]
+            .fn(spark, str(kdir))
+            .collect()
+        )
+        return {r.day_epoch: r.n_active_7d for r in out}
+
+    run(b1)
+    assert live_latest() == batch(b1)
+    run(b2)
+    got = live_latest()
+    assert got == batch(b1 + b2)
+    # the window is BACKWARD: target Jan 2 counts activity Dec 27-Jan 2
+    # = users 10, 11 (Jan 1) + 13 (Jan 2); target Jan 3 adds 12 (Jan 3)
+    jan2 = (dt.date(2024, 1, 2) - dt.date(1970, 1, 1)).days
+    assert got[jan2] == 3 and got[jan2 + 1] == 4

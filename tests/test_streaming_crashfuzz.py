@@ -840,3 +840,47 @@ def test_stateful_page_hinkley_crash_fuzz(spark, tmp_path):
     keys = [r[1] for r in rows]
     assert sorted(keys) == sorted(set(keys)), "duplicate alarm per key"
     assert len(rows) >= 1
+
+
+def test_stateful_rolling_distinct_crash_fuzz(spark, tmp_path):
+    """Per-day distinct-voter SET state torn mid-batch: the replayed
+    run's final counts must equal the clean run's AND a plain-Python
+    replay of the 7-day vote decomposition over all events (duplicate
+    votes collapse in the set either way — idempotent replay is the
+    property the set representation buys)."""
+    rng = random.Random(259)
+    pdfs, eid = [], 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(6, 14)):
+            eid += 1
+            rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": rng.randrange(1, 9),
+                    "ts": _ts(b * 1440 + rng.randrange(3) * 1440),  # days
+                }
+            )
+        pdfs.append(pd.DataFrame(rows))
+    rows = _fuzz_op(
+        spark, tmp_path, name="rdx", seed=25,
+        build_op=st.stateful_rolling_distinct,
+        schema="event_id long, user_id long, ts timestamp",
+        pdfs=pdfs,
+    )
+    # python replay: latest count per day must match the final live row
+    votes = {}
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            d = pd.Timestamp(r.ts).value // (86400 * 10**9)
+            for i in range(7):
+                votes.setdefault(d + i, set()).add(int(r.user_id))
+    # rows canon column-sorted: (_bid, day_epoch, n_active_7d)
+    latest = {}
+    for bid, day, n in rows:
+        k = int(float(day))
+        if k not in latest or int(float(bid)) >= latest[k][0]:
+            latest[k] = (int(float(bid)), int(float(n)))
+    assert {k: v[1] for k, v in latest.items()} == {
+        int(k): len(v) for k, v in votes.items()
+    }
