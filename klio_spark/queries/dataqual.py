@@ -1985,12 +1985,49 @@ def q261_fleiss_kappa(spark: SparkSession, sf_dir: str):
     "prefix min. Alarm when PH > lambda (1000 cents). delta=50c "
     "tolerates drift; ties ordered (t_s, event_id) — total. The "
     "event_type partition is sequential by nature (PH is a sequential "
-    "statistic); a hot single series at 100 TB takes the "
-    "segmented_carry lever (behavior.py:333) with per-chunk (sum, "
-    "count, min-m) carries.",
+    "statistic); the hot-series escape is IMPLEMENTED — "
+    "page_hinkley(segment_s=...) runs the segmented_carry lever "
+    "(behavior.py:333) with a DOUBLE carry fold (count/sum carries "
+    "reconstruct the global running mean; dev-sum/relative-min "
+    "carries reconstruct m and its prefix min), hash-identical at "
+    "three chunk widths and x2.4 at 100x on the 5-series corpus.",
 )
 def q263_page_hinkley(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")
+    # monolithic (segment_s=None) — the registered/oracle-paired shape;
+    # segment_s is the skew lever for a hot single series (the 100x
+    # rehearsal reads x18 on 5 series — one O(n log n) task each)
+    return page_hinkley(e)
+
+
+def page_hinkley(
+    e,
+    segment_s: int | None = None,
+    delta_milli: int = 50000,
+    lambda_milli: int = 1000000,
+):
+    """Page-Hinkley kernel (q263's registration docstring has the
+    semantics). ``segment_s`` is the entity-window skew lever
+    (behavior.segmented_carry has the general argument). PH is a
+    prefix statistic of a prefix statistic, so the segmentation runs
+    TWO carry folds over the per-(key, chunk) summary table:
+
+      fold 1 — (count, sum-of-cents) carries, which let each row
+      reconstruct its GLOBAL index i and prefix sum S_i (and therefore
+      the exact running-mean integerization floor(1000*S/i) — same
+      doubles, same floor, hash-identical to the monolithic window);
+
+      fold 2 — over the per-chunk (dev_sum, min of the chunk-relative
+      dev prefix): m_before(k) = prefix sum of dev_sum, and the global
+      running min entering chunk k = prefix-min of (m_before + the
+      chunk's relative min). Per row: m = carry_m + local_prefix_dev,
+      running_min = least(carry_min, carry_m + local_prefix_min), both
+      exact bigints.
+
+    Both folds run over the tiny summary table (rows per key =
+    #chunks); both joins are NULL-SAFE on the key so NULL-key rows
+    keep the monolithic window's own-partition semantics (the ewma
+    ADVICE-r8 lesson)."""
     p = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
@@ -2000,43 +2037,109 @@ def q263_page_hinkley(spark: SparkSession, sf_dir: str):
         ).alias("t_s"),
         F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
     )
-    w = Window.partitionBy("event_type").orderBy("t_s", "event_id")
-    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    a = p.select(
-        "event_type",
-        "event_id",
-        "t_s",
-        "cents",
-        F.sum("cents").over(wr).cast("bigint").alias("s"),
-        F.row_number().over(w).cast("bigint").alias("i"),
-    )
-    b = a.select(
-        "event_type",
-        "event_id",
-        "t_s",
-        (
+    z = F.lit(0).cast("bigint")
+    if segment_s is None:
+        w = Window.partitionBy("event_type").orderBy("t_s", "event_id")
+        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rows = p.select(
+            "event_type",
+            "event_id",
+            "t_s",
+            "cents",
+            F.sum("cents").over(wr).cast("bigint").alias("gs"),
+            F.row_number().over(w).cast("bigint").alias("gi"),
+        )
+        dev = (
             F.col("cents") * 1000
             - F.floor(
-                F.lit(1000.0) * F.col("s").cast("double") / F.col("i")
+                F.lit(1000.0) * F.col("gs").cast("double") / F.col("gi")
             ).cast("bigint")
-            - 50000
-        ).alias("dev"),
-    )
-    c = b.select(
-        "event_type",
-        "event_id",
-        "t_s",
-        F.sum("dev").over(wr).cast("bigint").alias("m"),
-    )
-    d = c.select(
-        "event_type",
-        "t_s",
-        (F.col("m") - F.min("m").over(wr).cast("bigint")).alias("ph"),
-    )
+            - delta_milli
+        )
+        b = rows.select("event_type", "event_id", "t_s", dev.alias("dev"))
+        m = F.sum("dev").over(wr).cast("bigint")
+        c = b.select("event_type", "event_id", "t_s", m.alias("m"))
+        ph = (F.col("m") - F.min("m").over(wr).cast("bigint")).alias("ph")
+        d = c.select("event_type", "t_s", ph)
+    else:
+        from klio_spark.queries.behavior import segmented_carry
+
+        chunked, carry1 = segmented_carry(
+            p,
+            ["event_type"],
+            "t_s",
+            segment_s,
+            lambda c: c.groupBy("event_type", "seg").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("cents").cast("bigint").alias("sx"),
+            ),
+            {
+                "c_n": lambda sw: F.coalesce(F.sum("cnt").over(sw), z),
+                "c_s": lambda sw: F.coalesce(F.sum("sx").over(sw), z),
+            },
+        )
+
+        def nsjoin(left, right, cols):
+            cond = F.col("seg") == F.col("_rseg")
+            cond = F.col("event_type").eqNullSafe(F.col("_rkey")) & cond
+            r = right.select(
+                F.col("event_type").alias("_rkey"),
+                F.col("seg").alias("_rseg"),
+                *cols,
+            )
+            return left.join(r, cond).drop("_rkey", "_rseg")
+
+        rows = nsjoin(chunked, carry1, ["c_n", "c_s"])
+        cw = Window.partitionBy("event_type", "seg").orderBy(
+            "t_s", "event_id"
+        )
+        cwf = cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        gi = F.col("c_n") + F.row_number().over(cw)
+        gs = F.col("c_s") + F.sum("cents").over(cwf).cast("bigint")
+        dev = (
+            F.col("cents") * 1000
+            - F.floor(F.lit(1000.0) * gs.cast("double") / gi).cast("bigint")
+            - delta_milli
+        )
+        b = rows.select(
+            "event_type", "event_id", "t_s", "seg", dev.alias("dev")
+        )
+        b = b.select(
+            "event_type",
+            "event_id",
+            "t_s",
+            "seg",
+            "dev",
+            F.sum("dev").over(cwf).cast("bigint").alias("ldev"),
+        )
+        b = b.withColumn("lmin", F.min("ldev").over(cwf).cast("bigint"))
+        summ2 = b.groupBy("event_type", "seg").agg(
+            F.sum("dev").cast("bigint").alias("dev_sum"),
+            F.min("ldev").cast("bigint").alias("min_rel"),
+        )
+        sw2 = (
+            Window.partitionBy("event_type")
+            .orderBy("seg")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        a2 = summ2.withColumn(
+            "c_m", F.coalesce(F.sum("dev_sum").over(sw2), z)
+        ).withColumn("chunk_min", F.col("c_m") + F.col("min_rel"))
+        carry2 = a2.withColumn(
+            "c_minm", F.min("chunk_min").over(sw2).cast("bigint")
+        )
+        rows2 = nsjoin(b, carry2, ["c_m", "c_minm"])
+        m = F.col("c_m") + F.col("ldev")
+        # this chunk's running min (c_m + lmin) always <= m, so the
+        # first chunk (NULL c_minm) coalesces to m harmlessly
+        run_min = F.least(
+            F.coalesce(F.col("c_minm"), m), F.col("c_m") + F.col("lmin")
+        )
+        d = rows2.select("event_type", "t_s", (m - run_min).alias("ph"))
     return d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.max("ph").cast("bigint").alias("max_ph_milli"),
-        F.min(F.when(F.col("ph") > 1000000, F.col("t_s")))
+        F.min(F.when(F.col("ph") > lambda_milli, F.col("t_s")))
         .cast("bigint")
         .alias("first_alarm_t_s"),
     )

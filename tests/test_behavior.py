@@ -292,9 +292,11 @@ def test_segmented_kernels_equal_monolithic(spark, sf_dir):
         interval_coverage,
         keep_latest,
     )
+    from klio_spark.queries.dataqual import page_hinkley
 
     (e,) = load(spark, sf_dir, "events")
-    for fn in (keep_latest, ewma_features, interval_coverage):
+    for fn in (keep_latest, ewma_features, interval_coverage,
+               page_hinkley):
         mono = sorted(map(tuple, fn(e).collect()))
         for seg in (86400, 3600, 2**40):
             got = sorted(map(tuple, fn(e, segment_s=seg).collect()))
@@ -479,3 +481,50 @@ def test_segmented_kernels_window_is_chunk_partitioned(
                 "a non-chunked window runs below the chunk compaction "
                 f"(raw events):\n{ln}"
             )
+
+
+def test_page_hinkley_segmented_edge_cases(spark):
+    """Boundary semantics for the double-carry PH lever: the running
+    MIN living in an earlier chunk than the alarm crossing (fold 2's
+    prefix-min carry), the mean still warming up across a chunk edge
+    (fold 1's count/sum carry), NULL event_type rows keeping their own
+    partition through the null-safe joins, and timestamp ties ordered
+    by event_id across the boundary."""
+    import datetime as dt
+
+    from klio_spark.queries.dataqual import page_hinkley
+
+    t = lambda d, s=0: dt.datetime(2024, 1, 1 + d, 0, 0, s)  # noqa: E731
+    rows = []
+    eid = 0
+    # 'dip-then-spike': day 0 runs LOW (m digs a deep min), day 2+
+    # spikes — PH measures against day 0's min across two chunk edges
+    for s in range(6):
+        eid += 1
+        rows.append((eid, "dipspike", 1.0, t(0, s)))
+    for d in (2, 3, 4):
+        for s in range(4):
+            eid += 1
+            rows.append((eid, "dipspike", 900.0, t(d, s)))
+    # ties at the same second, order decided by event_id
+    eid += 1
+    rows.append((eid, "dipspike", 5.0, t(2, 0)))
+    # NULL key series: must survive the segmented path identically
+    for d in range(4):
+        eid += 1
+        rows.append((eid, None, float(100 * d), t(d)))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, value double, ts timestamp",
+    )
+    nkey = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    mono = sorted(map(tuple, page_hinkley(e).collect()), key=nkey)
+    assert any(r[0] is None for r in mono), "NULL-key series must survive"
+    # the spike must actually alarm, else the test proves nothing
+    byk = {r[0]: r for r in mono}
+    assert byk["dipspike"][3] is not None, "expected an alarm"
+    for seg in (86400, 3600, 7200):
+        got = sorted(
+            map(tuple, page_hinkley(e, segment_s=seg).collect()), key=nkey
+        )
+        assert got == mono, f"segment_s={seg}"
