@@ -95,6 +95,10 @@ class _FuncScanner(ast.NodeVisitor):
         self._func_stack: list[str] = []
         # per-function window assignments: name -> orderBy source text
         self._windows_stack: list[dict[str, str]] = [{}]
+        # inner calls already reported via their enclosing .over(...) —
+        # prevents double-reporting F.first(x).over(w) as BOTH an
+        # ordered-window pick and a bare aggregate pick
+        self._handled: set[int] = set()
 
     # -- scope tracking -------------------------------------------------
     def visit_FunctionDef(self, node: ast.FunctionDef):
@@ -145,6 +149,20 @@ class _FuncScanner(ast.NodeVisitor):
                 # style pick: still tie/partition-arbitrary → flag with
                 # empty key text (never auto-total)
                 self._add(node, iname, key)
+                if isinstance(inner, ast.Call):
+                    self._handled.add(id(inner))
+        elif (
+            name in ("first", "last")
+            and id(node) not in self._handled
+            and (node.args or node.keywords)
+        ):
+            # bare F.first/F.last inside a groupBy agg (no .over): the
+            # pick is partition-arbitrary — NEVER auto-total (empty key
+            # text), so it always needs an allow-list justification
+            # (e.g. VALUE-EQUALS-KEY when picking the grouping key
+            # itself). The arg/keyword guard skips 0-ary DataFrame
+            # actions like df.first().
+            self._add(node, name, "")
         self.generic_visit(node)
 
     def _window_key(self, arg: ast.AST) -> str:
@@ -197,11 +215,15 @@ def _scan_sql_strings(tree: ast.AST, src: str, relpath: str) -> list[TieSite]:
             for kind, pat in _SQL_PATTERNS:
                 for m in pat.finditer(text):
                     ctx = text[m.start() : m.start() + 260]
-                    # named window (ROW_NUMBER() OVER w): the ordering
-                    # lives in the WINDOW clause — resolve it so the
-                    # totality check sees the real keys
+                    # named window (<FN>(...) OVER w): the ordering lives
+                    # in the WINDOW clause — resolve it for EVERY
+                    # construct kind (ROW_NUMBER/NTILE/FIRST/LAST), not
+                    # just ROW_NUMBER, so a unique-id key in the WINDOW
+                    # definition auto-passes uniformly
                     mw = re.match(
-                        r"ROW_NUMBER\s*\(\s*\)\s*OVER\s+(\w+)", ctx, re.I
+                        r"\w+\s*\(.*?\)\s*OVER\s+([A-Za-z_]\w*)",
+                        ctx,
+                        re.I | re.S,
                     )
                     if mw:
                         wname = mw.group(1)
@@ -212,6 +234,19 @@ def _scan_sql_strings(tree: ast.AST, src: str, relpath: str) -> list[TieSite]:
                         )
                         if mdef:
                             ctx = mdef.group(1)
+                    else:
+                        # inline window: trim trailing context past the
+                        # OVER(...) spec so a unique id appearing
+                        # INCIDENTALLY after the window clause cannot
+                        # false-pass the totality check
+                        mo = re.match(
+                            r"\w+\s*\(.*?\)\s*OVER\s*"
+                            r"\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+                            ctx,
+                            re.I | re.S,
+                        )
+                        if mo:
+                            ctx = ctx[: mo.end()]
                     sites.append(
                         TieSite(
                             file=relpath,

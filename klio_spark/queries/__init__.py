@@ -105,89 +105,37 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # verification-scheduling decision: front-load the entries with the LEAST
 # official evidence.
 #
-#   1. _VERIFY_FIRST — round-9 rotation (VERDICT r8 item 1). Order:
-#      (a) the 8 queries whose code changed in round 8 but whose latest
-#      driver evidence predates the change (q09 + conf-label four missed
-#      the 50-slot r8 window; q179/q198/q199 were replica-only); (b) the
-#      full r3 band (30 entries — the oldest evidence after r8 cleared
-#      the r1/r2 tail); (c) this round's NEW queries (growth resumed,
-#      capped per VERDICT r8 item 2 — every new entry enters the window
-#      immediately). The 50 entries CORRECTNESS_r08 verified move to the
-#      tail of _DRIVER_GREEN (freshest evidence).
+#   1. _VERIFY_FIRST — round-10 rotation (VERDICT r9 item 1). Order:
+#      (a) this round's NEW queries (growth capped ≤15 per VERDICT r9
+#      item 2 — every new entry enters the window immediately);
+#      (b) q263 — its segmented-carry lever landed post-seal in r9
+#      (VERDICT r9 "What's wrong" item 1), hygiene re-check;
+#      (c) the full r4 band (16 — clears the r4 row to 0);
+#      (d) the r5 band oldest-first (33 — slots past the driver's ~50
+#      truncation ride at the head for round 11). The 50 entries
+#      CORRECTNESS_r09 verified move to the tail of _DRIVER_GREEN.
 #   2. Everything else in import order — where NEW queries land
 #      automatically (neither in the prefix nor in _DRIVER_GREEN).
 #   3. _DRIVER_GREEN — entries hash-verified by a driver round and
 #      untouched since, ordered stalest-first so future rotations keep
 #      pulling from the head; a repeat truncation costs the least here
-#      (the round-7 wave q203-q252 sits at the very end — it has the
-#      freshest evidence).
+#      (the round-9 window sits at the very end — freshest evidence).
 _VERIFY_FIRST = [
-    # -- round-9 rotation (VERDICT r8 item 1). (a) the 8 queries whose
-    #    CODE changed in round 8 but whose latest DRIVER evidence
-    #    predates the change (r5-r7): the conf-label four + q09 missed
-    #    the r8 window (positions 51-55), q179/q198/q199 were replica-
-    #    verified only. q179's segmented path changed AGAIN this round
-    #    (null-safe carry join, ADVICE r8). --
-    "q09_arg_min_max",
-    "q179_ewma_features",
-    "q198_interval_coverage",
-    "q199_attribution_last_touch",
-    "q222_calibration_ece",
-    "q223_ranking_auc",
-    "q224_cohen_kappa",
-    "q229_pr_threshold_sweep",
-    # -- the r3 band: 30 entries whose latest driver check is round 3,
-    #    the oldest evidence left after r8 cleared the r1/r2 tail. --
-    "q151_shingle_containment",
-    "q04_conditional_agg",
-    "q102_unpivot",
-    "q131_trigger_upstream_batch",
-    "q132_simhash_portable",
-    "q135_bm25_topk",
-    "q136_substring_dedup",
-    "q138_vocab_coverage",
-    "q141_bigram_lm_score",
-    "q143_skew_profile",
-    "q15_asof_join",
-    "q32_cube",
-    "q34_window_range_frame",
-    "q35_salted_join",
-    "q42_math_funcs",
-    "q45_array_agg",
-    "q48_string_agg",
-    "q49_corr_covar",
-    "q50_events_hourly",
-    "q51_sessionization",
-    "q52_events_json_props",
-    "q53_tumbling_window_batch",
-    "q54_pivot",
-    "q56_time_rollup_multigrain",
-    "q60_token_stats",
-    "q68_jaccard_capped_df",
-    "q69_top_bigrams",
-    "q75_embedding_centroids",
-    "q76_binary_meta",
-    "q77_bpe_token_count",
-    # -- round-9 NEW queries (VERDICT r8 item 2: growth capped at
-    #    15-20, every new entry enters the window immediately); slack
-    #    slots past ~50 fall through to the r4 band at the head of
-    #    _DRIVER_GREEN. --
-    "q253_incremental_distinct_view",
-    "q254_stratified_min_sample",
-    "q255_suffix_span_dedup",
-    "q256_mann_whitney",
-    "q257_bh_fdr",
-    "q258_kaplan_meier",
-    "q259_rolling_exact_distinct",
-    "q260_asof_nearest_tolerance",
-    "q261_fleiss_kappa",
-    "q262_groupwise_ols",
+    # -- round-10 NEW queries (each enters the window in its own
+    #    round, VERDICT r9 item 2). --
+    "q264_pii_audit",
+    "q265_packing_planner",
+    "q266_trigram_lm",
+    "q267_edit_distance_verify",
+    "q268_cuped_adjustment",
+    "q269_chi_square_drift",
+    "q270_js_divergence",
+    "q271_secret_scan",
+    # -- q263 hygiene re-check: the segmented-carry lever landed after
+    #    the r9 seal (builder + judge-replica evidence only). --
     "q263_page_hinkley",
-]
-
-_DRIVER_GREEN = [
-    # -- last driver-checked round 4 --
-    "q133_dedup_survivors",
+    # -- the r4 band: 16 entries whose latest driver check is round 4
+    #    (q133 cleared via the r9 slack slot). --
     "q137_span_corruption",
     "q140_kmeans_assign",
     "q142_time_decay_score",
@@ -204,18 +152,18 @@ _DRIVER_GREEN = [
     "q175_cm_filtered_heavy_keys",
     "q177_grouping_sets",
     "q178_phrase_search",
-    # -- last driver-checked round 5 --
-    "q183_shingle_novelty",
-    "q184_source_overlap_matrix",
-    "q188_winnowing_pairs",
-    "q160_triangle_count",
-    "q169_bfs_khop",
-    "q185_cluster_safe_split",
+    # -- the r5 band, oldest-first per VERDICT r9 item 1 (33 entries;
+    #    the ~9 past the truncation point stay ordered for r11). --
     "q66_minhash_lsh_dedup",
+    "q67_simhash_dedup",
+    "q70_ann_bruteforce_topk",
+    "q71_ann_lsh_topk",
+    "q72_embedding_near_dups",
+    "q74_ann_ivf_topk",
     "q106_minhash_lsh_recall",
-    "q129_minhash_bucket_table",
     "q108_event_funnel",
     "q121_centroid_similarity",
+    "q129_minhash_bucket_table",
     "q130_interval_join_batch",
     "q134_semantic_dedup",
     "q139_psi_drift",
@@ -231,22 +179,28 @@ _DRIVER_GREEN = [
     "q157_int8_ann_topk",
     "q158_compaction_plan",
     "q159_zonemap_pruning",
+    "q160_triangle_count",
     "q161_incremental_join_view",
     "q162_ks_drift",
     "q163_cusum_changepoint",
+    "q169_bfs_khop",
     "q170_gram_matrix",
     "q176_pit_scd2_join",
     "q180_mad_outliers",
+]
+
+_DRIVER_GREEN = [
+    # -- last driver-checked round 5 (the 9 the r10 window's 33-entry
+    #    r5 slice does not cover — stalest remaining, head position) --
     "q182_vocab_growth",
+    "q183_shingle_novelty",
+    "q184_source_overlap_matrix",
+    "q185_cluster_safe_split",
+    "q188_winnowing_pairs",
     "q191_event_paths",
     "q192_association_rules",
     "q193_conversion_lifetable",
     "q194_mmr_diverse_topk",
-    "q67_simhash_dedup",
-    "q70_ann_bruteforce_topk",
-    "q71_ann_lsh_topk",
-    "q72_embedding_near_dups",
-    "q74_ann_ivf_topk",
     # -- last driver-checked round 6 --
     "q186_bpe_train_rounds",
     "q201_apriori_triples",
@@ -390,6 +344,59 @@ _DRIVER_GREEN = [
     "q78_embedding_quantize",
     "q231_bootstrap_ci",
     "q240_split_leakage",
+    # -- last driver-checked round 9 (the freshest evidence: the 8
+    #    r8-changed + the full r3 band + the r9 wave + q133 via the
+    #    slack slot; q263 rides in _VERIFY_FIRST instead — post-seal
+    #    lever hygiene) --
+    "q09_arg_min_max",
+    "q179_ewma_features",
+    "q198_interval_coverage",
+    "q199_attribution_last_touch",
+    "q222_calibration_ece",
+    "q223_ranking_auc",
+    "q224_cohen_kappa",
+    "q229_pr_threshold_sweep",
+    "q151_shingle_containment",
+    "q04_conditional_agg",
+    "q102_unpivot",
+    "q131_trigger_upstream_batch",
+    "q132_simhash_portable",
+    "q135_bm25_topk",
+    "q136_substring_dedup",
+    "q138_vocab_coverage",
+    "q141_bigram_lm_score",
+    "q143_skew_profile",
+    "q15_asof_join",
+    "q32_cube",
+    "q34_window_range_frame",
+    "q35_salted_join",
+    "q42_math_funcs",
+    "q45_array_agg",
+    "q48_string_agg",
+    "q49_corr_covar",
+    "q50_events_hourly",
+    "q51_sessionization",
+    "q52_events_json_props",
+    "q53_tumbling_window_batch",
+    "q54_pivot",
+    "q56_time_rollup_multigrain",
+    "q60_token_stats",
+    "q68_jaccard_capped_df",
+    "q69_top_bigrams",
+    "q75_embedding_centroids",
+    "q76_binary_meta",
+    "q77_bpe_token_count",
+    "q253_incremental_distinct_view",
+    "q254_stratified_min_sample",
+    "q255_suffix_span_dedup",
+    "q256_mann_whitney",
+    "q257_bh_fdr",
+    "q258_kaplan_meier",
+    "q259_rolling_exact_distinct",
+    "q260_asof_nearest_tolerance",
+    "q261_fleiss_kappa",
+    "q262_groupwise_ols",
+    "q133_dedup_survivors",
 ]
 
 

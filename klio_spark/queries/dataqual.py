@@ -1747,9 +1747,15 @@ def q239_spearman_rank_corr(spark: SparkSession, sf_dir: str):
     "window runs over DISTINCT cents (bounded by the price domain, not "
     "the row count) — no global per-row sort at any scale. z is IEEE "
     "arithmetic on the exact integers with one sqrt, rounded 6 (the "
-    "q247 convention). Bound: t^3 needs the largest tie group < 2.1e6 "
-    "rows (int64); u1_x2 ~ 2N^2 needs N < 2.1e9. SURVEY §2.9 "
-    "statistics family (q247/q231/q239).",
+    "q247 convention). Bound (ADVICE r9 correction): tie_t = "
+    "SUM(t^3 - t) across ALL cents groups must fit int64, so the "
+    "envelope is SUM(t^3) < 9.2e18; since SUM(t^3) <= max_t^2 * "
+    "SUM(t) = max_t^2 * N, the sufficient check is N * max_t^2 < "
+    "9.2e18 (at N = 2.1e9 rows: largest tie group < ~66k). A per-"
+    "group-only bound is NOT sufficient — 1000 groups of 2e6 ties "
+    "gives SUM(t^3) ~ 8e21 > 2^63 (Spark wraps, DuckDB raises). "
+    "u1_x2 ~ 2N^2 needs N < 2.1e9. SURVEY §2.9 statistics family "
+    "(q247/q231/q239).",
 )
 def q256_mann_whitney(spark: SparkSession, sf_dir: str):
     (e,) = load(spark, sf_dir, "events")

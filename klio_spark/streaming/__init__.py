@@ -2013,7 +2013,11 @@ def stateful_page_hinkley(
     exact ints — Python, Spark, and DuckDB agree bit-for-bit, the
     integerize-the-transcendental rule), dev = cents*1000 - mean_milli
     - delta_milli accumulates into m, and PH = m - min(m so far,
-    including now). The FIRST crossing of lambda_milli emits one alarm
+    including now) — min_m seeds from the FIRST m (not 0), exactly the
+    batch kernel's MIN-over-actual-m semantics, so batch/live first-
+    alarm equivalence holds for ANY delta_milli sign (a 0 seed agreed
+    only because delta_milli >= 0 forces m_1 <= 0). The FIRST crossing
+    of lambda_milli emits one alarm
     row (key, t_s, ph_milli, n) and latches — matching q263's
     first_alarm_t_s exactly, which is what the restart-twin test
     asserts. Within a batch events sort by (ts, id); cross-batch
@@ -2050,7 +2054,11 @@ def stateful_page_hinkley(
             s += cents
             mu = int(math.floor(1000.0 * s / n))
             m += cents * 1000 - mu - delta_milli
-            if m < min_m:
+            if n == 1 or m < min_m:
+                # seed min_m from the FIRST actual m (ADVICE r9): the
+                # batch kernel takes MIN over real m values only, and a
+                # 0-seeded min would diverge from it whenever m_1 > 0 —
+                # possible the moment delta_milli < 0
                 min_m = m
             ph = m - min_m
             if not alarmed and ph > lambda_milli:

@@ -6,8 +6,9 @@ class — q09's tie-arbitrary ``max_by`` and q114's multiplicity-collapsing
 ``distinct()`` — both invisible at driver scale factors and guaranteed
 at 100 TB row counts. klio_spark.plans.tie_lint AST-walks the query and
 streaming modules for ``row_number``/``ntile``/``max_by``/``min_by``/
-ordered ``first``/``last`` (Python) and ``ROW_NUMBER``/``NTILE``/
-``ARG_MAX``/``ARG_MIN`` (oracle SQL) sites. A site auto-passes when its
+ordered ``first``/``last`` AND bare aggregate-side ``first``/``last``
+(Python) and ``ROW_NUMBER``/``NTILE``/``ARG_MAX``/``ARG_MIN`` (oracle
+SQL) sites — named-window OVER clauses resolve for every construct. A site auto-passes when its
 order key references a corpus-unique row id; everything else needs an
 ALLOWED entry below stating WHY ties are impossible or harmless. An
 unlisted site fails this test, so a new query cannot reintroduce the
@@ -115,6 +116,9 @@ ALLOWED: dict[str, str] = {
     + ": (part_a, part_b), counts are GROUP BY the pair",
     "klio_spark/queries/behavior.py::q231_bootstrap_ci::row_number": UNIQUE_IN_PARTITION
     + ": b (bootstrap replicate index), one diff row per b",
+    "klio_spark/queries/behavior.py::q247_ab_significance::first": VALUE_EQUALS_KEY
+    + ": F.first('c_custkey') inside groupBy('c_custkey') — the picked "
+    "value IS the grouping key, identical on every row of the group",
     "klio_spark/queries/behavior.py::q231_bootstrap_ci::sql_row_number": UNIQUE_IN_PARTITION
     + ": b (bootstrap replicate index), one diff row per b",
     "klio_spark/queries/dataqual.py::q143_skew_profile::sql_row_number": UNIQUE_IN_PARTITION
@@ -293,3 +297,57 @@ def test_sql_named_window_is_resolved(tmp_path):
     )
     (site,) = tie_lint.scan_file(str(p), "sqlmod.py")
     assert site.kind == "sql_row_number" and site.total
+
+
+def test_sql_named_window_resolves_for_all_kinds(tmp_path):
+    """ADVICE r9: NTILE over a named WINDOW clause must resolve the
+    definition the same way ROW_NUMBER does — a unique-id key in the
+    clause auto-passes; a tie-prone key stays flagged."""
+    p = tmp_path / "sqlmod2.py"
+    p.write_text(
+        'Q = """\n'
+        "SELECT NTILE(4) OVER w AS b FROM t\n"
+        "WINDOW w AS (ORDER BY score, doc_id)\n"
+        '"""\n'
+        'Q2 = """\n'
+        "SELECT NTILE(4) OVER w AS b FROM t\n"
+        "WINDOW w AS (ORDER BY score)\n"
+        '"""\n'
+    )
+    sites = tie_lint.scan_file(str(p), "sqlmod2.py")
+    assert [s.total for s in sites if s.kind == "sql_ntile"] == [True, False]
+
+
+def test_sql_inline_window_trailing_context_cannot_false_pass(tmp_path):
+    """ADVICE r9 (converse): a unique id appearing INCIDENTALLY after
+    an inline OVER(...) spec must not satisfy the totality check."""
+    p = tmp_path / "sqlmod3.py"
+    p.write_text(
+        'Q = """\n'
+        "SELECT ROW_NUMBER() OVER (ORDER BY score) AS r, doc_id\n"
+        "FROM t JOIN d USING (doc_id)\n"
+        '"""\n'
+    )
+    (site,) = tie_lint.scan_file(str(p), "sqlmod3.py")
+    assert site.kind == "sql_row_number" and not site.total
+
+
+def test_bare_aggregate_first_last_is_flagged(tmp_path):
+    """ADVICE r9: a bare F.first(col) inside .agg(...) (no .over) is a
+    partition-arbitrary pick — it must surface as a never-total site,
+    while the same call chained through .over(w) reports exactly once
+    (as the windowed site, not twice)."""
+    p = tmp_path / "aggmod.py"
+    p.write_text(
+        "def q(df):\n"
+        "    import pyspark.sql.functions as F\n"
+        "    from pyspark.sql import Window\n"
+        "    w = Window.partitionBy('k').orderBy('ts', 'event_id')\n"
+        "    a = df.groupBy('k').agg(F.first('v').alias('x'))\n"
+        "    b = df.select(F.last('v', ignorenulls=True).over(w))\n"
+        "    c = df.first()\n"
+        "    return a, b, c\n"
+    )
+    sites = tie_lint.scan_file(str(p), "aggmod.py")
+    kinds = sorted((s.kind, s.total) for s in sites)
+    assert kinds == [("first", False), ("last", True)]

@@ -71,15 +71,39 @@ def main() -> int:
     env.setdefault("DRIVER_CHECK_MEMORY", "8g")
     cmd = [sys.executable, os.path.join(REPO, "tools", "driver_check.py"), X3]
     cmd += [q for q in args.queries.split(",") if q]
+    # ADVICE r9: a stale result file from an EARLIER run would silently
+    # populate checked/failures if driver_check dies before writing
+    # (plausible OOM at 3x) — remove it first so a missing file is
+    # recorded as results=None, never misattributed.
+    try:
+        os.remove("/tmp/driver_check_last.json")
+    except FileNotFoundError:
+        pass
     t0 = time.perf_counter()
     proc = subprocess.run(cmd, env=env, cwd=REPO)
     wall = round(time.perf_counter() - t0, 1)
 
-    results = {}
+    results = None
     try:
         results = json.load(open("/tmp/driver_check_last.json"))
     except Exception:
         pass
+    if results is None:
+        record = {
+            "corpus": ".scale/x3",
+            "checked": 0,
+            "failures": None,
+            "results_missing": True,
+            "wall_sec": wall,
+            "exit": proc.returncode,
+        }
+        with open(os.path.join(REPO, ".scale", "x3_sweep_last.json"), "w") as f:
+            json.dump(record, f, indent=1)
+        print(
+            f"x3 sweep FAIL: driver_check wrote no result file "
+            f"(exit {proc.returncode}, {wall}s)"
+        )
+        return proc.returncode or 1
     n = len(results)
     bad = sorted(
         # "ok"/"rows_only" carry the ROW COUNT — 0 rows hash-matching on
