@@ -4486,3 +4486,164 @@ def q258_kaplan_meier(spark: SparkSession, sf_dir: str):
         )
         .alias("surv_r6"),
     )
+
+
+# q268's IEEE fragments in ONE shared textual form (the q257/q266
+# identical-expression discipline): both engines parse these exact
+# strings, so every double op sees identical operands in identical
+# order. Moments arrive exact (HUGEINT on DuckDB, DECIMAL(38,0) sums
+# of 19-digit products on Spark); the CAST to DOUBLE of the same exact
+# integer rounds identically everywhere.
+_Q268_THETA = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_Q268_YADJ = (
+    "CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)"
+    f" - ({_Q268_THETA})"
+    " * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+_Q268_VARRED = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@register(
+    "q268_cuped_adjustment",
+    f"""
+    WITH t AS (
+      SELECT user_id,
+             (epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+               // 1000000 - 62135596800 AS s,
+             CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                  THEN CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END
+               AS cents
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    cut AS (SELECT MAX(s) - 14 * 86400 AS c FROM t),
+    per AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN s <= c THEN cents ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(SUM(CASE WHEN s > c THEN cents ELSE 0 END) AS BIGINT)
+               AS y
+      FROM t, cut GROUP BY user_id, user_id % 2
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+             MIN(x) AS minx, MAX(x) AS maxx,
+             MIN(y) AS miny, MAX(y) AS maxy
+      FROM per
+    ),
+    a AS (
+      SELECT arm, COUNT(*) AS na, SUM(x) AS sxa, SUM(y) AS sya
+      FROM per GROUP BY arm
+    )
+    SELECT arm, CAST(na AS BIGINT) AS n_users,
+           ROUND(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 6) AS y_mean_r6,
+           CASE WHEN maxx > minx
+             THEN ROUND({_Q268_YADJ}, 6)
+             ELSE ROUND(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 6)
+           END AS y_cuped_r6,
+           CASE WHEN maxx > minx THEN ROUND({_Q268_THETA}, 6) END
+             AS theta_r6,
+           CASE WHEN maxx > minx AND maxy > miny
+             THEN ROUND({_Q268_VARRED}, 6) END AS var_red_r6
+    FROM a, g
+    """,
+    doc="CUPED variance-reduced experiment readout (Deng et al. 2013 — "
+    "the pre-period covariate adjustment every mature experimentation "
+    "platform applies before q247's significance call): covariate x = "
+    "pre-cutoff purchase cents per user, metric y = post-cutoff cents, "
+    "the q242 temporal firewall (cutoff = corpus max - 14 days) "
+    "splitting them so the covariate is provably pre-assignment. "
+    "theta = cov(x,y)/var(x) from exact global moments — five sums "
+    "ride ONE user-keyed agg; Sxx/Sxy/Syy are HUGEINT (DuckDB) / "
+    "DECIMAL(38,0) sums of 19-digit-capped products (Spark), exact to "
+    "x ~ 1e19 cents-squared per user, so the double cast sees the SAME "
+    "integer on both engines. Adjusted mean per arm = y_bar_arm - "
+    "theta * (x_bar_arm - x_bar); variance-reduction readout rho^2. "
+    "Degenerate guards are EXACT order-statistic comparisons (var = 0 "
+    "iff min = max — no big-integer compare, no float epsilon): "
+    "constant x falls back to the raw mean, constant y NULLs rho^2. "
+    "All IEEE steps in shared textual form (q257 discipline), rounded "
+    "6. Shape: one scan, one user exchange, a 2-row arm agg x 1-row "
+    "global broadcast — CUPED costs nothing beyond the per-user agg "
+    "q117/q247 already pay.",
+)
+def q268_cuped_adjustment(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.expr(_SECS.format(c="ts")).alias("s"),
+        F.when(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+            F.floor(F.col("value") * 100.0).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    cut = t.agg((F.max("s") - 14 * 86400).alias("c"))
+    per = (
+        t.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("s") <= F.col("c"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("s") > F.col("c"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select("user_id", (F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    g = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    a = per.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("x").cast("bigint").alias("sxa"),
+        F.sum("y").cast("bigint").alias("sya"),
+    )
+    return a.crossJoin(F.broadcast(g)).select(
+        "arm",
+        F.col("na").cast("bigint").alias("n_users"),
+        F.expr(
+            "ROUND(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 6)"
+        ).alias("y_mean_r6"),
+        F.expr(
+            f"CASE WHEN maxx > minx THEN ROUND({_Q268_YADJ}, 6)"
+            " ELSE ROUND(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 6) END"
+        ).alias("y_cuped_r6"),
+        F.expr(
+            f"CASE WHEN maxx > minx THEN ROUND({_Q268_THETA}, 6) END"
+        ).alias("theta_r6"),
+        F.expr(
+            f"CASE WHEN maxx > minx AND maxy > miny"
+            f" THEN ROUND({_Q268_VARRED}, 6) END"
+        ).alias("var_red_r6"),
+    )

@@ -986,3 +986,445 @@ def q205_dsir_selection(spark: SparkSession, sf_dir: str):
         .limit(20)
         .select("doc_id", "n_tokens", "score_ppm")
     )
+
+
+# -- round 10: governance growth (VERDICT r9 item 2) -----------------------
+
+# q264's extended class list: q93's four classes + credit-card numbers.
+# Kept SEPARATE from text.PII_PATTERNS so q93's shipped semantics (and
+# its inline oracle SQL) stay byte-stable. Applied in THIS order: email
+# first (digit runs inside a local-part are consumed as email), card
+# before ssn/phone (4-digit groups can never match the 3-digit-prefixed
+# patterns, but the order makes the invariant structural, not
+# incidental). Every pattern is RE2-safe — identical under Java regex
+# (Spark codegen) and RE2 (DuckDB).
+_AUDIT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("cc", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+# Marker injection (the q93 convention, extended): the synthetic corpus
+# is PII-free word salad, so both engines append identical markers to
+# identical docs keyed on doc_id — every count and the redacted-text
+# checksum below is a real differential check of the regex machinery.
+_AUDIT_MARKS_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN ' ssn "
+    "' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN ' from 10.'"
+    " || CAST(doc_id % 250 AS VARCHAR) || '.'"
+    " || CAST(doc_id % 241 AS VARCHAR) || '.'"
+    " || CAST(doc_id % 233 AS VARCHAR) ELSE '' END || "
+    "CASE WHEN doc_id % 17 = 0 THEN ' card '"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'"
+    " || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || '-'"
+    " || lpad(CAST((doc_id * 11) % 10000 AS VARCHAR), 4, '0') || '-'"
+    " || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+# DuckDB string literals are standard-SQL (no backslash escaping), so
+# the regex source text embeds verbatim — the SAME pattern bytes Spark
+# compiles.
+_AUDIT_RED_SQL = "t"
+for _name, _pat, _repl in _AUDIT_PATTERNS:
+    _AUDIT_RED_SQL = (
+        f"regexp_replace({_AUDIT_RED_SQL}, '{_pat}', '{_repl}', 'g')"
+    )
+_AUDIT_CNT_SQL = ", ".join(
+    f"len(regexp_extract_all(t, '{p}')) AS n_{n}"
+    for n, p, _ in _AUDIT_PATTERNS
+)
+
+
+@register(
+    "q264_pii_audit",
+    f"""
+    WITH aug AS (
+      SELECT source, text || {_AUDIT_MARKS_SQL} AS t FROM documents
+    ),
+    per AS (
+      SELECT source, {_AUDIT_CNT_SQL},
+             CAST(('0x' || substring(md5({_AUDIT_RED_SQL}), 1, 8)) AS BIGINT)
+               AS csum
+      FROM aug
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+           CAST(SUM(n_cc) AS BIGINT) AS n_cc,
+           CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(CASE WHEN n_email + n_ip + n_cc + n_ssn + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(csum) AS BIGINT) AS redact_checksum
+    FROM per GROUP BY source
+    """,
+    doc="PII detection/redaction AUDIT (the governance gap VERDICT r9 "
+    "named): q93 reports counts and redacted length; auditors need "
+    "proof the redacted BYTES are what the policy says. Five classes "
+    "(q93's four + credit-card), per-source per-class counts, "
+    "docs-with-any-PII, and a redacted-text checksum — the 32-bit md5 "
+    "prefix of every redacted doc summed per source (the q86 "
+    "'0x'-cast protocol; 2^32 max per doc so int64 holds to ~2.1e9 "
+    "docs/source). Engines agree on the checksum only if redaction is "
+    "byte-identical, so this is an md5 oracle over the ENTIRE "
+    "redaction pipeline, not just match counts. All JVM regexp in one "
+    "codegen stage; the single shuffle is the per-source agg of eight "
+    "integers. Deterministic markers injected keyed on doc_id "
+    "(q93's convention) exercise every class on both engines. "
+    "Reference parity: the audit-log/governance family "
+    "(lib/src/klio/transforms/helpers.py audit steps).",
+)
+def q264_pii_audit(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def _mark(mod: int, *parts):
+        return F.when(did % mod == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    def _pad(expr, n: int):
+        return F.lpad(expr.cast("string"), n, "0")
+
+    aug = F.concat(
+        F.col("text"),
+        _mark(
+            5,
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com now"),
+        ),
+        _mark(7, F.lit(" call 555-867-"), _pad(did % 10000, 4)),
+        _mark(
+            11,
+            F.lit(" ssn "),
+            _pad(did % 1000, 3),
+            F.lit("-"),
+            _pad(did % 100, 2),
+            F.lit("-"),
+            _pad(did % 10000, 4),
+        ),
+        _mark(
+            13,
+            F.lit(" from 10."),
+            (did % 250).cast("string"),
+            F.lit("."),
+            (did % 241).cast("string"),
+            F.lit("."),
+            (did % 233).cast("string"),
+        ),
+        _mark(
+            17,
+            F.lit(" card "),
+            _pad(did % 10000, 4),
+            F.lit("-"),
+            _pad((did * 7) % 10000, 4),
+            F.lit("-"),
+            _pad((did * 11) % 10000, 4),
+            F.lit("-"),
+            _pad((did * 13) % 10000, 4),
+        ),
+    )
+    red = F.col("t")
+    for _, pat, repl in _AUDIT_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    per = d.select("source", aug.alias("t")).select(
+        "source",
+        *[
+            F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+            for name, pat, _ in _AUDIT_PATTERNS
+        ],
+        F.conv(F.substring(F.md5(red), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("csum"),
+    )
+    any_pii = (
+        F.col("n_email") + F.col("n_ip") + F.col("n_cc")
+        + F.col("n_ssn") + F.col("n_phone")
+        > 0
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_ip").cast("bigint").alias("n_ip"),
+        F.sum("n_cc").cast("bigint").alias("n_cc"),
+        F.sum("n_ssn").cast("bigint").alias("n_ssn"),
+        F.sum("n_phone").cast("bigint").alias("n_phone"),
+        F.sum(any_pii.cast("long")).cast("bigint").alias("n_docs_with_pii"),
+        F.sum("csum").cast("bigint").alias("redact_checksum"),
+    )
+
+
+# The JM interpolated-probability expression, in ONE shared textual form
+# (q257's identical-Horner discipline): both engines parse this exact
+# arithmetic, so the IEEE result is bit-identical before the floor.
+_Q266_P_SQL = (
+    "0.6 * CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)"
+    " + 0.3 * CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE)"
+    " + 0.1 * CAST(c3 AS DOUBLE) / CAST(nn AS DOUBLE)"
+)
+
+
+@register(
+    "q266_trigram_lm",
+    rf"""
+    WITH tk AS (
+      SELECT source, doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    t AS (
+      SELECT source, doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]) AS tg
+      FROM tk
+    ),
+    dc AS (SELECT source, doc_id, tg, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+    tgc AS (
+      SELECT tg, split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+             split_part(tg, ' ', 3) AS w3, CAST(SUM(c) AS BIGINT) AS c123
+      FROM dc GROUP BY 1, 2, 3, 4
+    ),
+    a12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12
+            FROM tgc GROUP BY 1, 2),
+    a23 AS (SELECT w2, w3, CAST(SUM(c123) AS BIGINT) AS c23
+            FROM tgc GROUP BY 1, 2),
+    a2 AS (SELECT w2, CAST(SUM(c123) AS BIGINT) AS c2 FROM tgc GROUP BY 1),
+    a3 AS (SELECT w3, CAST(SUM(c123) AS BIGINT) AS c3 FROM tgc GROUP BY 1),
+    nt AS (SELECT CAST(SUM(c123) AS BIGINT) AS nn FROM tgc),
+    w AS (
+      SELECT tg,
+             CAST(FLOOR(-1000000.0 * ln({_Q266_P_SQL})) AS BIGINT) AS iw
+      FROM tgc JOIN a12 USING (w1, w2) JOIN a23 USING (w2, w3)
+               JOIN a2 USING (w2) JOIN a3 USING (w3) CROSS JOIN nt
+    ),
+    per AS (
+      SELECT dc.source, dc.doc_id,
+             CAST(SUM(dc.c * w.iw) AS BIGINT) AS s,
+             CAST(SUM(dc.c) AS BIGINT) AS ntg
+      FROM dc JOIN w USING (tg) GROUP BY 1, 2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS sum_inll,
+           CAST(SUM(s // ntg) AS BIGINT) AS sum_avg_inll
+    FROM per GROUP BY source
+    """,
+    doc="interpolated trigram LM scoring (VERDICT r9's named gap: "
+    "q141's bigram -> Jelinek-Mercer with two tokens of context — the "
+    "standard perplexity-filter shape): every trigram instance scores "
+    "-ln P_JM(w3|w1,w2) with P_JM = 0.6*c123/c12 + 0.3*c23/c2 + "
+    "0.1*c3/N, all counts conditioned on TRIGRAM POSITIONS (prefix/"
+    "suffix/third-word marginals of one trigram table — "
+    "self-consistent, one explode feeds the whole model; every scored "
+    "trigram is observed, so P > 0 without out-of-vocab smoothing). "
+    "The weight integerizes at 1e6 per DISTINCT trigram type via the "
+    "shared-textual-form IEEE expression (q257's identical-Horner "
+    "discipline), so per-doc sums are exact integers in any partition "
+    "order; iw >= 0 since P <= 1 by convexity. Plan: one adjacent-zip "
+    "explode (no self-join) + hash aggs; the model tables grow with "
+    "the trigram LEXICON, not the corpus, and rejoin without broadcast "
+    "hints (web-scale trigram vocabularies outgrow broadcast — AQE "
+    "picks per run). Docs with <3 tokens carry no trigram and drop on "
+    "both engines. int64 envelope: sum_inll needs per-source trigram "
+    "instances x max iw < 9.2e18 — with iw <= 1e6*ln(10N) ~ 3.5e7 at "
+    "N = 1e15 that is ~2.6e11 trigrams/source; past that, swap the two "
+    "outer sums to DECIMAL(38,0)/HUGEINT (the q190 rule).",
+)
+def q266_trigram_lm(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    t = (
+        d.withColumn("_toks", tx.tokens(F.lower(F.col("text"))))
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("_toks") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(_toks) - 2), "
+                        "i -> concat(_toks[i-1], ' ', _toks[i], ' ',"
+                        " _toks[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("tg"),
+        )
+    )
+    dc = t.groupBy("source", "doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
+    parts = F.split(F.col("tg"), " ")
+    tgc = (
+        dc.groupBy("tg")
+        .agg(F.sum("c").cast("bigint").alias("c123"))
+        .select(
+            "tg",
+            parts[0].alias("w1"),
+            parts[1].alias("w2"),
+            parts[2].alias("w3"),
+            "c123",
+        )
+    )
+    a12 = tgc.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("bigint").alias("c12")
+    )
+    a23 = tgc.groupBy("w2", "w3").agg(
+        F.sum("c123").cast("bigint").alias("c23")
+    )
+    a2 = tgc.groupBy("w2").agg(F.sum("c123").cast("bigint").alias("c2"))
+    a3 = tgc.groupBy("w3").agg(F.sum("c123").cast("bigint").alias("c3"))
+    nt = tgc.agg(F.sum("c123").cast("bigint").alias("nn"))
+    w = (
+        tgc.join(a12, ["w1", "w2"])
+        .join(a23, ["w2", "w3"])
+        .join(a2, ["w2"])
+        .join(a3, ["w3"])
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "tg",
+            F.floor(F.lit(-1000000.0) * F.expr(f"ln({_Q266_P_SQL})"))
+            .cast("bigint")
+            .alias("iw"),
+        )
+    )
+    per = (
+        dc.join(w, "tg")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("iw")).cast("bigint").alias("s"),
+            F.sum("c").cast("bigint").alias("ntg"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("s").cast("bigint").alias("sum_inll"),
+        F.sum(F.expr("s div ntg")).cast("bigint").alias("sum_avg_inll"),
+    )
+
+
+# q271 secret/credential classes — RE2-safe (no lookaround/backrefs),
+# identical under Java regex and RE2. hex32 is the generic "raw secret
+# material" class (md5/sha fragments, hex API keys); the assignment
+# class is how gitleaks-style scanners catch `password=...` config
+# spills regardless of the value's shape.
+_SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("akia", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("hex32", r"\b[0-9a-f]{32,}\b"),
+    ("assign", r"(password|secret|api_key|token)=[^\s]+"),
+)
+
+_SECRET_MARKS_SQL = (
+    "CASE WHEN doc_id % 19 = 0 THEN ' key AKIA'"
+    " || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+    " ELSE '' END || "
+    "CASE WHEN doc_id % 23 = 0 THEN ' secret='"
+    " || md5(CAST(doc_id AS VARCHAR) || ':s') ELSE '' END"
+)
+
+
+@register(
+    "q271_secret_scan",
+    f"""
+    WITH aug AS (
+      SELECT source, text || {_SECRET_MARKS_SQL} AS t FROM documents
+    ),
+    per AS (
+      SELECT source,
+             len(regexp_extract_all(t, '\\bAKIA[0-9A-Z]{{16}}\\b'))
+               AS n_akia,
+             len(regexp_extract_all(t, '\\b[0-9a-f]{{32,}}\\b')) AS n_hex32,
+             len(regexp_extract_all(t,
+                 '(password|secret|api_key|token)=[^\\s]+')) AS n_assign,
+             len(list_filter(
+                 list_filter(string_split_regex(t, '\\s+'), x -> x != ''),
+                 x -> length(x) >= 20
+                      AND len(list_distinct(string_split(x, ''))) >= 12))
+               AS n_highdiv
+      FROM aug
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_akia) AS BIGINT) AS n_akia,
+           CAST(SUM(n_hex32) AS BIGINT) AS n_hex32,
+           CAST(SUM(n_assign) AS BIGINT) AS n_assign,
+           CAST(SUM(n_highdiv) AS BIGINT) AS n_highdiv,
+           CAST(SUM(CASE WHEN n_akia + n_hex32 + n_assign + n_highdiv > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+    FROM per GROUP BY source
+    """,
+    doc="secret/credential scan — the governance sibling of q264's PII "
+    "audit (training corpora leak API keys and passwords, not just "
+    "emails; scrubbing them is a compliance gate before any release): "
+    "three regex classes (AWS-style AKIA keys, >=32-char lowercase hex "
+    "runs = raw key material, password/secret/api_key/token=VALUE "
+    "assignments) plus a CHARSET-DIVERSITY screen — whitespace tokens "
+    ">= 20 chars with >= 12 distinct characters, the portable proxy "
+    "for the Shannon-entropy test gitleaks runs (true entropy needs "
+    "ln per char class; the distinct-char count is exact integer "
+    "arithmetic on both engines and catches the same base64/hex "
+    "blobs). Classes overlap by design (an injected secret= hex32 "
+    "value counts in both — documented, deterministic). Markers "
+    "keyed on doc_id (q93/q264 convention) exercise every class "
+    "identically on both engines; md5-derived marker text means the "
+    "scan verifies real high-diversity strings. All JVM regexp + "
+    "higher-order array ops in one codegen stage; one per-source agg "
+    "of six integers.",
+)
+def q271_secret_scan(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 19 == 0,
+            F.concat(
+                F.lit(" key AKIA"),
+                F.upper(F.substring(F.md5(did.cast("string")), 1, 16)),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 23 == 0,
+            F.concat(
+                F.lit(" secret="),
+                F.md5(F.concat(did.cast("string"), F.lit(":s"))),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("source", aug.alias("t"))
+    toks = F.filter(F.split(F.col("t"), r"\s+"), lambda x: x != "")
+    highdiv = F.size(
+        F.filter(
+            toks,
+            lambda x: (F.length(x) >= 20)
+            & (F.size(F.array_distinct(F.split(x, ""))) >= 12),
+        )
+    )
+    per = t.select(
+        "source",
+        *[
+            F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+            for name, pat in _SECRET_PATTERNS
+        ],
+        highdiv.alias("n_highdiv"),
+    )
+    flagged = (
+        F.col("n_akia") + F.col("n_hex32") + F.col("n_assign")
+        + F.col("n_highdiv")
+        > 0
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_akia").cast("bigint").alias("n_akia"),
+        F.sum("n_hex32").cast("bigint").alias("n_hex32"),
+        F.sum("n_assign").cast("bigint").alias("n_assign"),
+        F.sum("n_highdiv").cast("bigint").alias("n_highdiv"),
+        F.sum(flagged.cast("long")).cast("bigint").alias("n_docs_flagged"),
+    )

@@ -2328,3 +2328,216 @@ def q257_bh_fdr(spark: SparkSession, sf_dir: str):
             "rejected"
         ),
     )
+
+
+# q269's expected-count and cell-contribution expressions in ONE shared
+# textual form (the q257/q266 discipline): identical IEEE operand order
+# on both engines, integerized per CELL before the (exact) sum.
+_Q269_E = "CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(tt AS DOUBLE)"
+_Q269_CONTRIB = (
+    f"(CAST(o AS DOUBLE) - {_Q269_E}) * (CAST(o AS DOUBLE) - {_Q269_E})"
+    f" / ({_Q269_E})"
+)
+
+
+@register(
+    "q269_chi_square_drift",
+    f"""
+    WITH t AS (
+      SELECT event_type,
+             ((((epoch_us(CAST(ts AS TIMESTAMP)) + 62135596800000000)
+                // 1000000 - 62135596800) + 63504000000) // 86400 + 4) % 7
+               AS dow
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cells AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+      FROM t GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS r,
+             SUM(o) OVER (PARTITION BY dow) AS c,
+             SUM(o) OVER () AS tt
+      FROM cells
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, o,
+           CAST(FLOOR(1000000.0 * ({_Q269_E})) AS BIGINT) AS e_micro,
+           CAST(FLOOR(1000000000.0 * ({_Q269_CONTRIB})) AS BIGINT)
+             AS contrib_q9
+    FROM m
+    """,
+    doc="chi-square independence audit of event_type x day-of-week — "
+    "the categorical drift test PSI/KS (q139/q162) cannot express: "
+    "those compare ONE numeric distribution against a baseline; this "
+    "asks whether the WEEKLY SHAPE differs BY TYPE (type-specific "
+    "weekday cycles = scheduling bugs, bot traffic, or genuine "
+    "behavioral segmentation). Per cell: observed count, expected "
+    "E = R*C/T under independence (micro-units), and the chi-square "
+    "contribution (O-E)^2/E floored at 1e-9 — chi2 = SUM(contrib_q9)/"
+    "1e9 with dof (rows-1)(cols-1), but the CELL table is the "
+    "deliverable (which cells drive the statistic is the actionable "
+    "part; the 1-row statistic hides it). Every contribution is an "
+    "IEEE expression over exact integer (O, R, C, T) in shared "
+    "textual form, floor-integerized per cell, so the judge-facing "
+    "sum is exact in any partition order. dow via q243's pure-integer "
+    "(days+4) mod 7 on week-aligned-shifted seconds (engine calendar "
+    "functions disagree on conventions). Shape: one scan, map-side "
+    "agg bounded at #types x 7 cells, three cell-bounded windows — "
+    "the statistic costs one exchange of a <100-row frame.",
+)
+def q269_chi_square_drift(spark: SparkSession, sf_dir: str):
+    (ev,) = load(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        F.expr(
+            "(((((CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " + 62135596800000000) div 1000000 - 62135596800)"
+            " + 63504000000) div 86400 + 4) % 7)"
+        ).alias("dow"),
+    )
+    cells = t.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    # windows over the <= #types x 7 cell frame, never the events
+    m = (
+        cells.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("c", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("tt", F.sum("o").over(Window.partitionBy()))
+    )
+    return m.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "o",
+        F.expr(f"CAST(FLOOR(1000000.0 * ({_Q269_E})) AS BIGINT)").alias(
+            "e_micro"
+        ),
+        F.expr(
+            f"CAST(FLOOR(1000000000.0 * ({_Q269_CONTRIB})) AS BIGINT)"
+        ).alias("contrib_q9"),
+    )
+
+
+# q270's per-token JSD terms in ONE shared textual form (q257/q266
+# discipline). p = source prob, q = corpus prob; both KL integrands
+# integerize per DISTINCT token at 1e-12 — the SUM is bounded by ln 2,
+# so the bigint accumulation can never overflow regardless of lexicon
+# size (floor error only subtracts ~1 unit per distinct token).
+_Q270_P = "CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)"
+_Q270_Q = "CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)"
+_Q270_PTERM = (
+    f"({_Q270_P}) * ln(2.0 * ({_Q270_P}) / (({_Q270_P}) + ({_Q270_Q})))"
+)
+_Q270_QTERM = (
+    f"({_Q270_Q}) * ln(2.0 * ({_Q270_Q}) / (({_Q270_P}) + ({_Q270_Q})))"
+)
+_Q270_REM = "(1.0 - CAST(cgp AS DOUBLE) / CAST(ng AS DOUBLE)) * ln(2.0)"
+
+
+@register(
+    "q270_js_divergence",
+    rf"""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x != '')) AS t
+      FROM documents
+    ),
+    st AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cs
+           FROM tok GROUP BY 1, 2),
+    gt AS (SELECT t, CAST(SUM(cs) AS BIGINT) AS cg FROM st GROUP BY t),
+    ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM st GROUP BY 1),
+    ng AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM gt),
+    terms AS (
+      SELECT st.source,
+             CAST(FLOOR(1000000000000.0 * ({_Q270_PTERM})) AS BIGINT) AS pt,
+             CAST(FLOOR(1000000000000.0 * ({_Q270_QTERM})) AS BIGINT) AS qt,
+             cg
+      FROM st JOIN gt USING (t) JOIN ns USING (source) CROSS JOIN ng
+    ),
+    agg AS (
+      SELECT source, COUNT(*) AS n_tokens,
+             CAST(SUM(pt) AS BIGINT) AS pside_q12,
+             CAST(SUM(qt) AS BIGINT) AS qside_q12,
+             CAST(SUM(cg) AS BIGINT) AS cgp
+      FROM terms GROUP BY source
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           pside_q12, qside_q12,
+           CAST(FLOOR(1000000000000.0 * ({_Q270_REM})) AS BIGINT)
+             AS rem_q12,
+           ROUND(CAST(pside_q12 + qside_q12
+                      + CAST(FLOOR(1000000000000.0 * ({_Q270_REM}))
+                             AS BIGINT) AS DOUBLE)
+                 / 2000000000000.0, 6) AS jsd_r6
+    FROM agg CROSS JOIN ng
+    """,
+    doc="Jensen-Shannon divergence of each source's unigram token "
+    "distribution vs the corpus — the bounded, symmetric mixture-drift "
+    "gauge (KL blows up on missing tokens; JSD <= ln 2 always) behind "
+    "source-reweighting decisions (q92/q207's mixtures) and "
+    "contamination triage: JSD(P_s || P_corpus) = 0.5*KL(P||M) + "
+    "0.5*KL(Q||M), M = (P+Q)/2. Present tokens contribute both "
+    "integrands per row of the (source, token) table; tokens ABSENT "
+    "from the source contribute exactly q*ln 2, folded as ONE "
+    "closed-form remainder (1 - present_mass)*ln 2 — no anti-join, no "
+    "lexicon-sized null-handling. Each term is IEEE in shared textual "
+    "form over exact counts, floor-integerized at 1e-12 per DISTINCT "
+    "token; the bigint sums are bounded by 1e12*ln2 + lexicon floor "
+    "error, overflow-free at ANY corpus size (the bound is "
+    "information-theoretic, not data-dependent). Shape: one explode, "
+    "two lexicon-keyed hash aggs (map-side partials), one "
+    "lexicon-scale join, a #sources-row agg; the tiny ns/ng frames "
+    "broadcast.",
+)
+def q270_js_divergence(spark: SparkSession, sf_dir: str):
+    from klio_spark.functions import text as tx
+
+    (d,) = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    st = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    gt = st.groupBy("t").agg(F.sum("cs").cast("bigint").alias("cg"))
+    ns = st.groupBy("source").agg(F.sum("cs").cast("bigint").alias("ns"))
+    ng = gt.agg(F.sum("cg").cast("bigint").alias("ng"))
+    terms = (
+        st.join(gt, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.expr(
+                f"CAST(FLOOR(1000000000000.0 * ({_Q270_PTERM})) AS BIGINT)"
+            ).alias("pt"),
+            F.expr(
+                f"CAST(FLOOR(1000000000000.0 * ({_Q270_QTERM})) AS BIGINT)"
+            ).alias("qt"),
+            "cg",
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("pt").cast("bigint").alias("pside_q12"),
+        F.sum("qt").cast("bigint").alias("qside_q12"),
+        F.sum("cg").cast("bigint").alias("cgp"),
+    )
+    rem = F.expr(f"CAST(FLOOR(1000000000000.0 * ({_Q270_REM})) AS BIGINT)")
+    return agg.crossJoin(F.broadcast(ng)).select(
+        "source",
+        "n_tokens",
+        "pside_q12",
+        "qside_q12",
+        rem.alias("rem_q12"),
+        F.expr(
+            f"ROUND(CAST(pside_q12 + qside_q12 +"
+            f" CAST(FLOOR(1000000000000.0 * ({_Q270_REM})) AS BIGINT)"
+            f" AS DOUBLE) / 2000000000000.0, 6)"
+        ).alias("jsd_r6"),
+    )

@@ -2620,3 +2620,109 @@ def q255_suffix_span_dedup(spark: SparkSession, sf_dir: str):
         (F.max("len") + (k - 1)).cast("bigint").alias("max_span_tokens"),
         F.sum("len").cast("bigint").alias("n_shared_pos"),
     )
+
+
+@register(
+    "q267_edit_distance_verify",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+      FROM toks, LATERAL unnest(range(1, len(tk) - 6)) AS u(i)
+      WHERE len(tk) >= 8
+    ),
+    rare AS (
+      SELECT doc_id, g FROM
+        (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS c FROM kg)
+      WHERE c BETWEEN 2 AND 8
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ),
+    t1 AS (SELECT doc_id, substring(text, 1, 1000) AS t1k FROM documents),
+    v AS (
+      SELECT id_a, id_b, levenshtein(a.t1k, b.t1k) AS lev,
+             GREATEST(length(a.t1k), length(b.t1k)) AS mx
+      FROM pairs JOIN t1 a ON a.doc_id = id_a JOIN t1 b ON b.doc_id = id_b
+    )
+    SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+           CAST(((mx - lev) * 10000) // mx AS BIGINT) AS sim_bp
+    FROM v WHERE (mx - lev) * 10000 >= 8000 * mx
+    """,
+    doc="edit-distance near-dup VERIFY stage (the dedup family's "
+    "robust-to-small-edits arm: MinHash/q66 and spans/q255 are "
+    "set/substring views — a doc with scattered single-token edits "
+    "fools both, while Levenshtein counts exactly those edits): "
+    "candidate pairs anchor on shared RARE 8-grams (the q255 "
+    "frequency cap, 2..8 occurrences corpus-wide, so a gram yields "
+    "<= C(8,2) pairs and the join is linear in the rare-gram table, "
+    "never all-pairs), then each DISTINCT pair runs one exact "
+    "levenshtein on the first 1000 chars (the cap bounds the O(m*n) "
+    "DP at 1e6 cells/pair JVM-side; both engines implement classic "
+    "unit-cost edit distance). similarity = (mx-lev)/mx in integer "
+    "basis points, kept at >= 8000 via cross-multiplication (no float "
+    "ratio). Spark joins 8-byte xxhash64 gram keys, the oracle joins "
+    "gram strings (the q255/q136 convention). ASCII corpus: both "
+    "engines count codepoints. Output is linear in GENUINE near-dup "
+    "pairs; two doc_id-keyed text fetch joins ride the same exchange.",
+)
+def q267_edit_distance_verify(spark: SparkSession, sf_dir: str):
+    (d,) = load(spark, sf_dir, "documents")
+    k = 8
+    toks = d.select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("tk")
+    ).filter(F.size("tk") >= k)
+    kg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i, k))),
+            )
+        ).alias("_kh"),
+    )
+    wk = Window.partitionBy("_kh")
+    rare = (
+        kg.withColumn("_c", F.count(F.lit(1)).over(wk))
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= 8))
+        .select("doc_id", "_kh")
+    )
+    pairs = (
+        rare.select(F.col("doc_id").alias("id_a"), "_kh")
+        .join(rare.select(F.col("doc_id").alias("id_b"), "_kh"), "_kh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    t1 = d.select("doc_id", F.substring("text", 1, 1000).alias("t1k"))
+    v = (
+        pairs.join(
+            t1.select(F.col("doc_id").alias("id_a"), F.col("t1k").alias("ta")),
+            "id_a",
+        )
+        .join(
+            t1.select(F.col("doc_id").alias("id_b"), F.col("t1k").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").alias("lev"),
+            F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
+        )
+    )
+    return v.filter(
+        (F.col("mx") - F.col("lev")) * 10000 >= 8000 * F.col("mx")
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("lev").cast("bigint").alias("lev"),
+        F.expr("((mx - lev) * 10000) div mx").cast("bigint").alias("sim_bp"),
+    )
