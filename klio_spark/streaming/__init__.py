@@ -2148,3 +2148,97 @@ def stateful_rolling_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_kaplan_meier(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    *,
+    signup_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Online Kaplan-Meier CENSORING STATE per user — q258's live twin
+    (queries/behavior.py) and the 32nd stateful op, completing the
+    survival family's batch/live pairing.
+
+    The scalable split: the HARD part of live KM is the per-user
+    time-to-event state under replay and out-of-order delivery — t0 =
+    earliest signup seen, te = earliest post-signup purchase seen —
+    exactly 2 int64 scalars per user, keyed BY USER so the op
+    parallelizes over the user exchange like every per-user batch agg.
+    The curve fold (risk sets, the exact-integer ln product) is a
+    cheap DETERMINISTIC aggregation over the emitted snapshot that any
+    consumer runs with ITS OWN censor time ("now"), so the op does not
+    bake a censoring horizon into state. Each touched user re-emits
+    its current (user, arm, t0, te) — latest-per-user is the snapshot,
+    the stateful_element_counts running-value convention; the
+    restart-twin test folds that snapshot through q258's OWN oracle
+    tail (risk sets -> floor(1e12*ln(1-d/n)) prefix sums) and asserts
+    equality with the batch kernel over the cumulative events.
+
+    Both folds are idempotent mins, so torn-batch replay cannot move
+    t0/te (crash-fuzz tested). Events are folded batch-at-a-time: a
+    signup and a later purchase in the SAME batch pair correctly
+    regardless of row order; a purchase in an EARLIER batch that only
+    becomes eligible when a LATER batch backfills an older signup is
+    dropped — the stateful_funnel arrival-order relaxation, shared by
+    every op in this family. arm = user % 2 in C remainder semantics
+    (the engines' convention, sign of the dividend). NaT timestamps
+    and non-string types are skipped like the batch kernel's filter;
+    users with no signup yet hold no state and emit nothing (q258's
+    WHERE t0 IS NOT NULL)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    UNSET = 2**62
+
+    def update(key, pdfs, state: GroupState):
+        sign_min = None
+        purch = []
+        for pdf in pdfs:
+            for t, et in zip(pdf[ts_col], pdf[type_col]):
+                tt = pd.Timestamp(t)
+                if tt is pd.NaT or pd.isna(tt) or not isinstance(et, str):
+                    continue
+                s = int(tt.value // 1_000_000_000)
+                if et == signup_type:
+                    sign_min = s if sign_min is None else min(sign_min, s)
+                elif et == event_type:
+                    purch.append(s)
+        t0, te = state.get if state.exists else (UNSET, UNSET)
+        if sign_min is not None and sign_min < t0:
+            t0 = sign_min
+        if t0 == UNSET:
+            # no signup seen yet: nothing emittable, and storing
+            # pre-signup purchases would not survive the documented
+            # arrival-order relaxation anyway
+            return
+        for s in purch:
+            if t0 <= s < te:
+                te = s
+        state.update((t0, te))
+        u = int(key[0])
+        arm = (u % 2) if u >= 0 else -((-u) % 2)
+        yield pd.DataFrame(
+            {
+                user_col: [u],
+                "arm": [arm],
+                "t0": [t0],
+                "te": [None if te == UNSET else te],
+            }
+        )
+
+    filtered = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(type_col).isin(signup_type, event_type)
+    )
+    return filtered.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{user_col} long, arm long, t0 long, te long",
+        stateStructType="t0 long, te long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

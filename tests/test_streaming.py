@@ -2143,3 +2143,150 @@ def test_stateful_rolling_distinct_matches_batch_kernel(spark, tmp_path):
     # = users 10, 11 (Jan 1) + 13 (Jan 2); target Jan 3 adds 12 (Jan 3)
     jan2 = (dt.date(2024, 1, 2) - dt.date(1970, 1, 1)).days
     assert got[jan2] == 3 and got[jan2 + 1] == 4
+
+
+def test_stateful_kaplan_meier_matches_batch_kernel(spark, tmp_path):
+    """stateful_kaplan_meier across a checkpoint restart: the latest
+    live (t0, te) snapshot per user, folded through q258's OWN oracle
+    tail (risk sets -> floor(1e12*ln(1-d/n)) prefix sums) at the
+    cumulative corpus's censor time, must equal the batch kernel row
+    for row — including a te that tightens ACROSS the restart and a
+    signup/purchase pair arriving in separate batches."""
+    import datetime as dt
+
+    import duckdb
+
+    from klio_spark.queries import all_queries
+
+    edir = tmp_path / "km"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    t = lambda d, hh=3: dt.datetime(2024, 1, 1 + d, hh)  # noqa: E731
+    b1 = [
+        (1, 10, "signup", t(0)),
+        (2, 10, "purchase", t(2)),  # observed at day 2
+        (3, 11, "signup", t(0)),  # censored (no purchase ever)
+        (4, 12, "signup", t(1)),  # purchase arrives in b2
+        (5, 12, "view", t(1, 9)),  # filtered event type
+        (6, None, "signup", t(1)),  # NULL user skipped
+        (7, 13, "purchase", t(0)),  # pre-signup purchase: never eligible
+    ]
+    b2 = [
+        (8, 12, "purchase", t(4)),  # pairs with the b1 signup
+        (9, 10, "purchase", t(1)),  # EARLIER eligible purchase: te tightens
+        (10, 13, "signup", t(3)),  # censored from day 3
+        (11, 14, "signup", t(5, 23)),  # censored same-day (t_day 0)
+    ]
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(edir / "p")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_kaplan_meier(stream),
+            lambda b, bid: b.withColumn("_bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(f"{tmp_path}/kmout"),
+            str(tmp_path / "ckpt-km"),
+        )
+        q.awaitTermination(60)
+
+    def live_curve(cumulative):
+        rows = spark.read.parquet(f"{tmp_path}/kmout").collect()
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r._bid > latest[r.user_id][0]:
+                latest[r.user_id] = (r._bid, r.arm, r.t0, r.te)
+        # the consumer's censor time: corpus max over ALL events with
+        # (ts, user) present — q258's mx, chosen at fold time, not
+        # baked into op state
+        import pandas as _pd
+
+        tmax = max(
+            int(_pd.Timestamp(r[3]).value // 1_000_000_000)
+            for r in cumulative
+            if r[1] is not None and r[3] is not None
+        )
+        u = [
+            {
+                "arm": arm,
+                "t_day": (te - t0) // 86400
+                if te is not None
+                else (tmax - t0) // 86400,
+                "obs": 1 if te is not None else 0,
+            }
+            for (_bid, arm, t0, te) in latest.values()
+        ]
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register("u", pd.DataFrame(u))
+        # q258's oracle tail, verbatim from the g-table down
+        out = con.execute(
+            """
+            WITH g AS (
+              SELECT arm, t_day, CAST(SUM(obs) AS BIGINT) AS d,
+                     CAST(SUM(1 - obs) AS BIGINT) AS c
+              FROM u GROUP BY arm, t_day
+            ),
+            r AS (
+              SELECT arm, t_day, d, c,
+                     CAST(SUM(d + c) OVER (PARTITION BY arm) AS BIGINT)
+                     - CAST(COALESCE(SUM(d + c) OVER (
+                         PARTITION BY arm ORDER BY t_day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS n_risk
+              FROM g
+            ),
+            li AS (
+              SELECT arm, t_day, d, c, n_risk,
+                     CASE WHEN d = 0 THEN 0
+                          WHEN d < n_risk THEN CAST(FLOOR(
+                            1000000000000.0
+                            * LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+                            AS BIGINT)
+                     END AS lt,
+                     CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END
+                       AS dead
+              FROM r
+            ),
+            cum AS (
+              SELECT arm, t_day, d, c, n_risk,
+                     CAST(SUM(lt) OVER w AS BIGINT) AS cl,
+                     MAX(dead) OVER w AS cd
+              FROM li
+              WINDOW w AS (PARTITION BY arm ORDER BY t_day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT CAST(arm AS BIGINT), CAST(t_day AS BIGINT), n_risk,
+                   d, c,
+                   CASE WHEN cd = 1 THEN 0.0
+                        ELSE ROUND(EXP(CAST(cl AS DOUBLE)
+                                       / 1000000000000.0), 6) END
+            FROM cum
+            """
+        ).fetchall()
+        return {(r[0], r[1]): r[2:] for r in out}
+
+    def batch_curve(rows):
+        kdir = tmp_path / f"km-kernel{len(rows)}"
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(kdir / "events.parquet")
+        )
+        out = all_queries()["q258_kaplan_meier"].fn(spark, str(kdir)).collect()
+        return {
+            (r.arm, r.t_day): (r.n_risk, r.n_event, r.n_censor, r.surv_r6)
+            for r in out
+        }
+
+    run(b1)
+    assert live_curve(b1) == batch_curve(b1)
+    run(b2)
+    got = live_curve(b1 + b2)
+    assert got == batch_curve(b1 + b2)
+    # user 10's te TIGHTENED across the restart (day 2 -> day 1): the
+    # even arm must show its death at day 1, and user 14 censors at
+    # day 0 (same-day signup vs corpus max)
+    assert got[(0, 1)][1] == 1

@@ -884,3 +884,52 @@ def test_stateful_rolling_distinct_crash_fuzz(spark, tmp_path):
     assert {k: v[1] for k, v in latest.items()} == {
         int(k): len(v) for k, v in votes.items()
     }
+
+
+def test_stateful_kaplan_meier_crash_fuzz(spark, tmp_path):
+    """Per-user censoring state (t0, te) torn mid-batch: both folds are
+    idempotent MINs, so the replayed run must land on identical
+    snapshots — t0 must not rewind upward, te must not lose a tightening
+    that happened in the torn batch, and re-emitted rows must match the
+    clean run byte for byte."""
+    rng = random.Random(258)
+    pdfs, eid = [], 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(6, 12)):
+            eid += 1
+            u = rng.randrange(1, 7)
+            et = rng.choice(["signup", "purchase", "view"])
+            rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": None if rng.randrange(14) == 0 else u,
+                    "event_type": et,
+                    "ts": _ts(b * 10 + rng.randrange(10)),
+                }
+            )
+        pdf = pd.DataFrame(rows)
+        # keep the NULL-bearing id column int64-typed in parquet
+        # (a raw None would coerce the whole column to DOUBLE)
+        pdf["user_id"] = pdf["user_id"].astype("Int64")
+        pdfs.append(pdf)
+    rows = _fuzz_op(
+        spark, tmp_path, name="km", seed=25,
+        build_op=st.stateful_kaplan_meier,
+        schema="event_id long, user_id long, event_type string, ts timestamp",
+        pdfs=pdfs,
+    )
+    # canon column-sorted: (_bid, arm, t0, te, user_id). t0/te must be
+    # monotone per user across batch ids (idempotent mins never rewind)
+    unset = ("None", "nan", "<NA>")
+    per_user = {}
+    for _bid, _arm, t0, te, u in sorted(rows, key=lambda r: float(r[0])):
+        if u in per_user:
+            pt0, pte = per_user[u]
+            assert float(t0) <= float(pt0), "t0 rewound upward"
+            if pte not in unset:
+                # a set te can only tighten, never unset or grow
+                assert te not in unset, "te unset after being set"
+                assert float(te) <= float(pte), "te rewound upward"
+        per_user[u] = (t0, te)
+    assert per_user, "no snapshots emitted"
