@@ -275,6 +275,30 @@ QUERIES = [
     # round-9: Fleiss kappa (negative doc_ids exercise the mod-2^31
     # pre-reduce sign convention on both engines)
     "q261_fleiss_kappa",
+    # round-10: PII audit (NEGATIVE doc_ids drive negative-remainder
+    # marker arithmetic — lpad of negative mods and % sign parity —
+    # and the md5 checksum catches ANY redaction byte divergence)
+    "q264_pii_audit",
+    # round-10: packing planner (empty/NULL docs drop; single-token
+    # docs land in fit_class 512; oversize docs only exist if a random
+    # doc tops 512 tokens — either way both engines agree)
+    "q265_packing_planner",
+    # round-10: trigram LM (docs with <3 tokens drop; duplicate texts
+    # double trigram counts without new types; NULL text contributes
+    # nothing; the shared-form P_JM must floor identically)
+    "q266_trigram_lm",
+    # round-10: edit-distance verify (duplicate texts give lev=0 pairs
+    # at sim 10000; near-dup mutations land mid-range; the 2..8 cap
+    # must drop the most-repeated 8-grams identically)
+    "q267_edit_distance_verify",
+    # round-10: JS divergence (single-source corpora give JSD ~ 0 with
+    # remainder ~ 0; tiny sources press the absent-token remainder
+    # against the per-token floor error)
+    "q270_js_divergence",
+    # round-10: secret scan (random word salad must count ZERO in all
+    # classes except injected markers; the charset-diversity screen
+    # must agree on every >= 20-char token)
+    "q271_secret_scan",
 ]
 
 
@@ -492,6 +516,15 @@ EVENT_QUERIES = [
     # cents swing the running mean below zero — the FLOOR of the IEEE
     # division must agree on negatives, which the double-div form does)
     "q263_page_hinkley",
+    # round-10: CUPED (pre-epoch anchors push the 14-day cutoff below
+    # zero; users with no purchases give x = y = 0 — if EVERY user
+    # does, the min=max guard must fall back identically; NULL users
+    # and timestamps drop)
+    "q268_cuped_adjustment",
+    # round-10: chi-square cells (pre-epoch dow via the week-aligned
+    # shift; rare types make 1-count cells where (O-E)^2/E is largest
+    # relative to the 1e-9 floor; NULL ts/type filtered)
+    "q269_chi_square_drift",
 ]
 
 
@@ -1114,6 +1147,17 @@ UNICODE_QUERIES = [
     # engines — grapheme-vs-codepoint equality never enters, but the
     # lower() parity and the ' '-joined bigram key must bit-agree)
     "q225_distinct_ngrams",
+    # round-10: PII audit on unicode text — \\b and \\d must stay
+    # ASCII-classed in BOTH Java regex (no UNICODE_CHARACTER_CLASS)
+    # and RE2; markers adjacent to astral/combining codepoints must
+    # match identically, and the md5 checksum of the redacted unicode
+    # bytes is the strictest possible referee
+    "q264_pii_audit",
+    # round-10: secret scan on unicode text — the charset-diversity
+    # screen splits by CODEPOINT on both engines (never surrogate
+    # halves), so astral-bearing long tokens count identical distinct
+    # sets
+    "q271_secret_scan",
 ]
 
 
