@@ -4597,7 +4597,9 @@ def q268_cuped_adjustment(spark: SparkSession, sf_dir: str):
         .alias("cents"),
     )
     cut = t.agg((F.max("s") - 14 * 86400).alias("c"))
-    per = (
+    # two consumers (global moments g, arm agg a) read the per-user
+    # frame — persist it once or the events scan + user agg run twice
+    per = scoped_persist(
         t.crossJoin(F.broadcast(cut))
         .groupBy("user_id")
         .agg(

@@ -21,7 +21,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from klio_spark.functions import text as tx
-from klio_spark.queries import load, register
+from klio_spark.queries import load, register, scoped_persist
 
 # Deterministic pseudo-PII injection: the synthetic corpus is PII-free
 # word salad, so a redaction query over raw text would verify nothing
@@ -1261,7 +1261,10 @@ def q266_trigram_lm(spark: SparkSession, sf_dir: str):
     )
     dc = t.groupBy("source", "doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
     parts = F.split(F.col("tg"), " ")
-    tgc = (
+    # five marginal consumers (a12/a23/a2/a3/nn) read the trigram
+    # lexicon table — persist it once or each re-derives the corpus
+    # explode (the q255 scoped-cache lever); lexicon-scale, compact
+    tgc = scoped_persist(
         dc.groupBy("tg")
         .agg(F.sum("c").cast("bigint").alias("c123"))
         .select(

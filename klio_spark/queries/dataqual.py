@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from klio_spark.queries import load, register
+from klio_spark.queries import load, register, scoped_persist
 
 
 @register(
@@ -2450,7 +2450,7 @@ _Q270_REM = "(1.0 - CAST(cgp AS DOUBLE) / CAST(ng AS DOUBLE)) * ln(2.0)"
            FROM tok GROUP BY 1, 2),
     gt AS (SELECT t, CAST(SUM(cs) AS BIGINT) AS cg FROM st GROUP BY t),
     ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM st GROUP BY 1),
-    ng AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM gt),
+    ng AS (SELECT CAST(SUM(cs) AS BIGINT) AS ng FROM st),
     terms AS (
       SELECT st.source,
              CAST(FLOOR(1000000000000.0 * ({_Q270_PTERM})) AS BIGINT) AS pt,
@@ -2501,12 +2501,17 @@ def q270_js_divergence(spark: SparkSession, sf_dir: str):
         "source",
         F.explode(tx.tokens(F.lower(F.col("text")))).alias("t"),
     )
-    st = tok.groupBy("source", "t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cs")
+    # three consumers (gt/ns/terms) read the (source, token) table —
+    # persist it once or each re-runs the corpus token explode
+    st = scoped_persist(
+        tok.groupBy("source", "t").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cs")
+        )
     )
     gt = st.groupBy("t").agg(F.sum("cs").cast("bigint").alias("cg"))
     ns = st.groupBy("source").agg(F.sum("cs").cast("bigint").alias("ns"))
-    ng = gt.agg(F.sum("cg").cast("bigint").alias("ng"))
+    # N_g = total tokens; summing cs skips a second gt derivation
+    ng = st.agg(F.sum("cs").cast("bigint").alias("ng"))
     terms = (
         st.join(gt, "t")
         .join(F.broadcast(ns), "source")

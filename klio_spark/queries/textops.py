@@ -2689,7 +2689,9 @@ def q267_edit_distance_verify(spark: SparkSession, sf_dir: str):
         ).alias("_kh"),
     )
     wk = Window.partitionBy("_kh")
-    rare = (
+    # both sides of the pair self-join read the rare-gram table —
+    # persist it once (q255's lever) or each rebuilds explode+window
+    rare = scoped_persist(
         kg.withColumn("_c", F.count(F.lit(1)).over(wk))
         .filter((F.col("_c") >= 2) & (F.col("_c") <= 8))
         .select("doc_id", "_kh")
