@@ -2671,7 +2671,14 @@ def q255_suffix_span_dedup(spark: SparkSession, sf_dir: str):
     "ratio). Spark joins 8-byte xxhash64 gram keys, the oracle joins "
     "gram strings (the q255/q136 convention). ASCII corpus: both "
     "engines count codepoints. Output is linear in GENUINE near-dup "
-    "pairs; two doc_id-keyed text fetch joins ride the same exchange.",
+    "pairs; two doc_id-keyed text fetch joins ride the same exchange. "
+    "Spark side runs the 200-banded DP (keep-filter implies lev <= "
+    "mx/5 <= 200, so the band is exact for every keepable pair; -1 "
+    "rows are precisely the filter's rejects) with an equality "
+    "short-circuit for byte-identical slices — the dominant pair class "
+    "in a duplicate-heavy corpus pays one memcmp instead of 1e6 DP "
+    "cells. The oracle keeps the unbanded form; kept rows are "
+    "value-identical by the band argument.",
 )
 def q267_edit_distance_verify(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
@@ -2716,12 +2723,22 @@ def q267_edit_distance_verify(spark: SparkSession, sf_dir: str):
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("ta", "tb").alias("lev"),
+            # banded DP: the keep-filter implies lev <= mx/5 <= 200, so
+            # a 200-banded levenshtein (-1 above the band) returns the
+            # EXACT distance for every keepable pair and the identical
+            # -1 rows are exactly the rows the filter drops anyway
+            # (lev > 200 >= mx/5 since mx <= 1000). Byte-identical
+            # slices — the dominant case in a duplicate-heavy corpus —
+            # short-circuit to 0 on one comparison, no DP at all.
+            F.when(F.col("ta") == F.col("tb"), F.lit(0))
+            .otherwise(F.levenshtein("ta", "tb", 200))
+            .alias("lev"),
             F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
         )
     )
     return v.filter(
-        (F.col("mx") - F.col("lev")) * 10000 >= 8000 * F.col("mx")
+        (F.col("lev") >= 0)
+        & ((F.col("mx") - F.col("lev")) * 10000 >= 8000 * F.col("mx"))
     ).select(
         "id_a",
         "id_b",
