@@ -77,6 +77,12 @@ SKEW_QUERIES = [
     "q188_winnowing_pairs", "q129_minhash_bucket_table",
     # embedding mega-cluster
     "q72_embedding_near_dups", "q134_semantic_dedup",
+    # round-10 (VERDICT r9 item 6): q259's hot-user twin, the CUPED
+    # per-user moments under the same hot user, and the three text ops
+    # whose gram/token keys the mega-dup family makes hot — q267's
+    # 2..8 frequency cap must EXCLUDE the 2000-deep boilerplate grams
+    "q259_rolling_exact_distinct", "q268_cuped_adjustment",
+    "q266_trigram_lm", "q267_edit_distance_verify", "q270_js_divergence",
 ]
 
 DEGEN_QUERIES = ["q64_exact_dedup", "q67_simhash_dedup"]
