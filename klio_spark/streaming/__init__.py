@@ -2242,3 +2242,98 @@ def stateful_kaplan_meier(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_groupwise_ols(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Online group-wise OLS moment accumulator — q262's live twin
+    (queries/behavior.py) and the 33rd stateful op, completing the
+    regression family's batch/live pairing the way stateful_kaplan_meier
+    completed survival and stateful_page_hinkley completed drift.
+
+    The scalable split mirrors the batch kernel exactly: regression over
+    (x = hour index, y = value cents) reduces to SIX exact-integer
+    moments per key — (n, Sx, Sy, Sxx, Sxy, Syy) — so state is 6 int64s
+    per key, keyed by the SAME column the batch groupBy shuffles on, and
+    the fold is an abelian sum (order- and batch-boundary-free, the only
+    state shape that needs no arrival-order relaxation at all). x and y
+    integerize with the batch kernel's own expressions: x =
+    (unix_micros + 62135596800000000) div 1e6 div 3600 - 17733240 (the
+    corpus hour index), y = floor(value * 100.0) — one IEEE double
+    multiply then floor, bit-identical in pandas and the JVM. The
+    slope/intercept/r2 derivation stays a DETERMINISTIC consumer-side
+    fold over the emitted snapshot (q262's closed form from the same six
+    moments), so the op bakes no float arithmetic into state and the
+    restart-twin test asserts exact int64 equality against the batch
+    m-table on the cumulative corpus. int64 envelope = q262's
+    documented bound (~9e8 rows/group at the corpus value domain).
+
+    Each touched key re-emits its full moment snapshot per batch
+    (latest-per-key is the live regression input, the
+    stateful_element_counts running-value convention). Batch replay
+    after a torn write re-folds against the checkpointed pre-batch
+    state, so sums cannot double-count (crash-fuzz tested). NULL ts or
+    value rows are skipped like the batch kernel's filter; NULL keys
+    pass through as their own group, matching the batch groupBy."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        dn = dsx = dsy = dsxx = dsxy = dsyy = 0
+        for pdf in pdfs:
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                t = pd.Timestamp(ts)
+                if t is pd.NaT or pd.isna(t) or pd.isna(val):
+                    continue
+                us = t.value // 1000
+                x = (us + 62135596800000000) // 1000000 // 3600 - 17733240
+                y = int(math.floor(float(val) * 100.0))
+                dn += 1
+                dsx += x
+                dsy += y
+                dsxx += x * x
+                dsxy += x * y
+                dsyy += y * y
+        if dn == 0:
+            return
+        n, sx, sy, sxx, sxy, syy = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        n += dn
+        sx += dsx
+        sy += dsy
+        sxx += dsxx
+        sxy += dsxy
+        syy += dsyy
+        state.update((n, sx, sy, sxx, sxy, syy))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "sx": [sx],
+                "sy": [sy],
+                "sxx": [sxx],
+                "sxy": [sxy],
+                "syy": [syy],
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, n long, sx long, sy long,"
+            " sxx long, sxy long, syy long"
+        ),
+        stateStructType=(
+            "n long, sx long, sy long, sxx long, sxy long, syy long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2290,3 +2290,93 @@ def test_stateful_kaplan_meier_matches_batch_kernel(spark, tmp_path):
     # even arm must show its death at day 1, and user 14 censors at
     # day 0 (same-day signup vs corpus max)
     assert got[(0, 1)][1] == 1
+
+
+def test_stateful_groupwise_ols_matches_batch_moments(spark, tmp_path):
+    """stateful_groupwise_ols across a checkpoint restart: the latest
+    live moment snapshot per key must equal q262's batch m-table
+    (exact int64 moments, the kernel's own x/y integerization) on the
+    cumulative corpus — including a key updated in both batches, a
+    negative value (IEEE floor parity), NULL ts/value skips, and a
+    NULL key riding as its own group."""
+    import datetime as dt
+
+    edir = tmp_path / "ols"
+    (edir / "p").mkdir(parents=True)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    t = lambda h: dt.datetime(2024, 1, 1, 0) + dt.timedelta(hours=h)  # noqa
+    b1 = [
+        (1, "purchase", t(0), 10.25),
+        (2, "purchase", t(3), -3.21),  # negative: floor(-320.99..) = -321
+        (3, "view", t(1), 2.0),
+        (4, "view", None, 99.0),  # NULL ts skipped
+        (5, "view", t(2), None),  # NULL value skipped
+        (6, None, t(4), 1.5),  # NULL key = its own group
+    ]
+    b2 = [
+        (7, "purchase", t(50), 7.77),  # same key, second batch
+        (8, "signup", t(6), 0.0),
+        (9, None, t(5), -1.5),
+    ]
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(edir / "p")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(edir / "p"))
+        q = st.foreach_batch_sink(
+            st.stateful_groupwise_ols(stream),
+            lambda b, bid: b.withColumn("_bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(f"{tmp_path}/olsout"),
+            str(tmp_path / "ckpt-ols"),
+        )
+        q.awaitTermination(60)
+
+    def batch_moments(rows):
+        df = spark.createDataFrame(rows, schema)
+        m = (
+            df.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.expr(
+                    "((CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+                    " + 62135596800000000) div 1000000 div 3600)"
+                    " - 17733240"
+                ).alias("x"),
+                F.floor(F.col("value") * 100.0).cast("bigint").alias("y"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("sx"),
+                F.sum("y").cast("bigint").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+                F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+            )
+        )
+        return {
+            r.event_type: (r.n, r.sx, r.sy, r.sxx, r.sxy, r.syy)
+            for r in m.collect()
+        }
+
+    def live_moments():
+        rows = spark.read.parquet(f"{tmp_path}/olsout").collect()
+        latest = {}
+        for r in rows:
+            if r.event_type not in latest or r._bid > latest[r.event_type][0]:
+                latest[r.event_type] = (
+                    r._bid, r.n, r.sx, r.sy, r.sxx, r.sxy, r.syy,
+                )
+        return {k: v[1:] for k, v in latest.items()}
+
+    run(b1)  # first stream run ends (checkpoint persists)
+    assert live_moments() == batch_moments(b1)
+    run(b2)  # RESTART from the checkpoint, folds only b2
+    got = live_moments()
+    assert got == batch_moments(b1 + b2)
+    # the purchase key accumulated ACROSS the restart: n=3 spans both
+    # batches, and the negative value's floor must read -321 cents
+    assert got["purchase"][0] == 3
+    assert batch_moments(b1)["purchase"][2] == 1025 - 321

@@ -20,6 +20,7 @@ all side effects visible, nothing committed).
 
 import datetime as dt
 import os
+import math
 import random
 
 import pandas as pd
@@ -933,3 +934,62 @@ def test_stateful_kaplan_meier_crash_fuzz(spark, tmp_path):
                 assert float(te) <= float(pte), "te rewound upward"
         per_user[u] = (t0, te)
     assert per_user, "no snapshots emitted"
+
+
+def test_stateful_groupwise_ols_crash_fuzz(spark, tmp_path):
+    """Per-key OLS moment state torn mid-batch: the fold is an abelian
+    int64 sum re-folded against the checkpointed pre-batch state, so
+    the replayed run must not double-count — outputs match the clean
+    run byte for byte, and the final snapshot per key equals the
+    moments computed directly from every surviving event."""
+    rng = random.Random(262)
+    pdfs = []
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(6, 12)):
+            rows.append(
+                {
+                    "event_type": rng.choice(
+                        ["purchase", "view", "signup", None]
+                    ),
+                    "ts": None
+                    if rng.randrange(12) == 0
+                    else _ts(b * 180 + rng.randrange(120)),
+                    "value": None
+                    if rng.randrange(12) == 0
+                    else rng.uniform(-50, 50),
+                }
+            )
+        pdfs.append(pd.DataFrame(rows))
+    rows = _fuzz_op(
+        spark, tmp_path, name="gols", seed=26,
+        build_op=st.stateful_groupwise_ols,
+        schema="event_type string, ts timestamp, value double",
+        pdfs=pdfs,
+    )
+    # canon column-sorted: (_bid, event_type, n, sx, sxx, sxy, sy, syy)
+    latest = {}
+    for r in sorted(rows, key=lambda r: float(r[0])):
+        latest[r[1]] = tuple(int(float(v)) for v in (r[2:]))
+    expected = {}
+    for pdf in pdfs:
+        for et, ts, val in zip(pdf["event_type"], pdf["ts"], pdf["value"]):
+            t = pd.Timestamp(ts)
+            if t is pd.NaT or pd.isna(t) or pd.isna(val):
+                continue
+            us = t.value // 1000
+            x = (us + 62135596800000000) // 1000000 // 3600 - 17733240
+            y = int(math.floor(float(val) * 100.0))
+            k = str(et) if et is not None else None
+            n, sx, sy, sxx, sxy, syy = expected.get(k, (0, 0, 0, 0, 0, 0))
+            expected[k] = (
+                n + 1, sx + x, sy + y, sxx + x * x, sxy + x * y,
+                syy + y * y,
+            )
+    exp_sorted = {
+        k: (n, sx, sxx, sxy, sy, syy)
+        for k, (n, sx, sy, sxx, sxy, syy) in expected.items()
+    }
+    got = {(None if k in ("None", "nan", "<NA>") else k): v
+           for k, v in latest.items()}
+    assert got == exp_sorted, (got, exp_sorted)
