@@ -279,6 +279,7 @@ def minhash_lsh_dedup(
     n_buckets: int = 32,
     bucket_cap: int | None = 1024,
     cap_strategy: str = "window",
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -328,11 +329,23 @@ def minhash_lsh_dedup(
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
-    # everything downstream operates on 8-byte hashes (shingle_hashes)
-    base_plan = df.select(
-        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("_sh")
+    # everything downstream operates on 8-byte hashes (shingle_hashes).
+    # ``hashes_df`` lets a caller that ALSO needs the shingle-hash table
+    # (q106 runs this pipeline next to the exact-pairs referee) pass one
+    # shared, caller-materialized (id, _sh) frame so the fused
+    # tokenize→shingle→hash UDF scans the corpus once, not once per
+    # pipeline; the caller owns persistence.
+    base_plan = (
+        hashes_df.select(F.col(id_col), "_sh")
+        if hashes_df is not None
+        else df.select(
+            F.col(id_col),
+            shingle_hashes(F.col(text_col), shingle_n).alias("_sh"),
+        )
     )
-    if bucket_table is not None:
+    if hashes_df is not None:
+        base = base_plan
+    elif bucket_table is not None:
         from klio_spark.plans.partitioning import overwrite_bucketed_table
 
         base = overwrite_bucketed_table(
@@ -615,6 +628,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via grouped shingle buckets.
 
@@ -640,7 +654,7 @@ def ngram_jaccard_pairs(
     pair — exact when max_df is None (the oracle setting).
     """
     pair_counts = _shingle_pair_counts(
-        df, text_col, id_col, n=n, max_df=max_df
+        df, text_col, id_col, n=n, max_df=max_df, hashes_df=hashes_df
     )
     return (
         pair_counts.withColumn(
@@ -660,12 +674,20 @@ def _shingle_pair_counts(
     *,
     n: int = 3,
     max_df: int | None = None,
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared pair machinery: (id_a, id_b, _na, _nb, _inter) with
     id_a < id_b, one row per doc pair sharing ≥1 shingle. Jaccard and
-    containment are both pure arithmetic over these three counts."""
-    base = df.select(
-        F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
+    containment are both pure arithmetic over these three counts.
+    ``hashes_df`` (optional, columns id_col + ``_sh``) substitutes a
+    caller-materialized shingle-hash table for the fused UDF pass —
+    see :func:`minhash_lsh_dedup`."""
+    base = (
+        hashes_df.select(F.col(id_col), "_sh")
+        if hashes_df is not None
+        else df.select(
+            F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
+        )
     ).withColumn("_size", F.size("_sh"))
     # posting lists carry 8-byte shingle hashes, never strings (hash
     # collisions over distinct shingles are ~2^-64 per pair — far below

@@ -601,29 +601,36 @@ def pagerank_topk(
     doc="distributed triangle counting over the part co-purchase graph "
     "(the graph-density / community-structure probe behind cluster "
     "coefficient and spam-farm detection): edges orient from the "
-    "(degree, id)-SMALLER endpoint to the larger, wedges form by "
-    "joining oriented edges head-to-tail, and a closing third edge "
-    "confirms each triangle exactly once. The orientation is the "
-    "standard distributed-triangle trick: out-neighborhoods are "
-    "bounded by ~sqrt(m) under degree ordering, so the wedge join "
-    "(the only superlinear step) generates O(m^1.5) rows worst-case "
-    "instead of sum(deg^2) — a hub with a million basket partners "
-    "contributes wedges only through its few HIGHER-degree peers, "
-    "never its own fan-out squared. All three joins are equi joins on "
-    "node keys (hash exchanges, AQE-balanceable); counts ride one "
-    "scalar row. n_edges/n_wedges ride along so a mismatch localizes "
-    "to edge build, orientation, or closure.",
+    "(degree, id)-SMALLER endpoint to the larger; each triangle is "
+    "counted exactly once as |N+(a) ∩ N+(b)| summed over oriented "
+    "edges (a,b) — the adjacency-intersection form of the standard "
+    "oriented-triangle algorithm. The orientation bounds "
+    "out-neighborhoods by ~sqrt(m) under degree ordering, so the "
+    "intersection work is O(m^1.5) CPU worst-case instead of "
+    "sum(deg^2) — a hub with a million basket partners intersects "
+    "only through its few HIGHER-degree peers, never its own fan-out "
+    "squared — and, unlike the wedge-join form, no wedge row is ever "
+    "materialized or shuffled: the only exchanges carry the m edges "
+    "and the O(m)-total-bytes neighbor lists. n_wedges (the "
+    "head-to-tail join count) reduces to sum(indeg*outdeg) over two "
+    "degree aggs of the same cached edge list. All joins are equi "
+    "joins on node keys (hash exchanges, AQE-balanceable); counts "
+    "ride one scalar row. n_edges/n_wedges ride along so a mismatch "
+    "localizes to edge build, orientation, or closure.",
 )
 def q160_triangle_count(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
-    li = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    # basket posting lists + codegen double-explode build the distinct
+    # undirected edge set in ONE orderkey exchange + one (u,v) distinct
+    # exchange — the q152 edge-build shape. The earlier
+    # distinct-then-self-join paid the (orderkey, partkey) distinct
+    # exchange AND a two-sided orderkey join before the pair distinct.
     e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
         .distinct()
     )
     deg = (
@@ -645,28 +652,54 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str):
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
-    # persist the oriented edge list: 2 longs/row, consumed FOUR times
-    # (edge count + both wedge-join sides + the closing-edge probe) —
-    # without it Spark's tree-shaped plans re-run the basket self-join
-    # and degree join once per consumer (measured: a 107-shuffle plan).
-    # Scoped: the harness release_scoped_caches()s after materializing.
+    # persist the oriented edge list: 2 longs/row, consumed FIVE times
+    # (edge count, in/out degree aggs, adjacency build, triangle probe)
+    # — without it Spark's tree-shaped plans re-run the basket pair
+    # build and degree join once per consumer (measured: a 107-shuffle
+    # plan). Scoped: the harness release_scoped_caches()s after
+    # materializing.
     o = scoped_persist(o)
     ne = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    e1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    w = e1.join(e2, "b").select("a", "c")
-    # one pass over the wedges counts BOTH wedges and triangles: o's
-    # rows are distinct, so the left join cannot fan out, and a hit
-    # marks a closed wedge
-    hit = o.select(
-        F.col("s").alias("a"), F.col("t").alias("c"), F.lit(1).alias("_t")
+    # n_wedges without materializing a single wedge: the head-to-tail
+    # join count is sum over nodes of indeg * outdeg (every edge INTO b
+    # pairs with every edge OUT of b) — two degree aggs over the cached
+    # edges and a node-keyed join of two tiny degree tables replace the
+    # O(m^1.5)-row wedge exchange the old plan shuffled by (a, c).
+    outd = o.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("_od")
     )
-    stats = w.join(hit, ["a", "c"], "left").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
-        F.sum(F.coalesce("_t", F.lit(0))).cast("bigint").alias("n_triangles"),
+    ind = o.groupBy(F.col("t").alias("node")).agg(
+        F.count(F.lit(1)).alias("_id")
     )
-    return stats.crossJoin(F.broadcast(ne)).select(
-        "n_edges", "n_wedges", "n_triangles"
+    nw = ind.join(outd, "node").agg(
+        F.sum(F.col("_id") * F.col("_od")).cast("bigint").alias("n_wedges")
+    )
+    # n_triangles by adjacency intersection: for each oriented edge
+    # (a, b), |N+(a) ∩ N+(b)| counts exactly the closed wedges
+    # (a→b, b→c, a→c) — the per-triangle count is identical to the old
+    # wedge-join-then-probe plan, but the only shuffled rows are the m
+    # edges and the out-neighbor lists (total bytes O(m)), never the
+    # wedges themselves. o's rows are distinct so the lists hold
+    # distinct neighbors and array_intersect cannot overcount.
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("_nb"))
+    aa = adj.select(F.col("s").alias("a"), F.col("_nb").alias("_na"))
+    ab = adj.select(F.col("s").alias("b"), F.col("_nb").alias("_nbb"))
+    empty = F.array().cast("array<bigint>")
+    tri = (
+        o.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        .join(aa, "a")
+        .join(ab, "b", "left")
+        .select(
+            F.size(
+                F.array_intersect("_na", F.coalesce(F.col("_nbb"), empty))
+            ).alias("_c")
+        )
+    )
+    nt = tri.agg(F.sum("_c").cast("bigint").alias("n_triangles"))
+    return (
+        ne.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nt))
+        .select("n_edges", "n_wedges", "n_triangles")
     )
 
 
@@ -747,14 +780,16 @@ def khop_bfs(
     density — and with it the frontier-degree bound on per-hop cost —
     stays constant. The registered q169 pins min_weight=2 to match its
     unrolled oracle CTE chain."""
-    li = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    # basket posting lists + double-explode (the q152/q160 edge-build
+    # shape): the pair stream expands in codegen off ONE orderkey
+    # exchange and feeds the (a, b) weight agg directly — no
+    # distinct-then-self-join shuffle
     e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
-        )
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= min_weight)
@@ -835,25 +870,29 @@ def khop_bfs(
     "degree is 42, so a d<=32 center filter selected nothing). "
     "Semantics are exact for the declared rule — the oracle applies "
     "the identical truncation; (w desc, nb) and (cn desc, u, v) pin "
-    "every boundary. Shape: one basket self-join (map-side pair "
-    "counts), ONE center-keyed exchange shared by the rank window and "
-    "the bounded self-join, broadcast-able anti join, "
-    "TakeOrderedAndProject — no global sort.",
+    "every boundary. Shape: basket posting lists double-explode into "
+    "weighted pairs off one orderkey exchange, ONE center-keyed "
+    "exchange shared by the rank window and the grouped "
+    "C(32,2)-bounded pair expansion (collect_list + double explode — "
+    "no self-join), broadcast-able anti join, TakeOrderedAndProject — "
+    "no global sort.",
 )
 def q214_common_neighbors(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
-    li = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    # basket posting lists + double-explode (the q152/q160 edge-build
+    # shape): weighted pairs aggregate straight off one orderkey
+    # exchange — no distinct-then-self-join shuffle
     ew = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
     )
     # weighted edges feed three consumers (both adjacency directions +
-    # the anti join); persist so the basket self-join runs once (q160)
+    # the anti join); persist so the basket pair build runs once (q160)
     ew = scoped_persist(ew)
     adj = ew.select(
         F.col("u").alias("center"), F.col("v").alias("nb"), "w"
@@ -864,14 +903,19 @@ def q214_common_neighbors(spark: SparkSession, sf_dir: str):
         .filter(F.col("rk") <= 32)
         .select("center", "nb")
     )
-    sa, sb = small.alias("sa"), small.alias("sb")
+    # bounded pair expansion WITHOUT a self-join: collect each center's
+    # ≤32 kept neighbors (the groupBy rides the window's center
+    # exchange — no new shuffle) and double-explode its C(32,2)-bounded
+    # pairs in codegen; only the (u, v) count agg shuffles. The old
+    # sort-merge self-join on center re-sorted and joined the full
+    # small table against itself for the identical pair set.
     cand = (
-        sa.join(
-            sb,
-            (F.col("sa.center") == F.col("sb.center"))
-            & (F.col("sa.nb") < F.col("sb.nb")),
-        )
-        .groupBy(F.col("sa.nb").alias("u"), F.col("sb.nb").alias("v"))
+        small.groupBy("center")
+        .agg(F.collect_list("nb").alias("xs"))
+        .select(F.explode("xs").alias("u"), "xs")
+        .select("u", F.explode("xs").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
     )
     open_pairs = cand.join(ew.select("u", "v"), ["u", "v"], "left_anti")
@@ -959,14 +1003,15 @@ def q214_common_neighbors(spark: SparkSession, sf_dir: str):
 )
 def q215_k_core(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
-    li = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    # basket posting lists + double-explode (the q152/q160 edge-build
+    # shape): one orderkey exchange + one pair-distinct exchange, no
+    # two-sided self-join shuffle
     e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
         .distinct()
     )
 

@@ -313,11 +313,21 @@ def q129_minhash_bucket_table(spark: SparkSession, sf_dir: str):
 )
 def q106_minhash_lsh_recall(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
+    # both arms start from the identical (doc_id, shingle-hash-set)
+    # table — materialize it ONCE and share it, so the fused
+    # tokenize→shingle→hash UDF scans the corpus a single time instead
+    # of once per pipeline (exact referee + LSH under test)
+    base = scoped_persist(
+        d.select(
+            F.col("doc_id"), dd.shingle_hashes(F.col("text"), 3).alias("_sh")
+        )
+    )
     exact = dd.ngram_jaccard_pairs(
-        d, "text", "doc_id", n=3, threshold=0.3
+        d, "text", "doc_id", n=3, threshold=0.3, hashes_df=base
     ).select("id_a", "id_b")
     lsh = dd.minhash_lsh_dedup(
-        d, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16, threshold=0.3
+        d, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16,
+        threshold=0.3, hashes_df=base,
     ).select("id_a", "id_b")
     ne = exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
     nf = lsh.join(exact, ["id_a", "id_b"], "left_semi").agg(
