@@ -335,10 +335,12 @@ def minhash_lsh_dedup(
     # shared, caller-materialized (id, _sh) frame so the fused
     # tokenize→shingle→hash UDF scans the corpus once, not once per
     # pipeline; the caller owns persistence.
+    from klio_spark.plans.partitioning import fan_out_scan
+
     base_plan = (
         hashes_df.select(F.col(id_col), "_sh")
         if hashes_df is not None
-        else df.select(
+        else fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col),
             shingle_hashes(F.col(text_col), shingle_n).alias("_sh"),
         )
@@ -513,6 +515,12 @@ def simhash(
     hash_fn = token_hash if token_hash is not None else (
         lambda t: F.xxhash64(t)
     )
+    # the per-token hash transform + vote UDF is the expensive per-row
+    # pass; fan the scan out first so it does not run on one core when
+    # the source is a single-row-group file (no-op on wide scans)
+    from klio_spark.plans.partitioning import fan_out_scan
+
+    df = fan_out_scan(df)
     base = F.transform(tokens(F.lower(F.col(text_col))), hash_fn)
     return df.withColumn(out_col, pandas_udf(_sim, "long")(base))
 
@@ -682,10 +690,12 @@ def _shingle_pair_counts(
     ``hashes_df`` (optional, columns id_col + ``_sh``) substitutes a
     caller-materialized shingle-hash table for the fused UDF pass —
     see :func:`minhash_lsh_dedup`."""
+    from klio_spark.plans.partitioning import fan_out_scan
+
     base = (
         hashes_df.select(F.col(id_col), "_sh")
         if hashes_df is not None
-        else df.select(
+        else fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
         )
     ).withColumn("_size", F.size("_sh"))

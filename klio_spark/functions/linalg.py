@@ -149,6 +149,35 @@ def top_eigvec_df(
     )
 
 
+def _nearest_centroid_udf(cents: list[tuple[int, list[int]]]):
+    """Iterator pandas UDF: quantized vector → nearest-centroid id.
+
+    The (k, d) int64 centroid matrix lives in the closure (built once
+    per task, amortized over every batch — guide-standard iterator
+    form), so the plan carries ONE ArrowEvalPython node instead of k*d
+    literals. Distances are exact int64 numpy arithmetic — identical
+    values to the SQL oracle's per-component sums ((x-c)^2 <= 4e12, ×d
+    stays far inside int64) — and np.argmin returns the FIRST minimum,
+    the same lowest-centroid-id tie-break as the oracle's
+    (dist, cid)-ordered rank."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([vec for _cid, vec in cents], dtype=np.int64)
+    cids = np.array([cid for cid, _vec in cents], dtype=np.int64)
+
+    def _assign(batches: Iterator["pd.Series"]) -> Iterator["pd.Series"]:
+        for q in batches:
+            x = np.vstack(q.to_numpy()).astype(np.int64)
+            d = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.Series(cids[np.argmin(d, axis=1)])
+
+    _assign.__annotations__ = {
+        "batches": Iterator[pd.Series], "return": Iterator[pd.Series]
+    }
+    return pandas_udf(_assign, "long")
+
+
 def lloyd_iterations(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -163,14 +192,20 @@ def lloyd_iterations(
     refinement a production pipeline runs on top).
 
     Per iteration, the distributed pass is: assignment — each point's
-    squared distance to all k centroids as ONE codegen'd expression
-    (zip_with/aggregate over the quantized vector against k literal
-    arrays: no UDF, no join, no shuffle) — then ONE exchange: the
-    per-(cluster, component) sum/count aggregation (posexplode feeds
-    partial aggregation, so the shuffle carries k*d partials per
-    partition, never corpus rows). Between iterations only the k x d
-    centroid table returns to the driver (the same bounded-collect
-    shape as IVF's trained quantizer).
+    squared distances to all k centroids as ONE vectorized numpy
+    matmul-shaped batch op inside an iterator pandas UDF (the centroid
+    matrix rides the closure, built once per task: no join, no
+    shuffle, and a CONSTANT-size plan — the earlier k-literal-array
+    zip_with/aggregate expression put k*d literals into the plan,
+    which Catalyst re-analyzed per action; at k=8, d=64 that planning
+    overhead alone was ~4x the whole query's task time) — then ONE
+    exchange: the per-(cluster, component) sum/count aggregation
+    (posexplode feeds partial aggregation, so the shuffle carries k*d
+    partials per partition, never corpus rows). Between iterations
+    only the k x d centroid table returns to the driver (the same
+    bounded-collect shape as IVF's trained quantizer). The quantized
+    points persist across the seed scan, per-iteration jobs, and the
+    final agg instead of re-reading parquet per action.
 
     Exactness: components quantize as FLOOR(double(x)*scale); distances
     and sums are exact integers; new centroid components are truncating
@@ -188,7 +223,9 @@ def lloyd_iterations(
             "bigint"
         ),
     )
-    pts = (
+    from klio_spark.queries import scoped_persist
+
+    pts = scoped_persist(
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), qvec.alias("_q"))
     )
@@ -197,27 +234,8 @@ def lloyd_iterations(
 
     agg = None
     for it in range(iters):
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        "_q",
-                        F.array(*[F.lit(v).cast("bigint") for v in vec]),
-                        lambda x, c: (x - c) * (x - c),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                )
-                for _cid, vec in cents
-            ]
-        )
-        cid_of_pos = F.array(*[F.lit(cid) for cid, _vec in cents])
         asg = pts.withColumn(
-            "_c",
-            F.element_at(
-                cid_of_pos,
-                F.array_position(dists, F.array_min(dists)).cast("int"),
-            ),
+            "_c", _nearest_centroid_udf(cents)(F.col("_q"))
         )
         agg = (
             asg.select("_c", F.posexplode("_q").alias("i", "v"))

@@ -53,6 +53,7 @@ def pq_train(
     k_sub: int = 16,
     sample: int = 2048,
     seed: int = 42,
+    train_mat: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train per-subspace codebooks on a deterministic ordered sample.
 
@@ -62,15 +63,23 @@ def pq_train(
     (codewords must live where the data lives, not on the unit sphere),
     each codeword is rescaled to the mean norm of its assigned training
     subvectors. Deterministic for fixed (sample, seed).
+
+    ``train_mat`` lets a caller that already collected the identical
+    deterministic sample (IVF-PQ trains both quantizers on the same
+    ordered sample) pass it in, so the sample job runs once, not once
+    per quantizer.
     """
-    samp = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample)
-        .collect()
-    )
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in samp])
+    if train_mat is not None:
+        mat = train_mat
+    else:
+        samp = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample)
+            .collect()
+        )
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in samp])
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -345,9 +354,11 @@ def ivfpq_topk_reranked(
     )
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in samp])
     cents = _kmeans_centroids(mat, n_lists, seed=seed)
+    # both quantizers train on the SAME deterministic sample — pass the
+    # already-collected matrix so the sample job runs once, not twice
     books = pq_train(
         corpus, vec_col=vec_col, id_col=id_col, m=m, k_sub=k_sub,
-        sample=sample, seed=seed,
+        sample=sample, seed=seed, train_mat=mat,
     )
 
     # one corpus pass: list assignment + PQ code, both from the vector

@@ -123,3 +123,28 @@ def repartition_for_udf(df: DataFrame, n: int | None = None, *cols: str) -> Data
             *[F.col(c) for c in cols]
         )
     return df.repartition(n) if n else df
+
+
+def fan_out_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Parallelize an effectively-unsplittable scan before heavy
+    per-row work (the input-skew remedy: "one huge unsplittable file …
+    repartition immediately after the read").
+
+    Parquet splits at row-group boundaries, so a single-row-group file
+    scans as ONE task no matter how many cores the session has — and a
+    fused tokenize/hash UDF or a wide interpreted expression then runs
+    on one core while the rest idle. When the frame's scan partitioning
+    is at less than half the session's default parallelism, round-robin
+    repartition to the session's parallelism (scale-adaptive: derived
+    from the running session, never a constant); otherwise return the
+    frame UNCHANGED — a real multi-row-group corpus at cluster scale
+    already scans wide, so no shuffle is ever added there. The checked
+    partition count comes from the physical scan (no job runs)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur * 2 <= target:
+        return df.repartition(target)
+    return df

@@ -607,9 +607,12 @@ def q138_vocab_coverage(spark: SparkSession, sf_dir: str):
     "drop out of the per-doc stage in both engines.",
 )
 def q141_bigram_lm_score(spark: SparkSession, sf_dir: str):
+    from klio_spark.plans.partitioning import fan_out_scan
+
     (d,) = load(spark, sf_dir, "documents")
     t = (
-        d.withColumn("_toks", tx.tokens(F.lower(F.col("text"))))
+        fan_out_scan(d.select("source", "doc_id", "text"))
+        .withColumn("_toks", tx.tokens(F.lower(F.col("text"))))
         .select(
             "source",
             "doc_id",
@@ -624,6 +627,10 @@ def q141_bigram_lm_score(spark: SparkSession, sf_dir: str):
             ).alias("bg"),
         )
     )
+    # measured (interleaved A/B at sf0.1): persisting dc/bgc here LOSES
+    # ~0.3-0.5 s — the bigram branches are cheap enough that cache
+    # write+read costs more than the recompute, unlike q266's wider
+    # five-consumer trigram lexicon
     dc = t.groupBy("source", "doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     bgc = dc.groupBy("bg").agg(F.sum("c").cast("bigint").alias("cnt"))
     w1 = F.split(F.col("bg"), " ", 2)[0]
@@ -1241,9 +1248,12 @@ _Q266_P_SQL = (
     "outer sums to DECIMAL(38,0)/HUGEINT (the q190 rule).",
 )
 def q266_trigram_lm(spark: SparkSession, sf_dir: str):
+    from klio_spark.plans.partitioning import fan_out_scan
+
     (d,) = load(spark, sf_dir, "documents")
     t = (
-        d.withColumn("_toks", tx.tokens(F.lower(F.col("text"))))
+        fan_out_scan(d.select("source", "doc_id", "text"))
+        .withColumn("_toks", tx.tokens(F.lower(F.col("text"))))
         .select(
             "source",
             "doc_id",
@@ -1259,7 +1269,11 @@ def q266_trigram_lm(spark: SparkSession, sf_dir: str):
             ).alias("tg"),
         )
     )
-    dc = t.groupBy("source", "doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
+    # dc feeds the lexicon agg AND the per-doc rejoin — persist so the
+    # corpus tokenize+explode runs once, not once per consumer
+    dc = scoped_persist(
+        t.groupBy("source", "doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
+    )
     parts = F.split(F.col("tg"), " ")
     # five marginal consumers (a12/a23/a2/a3/nn) read the trigram
     # lexicon table — persist it once or each re-derives the corpus

@@ -317,8 +317,10 @@ def q106_minhash_lsh_recall(spark: SparkSession, sf_dir: str):
     # table — materialize it ONCE and share it, so the fused
     # tokenize→shingle→hash UDF scans the corpus a single time instead
     # of once per pipeline (exact referee + LSH under test)
+    from klio_spark.plans.partitioning import fan_out_scan
+
     base = scoped_persist(
-        d.select(
+        fan_out_scan(d.select("doc_id", "text")).select(
             F.col("doc_id"), dd.shingle_hashes(F.col("text"), 3).alias("_sh")
         )
     )

@@ -270,10 +270,22 @@ def test_q105_fuzzy_match_is_blocked_equi_join(spark, sf_dir, specs):
 def test_q68_df_cut_shares_posting_exchange(spark, sf_dir, specs):
     """The hot-shingle df-cut must ride the SAME exchange the posting-list
     groupBy needs (count window on the shingle key), so the capped query
-    shuffles exactly as often as the uncapped one: 2."""
+    shuffles exactly as often as the uncapped one: 2 KEYED exchanges.
+    The guarded round-robin fan-out below the shingle UDF
+    (plans/partitioning.fan_out_scan — fires only on an unsplittable
+    scan, like this single-row-group test file) is not a keyed exchange
+    and is counted separately: at most one, on both variants."""
     capped = specs["q68_jaccard_capped_df"].fn(spark, sf_dir)
     uncapped = specs["q65_ngram_jaccard_pairs"].fn(spark, sf_dir)
-    assert plans.num_shuffles(capped) == plans.num_shuffles(uncapped) == 2, (
+    for df in (capped, uncapped):
+        s = plans.plan_str(df)
+        import re
+
+        total = plans.num_shuffles(df)
+        rr = len(re.findall(r"Arguments: RoundRobinPartitioning", s))
+        keyed = total - rr
+        assert keyed == 2 and rr <= 1, s[:3000]
+    assert plans.num_shuffles(capped) == plans.num_shuffles(uncapped), (
         plans.plan_str(capped)[:3000]
     )
 

@@ -13,11 +13,12 @@ Usage: python tools/profile_query.py <query> [sf_dir] [reps]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def rest(path: str):
