@@ -58,8 +58,17 @@ def register(name: str, sql: str | None, doc: str = ""):
 _SCOPED_CACHES: list[DataFrame] = []
 
 
-def scoped_persist(df: DataFrame) -> DataFrame:
+def scoped_persist(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``eager=True`` materializes the cache NOW (one count job). Use it
+    when the consumers include broadcast-exchange branches: AQE runs
+    each broadcast subtree as its own concurrent job, and N such jobs
+    hitting a lazily-persisted frame all find the cache empty and each
+    recompute the full upstream pipeline (measured on q160: five
+    concurrent one-row consumers ≈ 5x the edge-build core-time). A
+    sequential fill makes every consumer a cache read."""
     df = df.persist()
+    if eager:
+        df.count()
     _SCOPED_CACHES.append(df)
     return df
 

@@ -625,7 +625,10 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str):
     # exchange — the q152 edge-build shape. The earlier
     # distinct-then-self-join paid the (orderkey, partkey) distinct
     # exchange AND a two-sided orderkey join before the pair distinct.
-    e = (
+    # e persists: THREE consumers (both endpoints of the degree count +
+    # the orientation join) — as a lazy tree each would re-run the
+    # basket pair build
+    e = scoped_persist(
         l.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
         .select(F.explode("ps").alias("u"), "ps")
@@ -633,9 +636,10 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str):
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
+    # both endpoints in ONE pass over the cache (explode, not a
+    # two-branch unionAll that scans e twice)
     deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -657,8 +661,11 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str):
     # — without it Spark's tree-shaped plans re-run the basket pair
     # build and degree join once per consumer (measured: a 107-shuffle
     # plan). Scoped: the harness release_scoped_caches()s after
-    # materializing.
-    o = scoped_persist(o)
+    # materializing. Eager: the scalar consumers ride broadcast
+    # branches that execute as concurrent jobs — a lazy cache would be
+    # empty for all of them at once and each would recompute the
+    # pipeline (measured ~5x the edge-build core-time).
+    o = scoped_persist(o, eager=True)
     ne = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     # n_wedges without materializing a single wedge: the head-to-tail
     # join count is sum over nodes of indeg * outdeg (every edge INTO b
@@ -798,18 +805,24 @@ def khop_bfs(
         # oriented edges (and the same scoped-release caveat)
     )
     e = scoped_persist(e)
-    frontier = (
+    frontier = scoped_persist(
         e.select(F.col("a").alias("node"))
         .filter(F.col("node") % seed_mod == 0)
         .distinct()
     )
     dist = frontier.withColumn("hops", F.lit(0))
     for i in range(1, hops + 1):
-        frontier = (
+        # each frontier persists: it feeds the NEXT hop's expansion AND
+        # the final union, and hop i's anti-join target (dist) embeds
+        # every earlier frontier — without the persists the tree-shaped
+        # plan re-executes frontier j once per later appearance
+        # (measured: a 94-stage plan for 3 hops; ~20 with them)
+        frontier = scoped_persist(
             frontier.join(e, frontier["node"] == e["a"])
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(dist.select("node"), "node", "left_anti"),
+            eager=True,
         )
         dist = dist.unionByName(frontier.withColumn("hops", F.lit(i)))
     return dist.select(
@@ -892,8 +905,10 @@ def q214_common_neighbors(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("w"))
     )
     # weighted edges feed three consumers (both adjacency directions +
-    # the anti join); persist so the basket pair build runs once (q160)
-    ew = scoped_persist(ew)
+    # the anti join); persist so the basket pair build runs once (q160).
+    # Eager: the anti-join side broadcasts as its own concurrent job and
+    # would otherwise race the adjacency branches on an empty cache.
+    ew = scoped_persist(ew, eager=True)
     adj = ew.select(
         F.col("u").alias("center"), F.col("v").alias("nb"), "w"
     ).unionAll(ew.select(F.col("v").alias("center"), F.col("u").alias("nb"), "w"))
@@ -1016,9 +1031,10 @@ def q215_k_core(spark: SparkSession, sf_dir: str):
     )
 
     def degrees(edges):
+        # one pass over the edge frame (explode both endpoints), not a
+        # two-branch unionAll that scans it twice
         return (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
+            edges.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -1040,11 +1056,11 @@ def q215_k_core(spark: SparkSession, sf_dir: str):
         # — plan-string generation alone OOMed the driver before any
         # task ran. Truncating lineage per round keeps the tree linear;
         # functions/graph.py sets the same pattern for its fixpoint.
-        surv = surv.localCheckpoint(eager=False)
+        surv = surv.localCheckpoint(eager=True)
         nxt = edges.join(
             surv.select(F.col("node").alias("u")), "u", "semi"
         ).join(surv.select(F.col("node").alias("v")), "v", "semi")
-        nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.localCheckpoint(eager=True)
         n_all = deg.agg(F.count(F.lit(1)).alias("c"))
         n_surv = surv.agg(F.count(F.lit(1)).alias("c"))
         n_edge = nxt.agg(F.count(F.lit(1)).alias("c"))
@@ -1061,7 +1077,7 @@ def q215_k_core(spark: SparkSession, sf_dir: str):
             )
         )
         edges = nxt
-        deg = degrees(edges).localCheckpoint(eager=False)
+        deg = degrees(edges).localCheckpoint(eager=True)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)

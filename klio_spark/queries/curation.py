@@ -1272,7 +1272,8 @@ def q266_trigram_lm(spark: SparkSession, sf_dir: str):
     # dc feeds the lexicon agg AND the per-doc rejoin — persist so the
     # corpus tokenize+explode runs once, not once per consumer
     dc = scoped_persist(
-        t.groupBy("source", "doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
+        t.groupBy("source", "doc_id", "tg").agg(F.count(F.lit(1)).alias("c")),
+        eager=True,
     )
     parts = F.split(F.col("tg"), " ")
     # five marginal consumers (a12/a23/a2/a3/nn) read the trigram
@@ -1287,7 +1288,8 @@ def q266_trigram_lm(spark: SparkSession, sf_dir: str):
             parts[1].alias("w2"),
             parts[2].alias("w3"),
             "c123",
-        )
+        ),
+        eager=True,
     )
     a12 = tgc.groupBy("w1", "w2").agg(
         F.sum("c123").cast("bigint").alias("c12")

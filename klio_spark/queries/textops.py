@@ -322,7 +322,8 @@ def q106_minhash_lsh_recall(spark: SparkSession, sf_dir: str):
     base = scoped_persist(
         fan_out_scan(d.select("doc_id", "text")).select(
             F.col("doc_id"), dd.shingle_hashes(F.col("text"), 3).alias("_sh")
-        )
+        ),
+        eager=True,
     )
     exact = dd.ngram_jaccard_pairs(
         d, "text", "doc_id", n=3, threshold=0.3, hashes_df=base
