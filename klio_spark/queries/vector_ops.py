@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from klio_spark.functions.similarity import exact_pairs_grouped, lsh_topk
 from klio_spark.functions.vectors import cosine_sim, l2_norm
-from klio_spark.queries import load, register
+from klio_spark.queries import load, register, scoped_persist
 
 
 @register(
@@ -156,6 +156,11 @@ def q107_ann_quality(spark: SparkSession, sf_dir: str):
     def per_query_avg(df, name):
         return df.groupBy("query_id").agg(F.avg("cosine").alias(name))
 
+    # NOT persisted, deliberately (measured): the exact referee feeds
+    # both method branches, but the duplicate brute passes overlap on
+    # otherwise-idle cores within one job, while an eager cache fill
+    # serializes in front of them (persist 2.84 s vs recompute 2.14 s
+    # interleaved at sf0.1)
     brute = per_query_avg(
         q70_ann_bruteforce_topk(spark, sf_dir), "_exact"
     )
@@ -953,9 +958,16 @@ def q194_mmr_diverse_topk(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("neighbor_id"),
         _int_vec(F.col("embedding")).alias("_c"),
     )
-    sims = cv.crossJoin(F.broadcast(qv)).select(
-        "query_id", "neighbor_id", "_c",
-        _int_dot(F.col("_q"), F.col("_c")).alias("s"),
+    # all three greedy MMR steps re-read the relevance table (sel1, m2,
+    # m3 each embed it) — persist so the broadcast-query corpus pass and
+    # its interpreted integer dots run once, not once per step; eager
+    # because the selected-row broadcasts are concurrent jobs
+    sims = scoped_persist(
+        cv.crossJoin(F.broadcast(qv)).select(
+            "query_id", "neighbor_id", "_c",
+            _int_dot(F.col("_q"), F.col("_c")).alias("s"),
+        ),
+        eager=True,
     )
     wsel = Window.partitionBy("query_id")
 
