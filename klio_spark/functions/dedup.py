@@ -335,12 +335,17 @@ def minhash_lsh_dedup(
     # shared, caller-materialized (id, _sh) frame so the fused
     # tokenize→shingle→hash UDF scans the corpus once, not once per
     # pipeline; the caller owns persistence.
-    from klio_spark.plans.partitioning import fan_out_scan
-
+    # NOTE deliberately NO fan_out_scan here: a round-robin fan-out of
+    # the unsplittable local scan was A/B'd warm (15 adopter queries,
+    # interleaved) and lost or tied on wall everywhere while costing
+    # 2-20x executor core-time — the per-task Python round-trip
+    # overhead dwarfs the parallelism gain once the worker pool is
+    # warm, and on a real multi-row-group corpus the guard makes it a
+    # no-op anyway.
     base_plan = (
         hashes_df.select(F.col(id_col), "_sh")
         if hashes_df is not None
-        else fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        else df.select(
             F.col(id_col),
             shingle_hashes(F.col(text_col), shingle_n).alias("_sh"),
         )
@@ -429,6 +434,20 @@ def minhash_lsh_dedup(
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        # size-ratio prescreen before the O(|A|+|B|) intersect/union:
+        # J ≤ min/max exactly and IEEE division is monotone, so every
+        # pair dropped here fails the jaccard >= threshold filter too
+        # (see _shingle_pair_counts' jaccard_floor note) — banding's
+        # false-positive candidates skip the expensive set arithmetic.
+        # threshold<=0 would make the prescreen drop J=0 pairs the
+        # final filter keeps (NaN ratio on two empty docs) — skip it
+        .filter(
+            F.least(F.size("_sha"), F.size("_shb")).cast("double")
+            / F.greatest(F.size("_sha"), F.size("_shb")).cast("double")
+            >= F.lit(float(threshold))
+            if threshold > 0
+            else F.lit(True)
+        )
         .withColumn("jaccard", jaccard(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -515,12 +534,10 @@ def simhash(
     hash_fn = token_hash if token_hash is not None else (
         lambda t: F.xxhash64(t)
     )
-    # the per-token hash transform + vote UDF is the expensive per-row
-    # pass; fan the scan out first so it does not run on one core when
-    # the source is a single-row-group file (no-op on wide scans)
-    from klio_spark.plans.partitioning import fan_out_scan
-
-    df = fan_out_scan(df)
+    # no scan fan-out: the single-task pass is ~0.5 s of work here, and
+    # a round-robin fan-out was measured warm (interleaved A/B) as a
+    # wall wash at 15-24x the executor core-time — the per-task Python
+    # round-trip overhead dominates
     base = F.transform(tokens(F.lower(F.col(text_col))), hash_fn)
     return df.withColumn(out_col, pandas_udf(_sim, "long")(base))
 
@@ -662,7 +679,15 @@ def ngram_jaccard_pairs(
     pair — exact when max_df is None (the oracle setting).
     """
     pair_counts = _shingle_pair_counts(
-        df, text_col, id_col, n=n, max_df=max_df, hashes_df=hashes_df
+        df,
+        text_col,
+        id_col,
+        n=n,
+        max_df=max_df,
+        hashes_df=hashes_df,
+        # threshold<=0 keeps J=0 pairs (e.g. two empty docs), which the
+        # ratio prescreen would drop — engage it only for positive floors
+        jaccard_floor=threshold if threshold > 0 else None,
     )
     return (
         pair_counts.withColumn(
@@ -683,19 +708,29 @@ def _shingle_pair_counts(
     n: int = 3,
     max_df: int | None = None,
     hashes_df: DataFrame | None = None,
+    jaccard_floor: float | None = None,
 ) -> DataFrame:
     """Shared pair machinery: (id_a, id_b, _na, _nb, _inter) with
     id_a < id_b, one row per doc pair sharing ≥1 shingle. Jaccard and
     containment are both pure arithmetic over these three counts.
     ``hashes_df`` (optional, columns id_col + ``_sh``) substitutes a
     caller-materialized shingle-hash table for the fused UDF pass —
-    see :func:`minhash_lsh_dedup`."""
-    from klio_spark.plans.partitioning import fan_out_scan
+    see :func:`minhash_lsh_dedup`. No scan fan-out (see the note in
+    :func:`minhash_lsh_dedup` — measured loss warm).
 
+    ``jaccard_floor`` (Jaccard callers only — containment MUST leave it
+    None, its bound is inter/min which no size ratio constrains): drops
+    pairs whose size ratio already rules the threshold out, BEFORE the
+    pair aggregation — J = inter/union ≤ min(na,nb)/max(na,nb) exactly
+    (inter ≤ min, union ≥ max), and IEEE division is correctly rounded
+    hence monotone, so fl(min/max) < t ⟹ fl(J) ≤ fl(min/max) < t: every
+    dropped pair is one the caller's final ``jaccard >= t`` filter
+    discards anyway — identical results, fewer rows into the pair
+    exchange (the kernel's one output-proportional shuffle)."""
     base = (
         hashes_df.select(F.col(id_col), "_sh")
         if hashes_df is not None
-        else fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        else df.select(
             F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
         )
     ).withColumn("_size", F.size("_sh"))
@@ -725,10 +760,19 @@ def _shingle_pair_counts(
             F.struct(F.col(id_col).alias("i"), F.col("_size").alias("n"))
         ).alias("xs")
     )
-    pair_counts = (
+    pair_stream = (
         buckets.select(F.explode("xs").alias("a"), "xs")
         .select("a", F.explode("xs").alias("b"))
         .filter(F.col("a.i") < F.col("b.i"))
+    )
+    if jaccard_floor is not None:
+        pair_stream = pair_stream.filter(
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            / F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+            >= F.lit(float(jaccard_floor))
+        )
+    pair_counts = (
+        pair_stream
         .groupBy(
             F.col("a.i").alias("id_a"),
             F.col("b.i").alias("id_b"),

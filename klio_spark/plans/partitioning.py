@@ -139,7 +139,18 @@ def fan_out_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     from the running session, never a constant); otherwise return the
     frame UNCHANGED — a real multi-row-group corpus at cluster scale
     already scans wide, so no shuffle is ever added there. The checked
-    partition count comes from the physical scan (no job runs)."""
+    partition count comes from the physical scan (no job runs).
+
+    CURRENTLY UNADOPTED, on measurement: a warm interleaved A/B over 15
+    text/dedup queries at sf0.1 showed the fan-out losing or tying on
+    wall everywhere while costing 2-20x executor core-time — each
+    fanned task pays a fixed Python-worker round-trip (Arrow dispatch +
+    scheduling) that dwarfs the actual per-partition work, and the
+    initial "x0.49" win attributed to it was a cold-worker-pool
+    artifact (the FIRST fanned stage of a session starts 32 workers in
+    parallel; every later stage rides the warm pool either way). Keep
+    the helper for genuinely heavyweight per-row passes (seconds of
+    work per task), and re-measure warm before adopting."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
         cur = df.rdd.getNumPartitions()

@@ -514,12 +514,19 @@ def pagerank_topk(
     """
     # collect_set = per-basket distinct in the SAME exchange the basket
     # grouping needs — one shuffle where distinct()-then-groupBy paid two
-    e = (
+    # the unpersisted DAG evaluates this edge build once per consumer —
+    # iters contrib joins + every deg rebuild, ~2·iters+1 times for the
+    # one basket-grouping shuffle it contains. Persist it once, eagerly:
+    # the score side is a broadcast branch (its subtree runs as its own
+    # concurrent AQE job), so a lazy persist would race N consumers
+    # against an empty cache (the batch-3 lesson).
+    e = scoped_persist(
         l.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
         .select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a") != F.col("b")),
+        eager=True,
     )
 
     def _score_side(df):
@@ -529,9 +536,14 @@ def pagerank_topk(
             return df.hint("shuffle_hash")
         return df
 
-    # deg rides inside r to avoid a second join per iteration
-    deg = e.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # deg rides inside r to avoid a second join per iteration; it is
+    # read by every iteration's score rebuild (iters+1 consumers, some
+    # inside broadcast branches) — node-dimension-sized, persist eagerly
+    deg = scoped_persist(
+        e.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ),
+        eager=True,
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     r = deg.crossJoin(F.broadcast(nn)).select(

@@ -500,7 +500,6 @@ def q114_interval_overlap_join(spark: SparkSession, sf_dir: str):
     b = t.withColumn(
         "wk", F.explode(F.sequence(F.expr("s div 7"), F.expr("(s + 7) div 7")))
     )
-    a_, b_ = b.alias("a"), b.alias("b")
     # owning-bucket rule instead of DISTINCT: a pair can meet in up to
     # two shared week buckets, so emit it only from the bucket holding
     # GREATEST(a.s, b.s) — always inside both rows' bucket ranges when
@@ -510,8 +509,18 @@ def q114_interval_overlap_join(spark: SparkSession, sf_dir: str):
     # such rows — the 3x-amplified sweep caught Spark collapsing
     # genuine row multiplicity the naive oracle counts), and the rule
     # is also cheaper: no distinct exchange at all.
+    # Posting-list double-explode instead of the bucket self-join (the
+    # q160/q152 edge-build shape): ONE exchange on the bucket key with
+    # a collect_list, pairs expand inside the same codegen stage — the
+    # self-join's second exchange and both SMJ sorts are gone.
+    # collect_list preserves row multiplicity, so duplicate-(id) rows
+    # pair exactly as the row-level join paired them.
+    buckets = b.groupBy("l_partkey", "wk").agg(
+        F.collect_list(F.struct("id", "s")).alias("xs")
+    )
     pairs = (
-        a_.join(b_, ["l_partkey", "wk"])
+        buckets.select("wk", F.explode("xs").alias("a"), "xs")
+        .select("wk", "a", F.explode("xs").alias("b"))
         .filter(
             (F.col("a.id") < F.col("b.id"))
             & (F.col("a.s") <= F.col("b.s") + 7)
@@ -1055,14 +1064,19 @@ def q124_funnel_windowed(spark: SparkSession, sf_dir: str):
 )
 def q125_copurchase_pairs(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
-    li = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    # posting-list double-explode instead of distinct + self-join (the
+    # q160/q152 edge-build shape): collect_set folds the per-basket
+    # distinct into the ONE basket exchange (map-side partial
+    # aggregation), and the a<b pair expansion runs inside the same
+    # codegen stage — no distinct exchange, no second join side, no
+    # SMJ sorts. Identical pair multiset: collect_set = per-order
+    # distinct parts, exactly what the old distinct() fed the join.
+    pairs = (
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
     )
     counts = pairs.groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).alias("support")
@@ -2712,30 +2726,38 @@ def q199_attribution_last_touch(spark: SparkSession, sf_dir: str):
 )
 def q201_apriori_triples(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
-    items = l.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # ONE basket exchange feeds the whole query: collect_set folds the
+    # per-order distinct into the groupBy (map-side partial agg), and
+    # every later stage — the transaction count, the frequent-pair
+    # support agg, and the candidate-triple expansion — derives from
+    # this cached table with no further shuffle of the fact stream.
+    # The old shape paid a distinct exchange + a self-join (2 more
+    # exchanges + sorts) for fp and then THREE shuffling joins of the
+    # items stream on ok for the candidates.
+    baskets = scoped_persist(
+        l.groupBy(F.col("l_orderkey").alias("ok")).agg(
+            F.collect_set(F.col("l_partkey")).alias("ps")
+        ),
+        eager=True,
+    )
     # RELATIVE minimum support (floor 2): an absolute threshold turns
     # denser corpora into quadratically longer frequent-pair lists (the
     # 10x rehearsal read x14.7 with a fixed 2) — support as a fraction
     # of the transaction count is how A-priori is actually run, and it
     # keeps the prune list broadcast-sized at every scale. In-plan
-    # scalar (broadcast 1-row cross join), no driver action.
-    ms = items.agg(
-        F.greatest(
-            F.lit(2), F.expr("count(DISTINCT ok) div 7500")
-        ).alias("min_sup")
+    # scalar (broadcast 1-row cross join), no driver action. One basket
+    # row per distinct ok, so count(1) here IS count(DISTINCT ok).
+    ms = baskets.agg(
+        F.greatest(F.lit(2), F.expr("count(1) div 7500")).alias("min_sup")
     )
-    a, b = items.alias("a"), items.alias("b")
+    # per-basket a<b pairs via the posting-list double-explode
+    bpairs = (
+        baskets.select("ok", "ps", F.explode("ps").alias("pa"))
+        .select("ok", "ps", "pa", F.explode("ps").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+    )
     fp = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("pa"), F.col("b.item").alias("pb")
-        )
+        bpairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .crossJoin(F.broadcast(ms))
         .filter(F.col("sup") >= F.col("min_sup"))
@@ -2750,20 +2772,15 @@ def q201_apriori_triples(spark: SparkSession, sf_dir: str):
         # harness unpersists after the final action.
     )
     fp = scoped_persist(fp)
-    a2, b2, c = items.alias("a2"), items.alias("b2"), items.alias("c")
+    # candidate triples: each basket's a<b pairs that are frequent
+    # (broadcast hash join on (pa,pb) — fp is support-bounded) extend
+    # by every third basket item c > pb. Items are distinct per basket,
+    # so this emits exactly the rows the old items⋈items⋈items chain
+    # did, with zero additional exchanges.
     cand = (
-        fp.join(a2, F.col("a2.item") == F.col("pa"))
-        .join(
-            b2,
-            (F.col("b2.item") == F.col("pb"))
-            & (F.col("b2.ok") == F.col("a2.ok")),
-        )
-        .join(
-            c,
-            (F.col("c.ok") == F.col("a2.ok"))
-            & (F.col("c.item") > F.col("pb")),
-        )
-        .select("pa", "pb", F.col("c.item").alias("pc"), F.col("c.ok").alias("ok"))
+        bpairs.join(F.broadcast(fp), ["pa", "pb"])
+        .select("pa", "pb", F.explode("ps").alias("pc"), "ok")
+        .filter(F.col("pc") > F.col("pb"))
     )
     f2 = fp.select(F.col("pa").alias("_f2a"), F.col("pb").alias("_f2b"))
     f3 = fp.select(F.col("pa").alias("_f3a"), F.col("pb").alias("_f3b"))

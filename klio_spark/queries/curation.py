@@ -607,11 +607,9 @@ def q138_vocab_coverage(spark: SparkSession, sf_dir: str):
     "drop out of the per-doc stage in both engines.",
 )
 def q141_bigram_lm_score(spark: SparkSession, sf_dir: str):
-    from klio_spark.plans.partitioning import fan_out_scan
-
     (d,) = load(spark, sf_dir, "documents")
     t = (
-        fan_out_scan(d.select("source", "doc_id", "text"))
+        d.select("source", "doc_id", "text")
         .withColumn("_toks", tx.tokens(F.lower(F.col("text"))))
         .select(
             "source",
@@ -1248,11 +1246,9 @@ _Q266_P_SQL = (
     "outer sums to DECIMAL(38,0)/HUGEINT (the q190 rule).",
 )
 def q266_trigram_lm(spark: SparkSession, sf_dir: str):
-    from klio_spark.plans.partitioning import fan_out_scan
-
     (d,) = load(spark, sf_dir, "documents")
     t = (
-        fan_out_scan(d.select("source", "doc_id", "text"))
+        d.select("source", "doc_id", "text")
         .withColumn("_toks", tx.tokens(F.lower(F.col("text"))))
         .select(
             "source",

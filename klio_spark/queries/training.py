@@ -349,12 +349,8 @@ _SHINGLE_CTE = f"""
     "arrays to cache 2.5x.",
 )
 def q87_contamination(spark: SparkSession, sf_dir: str):
-    from klio_spark.plans.partitioning import fan_out_scan
-
     (d,) = load(spark, sf_dir, "documents")
-    # every consuming branch re-runs the shingle UDF over the corpus —
-    # fan the unsplittable scan out so each pass uses all cores
-    sh = fan_out_scan(d.select("doc_id", "source", "text")).select(
+    sh = d.select(
         "doc_id", "source", dd.shingle_hashes(F.col("text"), 3).alias("_sh")
     )
     ev = (
