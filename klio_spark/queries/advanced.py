@@ -514,19 +514,18 @@ def pagerank_topk(
     """
     # collect_set = per-basket distinct in the SAME exchange the basket
     # grouping needs — one shuffle where distinct()-then-groupBy paid two
-    # the unpersisted DAG evaluates this edge build once per consumer —
-    # iters contrib joins + every deg rebuild, ~2·iters+1 times for the
-    # one basket-grouping shuffle it contains. Persist it once, eagerly:
-    # the score side is a broadcast branch (its subtree runs as its own
-    # concurrent AQE job), so a lazy persist would race N consumers
-    # against an empty cache (the batch-3 lesson).
-    e = scoped_persist(
+    # NOTE: eagerly persisting e and deg (the DAG evaluates the edge
+    # build once per consumer, ~2·iters+1 times) was A/B'd warm on a
+    # quiet host and LOST consistently (3 interleaved rounds, ~+0.9 s):
+    # the duplicate edge-build subtrees overlap on otherwise-idle cores
+    # while the eager cache fill serializes in front of every iteration
+    # — the q107/q141 pattern. Unpersisted is the measured winner.
+    e = (
         l.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
         .select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("b"))
-        .filter(F.col("a") != F.col("b")),
-        eager=True,
+        .filter(F.col("a") != F.col("b"))
     )
 
     def _score_side(df):
@@ -536,14 +535,9 @@ def pagerank_topk(
             return df.hint("shuffle_hash")
         return df
 
-    # deg rides inside r to avoid a second join per iteration; it is
-    # read by every iteration's score rebuild (iters+1 consumers, some
-    # inside broadcast branches) — node-dimension-sized, persist eagerly
-    deg = scoped_persist(
-        e.groupBy(F.col("a").alias("node")).agg(
-            F.count(F.lit(1)).alias("deg")
-        ),
-        eager=True,
+    # deg rides inside r to avoid a second join per iteration
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     r = deg.crossJoin(F.broadcast(nn)).select(

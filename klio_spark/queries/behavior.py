@@ -509,18 +509,15 @@ def q114_interval_overlap_join(spark: SparkSession, sf_dir: str):
     # such rows — the 3x-amplified sweep caught Spark collapsing
     # genuine row multiplicity the naive oracle counts), and the rule
     # is also cheaper: no distinct exchange at all.
-    # Posting-list double-explode instead of the bucket self-join (the
-    # q160/q152 edge-build shape): ONE exchange on the bucket key with
-    # a collect_list, pairs expand inside the same codegen stage — the
-    # self-join's second exchange and both SMJ sorts are gone.
-    # collect_list preserves row multiplicity, so duplicate-(id) rows
-    # pair exactly as the row-level join paired them.
-    buckets = b.groupBy("l_partkey", "wk").agg(
-        F.collect_list(F.struct("id", "s")).alias("xs")
-    )
+    # NOTE: a posting-list double-explode variant (collect_list on the
+    # bucket key, pairs expanded in-stage — the q160/q152 edge-build
+    # shape) was A/B'd warm and LOST x1.4 both rounds: the bucket join
+    # is an equi join whose strategy Catalyst/AQE already picks by
+    # scale, and trading it for an ObjectHashAggregate costs more than
+    # the exchange it saves. The row-level join stays.
+    a_, b_ = b.alias("a"), b.alias("b")
     pairs = (
-        buckets.select("wk", F.explode("xs").alias("a"), "xs")
-        .select("wk", "a", F.explode("xs").alias("b"))
+        a_.join(b_, ["l_partkey", "wk"])
         .filter(
             (F.col("a.id") < F.col("b.id"))
             & (F.col("a.s") <= F.col("b.s") + 7)

@@ -995,35 +995,24 @@ def q183_shingle_novelty(spark: SparkSession, sf_dir: str):
 )
 def q184_source_overlap_matrix(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
-    # ONE corpus scan, ONE keyed exchange: collect_set(source) on the
-    # shingle key IS the per-shingle distinct-source posting list (the
-    # map-side partial collect_set dedups (h, source) before the
-    # shuffle, so the exchange carries what the old global distinct's
-    # shuffle carried). The old shape ran the fused shingle-UDF scan
-    # three times (distinct + both self-join sides) and paid the
-    # (source,h)-distinct exchange PLUS the h-join exchanges/sorts;
-    # here the source-pair expansion and the per-source shingle counts
-    # both derive from this cached bucket table with no join at all.
-    buckets = scoped_persist(
-        d.select(
-            "source",
-            F.explode(dd.shingle_hashes(F.col("text"), 3)).alias("h"),
-        )
-        .groupBy("h")
-        .agg(F.collect_set("source").alias("xs")),
-        eager=True,
-    )
-    # each (h, source) appears exactly once across all bucket sets, so
-    # the per-source count over the re-exploded buckets = the old
-    # countDistinct-shingles-per-source
-    src = (
-        buckets.select(F.explode("xs").alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
+    # NOTE two A/B'd-and-rejected variants (warm, interleaved): (a)
+    # collect_set(source) posting lists on the shingle key with pairs
+    # by double-explode — lost ~x1.2 (ObjectHashAggregate over millions
+    # of shingle groups costs more than the equi join it replaces); (b)
+    # eagerly persisting this distinct table — also lost (~+0.5 s): the
+    # self-join's second side is a ReusedExchange of the first, so only
+    # the per-source count branch re-runs the scan, and that recompute
+    # overlaps on idle cores while the cache fill serializes (the
+    # q107/q141 pattern). The original unpersisted join stays.
+    ssd = d.select(
+        "source",
+        F.explode(dd.shingle_hashes(F.col("text"), 3)).alias("h"),
+    ).distinct()
+    src = ssd.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = ssd.select(F.col("source").alias("source_a"), "h")
+    b = ssd.select(F.col("source").alias("source_b"), "h")
     pairs = (
-        buckets.select(F.explode("xs").alias("source_a"), "xs")
-        .select("source_a", F.explode("xs").alias("source_b"))
+        a.join(b, "h")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
