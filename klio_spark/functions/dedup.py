@@ -534,10 +534,17 @@ def simhash(
     hash_fn = token_hash if token_hash is not None else (
         lambda t: F.xxhash64(t)
     )
-    # no scan fan-out: the single-task pass is ~0.5 s of work here, and
-    # a round-robin fan-out was measured warm (interleaved A/B) as a
-    # wall wash at 15-24x the executor core-time — the per-task Python
-    # round-trip overhead dominates
+    # fan the unsplittable scan out HERE (and only here among the dedup
+    # kernels): the vote UDF is a genuinely heavyweight Python pass
+    # (~4 s single-task at sf0.1, profiled as runT 4.1 s / JVM cpuT
+    # 0.01 s — the task just waits on the Python worker), which is the
+    # carve-out the batch-5 fan-out revert reserved. Re-measured warm,
+    # interleaved, 3 rounds: fan-out wins q67 ~x0.7 / q132 ~x0.8 every
+    # round. The shingle/minhash kernels stay un-fanned (their fused
+    # UDF is cheap per row; measured loser there).
+    from klio_spark.plans.partitioning import fan_out_scan
+
+    df = fan_out_scan(df)
     base = F.transform(tokens(F.lower(F.col(text_col))), hash_fn)
     return df.withColumn(out_col, pandas_udf(_sim, "long")(base))
 

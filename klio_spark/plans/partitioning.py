@@ -141,16 +141,19 @@ def fan_out_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     already scans wide, so no shuffle is ever added there. The checked
     partition count comes from the physical scan (no job runs).
 
-    CURRENTLY UNADOPTED, on measurement: a warm interleaved A/B over 15
-    text/dedup queries at sf0.1 showed the fan-out losing or tying on
-    wall everywhere while costing 2-20x executor core-time — each
-    fanned task pays a fixed Python-worker round-trip (Arrow dispatch +
-    scheduling) that dwarfs the actual per-partition work, and the
-    initial "x0.49" win attributed to it was a cold-worker-pool
-    artifact (the FIRST fanned stage of a session starts 32 workers in
-    parallel; every later stage rides the warm pool either way). Keep
-    the helper for genuinely heavyweight per-row passes (seconds of
-    work per task), and re-measure warm before adopting."""
+    Adoption is MEASUREMENT-GATED, per kernel: a warm interleaved A/B
+    over 15 text/dedup queries at sf0.1 showed the fan-out losing or
+    tying on wall for the cheap fused shingle/minhash UDFs while
+    costing 2-20x executor core-time — each fanned task pays a fixed
+    Python-worker round-trip (Arrow dispatch + scheduling) that dwarfs
+    light per-partition work, and the initial "x0.49" win attributed
+    to it was a cold-worker-pool artifact (the FIRST fanned stage of a
+    session starts 32 workers in parallel; every later stage rides the
+    warm pool either way). The one adopter is simhash's vote UDF — a
+    genuinely heavyweight Python pass (~4 s single-task at sf0.1,
+    JVM cpuT ~0: the task waits on the Python worker), where the warm
+    A/B wins ~x0.7-0.8 every round. Re-measure warm before adopting
+    anywhere else."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
         cur = df.rdd.getNumPartitions()

@@ -632,14 +632,17 @@ def q141_bigram_lm_score(spark: SparkSession, sf_dir: str):
     dc = t.groupBy("source", "doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     bgc = dc.groupBy("bg").agg(F.sum("c").cast("bigint").alias("cnt"))
     w1 = F.split(F.col("bg"), " ", 2)[0]
-    m = bgc.groupBy(w1.alias("w1")).agg(
-        F.sum("cnt").cast("bigint").alias("tot1")
-    )
     v = bgc.agg(
         F.countDistinct(F.split(F.col("bg"), " ", 2)[1]).alias("vsz")
     )
+    # per-w1 totals as an unordered window sum instead of a marginal
+    # agg table joined back (the q266 lever): identical integer sums,
+    # one fewer bigram-table derivation and no join
     w = (
-        bgc.join(m, w1 == m["w1"])
+        bgc.withColumn(
+            "tot1",
+            F.sum("cnt").over(Window.partitionBy(w1)).cast("bigint"),
+        )
         .crossJoin(F.broadcast(v))
         .select(
             "bg",
@@ -1287,20 +1290,30 @@ def q266_trigram_lm(spark: SparkSession, sf_dir: str):
         ),
         eager=True,
     )
-    a12 = tgc.groupBy("w1", "w2").agg(
-        F.sum("c123").cast("bigint").alias("c12")
-    )
-    a23 = tgc.groupBy("w2", "w3").agg(
-        F.sum("c123").cast("bigint").alias("c23")
-    )
-    a2 = tgc.groupBy("w2").agg(F.sum("c123").cast("bigint").alias("c2"))
-    a3 = tgc.groupBy("w3").agg(F.sum("c123").cast("bigint").alias("c3"))
+    # the four marginals are whole-partition window sums, not separate
+    # agg tables: each groupBy+join pair re-scanned the cached lexicon
+    # and launched its own stage wave (profiled: 4 marginal stages =
+    # ~53 s cumulative task time for an ~800 KB table — pure per-task
+    # overhead), where a chained unordered window attaches the same
+    # exact integer sum on the lexicon stream itself — identical
+    # values, no join, half the stages; at scale it also drops the
+    # duplicate marginal tables from the shuffle
     nt = tgc.agg(F.sum("c123").cast("bigint").alias("nn"))
     w = (
-        tgc.join(a12, ["w1", "w2"])
-        .join(a23, ["w2", "w3"])
-        .join(a2, ["w2"])
-        .join(a3, ["w3"])
+        tgc.withColumn(
+            "c12",
+            F.sum("c123").over(Window.partitionBy("w1", "w2")).cast("bigint"),
+        )
+        .withColumn(
+            "c23",
+            F.sum("c123").over(Window.partitionBy("w2", "w3")).cast("bigint"),
+        )
+        .withColumn(
+            "c2", F.sum("c123").over(Window.partitionBy("w2")).cast("bigint")
+        )
+        .withColumn(
+            "c3", F.sum("c123").over(Window.partitionBy("w3")).cast("bigint")
+        )
         .crossJoin(F.broadcast(nt))
         .select(
             "tg",
