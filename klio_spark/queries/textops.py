@@ -2588,8 +2588,9 @@ def q245_syndication_matrix(spark: SparkSession, sf_dir: str):
     "pair shares along one alignment DIAGONAL (pos_a - pos_b) merge "
     "into maximal runs by the gaps-and-islands delta — a run of L "
     "consecutive shared 8-gram positions IS a maximal shared span of "
-    "L+7 tokens (the suffix-array LCP result, computed by equi-join + "
-    "window instead of a sequential scan). The frequency cap (grams "
+    "L+7 tokens (the suffix-array LCP result, computed by per-gram "
+    "posting-list expansion + window instead of a sequential scan). "
+    "The frequency cap (grams "
     "occurring 2..8 times corpus-wide) is the standard boilerplate cut "
     "and the quadratic-blowup bound: a gram contributes at most "
     "C(8,2) pair rows, so the join output is linear in the rare-gram "
@@ -2614,21 +2615,32 @@ def q255_suffix_span_dedup(spark: SparkSession, sf_dir: str):
         ).alias("_p0", "_kh"),
     ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_kh")
     wk = Window.partitionBy("_kh")
-    rare = scoped_persist(
+    # frequency cap via the count window (spillable — a hot gram never
+    # becomes one giant aggregation row), then posting-list buckets on the
+    # SAME _kh exchange: after the 2..8 filter every bucket holds <= 8
+    # occurrence structs, so collect_list is hard-bounded and the a<b pair
+    # stream expands with an in-stage double explode — the proven
+    # _shingle_pair_counts shape. This replaces the earlier persist +
+    # two-sided self-join of the rare table (one cache fill, one cache
+    # pass and two join sorts for the same multiset of pair rows).
+    rare = (
         kg.withColumn("_c", F.count(F.lit(1)).over(wk))
         .filter((F.col("_c") >= 2) & (F.col("_c") <= 8))
         .select("doc_id", "pos", "_kh")
     )
-    a = rare.select(
-        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "_kh"
-    )
-    b = rare.select(
-        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "_kh"
+    buckets = rare.groupBy("_kh").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("xs")
     )
     pr = (
-        a.join(b, "_kh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
     )
     wr = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     runs = pr.withColumn("grp", F.col("pa") - F.row_number().over(wr))
@@ -2682,8 +2694,8 @@ def q255_suffix_span_dedup(spark: SparkSession, sf_dir: str):
     "fools both, while Levenshtein counts exactly those edits): "
     "candidate pairs anchor on shared RARE 8-grams (the q255 "
     "frequency cap, 2..8 occurrences corpus-wide, so a gram yields "
-    "<= C(8,2) pairs and the join is linear in the rare-gram table, "
-    "never all-pairs), then each DISTINCT pair runs one exact "
+    "<= C(8,2) pairs and the pair expansion is linear in the rare-gram "
+    "table, never all-pairs), then each DISTINCT pair runs one exact "
     "levenshtein on the first 1000 chars (the cap bounds the O(m*n) "
     "DP at 1e6 cells/pair JVM-side; both engines implement classic "
     "unit-cost edit distance). similarity = (mx-lev)/mx in integer "
@@ -2716,16 +2728,21 @@ def q267_edit_distance_verify(spark: SparkSession, sf_dir: str):
         ).alias("_kh"),
     )
     wk = Window.partitionBy("_kh")
-    # both sides of the pair self-join read the rare-gram table —
-    # persist it once (q255's lever) or each rebuilds explode+window
-    rare = scoped_persist(
+    # frequency cap via the count window (spillable), then posting-list
+    # buckets on the SAME _kh exchange — the q255/_shingle_pair_counts
+    # shape: the 2..8 filter bounds every bucket at 8 ids, the a<b pairs
+    # expand with an in-stage double explode, and the earlier persist +
+    # two-sided self-join (cache fill + cache pass + two join sorts) is
+    # gone; the corpus is still tokenized exactly once.
+    rare = (
         kg.withColumn("_c", F.count(F.lit(1)).over(wk))
         .filter((F.col("_c") >= 2) & (F.col("_c") <= 8))
         .select("doc_id", "_kh")
     )
+    buckets = rare.groupBy("_kh").agg(F.collect_list("doc_id").alias("xs"))
     pairs = (
-        rare.select(F.col("doc_id").alias("id_a"), "_kh")
-        .join(rare.select(F.col("doc_id").alias("id_b"), "_kh"), "_kh")
+        buckets.select(F.explode("xs").alias("id_a"), "xs")
+        .select("id_a", F.explode("xs").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

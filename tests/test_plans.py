@@ -539,14 +539,16 @@ def test_q270_token_explode_runs_once(spark, sf_dir, specs):
 
 
 def test_q267_rare_gram_table_built_once(spark, sf_dir, specs):
-    """q267's candidate generator joins the rare-8-gram table to
-    itself; the table must be BUILT once (persisted, two cache reads)
-    with a single shingle explode — rebuilding it per join side doubles
-    the corpus scan at 100 TB."""
+    """q267's candidate pairs expand from per-gram posting lists on the
+    count window's OWN _kh exchange: exactly one shingle explode over
+    the corpus (a self-join would rebuild it per side — double the
+    corpus scan at 100 TB), the two pair explodes ride the bucket
+    stage, and no cache is needed (zero InMemoryTableScan)."""
     df = specs["q267_edit_distance_verify"].fn(spark, sf_dir)
     c = _node_counts(plans.plan_str(df))
-    assert c["Generate"] == 1, c
-    assert c["InMemoryTableScan"] >= 2, c
+    assert c["Generate"] == 3, c
+    assert c["InMemoryTableScan"] == 0, c
+    assert c["Window"] == 1, c
 
 
 def test_q268_covariate_frame_cached(spark, sf_dir, specs):
