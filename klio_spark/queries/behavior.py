@@ -2149,10 +2149,10 @@ def q191_event_paths(spark: SparkSession, sf_dir: str):
     "words). All three metrics integer-exact: confidence_bp = "
     "n_ab*1e4 // n_a, lift_ppm = n_ab*N*1e6 // (n_a*n_b) — the "
     "log-free monotone ranking trick (q187). Shape: basket pair "
-    "counts from ONE orderkey-keyed self-join of the distinct "
-    "(order, part) table (min-support 3 prunes before ranking), "
-    "marginals broadcast, TakeOrderedAndProject with lexicographic "
-    "tie-break — hash-exact.",
+    "counts expand from per-order posting lists on ONE orderkey "
+    "exchange (collect_set folds the distinct; the q125/q201 shape; "
+    "min-support 3 prunes before ranking), marginals broadcast, "
+    "TakeOrderedAndProject with lexicographic tie-break — hash-exact.",
 )
 def q192_association_rules(spark: SparkSession, sf_dir: str):
     (l,) = load(spark, sf_dir, "lineitem")
@@ -2175,13 +2175,23 @@ def association_rules(
         F.count(F.lit(1)).alias("n")
     )
     nb = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
-    a, b = li.alias("a"), li.alias("b")
+    # the PAIR stream expands basket posting lists instead of the
+    # distinct-then-self-join (the q125/q201 shape): collect_set folds
+    # the per-basket distinct into ONE orderkey exchange and the a<b
+    # expansion runs in-stage — no second join side, no SMJ sorts.
+    # Measured (warm interleaved, 4 alternating rounds): basket pair +
+    # untouched li marginals wins every round (~x0.75); persisting ONE
+    # shared basket table for all consumers LOSES both eager (the fill
+    # serializes in front) and lazy (broadcast-branch cache races) —
+    # the marginal branches overlap on idle cores, the q107/q152
+    # pattern, so they deliberately stay on their own li subtree.
     pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("pa"), "ps")
+        .select("pa", F.explode("ps").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)
     )
