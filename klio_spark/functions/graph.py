@@ -118,12 +118,32 @@ def connected_components(
         out = [(v, find(v)) for v in parent]
         sym.unpersist()
         id_field = sym.schema["id"]
-        result = spark.createDataFrame(
-            out,
-            schema=f"id {id_field.dataType.simpleString()}, "
-            f"comp {id_field.dataType.simpleString()}",
+        schema = (
+            f"id {id_field.dataType.simpleString()}, "
+            f"comp {id_field.dataType.simpleString()}"
         )
-        return result
+        # the label table is driver-local and tiny (≤ driver_threshold
+        # nodes), but a bare createDataFrame(list) parallelizes it into
+        # defaultParallelism PICKLED slices — every consumer re-executes
+        # the scan as N Python-worker round-trips (profiled on q185:
+        # ~10 s cumulative runT warm, ~70 s cold pool, ~0 JVM cpuT, per
+        # consumer). Ship it as ONE Arrow batch when the session speaks
+        # Arrow (JVM-only scan), and collapse to one partition either
+        # way — consumers broadcast this table, its parallelism is moot.
+        if out and (
+            spark.conf.get(
+                "spark.sql.execution.arrow.pyspark.enabled", "false"
+            ).lower()
+            == "true"
+        ):
+            import pandas as pd
+
+            result = spark.createDataFrame(
+                pd.DataFrame(out, columns=["id", "comp"]), schema=schema
+            )
+        else:
+            result = spark.createDataFrame(out, schema=schema)
+        return result.coalesce(1)
 
     numeric_ids = dict(edges.dtypes)[src] in (
         "tinyint", "smallint", "int", "bigint", "decimal(38,0)"

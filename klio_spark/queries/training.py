@@ -886,7 +886,15 @@ def q185_cluster_safe_split(spark: SparkSession, sf_dir: str):
         dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3)
     )
     comp = connected_components(edges, "id_a", "id_b")
-    assign = (
+    # assign feeds THREE consumers (both sides of the leak audit join +
+    # the per-split agg). With comp arriving as a tiny known-size local
+    # table its join broadcasts, so there is no shuffle exchange for AQE
+    # to reuse across the consumers — without a persist each one re-runs
+    # the docs⋈comp join AND the md5 pandas-UDF pass (measured: warm
+    # wall 3x). Eager: the leak branch is broadcast, and concurrent
+    # broadcast jobs racing a lazy cache each recompute (see
+    # scoped_persist).
+    assign = scoped_persist(
         d.select("doc_id")
         .join(
             comp.select(
@@ -906,7 +914,8 @@ def q185_cluster_safe_split(spark: SparkSession, sf_dir: str):
             F.when(F.col("_b") < 8, F.lit("train"))
             .when(F.col("_b") == 8, F.lit("val"))
             .otherwise(F.lit("test")),
-        )
+        ),
+        eager=True,
     )
     leak = (
         edges.join(
