@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from klio_spark.functions.similarity import exact_pairs_grouped, lsh_topk
 from klio_spark.functions.vectors import cosine_sim, l2_norm
+from klio_spark.plans.partitioning import fan_out_scan
 from klio_spark.queries import load, register, scoped_persist
 
 
@@ -279,8 +280,17 @@ def q140_kmeans_assign(spark: SparkSession, sf_dir: str):
     # (int on the TPC-H-ish corpus, string on the randomized one) or the
     # when() branches disagree and analysis fails
     label_type = e.schema["label"].dataType
+    # the argmax fold below is a heavyweight INTERPRETED pass (higher-
+    # order aggregate over k centroids x d dims per row — no codegen),
+    # and the embeddings parquet is a single row group, so it ran as ONE
+    # task on one core (profiled: 1.3-1.5 s cpuT single-task stage at
+    # sf0.1). This is fan_out_scan's documented carve-out — heavyweight
+    # per-row work, here pure JVM (no Python round-trip to pay), and the
+    # confusion-cell agg downstream is order-independent, so round-robin
+    # placement cannot change results. Warm interleaved A/B: see
+    # OPTIMIZATION_r10.md (wins every round).
     assigned = (
-        e.crossJoin(F.broadcast(cents))
+        fan_out_scan(e).crossJoin(F.broadcast(cents))
         .select(
             F.col("label"),
             F.aggregate(
