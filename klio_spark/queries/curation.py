@@ -632,17 +632,22 @@ def q141_bigram_lm_score(spark: SparkSession, sf_dir: str):
     dc = t.groupBy("source", "doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     bgc = dc.groupBy("bg").agg(F.sum("c").cast("bigint").alias("cnt"))
     w1 = F.split(F.col("bg"), " ", 2)[0]
+    # per-w1 totals as a map-side-combined marginal agg joined back, NOT
+    # the q266 window lever: the window form exchanges+sorts the WHOLE
+    # bigram table by w1, where this groupBy shrinks to distinct-w1 rows
+    # map-side and joins back broadcast. Measured (interleaved worktree
+    # A/B at sf0.1, 4 alternating rounds): join form 1.43-1.70 s vs
+    # window form 1.51-1.98 s — the join wins every round here, the
+    # OPPOSITE of q266, whose cached five-consumer lexicon pays 4 join
+    # waves and keeps the window form on the same measurement protocol.
+    m = bgc.groupBy(w1.alias("w1")).agg(
+        F.sum("cnt").cast("bigint").alias("tot1")
+    )
     v = bgc.agg(
         F.countDistinct(F.split(F.col("bg"), " ", 2)[1]).alias("vsz")
     )
-    # per-w1 totals as an unordered window sum instead of a marginal
-    # agg table joined back (the q266 lever): identical integer sums,
-    # one fewer bigram-table derivation and no join
     w = (
-        bgc.withColumn(
-            "tot1",
-            F.sum("cnt").over(Window.partitionBy(w1)).cast("bigint"),
-        )
+        bgc.join(m, w1 == m["w1"])
         .crossJoin(F.broadcast(v))
         .select(
             "bg",
