@@ -918,6 +918,14 @@ def q214_common_neighbors(spark: SparkSession, sf_dir: str):
     adj = ew.select(
         F.col("u").alias("center"), F.col("v").alias("nb"), "w"
     ).unionAll(ew.select(F.col("v").alias("center"), F.col("u").alias("nb"), "w"))
+    # AQE coalesces the center exchange by BYTES (~21 MB at sf0.1 →
+    # ~16 partitions on 32 cores), which looks like half-idle cores on
+    # the CPU-dense expansion stage. Tried pinning it at
+    # defaultParallelism with an explicit same-key repartition: wall was
+    # a WASH (4 interleaved rounds) while the stage's cumulative CPU
+    # nearly DOUBLED (warm 26 s → 42 s core) — fewer, larger partitions
+    # run the window sort + pair partial-agg cheaper per row, so the
+    # byte-coalesced width is the right one. Left on AQE.
     rk = Window.partitionBy("center").orderBy(F.desc("w"), F.asc("nb"))
     small = (
         adj.select("center", "nb", F.row_number().over(rk).alias("rk"))
