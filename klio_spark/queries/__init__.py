@@ -114,123 +114,83 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
 # verification-scheduling decision: front-load the entries with the LEAST
 # official evidence.
 #
-#   1. _VERIFY_FIRST — round-10 rotation (VERDICT r9 item 1). Order:
-#      (a) this round's NEW queries (growth capped ≤15 per VERDICT r9
-#      item 2 — every new entry enters the window immediately);
-#      (b) q263 — its segmented-carry lever landed post-seal in r9
-#      (VERDICT r9 "What's wrong" item 1), hygiene re-check;
-#      (c) the full r4 band (16 — clears the r4 row to 0);
-#      (d) the r5 band oldest-first (33 — slots past the driver's ~50
-#      truncation ride at the head for round 11). The 50 entries
-#      CORRECTNESS_r09 verified move to the tail of _DRIVER_GREEN.
+#   1. _VERIFY_FIRST — round-11 rotation (VERDICT r10 item 2): the
+#      round-10 optimization rewrites whose correctness currently rests
+#      only on builder-side hash-exact evidence (the r10 window was
+#      fixed before the optimization wave ran), in the verdict's own
+#      order; then the queries THIS round touches; then the remaining
+#      r5/r6-stale tail. The 50 entries CORRECTNESS_r10 verified move
+#      to the tail of _DRIVER_GREEN.
 #   2. Everything else in import order — where NEW queries land
 #      automatically (neither in the prefix nor in _DRIVER_GREEN).
 #   3. _DRIVER_GREEN — entries hash-verified by a driver round and
 #      untouched since, ordered stalest-first so future rotations keep
 #      pulling from the head; a repeat truncation costs the least here
-#      (the round-9 window sits at the very end — freshest evidence).
+#      (the round-10 window sits at the very end — freshest evidence).
 _VERIFY_FIRST = [
-    # -- round-10 NEW queries (each enters the window in its own
-    #    round, VERDICT r9 item 2). --
-    "q264_pii_audit",
-    "q265_packing_planner",
-    "q266_trigram_lm",
-    "q267_edit_distance_verify",
-    "q268_cuped_adjustment",
-    "q269_chi_square_drift",
-    "q270_js_divergence",
-    "q271_secret_scan",
-    # -- q263 hygiene re-check: the segmented-carry lever landed after
-    #    the r9 seal (builder + judge-replica evidence only). --
-    "q263_page_hinkley",
-    # -- the r4 band: 16 entries whose latest driver check is round 4
-    #    (q133 cleared via the r9 slack slot). --
-    "q137_span_corruption",
-    "q140_kmeans_assign",
-    "q142_time_decay_score",
-    "q147_incremental_rollup",
-    "q148_transition_matrix",
-    "q149_dau_mau",
-    "q164_zorder_cells",
-    "q165_countmin_freq",
-    "q166_countmin_merge",
-    "q171_power_iteration",
-    "q172_lloyd_kmeans",
-    "q173_bpe_merge_scores",
-    "q174_text_normalize",
-    "q175_cm_filtered_heavy_keys",
-    "q177_grouping_sets",
-    "q178_phrase_search",
-    # -- the r5 band, oldest-first per VERDICT r9 item 1 (33 entries;
-    #    the ~9 past the truncation point stay ordered for r11). --
-    "q66_minhash_lsh_dedup",
-    "q67_simhash_dedup",
-    "q70_ann_bruteforce_topk",
-    "q71_ann_lsh_topk",
-    "q72_embedding_near_dups",
-    "q74_ann_ivf_topk",
-    "q106_minhash_lsh_recall",
-    "q108_event_funnel",
-    "q121_centroid_similarity",
-    "q129_minhash_bucket_table",
-    "q130_interval_join_batch",
-    "q134_semantic_dedup",
-    "q139_psi_drift",
-    "q144_inverted_index_topk",
-    "q145_scd2_intervals",
-    "q146_rolling_distinct_hll",
-    "q150_length_outliers",
-    "q152_pagerank",
-    "q153_weighted_sample",
-    "q154_time_weighted_avg",
-    "q155_winsorize",
-    "q156_token_entropy",
-    "q157_int8_ann_topk",
-    "q158_compaction_plan",
-    "q159_zonemap_pruning",
+    # -- round-10 rewrite set (VERDICT r10 item 2 order): official
+    #    oracle evidence for every r10-touched path. --
     "q160_triangle_count",
+    "q169_bfs_khop",
+    "q214_common_neighbors",
+    "q215_k_core",
+    "q125_copurchase_pairs",
+    "q192_association_rules",
+    "q201_apriori_triples",
+    "q185_cluster_safe_split",
+    "q255_suffix_span_dedup",
+    "q133_dedup_survivors",
+    "q85_dedup_clusters",
+    "q65_ngram_jaccard_pairs",
+    "q68_jaccard_capped_df",
+    "q132_simhash_portable",
+    "q141_bigram_lm_score",
+    "q151_shingle_containment",
+    "q87_contamination",
+    "q91_passage_dedup",
+    "q167_pq_adc_quality",
+    "q168_ivfpq_topk",
+    "q194_mmr_diverse_topk",
+    "q106_minhash_lsh_recall",
+    # -- round-11 optimization targets (touched this round; each needs
+    #    fresh official evidence). --
+    "q203_bpe_encode",
+    "q186_bpe_train_rounds",
+    "q189_textrank_keywords",
+    "q136_substring_dedup",
+    "q188_winnowing_pairs",
+    # -- the r5-stale remainder: the r5 band slots past the r10
+    #    truncation point, then the 9-entry r5 block that headed
+    #    _DRIVER_GREEN (minus those already above). --
     "q161_incremental_join_view",
     "q162_ks_drift",
     "q163_cusum_changepoint",
-    "q169_bfs_khop",
     "q170_gram_matrix",
     "q176_pit_scd2_join",
     "q180_mad_outliers",
-]
-
-_DRIVER_GREEN = [
-    # -- last driver-checked round 5 (the 9 the r10 window's 33-entry
-    #    r5 slice does not cover — stalest remaining, head position) --
     "q182_vocab_growth",
     "q183_shingle_novelty",
     "q184_source_overlap_matrix",
-    "q185_cluster_safe_split",
-    "q188_winnowing_pairs",
     "q191_event_paths",
-    "q192_association_rules",
     "q193_conversion_lifetable",
-    "q194_mmr_diverse_topk",
-    # -- last driver-checked round 6 --
-    "q186_bpe_train_rounds",
-    "q201_apriori_triples",
+    # -- the r6-stale head (oldest remaining driver evidence). --
     "q181_misra_gries_heavy_hitters",
-    "q65_ngram_jaccard_pairs",
     "q195_mixture_temperature",
     "q202_attribution_position_based",
     "q200_k_anonymity",
     "q196_curriculum_phases",
     "q197_filtered_ann_topk",
     "q187_pmi_collocations",
-    "q189_textrank_keywords",
     "q190_lexical_gini",
-    "q167_pq_adc_quality",
-    "q168_ivfpq_topk",
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_group_stats",
     "q05_rollup",
     "q06_count_distinct",
     "q07_median_percentile",
+]
+
+_DRIVER_GREEN = [
     "q08_grouped_pandas_udaf",
     "q10_semi_join",
     "q11_anti_join",
@@ -258,8 +218,6 @@ _DRIVER_GREEN = [
     "q80_prologue_routing",
     "q81_recipients_routing",
     "q82_audit_log",
-    # -- last driver-checked round 7 --
-    "q203_bpe_encode",
     "q204_mrl_prefix_recall",
     "q205_dsir_selection",
     "q206_char_coverage",
@@ -270,8 +228,6 @@ _DRIVER_GREEN = [
     "q211_tokenizer_fertility",
     "q212_embedding_frechet",
     "q213_lag_autocorr",
-    "q214_common_neighbors",
-    "q215_k_core",
     "q216_script_mix",
     "q217_theil_sen_trend",
     "q218_rendezvous_reshard",
@@ -301,8 +257,6 @@ _DRIVER_GREEN = [
     "q250_basket_dispersion",
     "q251_supplier_hhi",
     "q252_lorenz_deciles",
-    # -- last driver-checked round 8 (the freshest evidence: the full
-    #    r1/r2 stale tail + q228/q239/q231/q240) --
     "q228_benford_audit",
     "q239_spearman_rank_corr",
     "q83_payload_roundtrip",
@@ -320,16 +274,12 @@ _DRIVER_GREEN = [
     "q117_ab_experiment",
     "q118_mixture_resample",
     "q123_revenue_share_bp",
-    "q125_copurchase_pairs",
     "q127_hierarchy_depth",
     "q79_repetition_quality",
-    "q85_dedup_clusters",
     "q86_hash_split",
-    "q87_contamination",
     "q88_stratified_sample",
     "q89_heavy_hitters",
     "q90_sequence_packing",
-    "q91_passage_dedup",
     "q92_domain_mixture",
     "q93_pii_redaction",
     "q94_quality_filter",
@@ -353,10 +303,6 @@ _DRIVER_GREEN = [
     "q78_embedding_quantize",
     "q231_bootstrap_ci",
     "q240_split_leakage",
-    # -- last driver-checked round 9 (the freshest evidence: the 8
-    #    r8-changed + the full r3 band + the r9 wave + q133 via the
-    #    slack slot; q263 rides in _VERIFY_FIRST instead — post-seal
-    #    lever hygiene) --
     "q09_arg_min_max",
     "q179_ewma_features",
     "q198_interval_coverage",
@@ -365,15 +311,11 @@ _DRIVER_GREEN = [
     "q223_ranking_auc",
     "q224_cohen_kappa",
     "q229_pr_threshold_sweep",
-    "q151_shingle_containment",
     "q04_conditional_agg",
     "q102_unpivot",
     "q131_trigger_upstream_batch",
-    "q132_simhash_portable",
     "q135_bm25_topk",
-    "q136_substring_dedup",
     "q138_vocab_coverage",
-    "q141_bigram_lm_score",
     "q143_skew_profile",
     "q15_asof_join",
     "q32_cube",
@@ -390,14 +332,12 @@ _DRIVER_GREEN = [
     "q54_pivot",
     "q56_time_rollup_multigrain",
     "q60_token_stats",
-    "q68_jaccard_capped_df",
     "q69_top_bigrams",
     "q75_embedding_centroids",
     "q76_binary_meta",
     "q77_bpe_token_count",
     "q253_incremental_distinct_view",
     "q254_stratified_min_sample",
-    "q255_suffix_span_dedup",
     "q256_mann_whitney",
     "q257_bh_fdr",
     "q258_kaplan_meier",
@@ -405,7 +345,59 @@ _DRIVER_GREEN = [
     "q260_asof_nearest_tolerance",
     "q261_fleiss_kappa",
     "q262_groupwise_ols",
-    "q133_dedup_survivors",
+    # -- last driver-checked round 10 (the freshest evidence:
+    #    the r10 window = the 8 build-wave entries + q263 + the
+    #    r4 band + the r5 band head, CORRECTNESS_r10 all green) --
+    "q264_pii_audit",
+    "q265_packing_planner",
+    "q266_trigram_lm",
+    "q267_edit_distance_verify",
+    "q268_cuped_adjustment",
+    "q269_chi_square_drift",
+    "q270_js_divergence",
+    "q271_secret_scan",
+    "q263_page_hinkley",
+    "q137_span_corruption",
+    "q140_kmeans_assign",
+    "q142_time_decay_score",
+    "q147_incremental_rollup",
+    "q148_transition_matrix",
+    "q149_dau_mau",
+    "q164_zorder_cells",
+    "q165_countmin_freq",
+    "q166_countmin_merge",
+    "q171_power_iteration",
+    "q172_lloyd_kmeans",
+    "q173_bpe_merge_scores",
+    "q174_text_normalize",
+    "q175_cm_filtered_heavy_keys",
+    "q177_grouping_sets",
+    "q178_phrase_search",
+    "q66_minhash_lsh_dedup",
+    "q67_simhash_dedup",
+    "q70_ann_bruteforce_topk",
+    "q71_ann_lsh_topk",
+    "q72_embedding_near_dups",
+    "q74_ann_ivf_topk",
+    "q106_minhash_lsh_recall",
+    "q108_event_funnel",
+    "q121_centroid_similarity",
+    "q129_minhash_bucket_table",
+    "q130_interval_join_batch",
+    "q134_semantic_dedup",
+    "q139_psi_drift",
+    "q144_inverted_index_topk",
+    "q145_scd2_intervals",
+    "q146_rolling_distinct_hll",
+    "q150_length_outliers",
+    "q152_pagerank",
+    "q153_weighted_sample",
+    "q154_time_weighted_avg",
+    "q155_winsorize",
+    "q156_token_entropy",
+    "q157_int8_ann_topk",
+    "q158_compaction_plan",
+    "q159_zonemap_pruning",
 ]
 
 

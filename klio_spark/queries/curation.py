@@ -635,7 +635,9 @@ def q141_bigram_lm_score(spark: SparkSession, sf_dir: str):
     # per-w1 totals as a map-side-combined marginal agg joined back, NOT
     # the q266 window lever: the window form exchanges+sorts the WHOLE
     # bigram table by w1, where this groupBy shrinks to distinct-w1 rows
-    # map-side and joins back broadcast. Measured (interleaved worktree
+    # map-side and joins back (broadcast under AQE at bench scale; the
+    # join stays unhinted for web-scale vocabularies). Measured
+    # (interleaved worktree
     # A/B at sf0.1, 4 alternating rounds): join form 1.43-1.70 s vs
     # window form 1.51-1.98 s — the join wins every round here, the
     # OPPOSITE of q266, whose cached five-consumer lexicon pays 4 join
