@@ -326,6 +326,10 @@ def test_stateful_funnel_string_keys(spark, tmp_path):
     ] == "string"
 
 
+# slow-marked (VERDICT r10 item 1): idle-eviction/tombstone EDGE of
+# keep_latest (~2 min); the op's batch-equivalence test (absorbs_out_
+# of_order) stays in the default run.
+@pytest.mark.slow
 def test_stateful_keep_latest_idle_eviction_tombstones(spark, tmp_path):
     """State hygiene on unbounded keys: a key idle past the timeout is
     evicted and emits a tombstone (latest_ts_micros = -1)."""
@@ -489,6 +493,9 @@ def test_stateful_sessionize_gap_close_and_watermark_timeout(spark, tmp_path):
     assert len(got) == 2
 
 
+# slow-marked: straggler-admission EDGE; sessionize's gap-close +
+# watermark-timeout test stays in the default run.
+@pytest.mark.slow
 def test_stateful_sessionize_admitted_straggler_extends_start(
     spark, tmp_path
 ):
@@ -1318,6 +1325,9 @@ def test_streaming_quantile_sketch_rank_guarantee(spark, tmp_path):
     assert m < 1000.0, m
 
 
+# slow-marked: outer-emission EDGE; the stream-stream interval join
+# itself stays covered in the default run.
+@pytest.mark.slow
 def test_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path):
     """Stream-stream LEFT OUTER interval join: matched pairs emit like
     the inner join; a left row with no right match emits with NULLs
