@@ -71,21 +71,26 @@ def _sweep_orphan_tables(spark) -> None:
 
 
 def _executor_task_ms(spark) -> int | None:
-    """Cumulative executor task time (ms) from the REST executor
-    summary — a tiny constant-size payload (one row in local mode).
-    Per-query deltas give `core_sec`: executor core-time alongside
-    wall (VERDICT r10 item 8 — wall at sf0.1 can invert the
-    100 TB-correct decision; core-time is the cluster bill). Read
-    OUTSIDE the timed region; never raises."""
+    """Cumulative executor task run time (ms) from the driver's
+    Dropwizard metrics servlet (`driver.executor.runTime`) — a tiny
+    constant-size payload. Per-query deltas give `core_sec`: executor
+    core-time alongside wall (VERDICT r10 item 8 — wall at sf0.1 can
+    invert the 100 TB-correct decision; core-time is the cluster
+    bill). NOT the REST executor summary's `totalDuration`: in local
+    mode that field tracks executor UPTIME (measured: +3.1 s across a
+    3 s idle sleep), while this counter is 0 across idle and sums task
+    time exactly (measured: 0.72 s wall / 8.14 s task-time on a
+    32-way job). Read OUTSIDE the timed region; never raises."""
     import urllib.request
 
     try:
         base = spark.sparkContext.uiWebUrl
-        app = spark.sparkContext.applicationId
-        url = f"{base}/api/v1/applications/{app}/executors"
-        with urllib.request.urlopen(url, timeout=5) as r:
-            rows = json.loads(r.read())
-        return sum(e.get("totalDuration") or 0 for e in rows)
+        with urllib.request.urlopen(f"{base}/metrics/json", timeout=5) as r:
+            counters = json.loads(r.read()).get("counters", {})
+        for k, v in counters.items():
+            if k.endswith(".driver.executor.runTime"):
+                return v.get("count")
+        return None
     except Exception:
         return None
 
@@ -128,6 +133,19 @@ def main() -> int:
             continue
         best = None
         for _ in range(reps):
+            if name in _CONTROLS:
+                # the frozen host-drift meters must run under the SAME
+                # engine conditions as their round-5 reference times,
+                # or control_ratio starts measuring the code instead
+                # of the host: the round-11 schema memo
+                # (queries/__init__.load) cuts ~60-90 ms of per-load
+                # inference that the reference numbers still include —
+                # on a 0.2 s control that is a 35% code-made "speedup"
+                # silently deflating the ratio. Clear the memo per rep
+                # so every control rep re-infers, exactly like round 5.
+                from klio_spark.queries import _SCHEMA_MEMO
+
+                _SCHEMA_MEMO.clear()
             c0 = _executor_task_ms(spark)
             t0 = time.perf_counter()
             try:

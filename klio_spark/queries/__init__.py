@@ -85,6 +85,20 @@ def release_scoped_caches() -> int:
     return n
 
 
+# Schema memo: one parquet-footer inference per (data dir, table) per
+# process; later loads pass the schema explicitly. This is METADATA
+# memoization — the role a table catalog (metastore / Iceberg manifest)
+# plays in production, where readers never re-infer schemas per query
+# (guide §6: manifest metadata over directory inference). Measured on
+# this host: an inferred spark.read.parquet resolves in ~80-95 ms
+# (footer read + driver-side inference), an explicit-schema read in
+# ~20 ms — across a 255-query bench run that is ~25 s of pure repeated
+# inference of the SAME six immutable schemas. No data, no results and
+# no plan fragments are memoized; every query still scans the parquet
+# from disk.
+_SCHEMA_MEMO: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
     from pyspark.sql import functions as F
 
@@ -98,7 +112,13 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
             # spark.conf.set works on an existing session, so set it here,
             # immediately before the read resolves the schema.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        key = (sf_dir, t)
+        sch = _SCHEMA_MEMO.get(key)
+        if sch is None:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            _SCHEMA_MEMO[key] = df.schema
+        else:
+            df = spark.read.schema(sch).parquet(f"{sf_dir}/{t}.parquet")
         if t == "events" and dict(df.dtypes).get("ts") == "bigint":
             # events.parquet carries TIMESTAMP(NANOS) which Spark reads as
             # nanos-long under spark.sql.legacy.parquet.nanosAsLong (set in

@@ -1082,6 +1082,13 @@ def _bpe_merge_loop(seq, rounds: int):
     codegen'd replace — no shuffle ever touches the corpus."""
     carry = [c for c in seq.columns if c != "seq"]
     tops = []
+    # Per-round seq persists + EAGER top fills — tried (r11), measured
+    # loser, reverted: warm A/B q186 1.97-2.24 s → 2.55-2.58 s wall and
+    # 15.1 s → 36.9 s core per 2-rep session (q203 19.4 → 34.0 s core).
+    # The deep lazy plan already evaluates the vocab chain once per
+    # action — AQE reuses the corpus-agg exchange across rounds — so
+    # the persists only inserted serial fill jobs plus per-stage
+    # broadcast-fetch waits in front of work that was never duplicated.
     for k in range(1, rounds + 1):
         ts = F.filter(F.split(F.col("seq"), " "), lambda t: t != "")
         pairs = (
@@ -1508,7 +1515,16 @@ def textrank_keywords(
     join on the word key, 'auto' = Catalyst/AQE sizing) — words are a
     vocabulary-bounded dimension, but a byte-pair or sub-word graph can
     outgrow broadcast, and the fallback is hash-identical
-    (tests/test_plans.py proves it for the shared PageRank core)."""
+    (tests/test_plans.py proves it for the shared PageRank core).
+
+    A checkpointed fixpoint (persist e eagerly + localCheckpoint the
+    score table per iteration, constant plan per round) was tried in
+    r11 and measured a LOSER: warm A/B 2.8-3.2 s → 3.6-4.0 s wall and
+    13.2 s → 107.7 s core per 2-rep session. The deep lazy plan
+    computes the edge pipeline ONCE via ReusedExchange; severing it
+    per iteration forced per-round broadcast materializations and
+    32-task cache-read stages dominated by broadcast-fetch wait. The
+    q152-pagerank revert generalizes to the whole fixpoint family."""
     base = d.filter(F.col("text").isNotNull()).select(
         tx.tokens(F.lower(F.col("text"))).alias("ws")
     )

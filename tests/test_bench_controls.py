@@ -106,3 +106,29 @@ def _regen():  # pragma: no cover — conscious re-pin helper
     for name in _FROZEN_CONTROLS:
         fp = _plan_fingerprint(specs[name].fn(spark, _DEFAULT_SF_DIR))
         print(f'    "{name}": "{fp}",')
+
+
+def test_schema_memo_is_metadata_only_and_cleared_for_controls(spark, sf_dir):
+    """Round-11 adds a per-process schema memo to queries.load() (one
+    parquet-footer inference per table, ~60-90 ms saved per later
+    load). Two invariants: (1) the memo changes neither the schema nor
+    the analyzed semantics of a load — a memoized read must equal a
+    fresh inference exactly; (2) bench.py must clear the memo before
+    every CONTROL rep, because the frozen reference seconds include
+    the inference cost and a memo-assisted control would deflate
+    control_ratio (a code-made 'host speedup')."""
+    from klio_spark.queries import _SCHEMA_MEMO, load
+
+    _SCHEMA_MEMO.clear()
+    (a,) = load(spark, sf_dir, "lineitem")   # infers + memoizes
+    assert (sf_dir, "lineitem") in _SCHEMA_MEMO
+    (b,) = load(spark, sf_dir, "lineitem")   # memoized path
+    assert a.schema == b.schema
+    assert a.schema == spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "bench.py")).read()
+    assert "_SCHEMA_MEMO.clear()" in src, (
+        "bench.py no longer clears the schema memo for control reps — "
+        "control_ratio would measure the memo, not the host"
+    )
