@@ -313,22 +313,23 @@ def q129_minhash_bucket_table(spark: SparkSession, sf_dir: str):
 )
 def q106_minhash_lsh_recall(spark: SparkSession, sf_dir: str):
     (d,) = load(spark, sf_dir, "documents")
-    # both arms start from the identical (doc_id, shingle-hash-set)
-    # table — materialize it ONCE and share it, so the fused
-    # tokenize→shingle→hash UDF scans the corpus a single time instead
-    # of once per pipeline (exact referee + LSH under test)
-    base = scoped_persist(
-        d.select(
-            F.col("doc_id"), dd.shingle_hashes(F.col("text"), 3).alias("_sh")
-        ),
-        eager=True,
-    )
+    # DUAL corpus scans, deliberately (re-decided in r11 under the
+    # fixed core-time counter, VERDICT r10 item 9): round 10 shared one
+    # eagerly-persisted (doc_id, shingle-hash) table between the arms
+    # on the hypothesis that two fused shingle-UDF passes cost 2x the
+    # Python-boundary core-time. Measured warm, alternating, 4 rounds
+    # (r11): dual 3.0-3.2 s wall / 12.7-15.7 s core vs shared
+    # 3.5-4.1 s wall / 16.9-26.1 s core — the shared form loses BOTH
+    # axes: the cache write + the per-consumer InMemoryTableScan reads
+    # of a corpus-sized table cost more than recomputing the fused UDF
+    # pass, and the eager fill serializes in front. Both scale
+    # linearly with the corpus, so the constant decides.
     exact = dd.ngram_jaccard_pairs(
-        d, "text", "doc_id", n=3, threshold=0.3, hashes_df=base
+        d, "text", "doc_id", n=3, threshold=0.3
     ).select("id_a", "id_b")
     lsh = dd.minhash_lsh_dedup(
         d, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16,
-        threshold=0.3, hashes_df=base,
+        threshold=0.3,
     ).select("id_a", "id_b")
     ne = exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
     nf = lsh.join(exact, ["id_a", "id_b"], "left_semi").agg(
@@ -525,10 +526,20 @@ def q132_simhash_portable(spark: SparkSession, sf_dir: str):
     "strings themselves (collision odds ~2^-64 per pair).",
 )
 def q136_substring_dedup(spark: SparkSession, sf_dir: str):
+    from klio_spark.plans.partitioning import fan_out_scan
+
     (d,) = load(spark, sf_dir, "documents")
     k = 8
+    # fan the unsplittable single-row-group scan before the heavy
+    # JVM-only gram pass (tokenize + per-position 8-gram concat +
+    # xxhash64): the q140 carve-out — no Python boundary, so the
+    # batch-5 fan-out objection doesn't apply; profiled r11 at a
+    # 0.53 s single-task map stage (cpuT~runT) on 1 of 32 cores.
+    # Scale-adaptive: a real multi-row-group corpus scans wide and
+    # fan_out_scan is a no-op there.
     toks = (
-        d.select("doc_id", tx.tokens(F.lower(F.col("text"))).alias("tk"))
+        fan_out_scan(d)
+        .select("doc_id", tx.tokens(F.lower(F.col("text"))).alias("tk"))
         .filter(F.size("tk") >= k)
     )
     kg = toks.select(
